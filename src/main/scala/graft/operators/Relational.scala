@@ -1,0 +1,396 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables._
+
+/** Relational query surface (SURVEY.md §2.3 R1–R14, X1, X3).
+  *
+  * The reference engine has no relational operators at all — its closest
+  * analogs are positional window filters
+  * (/root/reference/Matrix/LUDecomposition.java:233-241) and the Schur
+  * cogroup-by-grid-cell (/root/reference/Matrix/LUDecomposition.java:495-651),
+  * which is structurally a co-partitioned join. Here the engine surface is
+  * declarative DataFrame plans so Catalyst provides pushdown, pruning, join
+  * selection, whole-stage codegen and AQE for free (SURVEY.md §4).
+  *
+  * Determinism conventions (for the DuckDB oracle hash-compare):
+  *  - every query ends in a total ORDER BY;
+  *  - every floating aggregate is computed as an EXACT decimal sum
+  *    (cast each input to DECIMAL first, sum, then cast to double) so the
+  *    result is independent of partial-aggregation order — a plain
+  *    SUM(double) differs between engines in the last ulps because Spark's
+  *    partial/final aggregation adds in shuffle order;
+  *  - results rounded to 4 decimals; session timezone is UTC.
+  */
+object Relational {
+
+  /** Exact, order-independent SUM of a double column: per-row cast to
+    * decimal (exact, the inputs have ≤4 decimal digits), decimal sum,
+    * back to double. Safe under any partial-agg ordering at any scale. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 6))).cast("double")
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Revenue term: the per-row product is one deterministic double op;
+    * the decimal cast then makes the aggregation order-independent. */
+  private def revenueTerm(price: Column, disc: Column): Column = price * (lit(1.0) - disc)
+
+  // ---------------------------------------------------------------- R1
+  def r01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val r01Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount BETWEEN 0.05 AND 0.07
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- R2 (TPC-H Q1 shape)
+  def r02(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        r4(dsum(col("l_quantity"))).as("sum_qty"),
+        r4(dsum(col("l_extendedprice"))).as("sum_price"),
+        r4(dsum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("sum_revenue"),
+        r4(dsum(col("l_discount")) / count(lit(1))).as("avg_disc"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val r02Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_revenue,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- R3 (join + agg)
+  def r03(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val r03Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- R4 (multi-way broadcast join)
+  /** region and nation are constant-size dimensions → always broadcast.
+    * customer scales with SF, so it is left to AQE / size-based selection
+    * rather than force-broadcast (it would not fit at 100 TB). */
+  def r04(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        r4(dsum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+      .orderBy(col("n_name"))
+
+  val r04Sql: String =
+    """SELECT n_name, COUNT(*) AS n_items,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- R5 (left outer join)
+  def r05(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  val r05Sql: String =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- R6 (semi / anti)
+  def r06Semi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 50000.0),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val r06SemiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  def r06Anti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  val r06AntiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- R7 (distinct / count distinct)
+  def r07(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val r07Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- R8 (rollup)
+  /** Grouping-key NULLs from ROLLUP are coalesced to a sentinel so the
+    * Spark/DuckDB NULL-ordering difference (NULLS FIRST vs LAST) cannot
+    * perturb the total order. The raw columns contain no NULLs. */
+  def r08(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .select(coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("n_name"), col("o_orderpriority"))
+
+  val r08Sql: String =
+    """SELECT COALESCE(n_name, '(all)') AS n_name,
+      |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_name, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- R9 (ranking window, top-3 per customer)
+  def r09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"), col("rnk"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val r09Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- R10 (analytic window + frame: running sum)
+  /** The running sum is accumulated in DECIMAL so every prefix is exact —
+    * a double running sum is order-deterministic but engine-rounding-
+    * sensitive in the last ulp. */
+  def r10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("running_value",
+        r4(sum(col("value").cast(DecimalType(28, 6))).over(w).cast("double")))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val r10Sql: String =
+    """SELECT user_id, event_id, event_type,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- R11 (sort + limit top-k)
+  /** Top-k via orderBy+limit: Spark plans this as TakeOrderedAndProject —
+    * a per-partition heap + driver merge, no global sort. */
+  def r11(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val r11Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- R12 (set ops)
+  def r12Intersect(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("custkey"))
+      .intersect(customer(s, d).select(col("c_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  val r12IntersectSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT
+      |SELECT c_custkey AS custkey FROM customer
+      |ORDER BY custkey""".stripMargin
+
+  def r12Except(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_custkey").as("custkey"))
+      .except(orders(s, d).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  val r12ExceptSql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- R13 (scalar string/date/math)
+  def r13(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("order_month"),
+        r4(sqrt(abs(col("o_totalprice")))).as("sqrt_price"))
+      .orderBy(col("o_orderkey"))
+
+  val r13Sql: String =
+    """SELECT o_orderkey,
+      |  UPPER(SUBSTR(o_orderpriority, 1, 3)) AS prio3,
+      |  CONCAT(o_orderstatus, '-', o_orderpriority) AS status_prio,
+      |  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS order_month,
+      |  ROUND(SQRT(ABS(o_totalprice)), 4) AS sqrt_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- R14 (correlated scalar subquery)
+  /** Decorrelated by hand into agg + join — exactly the plan Catalyst
+    * produces for the correlated form. The per-customer average is an
+    * exact decimal sum divided in double, so the > comparison is
+    * bit-identical across engines. */
+  def r14(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val avgByCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+    o.join(avgByCust, col("o_custkey") === col("ac_custkey"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val r14Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- X1 (exact dedup)
+  /** Exact dedup on normalized text: content-hash groupBy, keep lowest
+    * doc_id. The hash-partitioned window is the scalable form — at
+    * 100 TB this is one shuffle on the 256-bit digest, no skew (hashes
+    * are uniform). SURVEY.md §2.3 X1. */
+  def x1(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    documents(s, d)
+      .withColumn("h", sha2(lower(trim(col("text"))), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x1Sql: String =
+    """SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY sha256(LOWER(TRIM(text))) ORDER BY doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- X3 (text stats per lang)
+  def x3(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        r4(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val x3Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_filter_project" -> (r01 _),
+    "r02_agg"            -> (r02 _),
+    "r03_join_agg"       -> (r03 _),
+    "r04_multijoin"      -> (r04 _),
+    "r05_outer_join"     -> (r05 _),
+    "r06_semi_join"      -> (r06Semi _),
+    "r06_anti_join"      -> (r06Anti _),
+    "r07_count_distinct" -> (r07 _),
+    "r08_rollup"         -> (r08 _),
+    "r09_rank_window"    -> (r09 _),
+    "r10_running_window" -> (r10 _),
+    "r11_topk"           -> (r11 _),
+    "r12_intersect"      -> (r12Intersect _),
+    "r12_except"         -> (r12Except _),
+    "r13_scalar_funcs"   -> (r13 _),
+    "r14_corr_subquery"  -> (r14 _),
+    "x1_exact_dedup"     -> (x1 _),
+    "x3_text_stats"      -> (x3 _))
+
+  val oracles: Map[String, String] = Map(
+    "r01_filter_project" -> r01Sql,
+    "r02_agg"            -> r02Sql,
+    "r03_join_agg"       -> r03Sql,
+    "r04_multijoin"      -> r04Sql,
+    "r05_outer_join"     -> r05Sql,
+    "r06_semi_join"      -> r06SemiSql,
+    "r06_anti_join"      -> r06AntiSql,
+    "r07_count_distinct" -> r07Sql,
+    "r08_rollup"         -> r08Sql,
+    "r09_rank_window"    -> r09Sql,
+    "r10_running_window" -> r10Sql,
+    "r11_topk"           -> r11Sql,
+    "r12_intersect"      -> r12IntersectSql,
+    "r12_except"         -> r12ExceptSql,
+    "r13_scalar_funcs"   -> r13Sql,
+    "r14_corr_subquery"  -> r14Sql,
+    "x1_exact_dedup"     -> x1Sql,
+    "x3_text_stats"      -> x3Sql)
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the driver-generated test schema
+  * (/root/testdata/sf*, see TESTDATA.md / FIXTURES.md §B).
+  *
+  * All reads go through `spark.read.parquet` so Catalyst gets native
+  * source splits, column pruning and filter pushdown — the Spark
+  * analog of the reference's manifest fan-out readers
+  * (/root/reference/Matrix/LUDecomposition.java:299-335), which had to
+  * hand-roll one I/O thread per child file.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    * read nanos as long and rebuild a TimestampType column. The generated
+    * values are µs-aligned (verified: epoch_ns % 1000 == 0 for all rows),
+    * so `DIV 1000` is lossless; integer division avoids the >2^53 double
+    * precision trap of `/`. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

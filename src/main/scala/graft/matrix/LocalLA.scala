@@ -1,0 +1,223 @@
+package graft.matrix
+
+/** Driver-/executor-local dense linear algebra on row-major
+  * `Array[Array[Double]]` blocks.
+  *
+  * `ludcmp` mirrors the semantics of the reference base case
+  * (/root/reference/Matrix/LUDecomposition.java:55-106): in-place
+  * Doolittle LU with partial pivoting and a TINY clamp for singular
+  * pivots, producing `indx` such that `L·U == A[indx, :]`. Unlike the
+  * reference (which compares raw values at :63), pivoting is on |·| —
+  * SURVEY.md §7 "pivot-search quirk": correctness is judged by residual
+  * invariants, not bit equality, so we use the numerically standard rule.
+  */
+object LocalLA {
+  final val Tiny = 1e-20
+
+  /** In-place LU with partial pivoting. Returns indx: row i of the packed
+    * factorization is original row indx(i). */
+  def ludcmp(a: Array[Array[Double]]): Array[Int] = {
+    val n = a.length
+    val indx = Array.tabulate(n)(identity)
+    var j = 0
+    while (j < n) {
+      // pivot search on |value| in column j, rows j..n-1
+      var p = j
+      var big = math.abs(a(j)(j))
+      var i = j + 1
+      while (i < n) {
+        val v = math.abs(a(i)(j))
+        if (v > big) { big = v; p = i }
+        i += 1
+      }
+      if (p != j) {
+        val tr = a(p); a(p) = a(j); a(j) = tr
+        val ti = indx(p); indx(p) = indx(j); indx(j) = ti
+      }
+      if (a(j)(j) == 0.0) a(j)(j) = Tiny
+      val pivInv = 1.0 / a(j)(j)
+      i = j + 1
+      while (i < n) {
+        val lij = a(i)(j) * pivInv
+        a(i)(j) = lij
+        val ai = a(i); val aj = a(j)
+        var k = j + 1
+        while (k < n) { ai(k) -= lij * aj(k); k += 1 }
+        i += 1
+      }
+      j += 1
+    }
+    indx
+  }
+
+  /** Split a packed LU (from ludcmp) into explicit L (unit diag) and U. */
+  def splitLU(packed: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Double]]) = {
+    val n = packed.length
+    val l = Array.ofDim[Double](n, n)
+    val u = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i > j) l(i)(j) = packed(i)(j)
+        else u(i)(j) = packed(i)(j)
+        j += 1
+      }
+      l(i)(i) = 1.0
+      i += 1
+    }
+    (l, u)
+  }
+
+  /** X = L⁻¹·B for unit-lower-triangular L (n×n), B n×m. In place on a copy. */
+  def forwardSolveUnitLower(l: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = l.length; val m = b(0).length
+    val x = b.map(_.clone())
+    var i = 1
+    while (i < n) {
+      val xi = x(i); val li = l(i)
+      var k = 0
+      while (k < i) {
+        val lik = li(k)
+        if (lik != 0.0) {
+          val xk = x(k)
+          var j = 0
+          while (j < m) { xi(j) -= lik * xk(j); j += 1 }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    x
+  }
+
+  /** X = B·U⁻¹ for upper-triangular U (m×m), B n×m (the L-panel solve). */
+  def solveXU(b: Array[Array[Double]], u: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = b.length; val m = u.length
+    val x = b.map(_.clone())
+    var r = 0
+    while (r < n) {
+      val xr = x(r)
+      var j = 0
+      while (j < m) {
+        var s = xr(j)
+        var k = 0
+        while (k < j) { s -= xr(k) * u(k)(j); k += 1 }
+        xr(j) = s / (if (u(j)(j) == 0.0) Tiny else u(j)(j))
+        j += 1
+      }
+      r += 1
+    }
+    x
+  }
+
+  /** Inverse of unit-lower-triangular L (column-wise forward substitution,
+    * the local analog of /root/reference/Matrix/LUInverse.java:133-147). */
+  def invUnitLower(l: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = l.length
+    val inv = Array.ofDim[Double](n, n)
+    var c = 0
+    while (c < n) {
+      inv(c)(c) = 1.0
+      var i = c + 1
+      while (i < n) {
+        var s = 0.0
+        var k = c
+        while (k < i) { s += l(i)(k) * inv(k)(c); k += 1 }
+        inv(i)(c) = -s
+        i += 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** Inverse of upper-triangular U (back substitution per column). */
+  def invUpper(u: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = u.length
+    val inv = Array.ofDim[Double](n, n)
+    var c = 0
+    while (c < n) {
+      inv(c)(c) = 1.0 / (if (u(c)(c) == 0.0) Tiny else u(c)(c))
+      var i = c - 1
+      while (i >= 0) {
+        var s = 0.0
+        var k = i + 1
+        while (k <= c) { s += u(i)(k) * inv(k)(c); k += 1 }
+        inv(i)(c) = -s / (if (u(i)(i) == 0.0) Tiny else u(i)(i))
+        i -= 1
+      }
+      c += 1
+    }
+    inv
+  }
+
+  /** C = A·B (ikj loop order for row-major locality). */
+  def gemm(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length; val k = b.length; val m = b(0).length
+    val c = Array.ofDim[Double](n, m)
+    var i = 0
+    while (i < n) {
+      val ai = a(i); val ci = c(i)
+      var p = 0
+      while (p < k) {
+        val aip = ai(p)
+        if (aip != 0.0) {
+          val bp = b(p)
+          var j = 0
+          while (j < m) { ci(j) += aip * bp(j); j += 1 }
+        }
+        p += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  def sub(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+    a.indices.map(i => a(i).indices.map(j => a(i)(j) - b(i)(j)).toArray).toArray
+
+  def maxAbsDiff(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
+    var m = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a(i).length) {
+        val d = math.abs(a(i)(j) - b(i)(j)); if (d > m) m = d
+        j += 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  /** Permute rows: out(i) = a(perm(i)). */
+  def permuteRows(a: Array[Array[Double]], perm: Array[Int]): Array[Array[Double]] =
+    perm.map(i => a(i).clone())
+
+  // ---- row-major <-> MLlib column-major DenseMatrix -------------------
+  import org.apache.spark.mllib.linalg.{DenseMatrix => MlDM}
+
+  def toDM(a: Array[Array[Double]]): MlDM = {
+    val n = a.length; val m = if (n == 0) 0 else a(0).length
+    val vals = new Array[Double](n * m)
+    var j = 0
+    while (j < m) {
+      var i = 0
+      while (i < n) { vals(j * n + i) = a(i)(j); i += 1 }
+      j += 1
+    }
+    new MlDM(n, m, vals)
+  }
+
+  def fromDM(d: MlDM): Array[Array[Double]] = {
+    val a = Array.ofDim[Double](d.numRows, d.numCols)
+    var i = 0
+    while (i < d.numRows) {
+      var j = 0
+      while (j < d.numCols) { a(i)(j) = d(i, j); j += 1 }
+      i += 1
+    }
+    a
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.matrix._
+import graft.matrix.BlockModel._
+
+/** Invariant tests for the matrix engine (FIXTURES.md A4, SURVEY.md §5):
+  * residual bounds against the verified semantics L·U = A[indx,:] and
+  * A⁻¹[:,indx] = U⁻¹·L⁻¹, plus local-vs-distributed agreement and the
+  * M6 byte round trip on the reference golden files. */
+class MatrixSpec extends AnyFunSuite {
+  lazy val spark = SparkTest.session
+  lazy val sc = spark.sparkContext
+  val seed = 42L
+
+  test("local ludcmp: L·U == A[indx,:] (n=64, raw uniform)") {
+    val n = 64
+    val a = MatrixGen.local(n, 16, seed)
+    val packed = a.map(_.clone())
+    val indx = LocalLA.ludcmp(packed)
+    val (l, u) = LocalLA.splitLU(packed)
+    val resid = LocalLA.maxAbsDiff(LocalLA.gemm(l, u), LocalLA.permuteRows(a, indx))
+    assert(resid < 1e-8 * n, s"residual $resid")
+  }
+
+  test("local triangular inverses") {
+    val n = 32
+    val a = MatrixGen.local(n, 8, seed, diagBoost = n.toDouble)
+    val packed = a.map(_.clone())
+    LocalLA.ludcmp(packed)
+    val (l, u) = LocalLA.splitLU(packed)
+    val li = LocalLA.invUnitLower(l)
+    val ui = LocalLA.invUpper(u)
+    val eye = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    assert(LocalLA.maxAbsDiff(LocalLA.gemm(l, li), eye) < 1e-9 * n)
+    assert(LocalLA.maxAbsDiff(LocalLA.gemm(u, ui), eye) < 1e-9 * n)
+  }
+
+  test("distributed gen matches local gen") {
+    val n = 128; val blk = 32
+    val dist = toLocal(MatrixGen.blocks(sc, n, blk, seed), n, n, blk)
+    val loc = MatrixGen.local(n, blk, seed)
+    assert(LocalLA.maxAbsDiff(dist, loc) == 0.0)
+  }
+
+  test("fromRows round trip") {
+    val n = 128; val blk = 32
+    val rows = MatrixGen.rows(sc, n, blk, seed)
+    val blocks = fromRows(rows, n, blk)
+    val loc = MatrixGen.local(n, blk, seed)
+    assert(LocalLA.maxAbsDiff(toLocal(blocks, n, n, blk), loc) == 0.0)
+  }
+
+  test("distributed block LU: L·U == P·A (n=256, blk=64, raw uniform)") {
+    val n = 256; val blk = 64
+    val a = MatrixGen.blocks(sc, n, blk, seed)
+    val lu = BlockLU.factor(sc, a, n, blk)
+    val prod = multiply(lu.l, lu.u, blk, n.toLong, n.toLong, n.toLong)
+    val permsB = sc.broadcast(lu.perms)
+    val pa = a.map { case ((i, j), m) =>
+      ((i, j), LocalLA.toDM(LocalLA.permuteRows(LocalLA.fromDM(m), permsB.value(i))))
+    }
+    assert(maxAbsDiff(prod, pa) < 1e-8 * n)
+  }
+
+  test("distributed LU agrees with shuffle (join) trailing-update path") {
+    val n = 128; val blk = 32
+    val a = MatrixGen.blocks(sc, n, blk, seed)
+    val broad = BlockLU.factor(sc, a, n, blk)
+    val joined = BlockLU.factor(sc, a, n, blk, broadcastPanelBytes = 0L)
+    assert(maxAbsDiff(broad.l, joined.l) == 0.0)
+    assert(maxAbsDiff(broad.u, joined.u) == 0.0)
+  }
+
+  test("distributed triangular inversion") {
+    val n = 128; val blk = 32; val q = n / blk
+    val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)
+    val lu = BlockLU.factor(sc, a, n, blk)
+    val li = Inversion.invLower(lu.l, q, blk)
+    val prod = multiply(lu.l, li, blk, n.toLong, n.toLong, n.toLong)
+    assert(maxAbsMinusIdentity(prod, blk) < 1e-8 * n)
+    val ui = Inversion.invUpper(lu.u, q, blk)
+    val prodU = multiply(lu.u, ui, blk, n.toLong, n.toLong, n.toLong)
+    assert(maxAbsMinusIdentity(prodU, blk) < 1e-8 * n)
+  }
+
+  test("inverse: A·A⁻¹ == I (n=256, diagonally dominant, tight ε)") {
+    val n = 256; val blk = 64
+    val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)
+    val ainv = Inversion.inverse(sc, a, n, blk)
+    val prod = multiply(a, ainv, blk, n.toLong, n.toLong, n.toLong)
+    assert(maxAbsMinusIdentity(prod, blk) < 1e-6 * n)
+  }
+
+  test("inverse: raw uniform(0,1) matrix, loose ε (FIXTURES.md A4)") {
+    val n = 256; val blk = 64
+    val a = MatrixGen.blocks(sc, n, blk, seed)
+    val ainv = Inversion.inverse(sc, a, n, blk)
+    val prod = multiply(a, ainv, blk, n.toLong, n.toLong, n.toLong)
+    assert(maxAbsMinusIdentity(prod, blk) < 1e-4 * n)
+  }
+
+  test("inverse matches local oracle (n=128)") {
+    val n = 128; val blk = 32
+    val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)
+    val dist = toLocal(Inversion.inverse(sc, a, n, blk), n, n, blk)
+    // local oracle: inverse via local LU of the same matrix
+    val loc = MatrixGen.local(n, blk, seed, diagBoost = n.toDouble)
+    val packed = loc.map(_.clone())
+    val indx = LocalLA.ludcmp(packed)
+    val (l, u) = LocalLA.splitLU(packed)
+    val uiLi = LocalLA.gemm(LocalLA.invUpper(u), LocalLA.invUnitLower(l))
+    val oracle = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; c <- 0 until n) oracle(i)(indx(c)) = uiLi(i)(c)
+    assert(LocalLA.maxAbsDiff(dist, oracle) < 1e-9 * n)
+  }
+
+  test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
+    for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
+      assume(new java.io.File(p).exists())
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val block = MatrixBlockIO.decode(bytes)
+      assert(bytes.length == 2099216)
+      assert(block.i0 == 1024 && block.i1 == 1536)
+      assert(java.util.Arrays.equals(MatrixBlockIO.encode(block), bytes))
+    }
+  }
+
+  test("codec round trip on generated block + distributed read") {
+    val dir = java.nio.file.Files.createTempDirectory("refblocks").toFile
+    val data = MatrixGen.local(64, 16, seed)
+    val b = MatrixBlockIO.RefBlock(0, 64, 0, 64, Array.tabulate(64)(identity), data)
+    MatrixBlockIO.write(s"$dir/A.0", b)
+    val back = MatrixBlockIO.read(s"$dir/A.0")
+    assert(LocalLA.maxAbsDiff(back.data, data) == 0.0)
+    val rdd = MatrixBlockIO.readBlocks(sc, s"$dir/A.*")
+    assert(rdd.count() == 1)
+  }
+}

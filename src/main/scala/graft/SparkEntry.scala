@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.matrix.MatrixQueries
+import graft.streaming.Streaming
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,10 +13,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ MatrixQueries.queries
+    Relational.queries ++ MatrixQueries.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ Streaming.oracles
 }

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Deduplication suite for a large-scale training-data pipeline:
+  * exact (X1, in [[Relational]]), MinHash+LSH, SimHash, brute-force
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB story):
+  *  - The ONLY all-pairs computation is P3 (brute force), kept as the
+  *    small-scale oracle-matched baseline; P1 is the scale path —
+  *    candidate generation via LSH banding is linear in corpus size
+  *    (one shuffle keyed by (band, signature)) and the exact verify
+  *    touches only candidate pairs.
+  *  - MinHash signatures are computed with 128 conditional `min`
+  *    aggregates over the exploded shingle set — one map-side-combinable
+  *    hash aggregate, no per-hash-function pass, fully codegen'd
+  *    (xxhash64 is a native Catalyst expression).
+  *  - SimHash is a single groupBy with 32 conditional sums (no 32×
+  *    row explosion); the dedup itself is one shuffle on the 32-bit key.
+  *  - Jaccard thresholds use exact integer arithmetic
+  *    (`5*inter >= 3*union` for 0.6) so Spark and the DuckDB oracle
+  *    agree bit-for-bit; cosine uses fixed-order double folds
+  *    (`aggregate` HOF ↔ DuckDB `sum(... ORDER BY i)`).
+  *
+  * Reference analog: none — the reference
+  * (/root/reference/Matrix/LUDecomposition.java) has no text surface;
+  * its grid-cell cogroup (Schur, :495-651) is the structural cousin of
+  * the LSH bucket join used here.
+  */
+object Dedup {
+
+  private val Shingle = 5
+
+  /** Distinct character 5-gram shingles of the normalized text —
+    * generated as a per-row array expression (`sequence`+`transform`)
+    * then exploded, so shingling is narrow (no shuffle) and codegen'd. */
+  private[operators] def shingles(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, greatest(length(t)-${Shingle - 1}, 1))," +
+          s" i -> substring(t, i, $Shingle))"))).as("gram"))
+
+  /** Exact |A∩B|, |A∪B|, Jaccard per (doc_a, doc_b) pair via a gram
+    * self-join (brute force — the oracle shape). */
+  private def exactPairs(grams: DataFrame): DataFrame = {
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grams.as("ga")
+      .join(grams.as("gb"),
+        col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("doc_a"), col("gb.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+  }
+
+  /** jacc >= 0.6 as exact integer arithmetic — no float boundary. */
+  private val nearDup: Column = col("inter") * 5 >= col("uni") * 3
+
+  private val sharedPairCte: String =
+    """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |pairs AS (
+      |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS inter,
+      |         any_value(sa.n) + any_value(sb.n) - count(*) AS uni
+      |  FROM g ga JOIN g gb ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+      |  JOIN sz sa ON sa.doc_id = ga.doc_id
+      |  JOIN sz sb ON sb.doc_id = gb.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  // ------------------------------------------------------------- P1
+  /** MinHash (128 perms) + LSH banding (32 bands × 4 rows) candidate
+    * generation, then exact Jaccard verify on candidates only.
+    *
+    * Miss probability for a true pair at s=0.6 is (1-0.6⁴)³² ≈ 1.2e-2
+    * at the threshold boundary but ≤ 1e-19 at s≥0.93 where this
+    * corpus's planted dups live — the output is the exact pair set,
+    * which is why the brute-force SQL below is a valid oracle.
+    * At 100 TB: signatures are one hash-agg (map-side combined); the
+    * bucket join shuffles only (band, sig) keys; uniform hashing means
+    * no skew; candidate verify is |candidates|-proportional. */
+  def p1MinHashLsh(s: SparkSession, d: String): DataFrame = {
+    val K = 128       // minhash permutations
+    val R = 4         // rows per band
+    val B = K / R     // 32 bands
+    val grams = shingles(documents(s, d))
+
+    val sig = grams.groupBy(col("doc_id"))
+      .agg(min(xxhash64(lit(0), col("gram"))).as("m0"),
+        (1 until K).map(i => min(xxhash64(lit(i), col("gram"))).as(s"m$i")): _*)
+
+    val bandCols = (0 until B).map { b =>
+      struct(lit(b).as("band"),
+        hash((b * R until (b + 1) * R).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // exact verify restricted to candidate pairs
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cands
+      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
+      .join(grams.as("gb"),
+        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+      .filter(nearDup)
+      .withColumn("jacc", round(col("inter").cast("double") / col("uni"), 4))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val p1Sql: String =
+    s"""$sharedPairCte
+       |SELECT doc_a, doc_b, inter, uni,
+       |       ROUND(CAST(inter AS DOUBLE) / uni, 4) AS jacc
+       |FROM pairs WHERE 5 * inter >= 3 * uni
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- P2
+  /** SimHash dedup: 32-bit fingerprint from per-shingle md5 hashes
+    * (md5 so Spark and DuckDB compute identical bits), majority vote
+    * per bit as 32 conditional sums in ONE aggregate (no bit-explosion),
+    * then keep-first per fingerprint. Two shuffles total (doc grouping,
+    * fingerprint window), both on uniform keys. */
+  def p2SimHash(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until 32).map { k =>
+      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$k")
+    }
+    val simhash = (0 until 32)
+      .map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(0L))
+      .reduce(_ + _)
+
+    val fp = shingles(documents(s, d))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+
+    val w = Window.partitionBy(col("simhash")).orderBy(col("doc_id"))
+    fp.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p2Sql: String =
+    """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+      |g2 AS (SELECT doc_id, CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS h FROM g),
+      |bits AS (
+      |  SELECT doc_id, k,
+      |    CASE WHEN SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |         THEN CAST(1 AS BIGINT) << k ELSE 0 END AS bitv
+      |  FROM g2, unnest(generate_series(0, 31)) AS u(k) GROUP BY 1, 2),
+      |sh AS (SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash FROM bits GROUP BY 1)
+      |SELECT doc_id, simhash FROM (
+      |  SELECT doc_id, simhash,
+      |         ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn
+      |  FROM sh) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- P3
+  /** Brute-force n-gram Jaccard dedup: drop every doc that has a
+    * lower-id near-dup partner (single pass, no transitive closure).
+    * This is the quadratic baseline that P1 replaces at scale — kept
+    * because it is exactly oracle-checkable and bounds P1's recall. */
+  def p3NgramJaccardDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dups = exactPairs(shingles(docs))
+      .filter(nearDup)
+      .select(col("doc_b").as("dup_id"))
+      .distinct()
+    docs.join(dups, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p3Sql: String =
+    s"""$sharedPairCte
+       |SELECT doc_id, lang, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE 5 * inter >= 3 * uni)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- P4
+  /** Embedding-cosine near-dup pairs (rounded cosine >= 0.35).
+    * Dot/norm are fixed-order left-to-right double folds (`aggregate`
+    * HOF) matching DuckDB's `sum(... ORDER BY i)`, so both engines see
+    * identical doubles. Brute-force pair join at test scale; the ANN
+    * path for 100 TB is [[Similarity.s2AnnLsh]]/[[Similarity.s3AnnIvf]]. */
+  def p4EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (a, x) -> a + x)")))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+      .withColumn("cos4", round(col("dot") / (col("a.nrm") * col("b.nrm")), 4))
+      .filter(col("cos4") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos4"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val p4Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x ORDER BY a.i) AS dot
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT vec_a, vec_b,
+      |       ROUND(dot / (na.nrm * nb.nrm), 4) AS cos4
+      |FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+      |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_minhash_lsh"   -> (p1MinHashLsh _),
+    "p2_simhash"       -> (p2SimHash _),
+    "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),
+    "p4_embedding_dup" -> (p4EmbeddingNearDup _))
+
+  val oracles: Map[String, String] = Map(
+    "p1_minhash_lsh"   -> p1Sql,
+    "p2_simhash"       -> p2Sql,
+    "p3_ngram_jaccard" -> p3Sql,
+    "p4_embedding_dup" -> p4Sql)
+}

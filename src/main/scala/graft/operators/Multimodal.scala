@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** One media object: opaque binary payload + typed metadata. In a real
+  * pipeline `payload` holds image/audio/video bytes read from parquet
+  * binary columns; here it is synthesized from `documents.text` (the
+  * container ships no codec libraries — see decode stub below). */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String, n_bytes: Int)
+
+/** Features the (stubbed) decoder extracts per media object. */
+case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
+                         first_byte: Int, frame_sum: Long)
+
+/** Multimodal column plumbing: binary payloads with typed metadata,
+  * processed batch-wise in executor-side partitions.
+  *
+  * The Spark-side shape is the real thing — a typed
+  * `Dataset[MediaRecord]` flowing through `mapPartitions` so a decoder
+  * amortizes per-batch setup (model load, codec init) across a whole
+  * partition, exactly how an image/audio decode stage runs at 100 TB
+  * (binary parquet columns partition-pruned by metadata, decode
+  * embarrassingly parallel, no shuffle).
+  *
+  * DECODE STUB: the container has no image/audio libraries, so
+  * `decodeStub` stands in for the real codec with a deterministic
+  * byte-level "decode" (byte sum, first byte, every-64th-byte "frame
+  * sample"). Because the fake is deterministic arithmetic over bytes,
+  * the whole path is still end-to-end oracle-checked from DuckDB.
+  */
+object Multimodal {
+
+  /** Stand-in for a real decoder (e.g. JPEG → pixel stats). Runs once
+    * per record inside a partition iterator — per-partition setup would
+    * go right before the `it.map`. */
+  private def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    var sum = 0L; var frame = 0L; var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (i % 64 == 0) frame += b  // "frame sampling": every 64th byte
+      i += 1
+    }
+    MediaFeatures(r.doc_id, r.n_bytes, sum, if (bytes.isEmpty) -1 else bytes(0) & 0xff, frame)
+  }
+
+  /** mm1: synthesize the media table (text bytes as payload + typed
+    * metadata), decode batch-wise, return per-object features. */
+  def mm1MediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("txt").as("format"),
+        octet_length(col("text")).as("n_bytes"))
+      .as[MediaRecord]
+    media.mapPartitions { it =>
+      // real pipeline: initialize codec / model once per partition here
+      it.map(decodeStub)
+    }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle replays the byte arithmetic in SQL (text is pure ASCII
+    * in this corpus, so ord(char) == byte — asserted in PipelineSpec). */
+  val mm1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
+      |  FROM documents, unnest(generate_series(1, length(text))) AS u(i))
+      |SELECT d.doc_id,
+      |  length(d.text) AS n_bytes,
+      |  CAST(SUM(b.byte) AS BIGINT) AS byte_sum,
+      |  ord(substr(d.text, 1, 1)) AS first_byte,
+      |  CAST(SUM(CASE WHEN (b.i - 1) % 64 = 0 THEN b.byte ELSE 0 END) AS BIGINT) AS frame_sum
+      |FROM documents d JOIN b ON b.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_features" -> (mm1MediaFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "mm1_media_features" -> mm1Sql)
+}

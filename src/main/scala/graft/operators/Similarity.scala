@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables._
+
+/** Similarity search over the embedding column (`Array[Float]`, 64-d).
+  *
+  * Three tiers:
+  *  - S1 brute-force exact cosine top-k — the oracle-checkable baseline;
+  *  - S2 random-hyperplane LSH: 16-bit signatures, bucket join + exact
+  *    rerank within buckets (multi-probe radius 1) — sub-linear
+  *    candidate sets at scale;
+  *  - S3 IVF: anchor-based coarse quantization (nearest of 16 anchors),
+  *    probe the 4 closest cells, exact rerank — the classic
+  *    inverted-file layout; at 100 TB the cell assignment is the
+  *    partition key, so each probe touches 4/16 of the data.
+  *
+  * Determinism: every dot/norm is a fixed-order left-to-right double
+  * fold; ranking is on `round(cos, 4)` with vec_id tiebreak. S2/S3
+  * results are deterministic but recall<1 by design, so they carry no
+  * SQL oracle — their recall against S1 is asserted in PipelineSpec.
+  *
+  * Reference analog: the Gram-product X2 path reuses the same GEMM
+  * structure as the Schur complement (SURVEY.md §2.3 X2,
+  * /root/reference/Matrix/LUDecomposition.java:633-646).
+  */
+object Similarity {
+
+  private val K = 5        // neighbors per query
+  private val NQueries = 10
+
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (a, x) -> a + x)")))
+
+  private def cos4(qv: Column, nv: Column, qn: Column, nn: Column): Column =
+    round(expr("aggregate(zip_with(q.v, e.v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+      (qn * nn), 4)
+
+  /** Exact rerank of (query × candidate) rows to top-K. */
+  private def rerank(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  // ------------------------------------------------------------- S1
+  /** Brute-force exact cosine top-5 for the first 10 vectors as
+    * queries. The query side is tiny by construction → broadcast
+    * nested-loop join; the corpus side streams through codegen. */
+  def s1BruteForce(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val pairs = q.as("q")
+      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+    rerank(pairs).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+
+  val s1Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         SUM(q.x * e.x ORDER BY q.i) AS dot
+       |  FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROUND(dot / (nq.nrm * ne.nrm), 4) AS cos4
+       |  FROM dots JOIN nrm nq ON nq.vec_id = query_id
+       |            JOIN nrm ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos4, rn FROM (
+       |  SELECT query_id, neighbor_id, cos4,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos4 DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
+  // ------------------------------------------------------------- S2
+  /** Random-hyperplane LSH. 16 hyperplanes are generated on the driver
+    * from a fixed seed and broadcast as literals; the signature is 16
+    * sign bits packed into an int. Candidates = same bucket in any of
+    * the 4 4-bit bands (multi-probe by banding rather than bit flips),
+    * then exact rerank. One shuffle keyed by (band, nibble). */
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val dim = 64; val nPlanes = 16
+    val rng = new scala.util.Random(42)
+    val planes = Array.fill(nPlanes, dim)(rng.nextGaussian())
+
+    val e = prepared(s, d)
+    val sigBits = (0 until nPlanes).map { p =>
+      val dot = expr(
+        s"aggregate(zip_with(v, array(${planes(p).mkString(",")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }
+    val sig = e.withColumn("sig", sigBits.reduce(_ + _))
+
+    val bands = sig.select(col("vec_id"), col("v"), col("nrm"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 4).bitwiseAND(15).as("nib"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bk.band"), col("bk.nib"))
+
+    val q = broadcast(bands.filter(col("vec_id") < NQueries))
+    val cands = q.as("q")
+      .join(bands.as("e"),
+        col("q.band") === col("e.band") && col("q.nib") === col("e.nib") &&
+          col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+      .distinct()
+    rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+
+  // ------------------------------------------------------------- S3
+  /** IVF: the 16 lowest-id vectors act as coarse anchors (deterministic
+    * quantizer); every vector is assigned to its nearest anchor, queries
+    * probe their 4 nearest cells, exact search inside probed cells.
+    * At scale the cell id becomes the storage partition key so a probe
+    * is partition pruning, not a scan. */
+  def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val nAnchors = 16; val nProbe = 4
+    val e = prepared(s, d)
+    val anchors = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("cell"), col("v").as("av"), col("nrm").as("an"))
+    // rank cells per vector once (used for both assignment and probing)
+    val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
+      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),
+        col("a.cell").as("cell"),
+        (expr("aggregate(zip_with(e.v, a.av, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("e.nrm") * col("a.an"))).as("sim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = broadcast(ranked
+      .filter(col("vec_id") < NQueries && col("crn") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
+
+    val cands = probes.as("q")
+      .join(assigned.as("e"),
+        col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+      .distinct()
+    rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+
+  // ------------------------------------------------------------- X2
+  /** SURVEY.md §2.3 X2: the same exact top-k, but through the MATRIX
+    * surface — Gram = E·Eᵀ via `BlockMatrix.multiply` (the GEMM that
+    * also powers the Schur complement,
+    * /root/reference/Matrix/LUDecomposition.java:633-646). cos(i,j) =
+    * G_ij/√(G_ii·G_jj). Rows are zero-padded to a block multiple; the
+    * inner dimension is one 64-wide block so each Gram entry is a
+    * single sequential dot — deterministic. Equality with S1 is
+    * asserted in PipelineSpec. */
+  def x2TopkCosineGram(s: SparkSession, d: String): DataFrame = {
+    import graft.matrix.{BlockModel, LocalLA}
+    import s.implicits._
+    val blk = 64
+    val rows = embeddings(s, d).select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .rdd.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val n = rows.map(_._1).max().toInt + 1
+    val nPad = ((n + blk - 1) / blk) * blk
+
+    val e = rows.map { case (i, v) => ((i.toInt / blk, 0), (i.toInt % blk, v)) }
+      .groupByKey(nPad / blk).mapValues { part =>
+        val a = Array.ofDim[Double](blk, blk)   // zero-padded tail rows
+        part.foreach { case (iLoc, v) => System.arraycopy(v, 0, a(iLoc), 0, v.length) }
+        LocalLA.toDM(a)
+      }
+    val eT = e.map { case ((bi, _), m) =>
+      ((0, bi), BlockModel.toDense(m.transpose)) }
+    val gram = BlockModel.multiply(e, eT, blk, nPad.toLong, blk.toLong, nPad.toLong)
+
+    val diag = gram.filter { case ((bi, bj), _) => bi == bj }
+      .flatMap { case ((bi, _), m) =>
+        (0 until m.numRows).map(i => (bi * blk + i, m(i, i))) }
+      .collectAsMap()
+    val diagB = s.sparkContext.broadcast(diag)
+
+    val pairs = gram.filter { case ((bi, _), _) => bi == 0 }
+      .flatMap { case ((_, bj), m) =>
+        for {
+          i <- 0 until math.min(NQueries, m.numRows)
+          j <- 0 until m.numCols
+          nb = bj * blk + j
+          if nb < n && nb != i
+        } yield (i.toLong, nb.toLong,
+          m(i, j) / (math.sqrt(diagB.value(i)) * math.sqrt(diagB.value(nb))))
+      }.toDF("query_id", "neighbor_id", "cos")
+      .withColumn("cos4", round(col("cos"), 4))
+    rerank(pairs).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+
+  // -------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_ann_bruteforce" -> (s1BruteForce _),
+    "s2_ann_lsh"        -> (s2AnnLsh _),
+    "s3_ann_ivf"        -> (s3AnnIvf _),
+    "x2_topk_cosine"    -> (x2TopkCosineGram _))
+
+  /** S2/S3 are recall<1 candidate generators — no SQL oracle; their
+    * recall against S1 is asserted in PipelineSpec. X2 must equal S1
+    * exactly (asserted in PipelineSpec); it shares S1's oracle. */
+  val oracles: Map[String, String] = Map(
+    "s1_ann_bruteforce" -> s1Sql,
+    "x2_topk_cosine"    -> s1Sql)
+}

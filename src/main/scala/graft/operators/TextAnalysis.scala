@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Every operator here is a PURE PER-ROW projection — no shuffle at
+  * all (the final ORDER BY is only for oracle determinism and would be
+  * dropped in production). All counting goes through `regexp_count` /
+  * length arithmetic on integers, so the DuckDB oracle matches exactly;
+  * the only doubles are final ratios computed in one fixed expression
+  * order on both engines. At 100 TB this surface is embarrassingly
+  * parallel and whole-stage-codegen'd end to end.
+  *
+  * Reference analog: none (the reference has no string surface at all —
+  * SURVEY.md §2.2); these are the engine-side additions.
+  */
+object TextAnalysis {
+
+  private def norm: Column = lower(trim(col("text")))
+
+  /** Language-ID by function-word evidence. The per-language score is
+    * an integer regexp count; argmax with deterministic alphabetical
+    * tiebreak via the max-of-(zero-padded-score ++ lang) string trick,
+    * identical in both engines. */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|that|for)\\b",
+    "es" -> "\\b(el|los|las|y|es|que|de|un)\\b",
+    "fr" -> "\\b(le|les|et|est|que|une|dans|pour)\\b",
+    "zh" -> "(的|是|在|了|和|有|我|不)")
+
+  def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val scored = langPatterns.map { case (lang, pat) =>
+      concat(lpad(regexp_count(norm, lit(pat)).cast("string"), 4, "0"), lit(lang))
+    }
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(greatest(scored: _*), 5, 2).as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t1Sql: String = {
+    val scored = langPatterns.map { case (lang, pat) =>
+      s"lpad(CAST(length(regexp_extract_all(lower(trim(text)), '$pat')) AS VARCHAR), 4, '0') || '$lang'"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, lang,
+       |  substr(greatest(
+       |    $scored), 5, 2) AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring from length / punctuation / stopword ratios —
+    * the standard cheap pre-filter for web-scale corpora. Counts are
+    * integers; the score is one fixed-order double expression. */
+  def t2Quality(s: SparkSession, d: String): DataFrame = {
+    val nChars = length(norm)
+    val nTokens = regexp_count(norm, lit("\\S+"))
+    val punct = regexp_count(norm, lit("[.,!?;:]"))
+    val stop = regexp_count(norm, lit("\\b(the|and|of|to|in|is|that|for)\\b"))
+    val quality = round(
+      least(lit(1.0), nTokens.cast("double") / 50.0) *
+        (lit(1.0) - punct.cast("double") / (nChars.cast("double") + 1.0)) *
+        (lit(0.5) + lit(0.5) * least(lit(1.0),
+          stop.cast("double") * 10.0 / (nTokens.cast("double") + 1.0))), 4)
+    documents(s, d)
+      .select(col("doc_id"), nChars.as("n_chars_norm"), nTokens.as("n_tokens"),
+        punct.as("punct_cnt"), stop.as("stop_cnt"), quality.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t2Sql: String =
+    """SELECT doc_id,
+      |  length(lower(trim(text))) AS n_chars_norm,
+      |  length(regexp_extract_all(lower(trim(text)), '\S+')) AS n_tokens,
+      |  length(regexp_extract_all(lower(trim(text)), '[.,!?;:]')) AS punct_cnt,
+      |  length(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|in|is|that|for)\b')) AS stop_cnt,
+      |  ROUND(
+      |    least(1.0, CAST(length(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) / 50.0)
+      |    * (1.0 - CAST(length(regexp_extract_all(lower(trim(text)), '[.,!?;:]')) AS DOUBLE)
+      |             / (CAST(length(lower(trim(text))) AS DOUBLE) + 1.0))
+      |    * (0.5 + 0.5 * least(1.0,
+      |        CAST(length(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|in|is|that|for)\b')) AS DOUBLE)
+      |        * 10.0 / (CAST(length(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) + 1.0))), 4) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens, a BPE-ish regex segmentation
+    * (letter runs | digit runs | single other), and distinct tokens. */
+  def t3TokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(norm, lit("\\S+")).as("ws_tokens"),
+        regexp_count(norm, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"),
+        size(array_distinct(split(norm, "\\s+"))).as("distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      |  length(regexp_extract_all(lower(trim(text)), '\S+')) AS ws_tokens,
+      |  length(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  length(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS distinct_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: min-hash over 8-gram windows (rolling-hash
+    * style winnowing, md5 as the window hash so both engines agree) +
+    * distinct window count. Computed entirely as ONE array expression
+    * per row — no explode, no shuffle. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), norm.as("t"))
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(t)-7, 1))," +
+          " i -> md5(substring(t, i, 8))))").as("fingerprint"),
+        expr("size(array_distinct(transform(sequence(1, greatest(length(t)-7, 1))," +
+          " i -> substring(t, i, 8))))").as("n_grams8"))
+      .orderBy(col("doc_id"))
+
+  val t4Sql: String =
+    """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |g AS (SELECT doc_id, substr(t, i, 8) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-7, 1))) AS u(i))
+      |SELECT doc_id, min(md5(gram)) AS fingerprint,
+      |       count(DISTINCT gram) AS n_grams8
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid"      -> (t1LangId _),
+    "t2_quality"     -> (t2Quality _),
+    "t3_token_count" -> (t3TokenCount _),
+    "t4_fingerprint" -> (t4Fingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "t1_langid"      -> t1Sql,
+    "t2_quality"     -> t2Sql,
+    "t3_token_count" -> t3Sql,
+    "t4_fingerprint" -> t4Sql)
+}

@@ -1,0 +1,156 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event row as seen by the stateful operator (ts rebuilt to µs). */
+case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+/** One gap-based session emitted by [[Streaming.st2Sessionize]]. */
+case class SessionOut(user_id: Long, session_id: Int, session_start: String,
+                      n_events: Int, sum_value: Double)
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only (SURVEY.md §2.2 — its "streaming" is
+  * bounded-memory block iteration); this is the engine-side addition:
+  * `readStream` file source → event-time transforms → sink, exercised
+  * here with `Trigger.AvailableNow` so the same code path is
+  * deterministic and oracle-checkable against batch SQL. In production
+  * the identical plan runs unbounded with the watermark bounding state.
+  *
+  * Scale: the windowed aggregate is partial-aggregated map-side before
+  * the single shuffle on (window, event_type); sessionization shuffles
+  * once on user_id and keeps only per-user in-flight session state
+  * (bounded by the watermark horizon, not history).
+  */
+object Streaming {
+
+  /** events.parquet carries TIMESTAMP(NANOS); the stream source reads
+    * nanos as long (µs-aligned, verified) and rebuilds a timestamp —
+    * same convention as [[graft.sources.Tables.events]]. */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // "[t]" glob: the file source requires a directory or glob (a bare
+    // file path fails basePath inference); the one-char class matches
+    // only events.parquet and makes basePath the parent dir.
+    s.readStream.schema(rawSchema).parquet(s"$d/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Runs a bounded streaming query to a memory sink and returns the
+    * sink contents. */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: OutputMode): DataFrame = {
+    s.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ------------------------------------------------------------ ST1
+  /** Tumbling 1-hour event-time windows per event_type with a 1-hour
+    * watermark; complete mode so the bounded replay emits every window
+    * (append would withhold the trailing watermark horizon). */
+  def st1StreamWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(28, 6))).cast("double"), 4).as("sum_value"))
+    runToMemory(s, agg, "graft_st1", OutputMode.Complete())
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** 1-hour tumbling windows align to epoch → batch date_trunc oracle. */
+  val st1Sql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------ ST2
+  /** Gap-based sessionization (30-min inactivity) per user via
+    * `flatMapGroupsWithState` — the custom-state escape hatch for
+    * semantics windows can't express. Events are sorted in-state by
+    * (ts, event_id); micro-batch boundaries don't reorder sessions here
+    * because AvailableNow delivers the bounded input in one batch. */
+  def st2Sessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val GapMicros = 30L * 60 * 1000000
+
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+
+    def fmt(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(us / 1000000, us % 1000000 * 1000))
+
+    def sessions(userId: Long, it: Iterator[RawEvent],
+                 state: GroupState[Int]): Iterator[SessionOut] = {
+      val evs = it.toArray.map(e => (micros(e.ts), e.event_id, e.value)).sorted
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+        var sid = 0; var start = evs(0)._1; var prev = evs(0)._1
+        var n = 0; var sum = BigDecimal(0)
+        def emit(): Unit = out += SessionOut(userId, sid, fmt(start), n,
+          sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        for ((t, _, v) <- evs) {
+          if (t - prev > GapMicros) { emit(); sid += 1; start = t; n = 0; sum = 0 }
+          n += 1; sum += BigDecimal(v); prev = t
+        }
+        emit()
+        out.iterator
+      }
+    }
+
+    val typed = eventStream(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(sessions)
+
+    runToMemory(s, typed.toDF(), "graft_st2", OutputMode.Append())
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Batch oracle: classic lag/flag/cumsum sessionization. */
+  val st2Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessioned AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS INT) AS session_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  CAST(COUNT(*) AS INT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+      |FROM sessioned GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_window" -> (st1StreamWindow _),
+    "st2_sessionize"    -> (st2Sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window" -> st1Sql,
+    "st2_sessionize"    -> st2Sql)
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streaming
+
+/** Tests for the training-data pipeline surface. Oracle-checked queries
+  * (p1-p4, t1-t4, s1, x2, mm1, st1, st2) get their value gate from
+  * DuckDB (tools/check_oracle.py); this spec covers what the oracle
+  * can't: recall of the approximate paths (s2/s3 vs exact s1), LSH
+  * candidate completeness, and the encoding assumption mm1's oracle
+  * rests on. Runs at sf0.001/sf0.01 — small enough for CI, same code
+  * paths as 100 TB. */
+class PipelineSpec extends AnyFunSuite {
+  val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
+  lazy val spark: SparkSession = SparkTest.session
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+
+  private def recallVs(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val hits = exact.map { case (q, e) => (e & approx.getOrElse(q, Set.empty)).size }.sum
+    hits.toDouble / exact.values.map(_.size).sum
+  }
+
+  test("x2 (BlockMatrix Gram) equals s1 (SQL surface) exactly") {
+    val s1 = Similarity.s1BruteForce(spark, sf01).collect().map(_.toSeq)
+    val x2 = Similarity.x2TopkCosineGram(spark, sf01).collect().map(_.toSeq)
+    assert(s1.sameElements(x2))
+  }
+
+  test("s2 LSH recall vs exact s1") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val lsh = topk(Similarity.s2AnnLsh(spark, sf01))
+    val r = recallVs(exact, lsh)
+    info(f"s2 recall@5 = $r%.3f")
+    assert(r >= 0.3, f"LSH recall $r%.3f collapsed — bucketing broken")
+  }
+
+  test("s3 IVF recall vs exact s1") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val ivf = topk(Similarity.s3AnnIvf(spark, sf01))
+    val r = recallVs(exact, ivf)
+    info(f"s3 recall@5 = $r%.3f")
+    assert(r >= 0.3, f"IVF recall $r%.3f collapsed — cell probing broken")
+  }
+
+  test("p1 LSH finds exactly the brute-force near-dup pairs (recall AND precision)") {
+    val lsh = Dedup.p1MinHashLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.p3NgramJaccardDedup(spark, sf01) // survivors
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every doc dropped by brute-force dedup must appear as doc_b in ≥1 LSH pair
+    val dropped = docs -- brute
+    assert(dropped == lsh.map(_._2), s"LSH pairs disagree with brute force: " +
+      s"dropped=${dropped.size} lshB=${lsh.map(_._2).size}")
+    assert(lsh.nonEmpty, "no near-dup pairs found — corpus has planted dups")
+  }
+
+  test("mm1 oracle assumption: documents text is pure ASCII") {
+    import org.apache.spark.sql.functions._
+    Seq(sf001, sf01).foreach { d =>
+      val bad = graft.sources.Tables.documents(spark, d)
+        .filter(length(col("text")) =!= octet_length(col("text"))).count()
+      assert(bad == 0L, s"non-ASCII text in $d breaks mm1's ord()==byte oracle")
+    }
+  }
+
+  test("t4 fingerprint: deterministic, and near-dup pairs mostly share it") {
+    val a = TextAnalysis.t4Fingerprint(spark, sf01).collect()
+    val b = TextAnalysis.t4Fingerprint(spark, sf01).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)), "fingerprint not deterministic")
+    // a min-gram-hash fingerprint collides with probability = Jaccard:
+    // the planted pairs (jacc >= 0.93) should mostly share it
+    val fp = a.map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = Dedup.p1MinHashLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val shared = pairs.count { case (x, y) => fp(x) == fp(y) }
+    assert(shared >= pairs.length * 6 / 10,
+      s"only $shared/${pairs.length} near-dup pairs share a fingerprint")
+  }
+
+  test("st2 sessionization: gaps within sessions never exceed 30 min") {
+    val sessions = Streaming.st2Sessionize(spark, sf001).collect()
+    assert(sessions.nonEmpty)
+    val perUser = sessions.groupBy(_.getLong(0))
+    perUser.values.foreach { ss =>
+      val ids = ss.map(_.getInt(1)).sorted
+      assert(ids.head == 0 && ids.zipWithIndex.forall { case (v, i) => v == i },
+        "session ids must be dense from 0")
+    }
+  }
+
+  test("mm1 features run batch-wise and match a driver-side recompute") {
+    val feats = Multimodal.mm1MediaFeatures(spark, sf001).collect()
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(feats.length == texts.size)
+    feats.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getInt(1) == bytes.length)
+      assert(r.getLong(2) == bytes.map(_ & 0xff).map(_.toLong).sum)
+    }
+  }
+}

@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public face of the native vector expressions. The implementation
+  * lives in `org.apache.spark.sql.graft` (see VectorExpressions.scala)
+  * because building a `Column` from a raw Catalyst `Expression` and
+  * declaring `inputTypes` use `private[sql]` API — the standard
+  * extension-library pattern. */
+object VectorFunctions {
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecDot(a, b)
+  def vecNorm2(a: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecNorm2(a)
+}

@@ -33,9 +33,9 @@ import graft.sources.Tables._
   */
 object Dedup {
 
-  private val Shingle = 5
+  private val Shingle = 8
 
-  /** Distinct character 5-gram shingles of the normalized text —
+  /** Distinct character 8-gram shingles of the normalized text —
     * generated as a per-row array expression (`sequence`+`transform`)
     * then exploded, so shingling is narrow (no shuffle) and codegen'd. */
   private[operators] def shingles(docs: DataFrame): DataFrame =
@@ -64,10 +64,18 @@ object Dedup {
   /** jacc >= 0.6 as exact integer arithmetic — no float boundary. */
   private val nearDup: Column = col("inter") * 5 >= col("uni") * 3
 
+  /** Cap for the quadratic brute-force baselines (P3): they run on a
+    * fixed-size audit sample (doc_id < 1000 — the whole corpus at
+    * sf≤0.01, a bounded sample beyond) while the LSH path P1 covers the
+    * full corpus at any scale. An unbounded gram self-join grows as
+    * Σ|posting|² ≈ corpus², which is exactly the cost LSH banding
+    * exists to avoid. */
+  private val AuditCap = 1000
+
   private val sharedPairCte: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-      |g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
-      |      FROM norm, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+      |g AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-7, 1))) AS u(i)),
       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
       |pairs AS (
       |  SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b, count(*) AS inter,
@@ -92,18 +100,45 @@ object Dedup {
     val K = 128       // minhash permutations
     val R = 4         // rows per band
     val B = K / R     // 32 bands
-    val grams = shingles(documents(s, d))
 
-    val sig = grams.groupBy(col("doc_id"))
-      .agg(min(xxhash64(lit(0), col("gram"))).as("m0"),
-        (1 until K).map(i => min(xxhash64(lit(i), col("gram"))).as(s"m$i")): _*)
-
-    val bandCols = (0 until B).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * R until (b + 1) * R).map(i => col(s"m$i")): _*).as("sig"))
-    }
-    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.sig"))
+    // Whole signature per document in ONE narrow per-partition pass:
+    // stream the sliding shingles, hash each once, and keep K running
+    // minima under Carter-Wegman permutations h_i = (a_i·h + b_i) mod p
+    // (the mod is what makes the orderings independent — a plain
+    // mul-add is monotone in h and degenerates to a single minhash).
+    // No gram explode, no wide aggregate, no pre-banding shuffle —
+    // cost is exactly one text scan per doc, which is the 100 TB shape.
+    val P = 2147483647L // 2^31 - 1, prime
+    val rng = new scala.util.Random(7)
+    val mulA = Array.fill(K)(rng.nextLong().abs % (P - 1) + 1)
+    val addB = Array.fill(K)(rng.nextLong().abs % P)
+    val kShingle = Shingle
+    import s.implicits._
+    val buckets = documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, t) =>
+          val mins = Array.fill(K)(Long.MaxValue)
+          val grams = if (t.length < kShingle) Iterator(t) else t.sliding(kShingle)
+          grams.foreach { g =>
+            val h = (scala.util.hashing.MurmurHash3.stringHash(g).toLong & 0xffffffffL) % P
+            var i = 0
+            while (i < K) {
+              val v = (mulA(i) * h + addB(i)) % P
+              if (v < mins(i)) mins(i) = v
+              i += 1
+            }
+          }
+          (0 until B).iterator.map { b =>
+            var acc = 1125899906842597L
+            var j = b * R
+            while (j < (b + 1) * R) { acc = acc * 31 + mins(j); j += 1 }
+            (id, b, acc)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "sig")
 
     val cands = buckets.as("x")
       .join(buckets.as("y"),
@@ -112,22 +147,35 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // exact verify restricted to candidate pairs
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // Exact verify on candidates only, computed payload-locally: join
+    // the two doc texts to each pair (shuffles |candidates| rows, not
+    // |candidates|·|grams| like a gram join would) and re-shingle in a
+    // tight per-row loop. Linear in candidate count at any scale.
+    import s.implicits._
+    val norm = documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
     cands
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sa.n") + col("sb.n") - col("inter")).as("uni"))
+      .join(norm.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norm.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("na.t").as("ta"), col("nb.t").as("tb"))
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val sa = shingleSet(ta); val sb = shingleSet(tb)
+        val (small, big) = if (sa.size < sb.size) (sa, sb) else (sb, sa)
+        var inter = 0L
+        small.foreach(g => if (big.contains(g)) inter += 1)
+        (a, b, inter, sa.size.toLong + sb.size - inter)
+      }
+      .toDF("doc_a", "doc_b", "inter", "uni")
       .filter(nearDup)
       .withColumn("jacc", round(col("inter").cast("double") / col("uni"), 4))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Scala twin of the `shingles` SQL expression (sliding k-gram set;
+    * whole text when shorter than k chars). */
+  private def shingleSet(t: String): Set[String] =
+    if (t.isEmpty) Set("") else t.sliding(Shingle).toSet
 
   val p1Sql: String =
     s"""$sharedPairCte
@@ -165,8 +213,8 @@ object Dedup {
 
   val p2Sql: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-      |g AS (SELECT DISTINCT doc_id, substr(t, i, 5) AS gram
-      |      FROM norm, unnest(generate_series(1, greatest(length(t)-4, 1))) AS u(i)),
+      |g AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-7, 1))) AS u(i)),
       |g2 AS (SELECT doc_id, CAST(concat('0x', substr(md5(gram), 1, 8)) AS BIGINT) AS h FROM g),
       |bits AS (
       |  SELECT doc_id, k,
@@ -186,7 +234,7 @@ object Dedup {
     * This is the quadratic baseline that P1 replaces at scale — kept
     * because it is exactly oracle-checkable and bounds P1's recall. */
   def p3NgramJaccardDedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = documents(s, d).filter(col("doc_id") < AuditCap)
     val dups = exactPairs(shingles(docs))
       .filter(nearDup)
       .select(col("doc_b").as("dup_id"))
@@ -196,11 +244,15 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val p3Sql: String =
-    s"""$sharedPairCte
+  val p3Sql: String = {
+    val capped = sharedPairCte.replace(
+      "FROM documents)", s"FROM documents WHERE doc_id < $AuditCap)")
+    s"""$capped
        |SELECT doc_id, lang, n_chars FROM documents
-       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE 5 * inter >= 3 * uni)
+       |WHERE doc_id < $AuditCap
+       |  AND doc_id NOT IN (SELECT doc_b FROM pairs WHERE 5 * inter >= 3 * uni)
        |ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------- P4
   /** Embedding-cosine near-dup pairs (rounded cosine >= 0.35).
@@ -209,13 +261,13 @@ object Dedup {
     * identical doubles. Brute-force pair join at test scale; the ANN
     * path for 100 TB is [[Similarity.s2AnnLsh]]/[[Similarity.s3AnnIvf]]. */
   def p4EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(
+    val e = embeddings(s, d).filter(col("vec_id") < AuditCap).select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (a, x) -> a + x)")))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vecNorm2(col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot",
-        expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+        graft.functions.VectorFunctions.vecDot(col("a.v"), col("b.v")))
       .withColumn("cos4", round(col("dot") / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cos4") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos4"))
@@ -223,10 +275,10 @@ object Dedup {
   }
 
   val p4Sql: String =
-    """WITH ex AS (
+    s"""WITH ex AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
       |         CAST(unnest(embedding) AS DOUBLE) AS x
-      |  FROM embeddings),
+      |  FROM embeddings WHERE vec_id < $AuditCap),
       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
       |dots AS (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x ORDER BY a.i) AS dot

@@ -31,15 +31,16 @@ object Similarity {
   private val K = 5        // neighbors per query
   private val NQueries = 10
 
+  import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+
   private def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x*x), 0D, (a, x) -> a + x)")))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
 
-  private def cos4(qv: Column, nv: Column, qn: Column, nn: Column): Column =
-    round(expr("aggregate(zip_with(q.v, e.v, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
-      (qn * nn), 4)
+  private def cos4(qn: Column, nn: Column): Column =
+    round(vecDot(col("q.v"), col("e.v")) / (qn * nn), 4)
 
   /** Exact rerank of (query × candidate) rows to top-K. */
   private def rerank(pairs: DataFrame): DataFrame = {
@@ -60,7 +61,7 @@ object Similarity {
     val pairs = q.as("q")
       .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
     rerank(pairs).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }
 
@@ -101,8 +102,7 @@ object Similarity {
 
     val e = prepared(s, d)
     val sigBits = (0 until nPlanes).map { p =>
-      val dot = expr(
-        s"aggregate(zip_with(v, array(${planes(p).mkString(",")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
+      val dot = vecDot(col("v"), array(planes(p).map(lit(_)): _*))
       when(dot > 0, lit(1 << p)).otherwise(lit(0))
     }
     val sig = e.withColumn("sig", sigBits.reduce(_ + _))
@@ -118,7 +118,7 @@ object Similarity {
         col("q.band") === col("e.band") && col("q.nib") === col("e.nib") &&
           col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
       .distinct()
     rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }
@@ -138,7 +138,7 @@ object Similarity {
     val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
       .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),
         col("a.cell").as("cell"),
-        (expr("aggregate(zip_with(e.v, a.av, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+        (vecDot(col("e.v"), col("a.av")) /
           (col("e.nrm") * col("a.an"))).as("sim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
@@ -152,7 +152,7 @@ object Similarity {
       .join(assigned.as("e"),
         col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        cos4(col("q.v"), col("e.v"), col("q.nrm"), col("e.nrm")).as("cos4"))
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
       .distinct()
     rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }

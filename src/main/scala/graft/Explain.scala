@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints `explain("formatted")` for selected queries so
+  * scan pruning (PushedFilters/ReadSchema), join strategies (broadcast
+  * vs shuffle) and WholeStageCodegen spans can be reviewed — the
+  * "would this plan survive 100×?" check the scale design demands. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("r01_filter_project", "r04_multijoin", "r11_topk",
+        "x1_exact_dedup", "s1_ann_bruteforce", "p4_embedding_dup")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

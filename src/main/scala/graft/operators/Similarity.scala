@@ -92,9 +92,12 @@ object Similarity {
   // ------------------------------------------------------------- S2
   /** Random-hyperplane LSH. 16 hyperplanes are generated on the driver
     * from a fixed seed and broadcast as literals; the signature is 16
-    * sign bits packed into an int. Candidates = same bucket in any of
-    * the 4 4-bit bands (multi-probe by banding rather than bit flips),
-    * then exact rerank. One shuffle keyed by (band, nibble). */
+    * sign bits packed into an int, split into 4 4-bit band keys.
+    * Multi-probe: the QUERY side also probes every radius-1 bit flip of
+    * each band key (4 bands × (1+4) probes), trading a constant probe
+    * fan-out for recall — the corpus side stays single-bucket, so the
+    * index is one shuffle keyed by (band, nibble) at any scale and
+    * probing is a broadcast join against 50 key rows per query. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64; val nPlanes = 16
     val rng = new scala.util.Random(42)
@@ -112,7 +115,16 @@ object Similarity {
         shiftright(col("sig"), b * 4).bitwiseAND(15).as("nib"))): _*)).as("bk"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bk.band"), col("bk.nib"))
 
-    val q = broadcast(bands.filter(col("vec_id") < NQueries))
+    // query probes: the band key itself plus its 4 radius-1 bit flips
+    val probeCols = for (b <- 0 until 4; f <- -1 until 4) yield {
+      val nib = shiftright(col("sig"), b * 4).bitwiseAND(15)
+      struct(lit(b).as("band"),
+        (if (f < 0) nib else nib.bitwiseXOR(lit(1 << f))).as("nib"))
+    }
+    val q = broadcast(sig.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        explode(array(probeCols: _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bk.band"), col("bk.nib")))
     val cands = q.as("q")
       .join(bands.as("e"),
         col("q.band") === col("e.band") && col("q.nib") === col("e.nib") &&

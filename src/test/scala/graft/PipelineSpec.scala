@@ -37,7 +37,7 @@ class PipelineSpec extends AnyFunSuite {
     val lsh = topk(Similarity.s2AnnLsh(spark, sf01))
     val r = recallVs(exact, lsh)
     info(f"s2 recall@5 = $r%.3f")
-    assert(r >= 0.3, f"LSH recall $r%.3f collapsed — bucketing broken")
+    assert(r >= 0.7, f"LSH recall $r%.3f collapsed — bucketing/multi-probe broken")
   }
 
   test("s3 IVF recall vs exact s1") {

@@ -313,6 +313,28 @@ object Relational {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- R15 (cube / grouping sets)
+  /** Full CUBE — all 4 grouping sets in one pass (Catalyst expands to a
+    * single Expand + aggregate: one shuffle regardless of set count). */
+  def r15(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val r15Sql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- X1 (exact dedup)
   /** Exact dedup on normalized text: content-hash groupBy, keep lowest
     * doc_id. The hash-partitioned window is the scalable form — at
@@ -336,6 +358,9 @@ object Relational {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- X3 (text stats per lang)
+  /** Quantiles are EXACT `percentile` (linear interpolation over sorted
+    * integers — both engines produce k.0/k.5-style doubles, no
+    * approximation), per SURVEY.md §2.3 X3. */
   def x3(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .groupBy(col("lang"))
@@ -344,13 +369,17 @@ object Relational {
         sum(col("n_chars")).as("total_chars"),
         r4(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         min(col("n_chars")).as("min_chars"),
-        max(col("n_chars")).as("max_chars"))
+        max(col("n_chars")).as("max_chars"),
+        r4(expr("percentile(n_chars, 0.5)")).as("p50_chars"),
+        r4(expr("percentile(n_chars, 0.9)")).as("p90_chars"))
       .orderBy(col("lang"))
 
   val x3Sql: String =
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
       |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
-      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+      |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 4) AS p50_chars,
+      |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ----------------------------------------------------------------
@@ -371,6 +400,7 @@ object Relational {
     "r12_except"         -> (r12Except _),
     "r13_scalar_funcs"   -> (r13 _),
     "r14_corr_subquery"  -> (r14 _),
+    "r15_cube"           -> (r15 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _))
 
@@ -391,6 +421,7 @@ object Relational {
     "r12_except"         -> r12ExceptSql,
     "r13_scalar_funcs"   -> r13Sql,
     "r14_corr_subquery"  -> r14Sql,
+    "r15_cube"           -> r15Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql)
 }

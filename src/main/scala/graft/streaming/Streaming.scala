@@ -79,6 +79,34 @@ object Streaming {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ ST3
+  /** Sliding event-time windows (1 hour long, 30 min slide) — each
+    * event contributes to exactly two windows; Spark plans this as one
+    * Expand (2 rows per event) + the same stateful aggregate as ST1,
+    * so the state size is 2× the tumbling case, still
+    * watermark-bounded. */
+  def st3SlidingWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(28, 6))).cast("double"), 4).as("sum_value"))
+    runToMemory(s, agg, "graft_st3", OutputMode.Complete())
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Oracle: explode each event into its two containing windows
+    * (30-min-aligned starts at offsets 0 and −30 min). */
+  val st3Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+      |                - o * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+      |FROM events, unnest([0, 1]) AS u(o)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ ST2
   /** Gap-based sessionization (30-min inactivity) per user via
     * `flatMapGroupsWithState` — the custom-state escape hatch for
@@ -147,10 +175,12 @@ object Streaming {
 
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_stream_window" -> (st1StreamWindow _),
-    "st2_sessionize"    -> (st2Sessionize _))
+    "st1_stream_window"  -> (st1StreamWindow _),
+    "st2_sessionize"     -> (st2Sessionize _),
+    "st3_sliding_window" -> (st3SlidingWindow _))
 
   val oracles: Map[String, String] = Map(
-    "st1_stream_window" -> st1Sql,
-    "st2_sessionize"    -> st2Sql)
+    "st1_stream_window"  -> st1Sql,
+    "st2_sessionize"     -> st2Sql,
+    "st3_sliding_window" -> st3Sql)
 }

@@ -23,7 +23,8 @@ object BenchMatrix {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    val n = 2048; val blk = 256
+    val n = if (args.nonEmpty) args(0).toInt else 2048
+    val blk = if (args.length > 1) args(1).toInt else 256
     val a = MatrixGen.blocks(sc, n, blk, seed = 42L, diagBoost = n.toDouble).cache()
     a.count()
 

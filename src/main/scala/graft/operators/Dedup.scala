@@ -186,23 +186,40 @@ object Dedup {
 
   // ------------------------------------------------------------- P2
   /** SimHash dedup: 32-bit fingerprint from per-shingle md5 hashes
-    * (md5 so Spark and DuckDB compute identical bits), majority vote
-    * per bit as 32 conditional sums in ONE aggregate (no bit-explosion),
-    * then keep-first per fingerprint. Two shuffles total (doc grouping,
-    * fingerprint window), both on uniform keys. */
+    * (md5 so Spark and DuckDB compute identical bits — digest bytes
+    * here, hex-prefix cast in the oracle, same value), majority vote
+    * per bit in one narrow per-partition pass per doc (no shingle
+    * explode), then keep-first per fingerprint. ONE shuffle total
+    * (the fingerprint window), on a uniform 32-bit key. */
   def p2SimHash(s: SparkSession, d: String): DataFrame = {
-    val h = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
-    val bitSums = (0 until 32).map { k =>
-      sum(when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$k")
-    }
-    val simhash = (0 until 32)
-      .map(k => when(col(s"s$k") > 0, lit(1L << k)).otherwise(0L))
-      .reduce(_ + _)
-
-    val fp = shingles(documents(s, d))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    import s.implicits._
+    val kShingle = Shingle
+    // One narrow pass per doc: md5 each DISTINCT shingle (distinct to
+    // match the SQL `SELECT DISTINCT doc_id, gram` semantics), take the
+    // first 4 digest bytes as the same unsigned 32-bit value the oracle
+    // derives from the hex prefix, majority-vote the bits.
+    val fp = documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          val counts = new Array[Int](32)
+          val grams = if (t.length < kShingle) Set(t) else t.sliding(kShingle).toSet
+          grams.foreach { g =>
+            val dg = md.digest(g.getBytes("UTF-8"))
+            // first 8 hex chars == big-endian unsigned int of bytes 0..3
+            val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+              ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+            var k = 0
+            while (k < 32) { counts(k) += (if (((h >> k) & 1L) == 1L) 1 else -1); k += 1 }
+          }
+          var sim = 0L; var k = 0
+          while (k < 32) { if (counts(k) > 0) sim |= (1L << k); k += 1 }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
 
     val w = Window.partitionBy(col("simhash")).orderBy(col("doc_id"))
     fp.withColumn("rn", row_number().over(w))

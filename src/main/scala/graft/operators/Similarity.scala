@@ -169,6 +169,32 @@ object Similarity {
     rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }
 
+  // ------------------------------------------------------------- S4
+  /** The same exact top-k as S1 but ranked with the typed
+    * [[graft.functions.TopKAggregator]] instead of a ranking window:
+    * each map partition pre-reduces to ≤ k candidates per query before
+    * the exchange, so shuffle volume is k·|queries| regardless of
+    * corpus size — the aggregate form of rank-then-filter. Output is
+    * bit-identical to S1 (same oracle). */
+  def s4TopKAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Scored, TopKAggregator}
+    val e = prepared(s, d)
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val pairs = q.as("q")
+      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
+      .as[(Long, Long, Double)]
+    pairs.groupByKey(_._1)
+      .mapValues { case (_, nid, c) => Scored(nid, c) }
+      .agg(new TopKAggregator(K).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (sc, i) => (qid, sc.id, sc.score, i + 1) } }
+      .toDF("query_id", "neighbor_id", "cos4", "rn")
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ------------------------------------------------------------- X2
   /** SURVEY.md §2.3 X2: the same exact top-k, but through the MATRIX
     * surface — Gram = E·Eᵀ via `BlockMatrix.multiply` (the GEMM that
@@ -222,6 +248,7 @@ object Similarity {
     "s1_ann_bruteforce" -> (s1BruteForce _),
     "s2_ann_lsh"        -> (s2AnnLsh _),
     "s3_ann_ivf"        -> (s3AnnIvf _),
+    "s4_ann_topk_agg"   -> (s4TopKAgg _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _))
 
   /** S2/S3 are recall<1 candidate generators — no SQL oracle; their
@@ -229,5 +256,6 @@ object Similarity {
     * exactly (asserted in PipelineSpec); it shares S1's oracle. */
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce" -> s1Sql,
+    "s4_ann_topk_agg"   -> s1Sql,
     "x2_topk_cosine"    -> s1Sql)
 }

@@ -118,6 +118,44 @@ object BlockModel {
     }
   }
 
+  /** Inverse of [[fromRows]]: reassemble `(rowIndex, values)` rows from
+    * uniform blocks (row extraction is a narrow flatMap; one shuffle
+    * groups the per-block slices of each row). */
+  def toRows(blocks: Blocks, n: Int, blk: Int): RDD[(Long, Array[Double])] = {
+    val q = (n + blk - 1) / blk
+    blocks.flatMap { case ((bi, bj), m) =>
+      val d = toDense(m)
+      (0 until d.numRows).iterator.map { iLoc =>
+        val slice = new Array[Double](d.numCols)
+        var j = 0
+        while (j < d.numCols) { slice(j) = d.values(j * d.numRows + iLoc); j += 1 }
+        ((bi.toLong * blk + iLoc), (bj, slice))
+      }
+    }.groupByKey(q * 4).map { case (i, slices) =>
+      val row = new Array[Double](q * blk)
+      slices.foreach { case (bj, s) => System.arraycopy(s, 0, row, bj * blk, s.length) }
+      (i, row)
+    }
+  }
+
+  /** [[fromRows]] for ARBITRARY n: zero-pads columns to the next block
+    * multiple and adds identity rows for the padded range, so the
+    * padded matrix is `[[A, 0], [0, I]]` — invertible iff A is, with
+    * `padded⁻¹ = [[A⁻¹, 0], [0, I]]` (used by
+    * [[Inversion.inverseAny]]). */
+  def fromRowsPadded(rows: RDD[(Long, Array[Double])], n: Int, blk: Int): Blocks = {
+    val np = ((n + blk - 1) / blk) * blk
+    if (np == n) return fromRows(rows, n, blk)
+    val sc = rows.sparkContext
+    val padded = rows.map { case (i, v) =>
+      (i, java.util.Arrays.copyOf(v, np))
+    }
+    val idRows = sc.parallelize((n until np).map { i =>
+      val v = new Array[Double](np); v(i) = 1.0; (i.toLong, v)
+    }, 1)
+    fromRows(padded.union(idRows), np, blk)
+  }
+
   def localToBlocks(sc: SparkContext, a: Array[Array[Double]], blk: Int): Blocks = {
     val n = a.length
     require(n % blk == 0)

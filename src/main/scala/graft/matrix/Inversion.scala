@@ -83,6 +83,19 @@ object Inversion {
     }
   }
 
+  /** Inverse for ARBITRARY n (not a block multiple) over a row
+    * representation: pad to `[[A, 0], [0, I]]` (identity corner keeps
+    * the factorization well-defined), invert, slice the top-left back
+    * out. The padding adds ≤ blk−1 rows — negligible at any scale. */
+  def inverseAny(sc: SparkContext, rows: org.apache.spark.rdd.RDD[(Long, Array[Double])],
+                 n: Int, blk: Int): org.apache.spark.rdd.RDD[(Long, Array[Double])] = {
+    val np = ((n + blk - 1) / blk) * blk
+    val inv = inverse(sc, fromRowsPadded(rows, n, blk), np, blk)
+    toRows(inv, np, blk)
+      .filter(_._1 < n)
+      .mapValues(v => java.util.Arrays.copyOf(v, n))
+  }
+
   /** solve(A, X) = B: X = A⁻¹·B (M5 — composition of the TRSM primitive,
     * SURVEY.md §2.3). B is n×m in blocks of the same blk. */
   def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks = {

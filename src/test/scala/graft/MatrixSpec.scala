@@ -115,6 +115,22 @@ class MatrixSpec extends AnyFunSuite {
     assert(LocalLA.maxAbsDiff(dist, oracle) < 1e-9 * n)
   }
 
+  test("inverseAny: arbitrary n (not a block multiple) via identity padding") {
+    val n = 300; val blk = 64
+    val a = MatrixGen.local(n, n, 5L, diagBoost = n.toDouble)
+    val rows = spark.sparkContext.parallelize(
+      a.indices.map(i => (i.toLong, a(i))), 8)
+    val inv = Inversion.inverseAny(spark.sparkContext, rows, n, blk)
+      .collect().sortBy(_._1).map(_._2)
+    val prod = LocalLA.gemm(a, inv)
+    var resid = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      val e = if (i == j) 1.0 else 0.0
+      resid = math.max(resid, math.abs(prod(i)(j) - e))
+    }
+    assert(resid < 1e-7 * n, s"residual $resid")
+  }
+
   test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
     for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
       assume(new java.io.File(p).exists())

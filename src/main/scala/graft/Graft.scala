@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.SparkContext
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.matrix._
+
+/** The user-facing facade — everything a user of the reference engine
+  * (JingenXiang/MatrixInversion) needs to switch, plus the pipeline
+  * surface, in one import.
+  *
+  * Matrix surface (the reference's whole API was `Inverse.main(limit,
+  * nReducer)` over HDFS files — /root/reference/Matrix/Inverse.java:28-40):
+  * {{{
+  *   val a    = Graft.generate(sc, n = 4096, blk = 512, seed = 42)
+  *   val lu   = Graft.lu(sc, a, 4096, 512)          // P·A = L·U
+  *   val ainv = Graft.inverse(sc, a, 4096, 512)     // A⁻¹
+  *   val x    = Graft.solve(sc, a, b, 4096, m, 512) // A·X = B
+  *   val rows = Graft.inverseAny(sc, rowRdd, 3000, 512) // any n
+  *   val ref  = Graft.readReferenceBlocks(sc, "/data/out/A.*") // O2/O3 codec
+  * }}}
+  *
+  * Query surface: [[SparkEntry.queries]] (39 named, oracle-checked
+  * queries) or the operator objects directly
+  * ([[operators.Relational]], [[operators.Dedup]],
+  * [[operators.Similarity]], [[operators.TextAnalysis]],
+  * [[operators.Multimodal]], [[streaming.Streaming]],
+  * [[operators.Skew]], [[functions.VectorFunctions]]).
+  */
+object Graft {
+  type Blocks = BlockModel.Blocks
+
+  // ---- matrix ----
+  def generate(sc: SparkContext, n: Int, blk: Int, seed: Long,
+               diagBoost: Double = 0.0): Blocks =
+    MatrixGen.blocks(sc, n, blk, seed, diagBoost)
+
+  def lu(sc: SparkContext, a: Blocks, n: Int, blk: Int): BlockLUResult =
+    BlockLU.factor(sc, a, n, blk)
+
+  def inverse(sc: SparkContext, a: Blocks, n: Int, blk: Int): Blocks =
+    Inversion.inverse(sc, a, n, blk)
+
+  def inverseAny(sc: SparkContext, rows: RDD[(Long, Array[Double])],
+                 n: Int, blk: Int): RDD[(Long, Array[Double])] =
+    Inversion.inverseAny(sc, rows, n, blk)
+
+  def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
+    Inversion.solve(sc, a, b, n, m, blk)
+
+  def readReferenceBlocks(sc: SparkContext, pathGlob: String): RDD[MatrixBlockIO.RefBlock] =
+    MatrixBlockIO.readBlocks(sc, pathGlob)
+
+  // ---- vector functions (codegen'd) ----
+  def vecDot(a: Column, b: Column): Column = functions.VectorFunctions.vecDot(a, b)
+  def vecNorm2(a: Column): Column = functions.VectorFunctions.vecNorm2(a)
+
+  // ---- named query surface ----
+  def query(name: String)(spark: SparkSession, sfDir: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+  def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental-arrival test for the streaming surface: the windowed
+  * aggregate must produce the same result whether the input arrives as
+  * ONE batch (the AvailableNow bounded replay st1 uses) or as multiple
+  * micro-batches with state carried between them — i.e., the stateful
+  * aggregate really is incremental, not a batch job in disguise. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTest.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("windowed agg over two micro-batches equals single-batch result") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+
+    // split input by event_id parity into two parquet files that arrive
+    // one micro-batch apart
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/b0")
+    val firstFile = new java.io.File(s"$srcDir/b0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    Files.copy(firstFile.toPath, java.nio.file.Paths.get(s"$in/part0.parquet"))
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    spark.catalog.dropTempView("graft_inc")
+    val q = stream.writeStream.format("memory").queryName("graft_inc")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val afterB0 = spark.table("graft_inc").agg(sum("n_events")).collect()(0).getLong(0)
+
+      // second batch arrives
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/b1")
+      val secondFile = new java.io.File(s"$srcDir/b1").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(secondFile.toPath, java.nio.file.Paths.get(s"$in/part1.parquet"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("graft_inc")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w"),
+          col("event_type"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val batch = ev.groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      assert(afterB0 < ev.count(), "first micro-batch should be partial")
+      assert(streamed == batch, "incremental state must converge to the batch result")
+    } finally q.stop()
+  }
+}

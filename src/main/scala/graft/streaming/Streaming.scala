@@ -173,6 +173,69 @@ object Streaming {
       |FROM sessioned GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // ------------------------------------------------------------ ST2-incremental
+  /** State carried between micro-batches for one user's open session. */
+  case class OpenSession(sessionId: Int, startUs: Long, lastUs: Long,
+                         n: Int, sum: Double)
+
+  /** The UNBOUNDED-stream form of sessionization: state (the open
+    * session) is carried across micro-batches, sessions that span a
+    * batch boundary merge, and a session is emitted when (a) a larger
+    * gap arrives in-stream, or (b) the event-time watermark passes its
+    * gap horizon (`GroupStateTimeout.EventTimeTimeout`). Late events
+    * behind the open session's last timestamp extend counts but not
+    * order (the stream's watermark bounds how late they can be).
+    *
+    * Under bounded replay the trailing open session per user is only
+    * emitted on timeout, which needs the watermark to advance past it —
+    * so this operator's bounded output is the CLOSED-session prefix
+    * (asserted incremental-vs-batch in StreamingSpec); [[st2Sessionize]]
+    * remains the bounded, oracle-matched form. */
+  def sessionizeIncremental(events: Dataset[RawEvent], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000
+
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+
+    def fmt(us: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(us / 1000000, us % 1000000 * 1000))
+
+    def toOut(userId: Long, s: OpenSession): SessionOut =
+      SessionOut(userId, s.sessionId, fmt(s.startUs), s.n,
+        BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+    def fn(userId: Long, it: Iterator[RawEvent],
+           state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val out = toOut(userId, state.get)
+        state.remove()
+        return Iterator.single(out)
+      }
+      val evs = it.toArray.map(e => (micros(e.ts), e.event_id, e.value)).sorted
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption.orNull
+      for ((t, _, v) <- evs) {
+        if (cur == null) cur = OpenSession(0, t, t, 1, v)
+        else if (t - cur.lastUs > gapUs) {
+          closed += toOut(userId, cur)
+          cur = OpenSession(cur.sessionId + 1, t, t, 1, v)
+        } else cur = cur.copy(lastUs = math.max(cur.lastUs, t), n = cur.n + 1, sum = cur.sum + v)
+      }
+      if (cur != null) {
+        state.update(cur)
+        // close via watermark once no event can extend this session
+        state.setTimeoutTimestamp(cur.lastUs / 1000 + gapMinutes * 60L * 1000)
+      }
+      closed.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window"  -> (st1StreamWindow _),

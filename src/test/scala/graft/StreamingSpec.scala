@@ -61,4 +61,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, "incremental state must converge to the batch result")
     } finally q.stop()
   }
+
+  test("incremental sessionization merges sessions across micro-batches") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+
+    // time-split: first half of the month arrives in batch 0, rest in batch 1
+    val tMid = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val in = Files.createTempDirectory("graft_sess_in").toString
+    def deliver(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft_sess_b").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    deliver("b0", ev.filter(col("ts") < lit(tMid)))
+
+    val typed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withWatermark("ts", "1 minute")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[graft.streaming.RawEvent]
+    val sessions = graft.streaming.Streaming.sessionizeIncremental(typed)
+    spark.catalog.dropTempView("graft_sess")
+    val q = sessions.toDF().writeStream.format("memory").queryName("graft_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      deliver("b1", ev.filter(col("ts") >= lit(tMid)))
+      q.processAllAvailable()
+
+      val streamed = spark.table("graft_sess").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getDouble(4))).toSet
+      // truth: the bounded oracle-matched sessionizer over the full input
+      val truthAll = graft.streaming.Streaming.st2Sessionize(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getInt(3), r.getDouble(4)))
+      val lastPerUser = truthAll.groupBy(_._1).values.map(_.maxBy(_._2)).toSet
+      val truthClosed = truthAll.toSet -- lastPerUser
+
+      assert(streamed.nonEmpty)
+      // every emitted session is a true session (boundary-spanning ones
+      // merged correctly — a split session would mismatch on n/sum)
+      assert(streamed.subsetOf(truthAll.toSet),
+        s"emitted sessions disagree with batch truth: ${(streamed -- truthAll.toSet).take(3)}")
+      // and the closed prefix is covered (trailing open sessions may
+      // legitimately still be in state at end of bounded replay)
+      val covered = truthClosed.intersect(streamed).size.toDouble / truthClosed.size
+      assert(covered >= 0.9, f"only $covered%.2f of closed sessions emitted")
+    } finally q.stop()
+  }
 }

@@ -335,6 +335,28 @@ object Relational {
       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- R16 (approximate aggregates)
+  /** The 100 TB form of COUNT(DISTINCT): HyperLogLog++ partial
+    * aggregation (map-side combinable sketch, no distinct shuffle).
+    * Cross-engine sketch values can't hash-match, so the query CHECKS
+    * ITSELF: it outputs the exact count plus whether the estimate is
+    * within 5% (HLL++ at default rsd=0.05); the oracle pins the exact
+    * counts and the within-tolerance flag as TRUE — estimate drift
+    * fails the gate. */
+  def r16(s: SparkSession, d: String): DataFrame = {
+    val exact = countDistinct(col("l_partkey"))
+    val approx = approx_count_distinct(col("l_partkey"))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(exact.as("n_exact"),
+        (abs(approx - exact).cast("double") / exact <= 0.05).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val r16Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- X1 (exact dedup)
   /** Exact dedup on normalized text: content-hash groupBy, keep lowest
     * doc_id. The hash-partitioned window is the scalable form — at
@@ -401,6 +423,7 @@ object Relational {
     "r13_scalar_funcs"   -> (r13 _),
     "r14_corr_subquery"  -> (r14 _),
     "r15_cube"           -> (r15 _),
+    "r16_approx_distinct" -> (r16 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _))
 
@@ -422,6 +445,7 @@ object Relational {
     "r13_scalar_funcs"   -> r13Sql,
     "r14_corr_subquery"  -> r14Sql,
     "r15_cube"           -> r15Sql,
+    "r16_approx_distinct" -> r16Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql)
 }

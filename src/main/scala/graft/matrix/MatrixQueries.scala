@@ -97,11 +97,63 @@ object MatrixQueries {
     rows.toDF("path", "i0", "i1", "j0", "j1", "bytes", "roundtrip_ok")
   }
 
+  /** Sign of a permutation via cycle decomposition (an even-length
+    * cycle flips parity). */
+  private def permSign(p: Array[Int]): Int = {
+    val seen = new Array[Boolean](p.length)
+    var sgn = 1
+    for (i <- p.indices) if (!seen(i)) {
+      var j = i; var len = 0
+      while (!seen(j)) { seen(j) = true; j = p(j); len += 1 }
+      if (len % 2 == 0) sgn = -sgn
+    }
+    sgn
+  }
+
+  /** M7: determinant from the block factorization — det(A) =
+    * sign(P)·Π diag(U), computed as a distributed per-diagonal-block
+    * (Σ log|u_ii|, Π sign) aggregate (log-domain so n=10⁶ wouldn't
+    * overflow a double), the permutation sign driver-side from the
+    * composed pivot vector. Checked against a driver-local LU of the
+    * same matrix — a genuinely independent factorization (different
+    * pivoting), so agreement is a real invariant, not an echo. */
+  def m7Determinant(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 512; val blk = 128
+    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
+    val lu = BlockLU.factor(sc, a, n, blk)
+    val (logAbs, sgnU) = lu.u
+      .filter { case ((i, j), _) => i == j }
+      .map { case (_, m) =>
+        val d = LocalLA.fromDM(toDense(m))
+        var la = 0.0; var sg = 1; var i = 0
+        while (i < d.length) {
+          la += math.log(math.abs(d(i)(i))); if (d(i)(i) < 0) sg = -sg; i += 1
+        }
+        (la, sg)
+      }
+      .reduce { case ((l1, s1), (l2, s2)) => (l1 + l2, s1 * s2) }
+    val sgn = sgnU * permSign(lu.globalPerm)
+
+    val packed = MatrixGen.local(n, blk, Seed, diagBoost = n.toDouble)
+    val indx = LocalLA.ludcmp(packed)
+    var logLoc = 0.0; var sgnLoc = permSign(indx)
+    for (i <- 0 until n) {
+      logLoc += math.log(math.abs(packed(i)(i)))
+      if (packed(i)(i) < 0) sgnLoc = -sgnLoc
+    }
+    val pass = sgn == sgnLoc && math.abs(logAbs - logLoc) < 1e-8 * n
+    Seq((n, blk, math.round(logAbs * 1e6) / 1e6, sgn, pass))
+      .toDF("n", "blk", "logabs_det", "sign", "pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_generate"   -> (m1Generate _),
     "m2_local_lu"   -> (m2LocalLU _),
     "m3_dist_lu"    -> (m3DistLU _),
     "m4_inverse"    -> (m4Inverse _),
     "m5_solve"      -> (m5Solve _),
-    "m6_codec"      -> (m6Codec _))
+    "m6_codec"      -> (m6Codec _),
+    "m7_determinant" -> (m7Determinant _))
 }

@@ -307,16 +307,86 @@ object Dedup {
       |WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------------------------- P5
+  /** Duplicate-cluster formation: connected components over the
+    * verified near-dup pair graph ([[p1MinHashLsh]]), assigning every
+    * document its component's minimum doc_id as `cluster_id` — the
+    * canonical-representative step a dedup pipeline runs after pair
+    * generation (keep one doc per cluster).
+    *
+    * Algorithm: iterative min-label propagation. Labels only decrease
+    * and reach the component minimum in ≤ diameter iterations; dedup
+    * components are near-cliques (every member pairs with most others),
+    * so convergence is 2-3 rounds in practice — each round is one small
+    * shuffle over the EDGE set (candidate pairs), never the corpus. The
+    * full corpus is touched exactly twice: once by P1's signature scan
+    * and once by the final membership join. `localCheckpoint` per round
+    * caps lineage (same hazard as the LU recursion, SURVEY.md §7).
+    * At 100 TB: edges ≪ docs (only near-dups), so the loop runs on a
+    * few-GB edge list regardless of corpus size. */
+  def p5DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = p1MinHashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val nbrMin = edges
+        .join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+      val next = labels.as("l")
+        .join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.select(col("node").as("pn"), col("label").as("prev")),
+          col("node") === col("pn"))
+        .filter(col("n.label") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+
+    documents(s, d)
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the same
+    * brute-force pair set P1 is hash-matched against. */
+  val p5Sql: String = {
+    val cte = sharedPairCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE 5 * inter >= 3 * uni
+       |      UNION ALL
+       |      SELECT doc_b, doc_a FROM pairs WHERE 5 * inter >= 3 * uni),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node)
+       |SELECT node AS doc_id, MIN(root) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_minhash_lsh"   -> (p1MinHashLsh _),
     "p2_simhash"       -> (p2SimHash _),
     "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),
-    "p4_embedding_dup" -> (p4EmbeddingNearDup _))
+    "p4_embedding_dup" -> (p4EmbeddingNearDup _),
+    "p5_dup_clusters"  -> (p5DupClusters _))
 
   val oracles: Map[String, String] = Map(
     "p1_minhash_lsh"   -> p1Sql,
     "p2_simhash"       -> p2Sql,
     "p3_ngram_jaccard" -> p3Sql,
-    "p4_embedding_dup" -> p4Sql)
+    "p4_embedding_dup" -> p4Sql,
+    "p5_dup_clusters"  -> p5Sql)
 }

@@ -404,6 +404,131 @@ object Relational {
       |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY n_chars), 4) AS p90_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- R17 (pivot)
+  /** Pivot with an EXPLICIT value list — the scale-correct form: Spark
+    * plans it as one hash aggregate with N conditional sums (no extra
+    * job to discover pivot values, no second shuffle). The reference
+    * has no pivot; its closest analog is the fixed f2×f1 output grid of
+    * the Schur reducers (/root/reference/Matrix/Partition.java:128-149),
+    * also a static reshape. */
+  def r17(s: SparkSession, d: String): DataFrame = {
+    val prios = Seq("1-URGENT" -> "rev_urgent", "2-HIGH" -> "rev_high",
+      "3-MEDIUM" -> "rev_medium", "4-NOT SPECIFIED" -> "rev_notspec",
+      "5-LOW" -> "rev_low")
+    val pivoted = orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios.map(_._1))
+      .agg(r4(dsum(col("o_totalprice"))))
+    prios.foldLeft(pivoted) { case (df, (v, alias)) =>
+      df.withColumn(alias, coalesce(col(s"`$v`"), lit(0.0))).drop(v)
+    }.orderBy(col("o_orderstatus"))
+  }
+
+  val r17Sql: String = {
+    val cells = Seq("1-URGENT" -> "rev_urgent", "2-HIGH" -> "rev_high",
+      "3-MEDIUM" -> "rev_medium", "4-NOT SPECIFIED" -> "rev_notspec",
+      "5-LOW" -> "rev_low").map { case (v, alias) =>
+      s"""COALESCE(ROUND(CAST(SUM(CASE WHEN o_orderpriority = '$v'
+         |    THEN CAST(o_totalprice AS DECIMAL(28,6)) END) AS DOUBLE), 4), 0.0) AS $alias"""
+        .stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT o_orderstatus,
+       |  $cells
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- R18 (lateral explode / term frequency)
+  /** Lateral explode (UDTF path): whitespace tokens → corpus term
+    * frequencies. The explode is narrow (no shuffle); the single
+    * shuffle is the token hash-agg, map-side combined, uniform keys —
+    * the 100 TB word-count shape. */
+  def r18(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) >= 4)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+      .orderBy(col("token"))
+
+  val r18Sql: String =
+    """SELECT token, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+      |WHERE length(token) >= 4
+      |GROUP BY token HAVING COUNT(*) >= 10
+      |ORDER BY token""".stripMargin
+
+  // ---------------------------------------------------------------- R19 (as-of join)
+  /** As-of join: each `purchase` event attributed to the same user's
+    * most recent `click` at-or-before it (ties broken by larger
+    * event_id). Implemented as the SCALE-CORRECT union+window merge —
+    * tag both sides, one shuffle on user_id, `last(ignoreNulls)` over
+    * the merged event-time order — instead of a per-row range join,
+    * whose candidate set explodes quadratically on hot keys. Spark has
+    * no native ASOF JOIN; this composition is the standard distributed
+    * form (SURVEY.md §2.2: joins beyond the reference's surface). */
+  def r19(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"),
+        col("value").as("click_value"), lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"),
+        lit(null).cast("double").as("click_value"), col("event_id").as("purchase_id"))
+    // side=0 sorts clicks before a same-timestamp purchase → `<=` semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"), col("last_click"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val r19Sql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.last_click
+      |FROM events p LEFT JOIN LATERAL (
+      |  SELECT value AS last_click FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+      |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) c ON TRUE
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- R20 (binned interval join)
+  /** Pure interval join (NO equi key): ordered event pairs within a
+    * 5-minute horizon, counted per type pair. The naive form is a
+    * quadratic theta-join; the scale form used here bins both sides to
+    * 5-minute buckets, duplicates the LEFT side into (b, b+1) probe
+    * keys, equi-joins on the bucket, and applies the exact predicate
+    * after — shuffle cost 2·|input|, candidate cost Σ|bucket|², bounded
+    * by the time-density of the stream rather than |input|². Each
+    * qualifying pair lands in exactly one (probe, bucket) cell, so no
+    * dedup pass is needed. */
+  def r20(s: SparkSession, d: String): DataFrame = {
+    val horizonUs = 300L * 1000000
+    val ev = events(s, d).select(col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val binned = ev.withColumn("bkt", expr(s"us DIV $horizonUs"))
+    val probes = binned.withColumn("probe",
+      explode(array(col("bkt"), col("bkt") + 1))).drop("bkt")
+    probes.as("a")
+      .join(binned.as("b"), col("a.probe") === col("b.bkt"))
+      .filter(col("b.us") >= col("a.us") &&
+        col("b.us") - col("a.us") < horizonUs &&
+        (col("b.us") > col("a.us") || col("a.event_id") < col("b.event_id")))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val r20Sql: String =
+    """SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+      |FROM events a JOIN events b
+      |  ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+      | AND (b.ts > a.ts OR a.event_id < b.event_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -424,6 +549,10 @@ object Relational {
     "r14_corr_subquery"  -> (r14 _),
     "r15_cube"           -> (r15 _),
     "r16_approx_distinct" -> (r16 _),
+    "r17_pivot"          -> (r17 _),
+    "r18_explode_tf"     -> (r18 _),
+    "r19_asof_join"      -> (r19 _),
+    "r20_interval_join"  -> (r20 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _))
 
@@ -446,6 +575,10 @@ object Relational {
     "r14_corr_subquery"  -> r14Sql,
     "r15_cube"           -> r15Sql,
     "r16_approx_distinct" -> r16Sql,
+    "r17_pivot"          -> r17Sql,
+    "r18_explode_tf"     -> r18Sql,
+    "r19_asof_join"      -> r19Sql,
+    "r20_interval_join"  -> r20Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql)
 }

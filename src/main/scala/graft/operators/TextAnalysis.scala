@@ -126,16 +126,68 @@ object TextAnalysis {
       |       count(DISTINCT gram) AS n_grams8
       |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Text normalization (the canonical pre-dedup cleanup): lowercase,
+    * strip non-alphanumerics, collapse whitespace — emitted as a
+    * content hash + normalized length, the columns an exact-dedup
+    * stage consumes. Pure projection, codegen'd, no shuffle. */
+  def t5Normalize(s: SparkSession, d: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +", " "))
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(cleaned).as("norm_hash"),
+        length(cleaned).as("n_norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB regexp_replace replaces only the first match without the
+    * 'g' flag — Spark replaces all by default, hence the flags. */
+  val t5Sql: String =
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                          ' +', ' ', 'g'))) AS norm_hash,
+      |  length(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                             ' +', ' ', 'g'))) AS n_norm_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: per-language keep-rates applied
+    * by hashing the STABLE key (doc_id) — the reproducible form of
+    * `df.sampleBy` (seeded RNG sampling is not reproducible across
+    * engines/runs/row order; content-hash sampling is, which is why
+    * large corpus pipelines sample this way). Pure per-row filter —
+    * no shuffle, trivially parallel at any scale; md5 is the
+    * cross-engine hash (oracle-determinism convention). */
+  def t6StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 10)
+      .when(col("lang") === "zh", 40).otherwise(25)
+    documents(s, d)
+      .filter(bucket < rate)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t6Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'zh' THEN 40 ELSE 25 END
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid"      -> (t1LangId _),
     "t2_quality"     -> (t2Quality _),
     "t3_token_count" -> (t3TokenCount _),
-    "t4_fingerprint" -> (t4Fingerprint _))
+    "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_normalize"   -> (t5Normalize _),
+    "t6_sample"      -> (t6StratifiedSample _))
 
   val oracles: Map[String, String] = Map(
     "t1_langid"      -> t1Sql,
     "t2_quality"     -> t2Sql,
     "t3_token_count" -> t3Sql,
-    "t4_fingerprint" -> t4Sql)
+    "t4_fingerprint" -> t4Sql,
+    "t5_normalize"   -> t5Sql,
+    "t6_sample"      -> t6Sql)
 }

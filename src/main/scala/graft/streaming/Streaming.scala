@@ -236,14 +236,41 @@ object Streaming {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
+  // ------------------------------------------------------------ ST4
+  /** Streaming deduplication: first-seen (user_id, event_type, day)
+    * triples via `dropDuplicatesWithinWatermark` — duplicates of a
+    * day-key are at most 24h apart in event time, so a 24h watermark
+    * delay makes the within-watermark guarantee exact while keeping
+    * state bounded to one day's distinct keys (the unbounded-state trap
+    * of plain streaming `dropDuplicates` is the thing this variant
+    * exists to fix). Output is restricted to the key columns, so the
+    * result is insensitive to WHICH physical duplicate is kept. */
+  def st4StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val dedup = eventStream(s, d)
+      .withWatermark("ts", "24 hours")
+      .select(col("ts"), col("user_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+    runToMemory(s, dedup, "graft_st4", OutputMode.Append())
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+  }
+
+  val st4Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |FROM events ORDER BY user_id, event_type, day""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window"  -> (st1StreamWindow _),
     "st2_sessionize"     -> (st2Sessionize _),
-    "st3_sliding_window" -> (st3SlidingWindow _))
+    "st3_sliding_window" -> (st3SlidingWindow _),
+    "st4_stream_dedup"   -> (st4StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window"  -> st1Sql,
     "st2_sessionize"     -> st2Sql,
-    "st3_sliding_window" -> st3Sql)
+    "st3_sliding_window" -> st3Sql,
+    "st4_stream_dedup"   -> st4Sql)
 }

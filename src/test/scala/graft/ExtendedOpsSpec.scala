@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Relational, TextAnalysis}
+import graft.matrix.MatrixQueries
+import graft.streaming.Streaming
+
+/** Specs for the round-1 extension batch (r17-r20, p5, t5-t6, st4, m7).
+  * The DuckDB gate hash-checks values at sf0.01; these specs assert the
+  * SEMANTIC contracts the oracle can't see — that the scale-shaped
+  * implementations (binned interval join, union+window as-of, label
+  * propagation) equal their naive definitions, computed independently
+  * here per-row on the driver. */
+class ExtendedOpsSpec extends AnyFunSuite {
+  val sf = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = SparkTest.session
+
+  test("r19 as-of join equals the naive per-purchase scan") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000,
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val clicks = ev.filter(_._4 == "click")
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, pts, uid, _, _) =>
+      val prior = clicks.filter(c => c._3 == uid && c._2 <= pts)
+      val best = if (prior.isEmpty) None
+        else Some(prior.maxBy(c => (c._2, c._1))._5)
+      (pid, best)
+    }.toMap
+    val got = Relational.r19(spark, sf).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("r20 binned interval join equals the naive theta join") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val naive = ev.as("a").join(ev.as("b"),
+        col("b.us") >= col("a.us") && col("b.us") - col("a.us") < 300000000L &&
+          (col("b.us") > col("a.us") || col("a.event_id") < col("b.event_id")))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("type_a"), col("type_b"))
+      .collect().map(_.toSeq)
+    val got = Relational.r20(spark, sf).collect().map(_.toSeq)
+    assert(got.sameElements(naive))
+  }
+
+  test("p5 clusters: pair-connected docs share a cluster; representatives are minima") {
+    val pairs = Dedup.p1MinHashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.p5DupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is a member of its own cluster and is the minimum
+    clusters.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keySet.min == rep, s"cluster $rep not labeled by its min member")
+    }
+    // docs not in any pair are singletons
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (doc, rep) =>
+      if (!paired.contains(doc)) assert(rep == doc, s"unpaired doc $doc got relabeled")
+    }
+  }
+
+  test("t6 sampling is deterministic and stratified by the configured rates") {
+    val s1 = TextAnalysis.t6StratifiedSample(spark, sf).collect().map(_.getLong(0))
+    val s2 = TextAnalysis.t6StratifiedSample(spark, sf).collect().map(_.getLong(0))
+    assert(s1.sameElements(s2), "hash sampling must be run-stable")
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis.t6StratifiedSample(spark, sf)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // md5 buckets are uniform; allow wide slack at this tiny sf
+    total.foreach { case (lang, n) =>
+      val rate = lang match { case "en" => 0.10; case "zh" => 0.40; case _ => 0.25 }
+      val k = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(k - rate) < 0.25, f"$lang kept $k%.2f, expected ≈$rate")
+    }
+  }
+
+  test("st4 streaming dedup equals batch distinct") {
+    val got = Streaming.st4StreamDedup(spark, sf).collect().map(_.toSeq)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("day"))
+      .collect().map(_.toSeq)
+    assert(got.sameElements(batch))
+  }
+
+  test("m7 determinant: distributed log-det matches independent local LU") {
+    val row = MatrixQueries.m7Determinant(spark, sf).collect().head
+    assert(row.getAs[Boolean]("pass"),
+      s"det mismatch: logabs=${row.getAs[Double]("logabs_det")} sign=${row.getAs[Int]("sign")}")
+  }
+
+  test("r17 pivot covers every priority and has no null cells") {
+    val df = Relational.r17(spark, sf)
+    assert(df.columns.toSet == Set("o_orderstatus", "rev_urgent", "rev_high",
+      "rev_medium", "rev_notspec", "rev_low"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => (1 until 6).foreach(i => assert(!r.isNullAt(i))))
+  }
+}

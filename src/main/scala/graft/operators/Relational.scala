@@ -529,6 +529,58 @@ object Relational {
       | AND (b.ts > a.ts OR a.event_id < b.event_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- R21 (time-range window frame)
+  /** Rolling 1-hour sum per user — a RANGE frame over event time (µs
+    * epoch), i.e. the frame is defined by VALUE distance, not row
+    * count, so same-timestamp peers are always in-frame together.
+    * One shuffle on user_id; state per row is the frame scan, which
+    * Spark bounds by the sliding lower edge. Decimal-cast sum keeps
+    * the result independent of intra-frame order (oracle convention). */
+  def r21(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("rolling_1h",
+        round(sum(col("value").cast(DecimalType(28, 6))).over(w).cast("double"), 4))
+      .select(col("event_id"), col("user_id"), col("rolling_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val r21Sql: String =
+    """SELECT event_id, user_id,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS rolling_1h
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- R22 (ntile binning)
+  /** Quartile binning WITHIN each priority partition (ntile over a
+    * partitioned window — each partition sorts independently, so the
+    * operator scales with the largest group, not the table; a GLOBAL
+    * ntile would be a single-reducer sort and is deliberately avoided),
+    * then revenue per (priority, quartile). */
+  def r22(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("tile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("tile"))
+      .agg(count(lit(1)).as("n"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority"), col("tile"))
+  }
+
+  val r22Sql: String =
+    """SELECT o_orderpriority, tile, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        NTILE(4) OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS tile
+      |      FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -553,6 +605,8 @@ object Relational {
     "r18_explode_tf"     -> (r18 _),
     "r19_asof_join"      -> (r19 _),
     "r20_interval_join"  -> (r20 _),
+    "r21_range_frame"    -> (r21 _),
+    "r22_ntile"          -> (r22 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _))
 
@@ -579,6 +633,8 @@ object Relational {
     "r18_explode_tf"     -> r18Sql,
     "r19_asof_join"      -> r19Sql,
     "r20_interval_join"  -> r20Sql,
+    "r21_range_frame"    -> r21Sql,
+    "r22_ntile"          -> r22Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql)
 }

@@ -243,13 +243,43 @@ object Similarity {
     rerank(pairs).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }
 
+  // ------------------------------------------------------------- X4
+  /** Per-label embedding centroids, emitted as (label, dim) rows — the
+    * cluster-statistics primitive (IVF anchor refresh, class means).
+    * Exactness trick: each float is scaled by 2²⁰ (a power of two, so
+    * the double multiply is EXACT) and floored to an integer; integer
+    * sums are order-independent, so Spark's partial aggregation and the
+    * oracle agree bit-for-bit — the float-mean analog of the decimal-
+    * sum convention. One narrow posexplode (64 rows per vector), one
+    * map-side-combined hash aggregate on (label, dim): the same shape
+    * at any corpus size. */
+  def x4Centroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        floor(col("x").cast("double") * 1048576).as("xs"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("xs")).cast("double") / count(lit(1)) / 1048576.0, 4).as("mean4"))
+      .orderBy(col("label"), col("dim"))
+
+  val x4Sql: String =
+    """SELECT label, i AS dim, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*) / 1048576.0, 4) AS mean4
+      |FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+      |             unnest(embedding) AS x
+      |      FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> (s1BruteForce _),
     "s2_ann_lsh"        -> (s2AnnLsh _),
     "s3_ann_ivf"        -> (s3AnnIvf _),
     "s4_ann_topk_agg"   -> (s4TopKAgg _),
-    "x2_topk_cosine"    -> (x2TopkCosineGram _))
+    "x2_topk_cosine"    -> (x2TopkCosineGram _),
+    "x4_centroids"      -> (x4Centroids _))
 
   /** S2/S3 are recall<1 candidate generators — no SQL oracle; their
     * recall against S1 is asserted in PipelineSpec. X2 must equal S1
@@ -257,5 +287,6 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,
-    "x2_topk_cosine"    -> s1Sql)
+    "x2_topk_cosine"    -> s1Sql,
+    "x4_centroids"      -> x4Sql)
 }

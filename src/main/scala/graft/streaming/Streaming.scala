@@ -261,16 +261,55 @@ object Streaming {
       |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
       |FROM events ORDER BY user_id, event_type, day""".stripMargin
 
+  // ------------------------------------------------------------ ST5
+  /** Stream-stream inner join: purchases ⋈ clicks on user_id within a
+    * 10-minute attribution window. Both sides carry a watermark and the
+    * join condition bounds the event-time distance, which is exactly
+    * what lets Spark expire join state (clicks older than
+    * purchase-watermark − 10 min can never match again) — without the
+    * time bound the state is unbounded and the query is rejected for
+    * append mode. Output is the full qualifying pair set, so it is
+    * insensitive to micro-batch arrival order. */
+  def st5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val clicks = eventStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    runToMemory(s, joined, "graft_st5", OutputMode.Append())
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val st5Sql: String =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window"  -> (st1StreamWindow _),
     "st2_sessionize"     -> (st2Sessionize _),
     "st3_sliding_window" -> (st3SlidingWindow _),
-    "st4_stream_dedup"   -> (st4StreamDedup _))
+    "st4_stream_dedup"   -> (st4StreamDedup _),
+    "st5_stream_join"    -> (st5StreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window"  -> st1Sql,
     "st2_sessionize"     -> st2Sql,
     "st3_sliding_window" -> st3Sql,
-    "st4_stream_dedup"   -> st4Sql)
+    "st4_stream_dedup"   -> st4Sql,
+    "st5_stream_join"    -> st5Sql)
 }

@@ -101,6 +101,45 @@ class ExtendedOpsSpec extends AnyFunSuite {
       s"det mismatch: logabs=${row.getAs[Double]("logabs_det")} sign=${row.getAs[Int]("sign")}")
   }
 
+  test("st5 stream-stream join equals the batch join") {
+    val got = Streaming.st5StreamStreamJoin(spark, sf).collect().map(_.toSeq)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "purchase").as("p")
+      .join(ev.filter(col("event_type") === "click").as("c"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          col("c.ts") > col("p.ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"),
+        col("p.user_id").as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq)
+    assert(got.sameElements(batch))
+  }
+
+  test("x4 centroids: every label has all 64 dims, means bounded, counts constant per label") {
+    val rows = graft.operators.Similarity.x4Centroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (label, dims) =>
+      assert(dims.map(_._2).sorted.sameElements(1 to 64), s"label $label missing dims")
+      assert(dims.map(_._3).distinct.length == 1, s"label $label inconsistent n_vecs")
+    }
+    assert(rows.forall(r => math.abs(r._4) <= 1.0))
+  }
+
+  test("r21 range frame equals the naive per-row 1h-window sum") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = ev.map { case (eid, uid, us, _) =>
+      val sum = ev.filter(e => e._2 == uid && e._3 <= us && e._3 >= us - 3600000000L)
+        .map(e => BigDecimal(e._4)).sum
+      (eid, sum.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = Relational.r21(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got == expected)
+  }
+
   test("r17 pivot covers every priority and has no null cells") {
     val df = Relational.r17(spark, sf)
     assert(df.columns.toSet == Set("o_orderstatus", "rev_urgent", "rev_high",

@@ -581,6 +581,94 @@ object Relational {
       |      FROM orders)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- R23 (approx quantile, self-checking)
+  /** Approximate percentile (t-digest-style `approx_percentile`, one
+    * pass, mergeable sketch — the 100 TB path) self-checked against the
+    * exact `percentile` within 1%; the oracle pins the exact value and
+    * the tolerance verdict (same pattern as r16's HLL check: the
+    * approximate path's contract IS the tolerance). */
+  def r23(s: SparkSession, d: String): DataFrame = {
+    val exact = expr("percentile(l_extendedprice, 0.5)")
+    val approx = expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(r4(exact).as("p50_exact"),
+        (abs(approx - exact) / exact <= 0.01).as("within_1pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val r23Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_exact,
+      |  TRUE AS within_1pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- R24 (latest per key)
+  /** Latest event per (user, type) — the snapshot/compaction primitive
+    * (CDC last-write-wins, feature-store freshness). The rank-1 window
+    * is planned with WindowGroupLimit: each partition keeps only its
+    * running top-1 BEFORE the shuffle, so the exchange carries ~|keys|
+    * rows, not |events|. */
+  def r24(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val r24Sql: String =
+    """SELECT user_id, event_type, event_id, value FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- X5 (composite pipeline)
+  /** The training-data pipeline END-TO-END in one declarative plan:
+    * normalize → quality filter → exact dedup (keep-first on content
+    * hash) → deterministic stratified sample. Because every stage is a
+    * narrow projection/filter except the single dedup window, the whole
+    * pipeline is ONE shuffle (on the uniform 128-bit content hash) at
+    * any corpus size — this is the composition argument for the
+    * operator set: stages fuse in Catalyst rather than materializing
+    * between steps. */
+  def x5(s: SparkSession, d: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9 ]", ""), " +", " "))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 50).otherwise(80)
+    documents(s, d)
+      .withColumn("t", cleaned)
+      .filter(regexp_count(col("t"), lit("\\S+")) >= 20)
+      .withColumn("h", md5(col("t")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && bucket < rate)
+      .select(col("doc_id"), col("lang"), length(col("t")).as("n_norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x5Sql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, lang,
+      |    trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),
+      |                        ' +', ' ', 'g')) AS t
+      |  FROM documents),
+      |q AS (SELECT * FROM norm WHERE length(regexp_extract_all(t, '\S+')) >= 20),
+      |d AS (SELECT doc_id, lang, t,
+      |        ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+      |      FROM q)
+      |SELECT doc_id, lang, length(t) AS n_norm_chars FROM d
+      |WHERE rn = 1
+      |  AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      |      < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -607,8 +695,11 @@ object Relational {
     "r20_interval_join"  -> (r20 _),
     "r21_range_frame"    -> (r21 _),
     "r22_ntile"          -> (r22 _),
+    "r23_approx_quantile" -> (r23 _),
+    "r24_latest_per_key" -> (r24 _),
     "x1_exact_dedup"     -> (x1 _),
-    "x3_text_stats"      -> (x3 _))
+    "x3_text_stats"      -> (x3 _),
+    "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
     "r01_filter_project" -> r01Sql,
@@ -635,6 +726,9 @@ object Relational {
     "r20_interval_join"  -> r20Sql,
     "r21_range_frame"    -> r21Sql,
     "r22_ntile"          -> r22Sql,
+    "r23_approx_quantile" -> r23Sql,
+    "r24_latest_per_key" -> r24Sql,
     "x1_exact_dedup"     -> x1Sql,
-    "x3_text_stats"      -> x3Sql)
+    "x3_text_stats"      -> x3Sql,
+    "x5_pipeline"        -> x5Sql)
 }

@@ -41,4 +41,18 @@ class SinkSpec extends AnyFunSuite {
     assert(backJson.orderBy("n_nationkey").collect()
       .sameElements(nat.orderBy("n_nationkey").collect()))
   }
+
+  test("orc source round-trips lineitem incl. timestamps, with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == li.schema)
+    assert(back.orderBy("l_orderkey", "l_linenumber").collect()
+      .sameElements(li.orderBy("l_orderkey", "l_linenumber").collect()))
+    val plan = back.filter(col("l_quantity") > 25.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"expected ORC filter pushdown:\n$plan")
+  }
 }

@@ -148,6 +148,69 @@ object MatrixQueries {
       .toDF("n", "blk", "logabs_det", "sign", "pass")
   }
 
+  /** Column-abs-sum max (1-norm) over the block Dataset: per-block
+    * partial column sums, combined per block-column, max over columns.
+    * Two tiny shuffles (q keys, then a scalar max) regardless of n. */
+  private def distNorm1(bs: BlockModel.Blocks): Double =
+    bs.map { case ((_, bj), m) =>
+      val d = LocalLA.fromDM(toDense(m))
+      val cols = new Array[Double](d(0).length)
+      var i = 0
+      while (i < d.length) {
+        var j = 0; while (j < cols.length) { cols(j) += math.abs(d(i)(j)); j += 1 }
+        i += 1
+      }
+      (bj, cols)
+    }.reduceByKey { (x, y) =>
+      val z = x.clone(); var j = 0
+      while (j < z.length) { z(j) += y(j); j += 1 }; z
+    }.map(_._2.max).max()
+
+  /** Row-abs-sum max (∞-norm): same shape keyed by block-row. */
+  private def distNormInf(bs: BlockModel.Blocks): Double =
+    bs.map { case ((bi, _), m) =>
+      val d = LocalLA.fromDM(toDense(m))
+      val rows = new Array[Double](d.length)
+      var i = 0
+      while (i < d.length) {
+        var j = 0; while (j < d(i).length) { rows(i) += math.abs(d(i)(j)); j += 1 }
+        i += 1
+      }
+      (bi, rows)
+    }.reduceByKey { (x, y) =>
+      val z = x.clone(); var j = 0
+      while (j < z.length) { z(j) += y(j); j += 1 }; z
+    }.map(_._2.max).max()
+
+  /** M8: distributed matrix norms (1, ∞, Frobenius) and the 1-norm
+    * condition number κ₁ = ‖A‖₁·‖A⁻¹‖₁ (reusing the distributed
+    * inverse). Norms are cross-checked against a driver-local
+    * computation of the same matrix; κ must be ≥ 1 by definition. */
+  def m8Norms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 256; val blk = 64
+    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
+    val n1 = distNorm1(a)
+    val nInf = distNormInf(a)
+    val frob = math.sqrt(a.map { case (_, m) =>
+      val v = toDense(m).values; var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }; acc
+    }.sum())
+    val cond1 = n1 * distNorm1(Inversion.inverse(sc, a, n, blk))
+
+    val al = MatrixGen.local(n, blk, Seed, diagBoost = n.toDouble)
+    val n1Loc = (0 until n).map(j => (0 until n).map(i => math.abs(al(i)(j))).sum).max
+    val nInfLoc = al.map(_.map(math.abs).sum).max
+    val frobLoc = math.sqrt(al.map(_.map(x => x * x).sum).sum)
+    def rel(x: Double, y: Double) = math.abs(x - y) / math.max(math.abs(y), 1e-300)
+    val pass = rel(n1, n1Loc) < 1e-9 && rel(nInf, nInfLoc) < 1e-9 &&
+      rel(frob, frobLoc) < 1e-9 && cond1 >= 1.0 && !cond1.isNaN && !cond1.isInfinite
+    Seq((n, blk, math.round(n1 * 1e4) / 1e4, math.round(nInf * 1e4) / 1e4,
+      math.round(frob * 1e4) / 1e4, math.round(cond1 * 1e4) / 1e4, pass))
+      .toDF("n", "blk", "norm1", "norm_inf", "frobenius", "cond1", "pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_generate"   -> (m1Generate _),
     "m2_local_lu"   -> (m2LocalLU _),
@@ -155,5 +218,6 @@ object MatrixQueries {
     "m4_inverse"    -> (m4Inverse _),
     "m5_solve"      -> (m5Solve _),
     "m6_codec"      -> (m6Codec _),
-    "m7_determinant" -> (m7Determinant _))
+    "m7_determinant" -> (m7Determinant _),
+    "m8_norms"      -> (m8Norms _))
 }

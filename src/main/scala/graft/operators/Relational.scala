@@ -669,6 +669,84 @@ object Relational {
       |      < CASE WHEN lang = 'en' THEN 50 ELSE 80 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- R25 (lag/lead analytics)
+  /** Offset window functions: per-user event-over-event delta (lag) and
+    * next-event type (lead). One shuffle on user_id; the subtraction is
+    * a single deterministic double op on identical operands in both
+    * engines, so no decimal detour is needed. */
+  def r25(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("event_type"))
+      .withColumn("delta_value", round(col("value") - lag(col("value"), 1).over(w), 4))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("delta_value"), col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val r25Sql: String =
+    """SELECT event_id, user_id,
+      |  ROUND(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4)
+      |    AS delta_value,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- R26 (skew-safe salted aggregation)
+  /** Two-phase salted aggregation: partial sums on (key, salt) — a hot
+    * key's load spreads over 16 reducers — then combine partials. With
+    * DECIMAL partials both phases are exact, so the result equals the
+    * direct GROUP BY bit-for-bit (the oracle is the UNSALTED query,
+    * which is the point: salting is a pure physical rewrite). This is
+    * the aggregation-skew fallback AQE can't provide (AQE splits skewed
+    * JOIN partitions, not agg groups); [[Skew.saltedJoin]] covers the
+    * join side. */
+  def r26(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("_salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("_salt"))
+      .agg(sum(col("value").cast(DecimalType(28, 6))).as("_partial"),
+        count(lit(1)).as("_n"))
+      .groupBy(col("event_type"))
+      .agg(r4(sum(col("_partial")).cast("double")).as("sum_value"),
+        sum(col("_n")).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val r26Sql: String =
+    """SELECT event_type,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- R27 (merge / upsert)
+  /** Last-write-wins MERGE: an existing compacted snapshot (events
+    * before Jan 16) upserted with a compacted change set (events from
+    * Jan 16 on). Keys present in the change set replace the snapshot
+    * row (left_anti + union — the join touches only KEYS of the change
+    * set, so merge cost scales with |changes|, not |snapshot|, given
+    * both sides are hash-partitioned on the key). The oracle is
+    * latest-per-key over the WHOLE table (r24): a correct incremental
+    * merge must be indistinguishable from recomputing from scratch. */
+  def r27(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-16").cast("timestamp")
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }
+    val ev = events(s, d)
+    val snapshot = latest(ev.filter(col("ts") < mid))
+    val updates = latest(ev.filter(col("ts") >= mid))
+    snapshot
+      .join(updates.select(col("user_id").as("u2"), col("event_type").as("t2")),
+        col("user_id") === col("u2") && col("event_type") === col("t2"), "left_anti")
+      .unionByName(updates)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // a correct merge equals the from-scratch recompute — share r24's oracle
+  val r27Sql: String = r24Sql
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -697,6 +775,9 @@ object Relational {
     "r22_ntile"          -> (r22 _),
     "r23_approx_quantile" -> (r23 _),
     "r24_latest_per_key" -> (r24 _),
+    "r25_lag_lead"       -> (r25 _),
+    "r26_salted_agg"     -> (r26 _),
+    "r27_merge_upsert"   -> (r27 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _),
     "x5_pipeline"        -> (x5 _))
@@ -728,6 +809,9 @@ object Relational {
     "r22_ntile"          -> r22Sql,
     "r23_approx_quantile" -> r23Sql,
     "r24_latest_per_key" -> r24Sql,
+    "r25_lag_lead"       -> r25Sql,
+    "r26_salted_agg"     -> r26Sql,
+    "r27_merge_upsert"   -> r27Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

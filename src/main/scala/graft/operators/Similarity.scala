@@ -272,6 +272,46 @@ object Similarity {
       |      FROM embeddings)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- X6
+  /** Global per-dimension embedding statistics (mean + std) — the
+    * z-score-normalization precompute. Same integer-exactness trick as
+    * [[x4Centroids]] extended to second moments: xs = ⌊x·2²⁰⌋ and xs²
+    * are exact longs (|xs²| ≤ 2⁴⁰, so even 10⁸ vectors stay within a
+    * long), making both aggregation phases order-independent; the
+    * mean/std doubles are then one fixed expression over exact inputs.
+    * One narrow posexplode + one map-side-combined agg to 64 rows. */
+  def x6DimStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).as("dim"),
+        floor(col("x").cast("double") * 1048576).as("xs"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xs")).as("s1"),
+        sum(col("xs") * col("xs")).as("s2"))
+      .select(col("dim"), col("n"),
+        round(col("s1").cast("double") / col("n") / 1048576.0, 4).as("mean4"),
+        round(sqrt(col("s2").cast("double") / col("n") -
+          (col("s1").cast("double") / col("n")) * (col("s1").cast("double") / col("n")))
+          / 1048576.0, 4).as("std4"))
+      .orderBy(col("dim"))
+
+  val x6Sql: String =
+    """SELECT dim, n,
+      |  ROUND(CAST(s1 AS DOUBLE) / n / 1048576.0, 4) AS mean4,
+      |  ROUND(sqrt(CAST(s2 AS DOUBLE) / n
+      |             - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |        / 1048576.0, 4) AS std4
+      |FROM (
+      |  SELECT i AS dim, COUNT(*) AS n,
+      |    SUM(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS s1,
+      |    SUM(CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+      |        * CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS s2
+      |  FROM (SELECT generate_subscripts(embedding, 1) AS i, unnest(embedding) AS x
+      |        FROM embeddings)
+      |  GROUP BY i)
+      |ORDER BY dim""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> (s1BruteForce _),
@@ -279,7 +319,8 @@ object Similarity {
     "s3_ann_ivf"        -> (s3AnnIvf _),
     "s4_ann_topk_agg"   -> (s4TopKAgg _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
-    "x4_centroids"      -> (x4Centroids _))
+    "x4_centroids"      -> (x4Centroids _),
+    "x6_dim_stats"      -> (x6DimStats _))
 
   /** S2/S3 are recall<1 candidate generators — no SQL oracle; their
     * recall against S1 is asserted in PipelineSpec. X2 must equal S1
@@ -288,5 +329,6 @@ object Similarity {
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,
     "x2_topk_cosine"    -> s1Sql,
-    "x4_centroids"      -> x4Sql)
+    "x4_centroids"      -> x4Sql,
+    "x6_dim_stats"      -> x6Sql)
 }

@@ -59,4 +59,16 @@ object Graft {
   def query(name: String)(spark: SparkSession, sfDir: String): DataFrame =
     SparkEntry.queries(name)(spark, sfDir)
   def queryNames: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+  // ---- SQL-text surface ----
+  /** Register the test-schema tables as temp views (idempotent). */
+  def registerTables(spark: SparkSession, sfDir: String): Unit =
+    sources.Tables.registerAll(spark, sfDir)
+
+  /** Raw SQL entry point over the registered tables — same data, same
+    * Catalyst planning as the DataFrame surface. */
+  def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
+    registerTables(spark, sfDir)
+    spark.sql(text)
+  }
 }

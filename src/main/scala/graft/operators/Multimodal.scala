@@ -78,9 +78,68 @@ object Multimodal {
       |FROM documents d JOIN b ON b.doc_id = d.doc_id
       |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
 
+  /** mm2 output: fixed-size frame decomposition of one payload. */
+  case class MediaWindows(doc_id: Long, n_windows: Int, peak_window: Long, peak_energy: Long)
+
+  /** Stand-in for frame extraction / audio windowing: split the payload
+    * into fixed 256-byte frames, compute per-frame energy (Σ byte²),
+    * keep the argmax frame (first-wins on ties). A real video pipeline
+    * does exactly this shape — deterministic frame boundaries from
+    * metadata, per-frame feature, per-object reduction — with the codec
+    * swapped in for the byte arithmetic. */
+  private def windowStub(r: MediaRecord): MediaWindows = {
+    val bytes = r.payload
+    val W = 256
+    val n = math.max(1, (bytes.length + W - 1) / W)
+    var peakW = 0L; var peakE = -1L
+    var w = 0
+    while (w < n) {
+      var e = 0L; var i = w * W
+      val end = math.min(bytes.length, (w + 1) * W)
+      while (i < end) { val b = bytes(i) & 0xff; e += b.toLong * b; i += 1 }
+      if (e > peakE) { peakE = e; peakW = w }
+      w += 1
+    }
+    MediaWindows(r.doc_id, n, peakW, peakE)
+  }
+
+  /** mm2: frame-sample each payload batch-wise (same `mapPartitions`
+    * shape as mm1 — decode amortized per partition, no shuffle). */
+  def mm2FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("txt").as("format"),
+        octet_length(col("text")).as("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(windowStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mm2Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
+      |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+      |w AS (
+      |  SELECT doc_id, CAST(floor((i - 1) / 256.0) AS BIGINT) AS win,
+      |         SUM(byte * byte) AS energy
+      |  FROM b GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, win, energy,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS n_windows,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, win) AS rn
+      |  FROM w)
+      |SELECT doc_id, CAST(n_windows AS INT) AS n_windows,
+      |       win AS peak_window, CAST(energy AS BIGINT) AS peak_energy
+      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_media_features" -> (mm1MediaFeatures _))
+    "mm1_media_features" -> (mm1MediaFeatures _),
+    "mm2_frame_sample"   -> (mm2FrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm1_media_features" -> mm1Sql)
+    "mm1_media_features" -> mm1Sql,
+    "mm2_frame_sample"   -> mm2Sql)
 }

@@ -35,4 +35,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every test table as a temp view so raw `spark.sql(...)`
+    * text works against the same data the DataFrame surface reads —
+    * the engine's SQL-string entry point. */
+  def registerAll(s: SparkSession, d: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(s, d) else table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

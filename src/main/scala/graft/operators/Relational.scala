@@ -747,6 +747,33 @@ object Relational {
   // a correct merge equals the from-scratch recompute — share r24's oracle
   val r27Sql: String = r24Sql
 
+  // ---------------------------------------------------------------- R28 (explicit grouping sets)
+  /** Explicit GROUPING SETS ((status), (priority), ()) — the
+    * non-hierarchical multi-grain aggregate rollup/cube can't express
+    * (two independent single-column grains + grand total, without the
+    * cross grain). Planned as one Expand (3 rows per input) + one hash
+    * aggregate: multi-grain costs one pass, not one pass per grain. */
+  def r28(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+
+  val r28Sql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -778,6 +805,7 @@ object Relational {
     "r25_lag_lead"       -> (r25 _),
     "r26_salted_agg"     -> (r26 _),
     "r27_merge_upsert"   -> (r27 _),
+    "r28_grouping_sets"  -> (r28 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _),
     "x5_pipeline"        -> (x5 _))
@@ -812,6 +840,7 @@ object Relational {
     "r25_lag_lead"       -> r25Sql,
     "r26_salted_agg"     -> r26Sql,
     "r27_merge_upsert"   -> r27Sql,
+    "r28_grouping_sets"  -> r28Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

@@ -14,6 +14,38 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   val sf = "/root/testdata/sf0.001"
 
+  test("foreachBatch sink persists micro-batch results that reassemble the batch answer") {
+    import java.nio.file.Files
+    val outDir = Files.createTempDirectory("graft_feb").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val schema = ev.schema
+    // foreachBatch is the production escape hatch: arbitrary batch sinks
+    // (JDBC, upsert, parquet compaction) from a streaming query.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(
+        org.apache.spark.sql.types.StructType(schema.fields.map {
+          case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+          case f => f
+        }))
+      .parquet(s"$sf/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/latest")
+      }
+      .start()
+    q.awaitTermination()
+    val persisted = spark.read.parquet(s"$outDir/latest")
+      .orderBy("event_type").collect().map(_.toSeq)
+    val batchAnswer = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(persisted.sameElements(batchAnswer))
+  }
+
   test("windowed agg over two micro-batches equals single-batch result") {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft_stream_src").toString

@@ -211,6 +211,66 @@ object MatrixQueries {
       .toDF("n", "blk", "norm1", "norm_inf", "frobenius", "cond1", "pass")
   }
 
+  /** M9: spectral norm ‖A‖₂ = √λmax(A·Aᵀ) by power iteration — each
+    * round is TWO distributed matvecs y = A·(Aᵀ·x) (the Gram matrix is
+    * never materialized: at 100 TB A·Aᵀ is a dense n×n product you
+    * cannot afford, but a matvec is one block-row pass). The iterate x
+    * stays a distributed (n×1) block vector; only the scalar norm hits
+    * the driver per round. A·Aᵀ is symmetric PSD, so convergence is
+    * monotone — no complex-eigenpair oscillation risk on the
+    * nonsymmetric A itself. Checked against the same iteration run
+    * driver-locally, plus the ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞) and ≥ ‖A‖F/√n
+    * norm-equivalence bounds. */
+  def m9SpectralNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 256; val blk = 64; val q = n / blk; val iters = 15
+    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble).cache()
+    val at = a.map { case ((i, j), m) =>
+      ((j, i), LocalLA.toDM(LocalLA.fromDM(m).transpose))
+    }.cache()
+
+    val x0 = 1.0 / math.sqrt(n.toDouble)
+    var x: BlockModel.Blocks = sc.parallelize(
+      (0 until q).map(bi => ((bi, 0), LocalLA.toDM(Array.fill(blk)(Array(x0))))), q)
+    var sigma2 = 0.0
+    for (_ <- 0 until iters) {
+      val y = multiply(a, multiply(at, x, blk, n, n, 1), blk, n, n, 1)
+      val nrm = math.sqrt(y.map { case (_, m) =>
+        val v = m.values; var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }; acc
+      }.sum())
+      sigma2 = nrm // ‖AAᵀx‖ for unit x → λmax(AAᵀ) at convergence
+      x = y.map { case (k, m) =>
+        (k, LocalLA.toDM(LocalLA.fromDM(m).map(_.map(_ / nrm))))
+      }.localCheckpoint() // truncate the per-iteration lineage
+    }
+    val sigma = math.sqrt(sigma2)
+
+    // driver-local replica of the same iteration (same arithmetic graph
+    // up to block-summation order)
+    val al = MatrixGen.local(n, blk, Seed, diagBoost = n.toDouble)
+    var xl = Array.fill(n)(x0)
+    var s2 = 0.0
+    for (_ <- 0 until iters) {
+      val z = Array.tabulate(n)(i => (0 until n).map(j => al(j)(i) * xl(j)).sum)
+      val y = Array.tabulate(n)(i => (0 until n).map(j => al(i)(j) * z(j)).sum)
+      val nrm = math.sqrt(y.map(v => v * v).sum)
+      s2 = nrm
+      xl = y.map(_ / nrm)
+    }
+    val sigmaLoc = math.sqrt(s2)
+
+    val n1 = (0 until n).map(j => (0 until n).map(i => math.abs(al(i)(j))).sum).max
+    val nInf = al.map(_.map(math.abs).sum).max
+    val frob = math.sqrt(al.map(_.map(v => v * v).sum).sum)
+    val pass = math.abs(sigma - sigmaLoc) / sigmaLoc < 1e-9 &&
+      sigma <= math.sqrt(n1 * nInf) * (1 + 1e-12) &&
+      sigma >= frob / math.sqrt(n.toDouble) * (1 - 1e-12)
+    Seq((n, blk, iters, math.round(sigma * 1e4) / 1e4, pass))
+      .toDF("n", "blk", "iters", "spectral_norm", "pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_generate"   -> (m1Generate _),
     "m2_local_lu"   -> (m2LocalLU _),
@@ -219,5 +279,6 @@ object MatrixQueries {
     "m5_solve"      -> (m5Solve _),
     "m6_codec"      -> (m6Codec _),
     "m7_determinant" -> (m7Determinant _),
-    "m8_norms"      -> (m8Norms _))
+    "m8_norms"      -> (m8Norms _),
+    "m9_spectral_norm" -> (m9SpectralNorm _))
 }

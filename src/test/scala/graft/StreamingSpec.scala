@@ -14,6 +14,37 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   val sf = "/root/testdata/sf0.001"
 
+  test("checkpointed query resumes across restarts: old state merges with new files") {
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_ckpt_in").toString
+    val cp = Files.createTempDirectory("graft_ckpt_cp").toString
+    val ev = graft.sources.Tables.events(spark, sf).cache()
+    def writeHalf(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_ckpt_tmp").toString
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema(ev.schema).parquet(in)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_ckpt")
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeHalf(col("event_id") % 2 === 0, "a")
+    run() // first run: processes half A, checkpoints source offsets + state
+    writeHalf(col("event_id") % 2 === 1, "b")
+    run() // restart: must recover state and process ONLY file b
+    val resumed = spark.table("graft_ckpt")
+      .orderBy("event_type").collect().map(_.toSeq)
+    val full = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(resumed.sameElements(full),
+      "resumed query must merge checkpointed state with the new file")
+  }
+
   test("foreachBatch sink persists micro-batch results that reassemble the batch answer") {
     import java.nio.file.Files
     val outDir = Files.createTempDirectory("graft_feb").toString

@@ -24,6 +24,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // Enables dev.ludovic.netlib VectorBLAS (SIMD Java BLAS) — without
+  // this module MLlib falls back to scalar Java BLAS and every local
+  // GEMM in the block LU/inverse path runs ~4x slower.
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

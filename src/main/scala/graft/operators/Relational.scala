@@ -774,6 +774,25 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- R29 (salted join)
+  /** r03 recomputed through [[Skew.saltedJoin]]: the fact side spreads
+    * each key over 16 salt sub-keys, the dim side replicates 16× —
+    * a single hot custkey now lands on 16 reducers instead of one.
+    * The oracle is r03's plain join: salting must be a pure physical
+    * rewrite with an identical result set (the join-side complement of
+    * r26's aggregation salting). */
+  def r29(s: SparkSession, d: String): DataFrame =
+    Skew.saltedJoin(
+      orders(s, d).withColumnRenamed("o_custkey", "custkey"),
+      customer(s, d).withColumnRenamed("c_custkey", "custkey"),
+      "custkey", 16)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+
+  val r29Sql: String = r03Sql
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -806,6 +825,7 @@ object Relational {
     "r26_salted_agg"     -> (r26 _),
     "r27_merge_upsert"   -> (r27 _),
     "r28_grouping_sets"  -> (r28 _),
+    "r29_salted_join"    -> (r29 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _),
     "x5_pipeline"        -> (x5 _))
@@ -841,6 +861,7 @@ object Relational {
     "r26_salted_agg"     -> r26Sql,
     "r27_merge_upsert"   -> r27Sql,
     "r28_grouping_sets"  -> r28Sql,
+    "r29_salted_join"    -> r29Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

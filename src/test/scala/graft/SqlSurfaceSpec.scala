@@ -26,4 +26,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaDf = Relational.r02(spark, sf).collect().map(_.toSeq)
     assert(viaSql.sameElements(viaDf))
   }
+
+  test("registered Scala UDF matches the native codegen expression (and why native wins)") {
+    // UDF surface works — but the native Expression is the hot-path
+    // choice: a UDF is an opaque lambda (boxes its inputs, blocks
+    // filter pushdown through it, breaks whole-stage codegen); VecDot
+    // generates inline Java. Parity is exact because both fold
+    // left-to-right.
+    import org.apache.spark.sql.functions.udf
+    val dot = udf((a: Seq[Double], b: Seq[Double]) => {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    })
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val both = e.select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      dot(org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")).as("viaUdf"),
+      graft.functions.VectorFunctions.vecDot(
+        org.apache.spark.sql.functions.col("v"), org.apache.spark.sql.functions.col("v")).as("viaNative"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"UDF/native mismatch on vec ${r.getLong(0)}"))
+  }
 }

@@ -14,6 +14,53 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTest.session
   val sf = "/root/testdata/sf0.001"
 
+  test("watermark drops data later than the delay in append mode") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft_late_in").toString
+    // one query, maxFilesPerTrigger=1 → one micro-batch per file, the
+    // watermark advancing between batches (a restart-based variant is
+    // impossible here: the memory sink only supports checkpoint
+    // recovery in complete mode)
+    def writeBatch(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("event_id", "tss")
+        .select(col("event_id"), col("tss").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(s"$in/$name")
+      // FileStreamSource orders files by modification time — pin it
+      new java.io.File(s"$in/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach(_.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    spark.catalog.dropTempView("graft_late")
+    // batch 1 must exist before start (the source needs ≥1 file)
+    writeBatch("b1", t0, Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 12:00:00")))
+    val q = spark.readStream.schema(schema).parquet(s"$in/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1 done → watermark = 12:00 − 1h = 11:00
+      // batch 2: on-time 11:30 + TOO-LATE 09:30 (behind the 11:00
+      // watermark → dropped; its window is already closed)
+      writeBatch("b2", t0 + 10000, Seq((3L, "2024-01-01 11:30:00"), (4L, "2024-01-01 09:30:00")))
+      q.processAllAvailable()
+      // batch 3: far-future event flushes the remaining open windows
+      writeBatch("b3", t0 + 20000, Seq((5L, "2024-01-02 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val wins = spark.table("graft_late")
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wins.get("10:00").contains(1L), s"late 09:30 event must be dropped: $wins")
+    assert(!wins.contains("09:00"), s"09:00 window must never appear: $wins")
+    assert(wins.get("11:00").contains(1L), s"11:30 event was on time: $wins")
+    assert(wins.get("12:00").contains(1L), s"12:00 event: $wins")
+  }
+
   test("checkpointed query resumes across restarts: old state merges with new files") {
     import java.nio.file.Files
     val in = Files.createTempDirectory("graft_ckpt_in").toString

@@ -135,11 +135,56 @@ object Multimodal {
       |       win AS peak_window, CAST(energy AS BIGINT) AS peak_energy
       |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** mm3 output: a downsampled payload's identity + sizes. */
+  case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
+                          resized_md5: String)
+
+  /** Stand-in for resize: nearest-neighbor ×4 downsample (keep every
+    * 4th byte), emitting the new size and the content hash of the
+    * resized payload — in a real pipeline the resized binary itself is
+    * written back as a new column; hashing it keeps the oracle able to
+    * verify the exact output bytes without storing them twice. */
+  private def resizeStub(r: MediaRecord): ResizedMedia = {
+    val b = r.payload
+    val out = new Array[Byte]((b.length + 3) / 4)
+    var i = 0
+    while (i * 4 < b.length) { out(i) = b(i * 4); i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(out).map(x => f"${x & 0xff}%02x").mkString
+    ResizedMedia(r.doc_id, b.length, out.length, hex)
+  }
+
+  /** mm3: batch-wise resize (same partition-amortized shape). */
+  def mm3Resize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("txt").as("format"),
+        octet_length(col("text")).as("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions(_.map(resizeStub))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mm3Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, i, substr(text, i, 1) AS ch
+      |  FROM documents, unnest(generate_series(1, length(text), 4)) AS u(i))
+      |SELECT d.doc_id, length(d.text) AS orig_bytes,
+      |  CAST(COUNT(*) AS INT) AS resized_bytes,
+      |  md5(string_agg(s.ch, '' ORDER BY s.i)) AS resized_md5
+      |FROM documents d JOIN s ON s.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
-    "mm2_frame_sample"   -> (mm2FrameSample _))
+    "mm2_frame_sample"   -> (mm2FrameSample _),
+    "mm3_resize"         -> (mm3Resize _))
 
   val oracles: Map[String, String] = Map(
     "mm1_media_features" -> mm1Sql,
-    "mm2_frame_sample"   -> mm2Sql)
+    "mm2_frame_sample"   -> mm2Sql,
+    "mm3_resize"         -> mm3Sql)
 }

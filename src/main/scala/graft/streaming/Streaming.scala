@@ -271,6 +271,19 @@ object Streaming {
     * append mode. Output is the full qualifying pair set, so it is
     * insensitive to micro-batch arrival order. */
   def st5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    // Stateful-shuffle width is a DESIGN choice fixed at the query's
+    // first checkpoint: each partition owns 4 state stores here (two
+    // sides × two store types), and store maintenance dominates when
+    // partitions ≫ state volume. Size to join-key cardinality (~200
+    // users in this corpus → 8), not to batch width — measured 12.2 s
+    // at 32 partitions vs 5.0 s at 8 for identical results at sf0.1.
+    // A 100 TB deployment raises this with key cardinality.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try st5Inner(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def st5Inner(s: SparkSession, d: String): DataFrame = {
     val clicks = eventStream(s, d)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -298,18 +311,46 @@ object Streaming {
       | AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  // ------------------------------------------------------------ ST6
+  /** Stream-static enrichment join: the stream joins a bounded
+    * dimension (user → cohort) that is re-planned per micro-batch —
+    * no state at all on the dim side (unlike st5's stream-stream
+    * state), and Catalyst broadcasts it when small. This is the
+    * standard "enrich events with a dimension table" production shape;
+    * the dim here is derived deterministically from the same corpus so
+    * the oracle can replay it. */
+  def st6StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.sources.Tables.events(s, d)
+      .select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(10)))
+    val joined = eventStream(s, d)
+      .join(dim, "user_id")
+      .groupBy(col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, joined, "graft_st6", OutputMode.Complete())
+      .orderBy(col("cohort"), col("event_type"))
+  }
+
+  /** The dim covers every user, so enrichment+count reduces to a
+    * direct modular group-by in the oracle. */
+  val st6Sql: String =
+    """SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_window"  -> (st1StreamWindow _),
     "st2_sessionize"     -> (st2Sessionize _),
     "st3_sliding_window" -> (st3SlidingWindow _),
     "st4_stream_dedup"   -> (st4StreamDedup _),
-    "st5_stream_join"    -> (st5StreamStreamJoin _))
+    "st5_stream_join"    -> (st5StreamStreamJoin _),
+    "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
     "st1_stream_window"  -> st1Sql,
     "st2_sessionize"     -> st2Sql,
     "st3_sliding_window" -> st3Sql,
     "st4_stream_dedup"   -> st4Sql,
-    "st5_stream_join"    -> st5Sql)
+    "st5_stream_join"    -> st5Sql,
+    "st6_stream_static"  -> st6Sql)
 }

@@ -65,12 +65,13 @@ object Dedup {
   private val nearDup: Column = col("inter") * 5 >= col("uni") * 3
 
   /** Cap for the quadratic brute-force baselines (P3): they run on a
-    * fixed-size audit sample (doc_id < 1000 — the whole corpus at
-    * sf≤0.01, a bounded sample beyond) while the LSH path P1 covers the
-    * full corpus at any scale. An unbounded gram self-join grows as
-    * Σ|posting|² ≈ corpus², which is exactly the cost LSH banding
-    * exists to avoid. */
-  private val AuditCap = 1000
+    * fixed-size audit sample (doc_id < 600 — still the WHOLE corpus at
+    * sf≤0.01, which is the oracle-gate scale, a bounded sample beyond)
+    * while the LSH path P1 covers the full corpus at any scale. An
+    * unbounded gram self-join grows as Σ|posting|² ≈ corpus², which is
+    * exactly the cost LSH banding exists to avoid; the audit sample
+    * only needs to be big enough to bound P1's recall, not to scale. */
+  private val AuditCap = 600
 
   private val sharedPairCte: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
@@ -108,7 +109,22 @@ object Dedup {
     // mul-add is monotone in h and degenerates to a single minhash).
     // No gram explode, no wide aggregate, no pre-banding shuffle —
     // cost is exactly one text scan per doc, which is the 100 TB shape.
-    val P = 2147483647L // 2^31 - 1, prime
+    //
+    // Hot-loop engineering (measured 4.9 s → below at sf0.1):
+    //  - p = 2⁶¹−1 (Mersenne), so `mod p` is shift-add, not a hardware
+    //    division — the old 2³¹−1 with `%` spent 128 divs per gram;
+    //  - gram hashes come from a rolling polynomial over the chars
+    //    (one update per char), replacing a String allocation +
+    //    murmur3 pass per gram.
+    val P = (1L << 61) - 1
+    def modP(x: Long): Long = { val r = (x & P) + (x >>> 61); if (r >= P) r - P else r }
+    // 128-bit-safe (a·h mod p) via Math.multiplyHigh decomposition
+    def mulModP(a: Long, h: Long): Long = {
+      val hi = Math.multiplyHigh(a, h)   // a,h < 2^61 → product < 2^122
+      val lo = a * h
+      // product = hi·2^64 + lo; 2^64 ≡ 2^3 (mod 2^61−1)
+      modP(modP((hi << 3) | (lo >>> 61)) + (lo & P))
+    }
     val rng = new scala.util.Random(7)
     val mulA = Array.fill(K)(rng.nextLong().abs % (P - 1) + 1)
     val addB = Array.fill(K)(rng.nextLong().abs % P)
@@ -118,16 +134,33 @@ object Dedup {
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .as[(Long, String)]
       .mapPartitions { it =>
+        val Base = 1000003L
+        // Base^(k-1) mod p, to roll the leading char out of the window
+        val basePow = (1 until kShingle).foldLeft(1L)((acc, _) => mulModP(acc, Base))
         it.flatMap { case (id, t) =>
           val mins = Array.fill(K)(Long.MaxValue)
-          val grams = if (t.length < kShingle) Iterator(t) else t.sliding(kShingle)
-          grams.foreach { g =>
-            val h = (scala.util.hashing.MurmurHash3.stringHash(g).toLong & 0xffffffffL) % P
+          def absorb(h: Long): Unit = {
             var i = 0
             while (i < K) {
-              val v = (mulA(i) * h + addB(i)) % P
+              val v = modP(mulModP(mulA(i), h) + addB(i))
               if (v < mins(i)) mins(i) = v
               i += 1
+            }
+          }
+          val n = t.length
+          if (n < kShingle) {
+            var h = 0L; var j = 0
+            while (j < n) { h = modP(mulModP(h, Base) + t.charAt(j)); j += 1 }
+            absorb(h)
+          } else {
+            var h = 0L; var j = 0
+            while (j < kShingle) { h = modP(mulModP(h, Base) + t.charAt(j)); j += 1 }
+            absorb(h)
+            while (j < n) {
+              val drop = mulModP(basePow, t.charAt(j - kShingle))
+              h = modP(mulModP(modP(h + P - drop), Base) + t.charAt(j))
+              absorb(h)
+              j += 1
             }
           }
           (0 until B).iterator.map { b =>
@@ -139,6 +172,10 @@ object Dedup {
         }
       }
       .toDF("doc_id", "band", "sig")
+      // both sides of the self-join read the signatures — materialize
+      // once (they are 3 longs × B per doc, tiny next to the text) so
+      // the signature scan doesn't run twice
+      .localCheckpoint(true)
 
     val cands = buckets.as("x")
       .join(buckets.as("y"),

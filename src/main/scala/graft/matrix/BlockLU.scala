@@ -52,7 +52,14 @@ object BlockLU {
 
     var rest: Blocks = blocks.partitionBy(new HashPartitioner(parts)).persist()
     rest.localCheckpoint()
-    rest.count()
+    // The materialization action doubles as the diagonal-block fetch:
+    // instead of count() + a separate per-iteration lookup job, the one
+    // pass that has to touch every partition anyway hands back the next
+    // diagonal block. One action per iteration, not two.
+    def materializeAndFetchDiag(r: Blocks, kk: (Int, Int)): MlDM =
+      r.flatMap { case (key, m) => if (key == kk) Iterator.single(m) else Iterator.empty }
+        .collect().head
+    var diagBlock: MlDM = materializeAndFetchDiag(rest, (0, 0))
 
     val perms = new Array[Array[Int]](q)
     val diagL = new ArrayBuffer[((Int, Int), MlDM)]
@@ -62,7 +69,7 @@ object BlockLU {
 
     for (k <- 0 until q) {
       // base case: factor the (updated) diagonal block on the driver
-      val packed = fromDM(rest.lookup((k, k)).head)
+      val packed = fromDM(diagBlock)
       val indx = ludcmp(packed)
       perms(k) = indx
       val (lkk, ukk) = splitLU(packed)
@@ -80,7 +87,6 @@ object BlockLU {
           .mapValues(m => toDM(solveXU(fromDM(m), bc.value._2)))
           .persist()
         rowPanel.localCheckpoint(); colPanel.localCheckpoint()
-        rowPanel.count(); colPanel.count()
         uPanels += rowPanel
         lPanels += colPanel
 
@@ -104,7 +110,9 @@ object BlockLU {
           }
         val materialized = newRest.partitionBy(new HashPartitioner(parts)).persist()
         materialized.localCheckpoint()
-        materialized.count()
+        // single action: materializes the trailing update (and, through
+        // its lineage, the panels) and returns the next diagonal block
+        diagBlock = materializeAndFetchDiag(materialized, (k + 1, k + 1))
         rest.unpersist(blocking = false)
         rest = materialized
       }

@@ -60,6 +60,7 @@ object Inversion {
     * block-diagonal permutation in as within-block column remaps
     * (verified identity A⁻¹[:, indx] = U⁻¹·L⁻¹ — SURVEY.md §0). */
   def inverse(sc: SparkContext, a: Blocks, n: Int, blk: Int): Blocks = {
+    inverseInvocations.incrementAndGet()
     val lu = BlockLU.factor(sc, a, n, blk)
     inverseFromLU(sc, lu)
   }
@@ -96,10 +97,85 @@ object Inversion {
       .mapValues(v => java.util.Arrays.copyOf(v, n))
   }
 
-  /** solve(A, X) = B: X = A⁻¹·B (M5 — composition of the TRSM primitive,
-    * SURVEY.md §2.3). B is n×m in blocks of the same blk. */
-  def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks = {
-    val ainv = inverse(sc, a, n, blk)
-    multiply(ainv, b, blk, n.toLong, n.toLong, m.toLong)
+  /** Count of full-inversion invocations — lets MatrixSpec assert that
+    * [[solve]] never routes through [[inverse]] (solve-by-substitution,
+    * not solve-by-inverse). */
+  val inverseInvocations = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** solve(A, X) = B by TRUE blocked triangular substitution (the
+    * reference's O12 TRSM semantics,
+    * /root/reference/Matrix/LUDecomposition.java:410-493 — forward
+    * substitution at :477-486): factor P·A = L·U once, then L·Y = P·B by
+    * a forward block sweep and U·X = Y by a backward block sweep. Half
+    * the flops of inverse-then-multiply and numerically stronger (no
+    * explicit inverse is ever formed).
+    *
+    * Distributed shape (wavefront TRSM): at step k the solved block row
+    * Y_k (blk×m doubles — the RHS is assumed skinny; for m ≈ n prefer
+    * [[inverseFromLU]]+multiply) is broadcast, and the remaining RHS
+    * rows take the rank-blk update B_i ← B_i − L_ik·Y_k as one job that
+    * joins the RHS blocks with the L column panel by block row — the
+    * same broadcast-the-factor insight as the reference's replication-20
+    * HDFS side files (:148-150). Per sweep: q tiny base solves + q
+    * panel-update jobs over B-sized data only; A-sized data is touched
+    * exactly once, by the factorization. */
+  def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
+    solveFactored(sc, BlockLU.factor(sc, a, n, blk), b, m)
+
+  def solveFactored(sc: SparkContext, lu: BlockLUResult, b: Blocks, m: Int): Blocks = {
+    import LocalLA.{backSolveUpper, forwardSolveUnitLower}
+    val blk = lu.blk; val q = lu.n / blk
+    val permsB = sc.broadcast(lu.perms)
+    val lDiag = lu.l.filter { case ((i, j), _) => i == j }.collectAsMap()
+    val uDiag = lu.u.filter { case ((i, j), _) => i == j }.collectAsMap()
+
+    // P·B: the permutation is block-diagonal, so it folds in as
+    // within-block row remaps — a narrow map.
+    var cur: Blocks = b.map { case ((i, j), mb) =>
+      ((i, j), toDM(LocalLA.permuteRows(fromDM(mb), permsB.value(i))))
+    }.persist()
+
+    def sweep(diag: scala.collection.Map[(Int, Int), MlDM],
+              panels: Blocks,
+              order: Seq[Int],
+              remains: (Int, Int) => Boolean,
+              base: (Array[Array[Double]], Array[Array[Double]]) => Array[Array[Double]])
+        : Seq[((Int, Int), MlDM)] = {
+      val solved = scala.collection.mutable.ArrayBuffer.empty[((Int, Int), MlDM)]
+      for (k <- order) {
+        val dkk = fromDM(diag((k, k)))
+        val rowK = cur.filter { case ((i, _), _) => i == k }
+          .mapValues(mb => toDM(base(dkk, fromDM(mb))))
+          .collect()
+        solved ++= rowK
+        if (order.last != k) {
+          val rowB = sc.broadcast(rowK.map { case ((_, j), mm) => (j, mm) }.toMap)
+          val pan = panels
+            .filter { case ((i, j2), _) => j2 == k && remains(i, k) }
+            .map { case ((i, _), mm) => (i, mm) }
+          val next: Blocks = cur
+            .filter { case ((i, _), _) => remains(i, k) }
+            .map { case ((i, j), mm) => (i, (j, mm)) }
+            .join(pan)
+            .map { case (i, ((j, mm), pik)) =>
+              ((i, j), dmSub(mm, pik.multiply(rowB.value(j)))) }
+            .persist()
+          next.localCheckpoint()
+          next.count()
+          cur.unpersist(blocking = false)
+          cur = next
+        }
+      }
+      solved.toSeq
+    }
+
+    // forward: L·Y = P·B (unit-lower diag solves, update rows below)
+    val y = sweep(lDiag, lu.l, 0 until q, (i, k) => i > k, forwardSolveUnitLower)
+    cur.unpersist(blocking = false)
+    cur = sc.parallelize(y, math.min(y.size.max(1), 32)).persist()
+    // backward: U·X = Y (upper diag solves, update rows above)
+    val x = sweep(uDiag, lu.u, (q - 1) to 0 by -1, (i, k) => i < k, backSolveUpper)
+    cur.unpersist(blocking = false)
+    sc.parallelize(x, math.min(x.size.max(1), 32))
   }
 }

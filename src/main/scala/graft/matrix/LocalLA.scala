@@ -91,6 +91,32 @@ object LocalLA {
     x
   }
 
+  /** X = U⁻¹·B for upper-triangular U (n×n), B n×m — back substitution
+    * (the block-row base step of the distributed TRSM back sweep). */
+  def backSolveUpper(u: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = u.length; val m = b(0).length
+    val x = b.map(_.clone())
+    var i = n - 1
+    while (i >= 0) {
+      val xi = x(i); val ui = u(i)
+      var k = i + 1
+      while (k < n) {
+        val uik = ui(k)
+        if (uik != 0.0) {
+          val xk = x(k)
+          var j = 0
+          while (j < m) { xi(j) -= uik * xk(j); j += 1 }
+        }
+        k += 1
+      }
+      val d = if (ui(i) == 0.0) Tiny else ui(i)
+      var j = 0
+      while (j < m) { xi(j) /= d; j += 1 }
+      i -= 1
+    }
+    x
+  }
+
   /** X = B·U⁻¹ for upper-triangular U (m×m), B n×m (the L-panel solve). */
   def solveXU(b: Array[Array[Double]], u: Array[Array[Double]]): Array[Array[Double]] = {
     val n = b.length; val m = u.length

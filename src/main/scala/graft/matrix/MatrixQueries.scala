@@ -16,15 +16,22 @@ import BlockModel._
 object MatrixQueries {
   private val Seed = 42L
 
-  /** M1: seeded distributed generator — row counts + seed-stable checksum. */
+  /** M1: seeded distributed generator — row counts + seed-stable
+    * checksum, gated against the local generator producing the same
+    * matrix (the distributed/local agreement invariant from MatrixSpec,
+    * now driver-visible via the `pass` column). */
   def m1Generate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 256; val blk = 64
     val rows = MatrixGen.rows(s.sparkContext, n, blk, Seed)
     val checksum = rows.map { case (i, v) => (i + 1) * v.sum }.sum()
     val count = rows.count()
-    Seq((count, n.toLong, math.round(checksum * 1e6) / 1e6))
-      .toDF("n_rows", "n_cols", "checksum")
+    val local = MatrixGen.local(n, blk, Seed)
+    val checksumLoc = local.zipWithIndex.map { case (v, i) => (i + 1) * v.sum }.sum
+    val pass = count == n.toLong &&
+      math.abs(checksum - checksumLoc) <= 1e-9 * math.abs(checksumLoc)
+    Seq((count, n.toLong, math.round(checksum * 1e6) / 1e6, pass))
+      .toDF("n_rows", "n_cols", "checksum", "pass")
   }
 
   /** M2: base-case LU on the driver — ‖L·U − A[indx,:]‖∞. */

@@ -97,7 +97,24 @@ object Dedup {
     * At 100 TB: signatures are one hash-agg (map-side combined); the
     * bucket join shuffles only (band, sig) keys; uniform hashing means
     * no skew; candidate verify is |candidates|-proportional. */
-  def p1MinHashLsh(s: SparkSession, d: String): DataFrame = {
+  def p1MinHashLsh(s: SparkSession, d: String): DataFrame =
+    nearDupPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Session-scoped cache of the verified near-dup pair set: P1 and P5
+    * both consume it, and the pair computation (signature scan + bucket
+    * join + exact verify) is by far the dominant cost — computing it
+    * twice per sweep doubled the dedup suite's bench time for no new
+    * information. The cached value is `localCheckpoint`ed (pairs are a
+    * few rows per true dup — tiny next to the corpus), so a cache hit
+    * costs one scan of materialized partitions. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Verified near-dup pairs (doc_a, doc_b, inter, uni, jacc), unordered. */
+  private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate((s, d), computeNearDupPairs(s, d).localCheckpoint(true))
+
+  private def computeNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val K = 128       // minhash permutations
     val R = 4         // rows per band
     val B = K / R     // 32 bands
@@ -206,7 +223,6 @@ object Dedup {
       .toDF("doc_a", "doc_b", "inter", "uni")
       .filter(nearDup)
       .withColumn("jacc", round(col("inter").cast("double") / col("uni"), 4))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Scala twin of the `shingles` SQL expression (sliding k-gram set;
@@ -362,7 +378,9 @@ object Dedup {
     * At 100 TB: edges ≪ docs (only near-dups), so the loop runs on a
     * few-GB edge list regardless of corpus size. */
   def p5DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = p1MinHashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    // Reuse the session-cached P1 pair set — pair generation is the
+    // expensive half of the sweep and recomputing it here doubled it.
+    val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
@@ -376,16 +394,17 @@ object Dedup {
       val nbrMin = edges
         .join(labels, col("src") === col("node"))
         .groupBy(col("dst")).agg(min(col("label")).as("nbr"))
+      // The `changed` flag rides along in the same pass, so convergence
+      // detection is a limit-1 scan of the checkpointed result rather
+      // than a second join against the previous labels.
       val next = labels.as("l")
         .join(nbrMin, col("node") === col("dst"), "left")
         .select(col("node"),
-          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"))
+          least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"),
+          (coalesce(col("nbr"), col("l.label")) < col("l.label")).as("changed"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.select(col("node").as("pn"), col("label").as("prev")),
-          col("node") === col("pn"))
-        .filter(col("n.label") < col("prev")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
       iter += 1
     }
 
@@ -397,7 +416,15 @@ object Dedup {
   }
 
   /** Oracle: transitive closure by recursive CTE over the same
-    * brute-force pair set P1 is hash-matched against. */
+    * brute-force pair set P1 is hash-matched against.
+    *
+    * Gate validity caveat (same as P1's): the Spark side clusters LSH
+    * pairs, whose per-pair miss probability is ≈1.2e-2 AT the 0.6
+    * Jaccard boundary; the gate is exact only because this corpus's
+    * true pairs sit at ≥0.93 Jaccard (miss ≤1e-19 — see the P1
+    * Scaladoc). On a corpus with natural boundary-straddling pairs the
+    * closure could legitimately differ by the banding miss rate even
+    * though both sides are individually correct. */
   val p5Sql: String = {
     val cte = sharedPairCte.replaceFirst("WITH ", "WITH RECURSIVE ")
     s"""$cte,

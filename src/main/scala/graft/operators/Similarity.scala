@@ -197,12 +197,18 @@ object Similarity {
 
   // ------------------------------------------------------------- X2
   /** SURVEY.md §2.3 X2: the same exact top-k, but through the MATRIX
-    * surface — Gram = E·Eᵀ via `BlockMatrix.multiply` (the GEMM that
-    * also powers the Schur complement,
-    * /root/reference/Matrix/LUDecomposition.java:633-646). cos(i,j) =
-    * G_ij/√(G_ii·G_jj). Rows are zero-padded to a block multiple; the
-    * inner dimension is one 64-wide block so each Gram entry is a
-    * single sequential dot — deterministic. Equality with S1 is
+    * surface — the query slab of the Gram matrix, Q·Eᵀ, via
+    * `BlockMatrix.multiply` (the GEMM that also powers the Schur
+    * complement, /root/reference/Matrix/LUDecomposition.java:633-646).
+    * cos(i,j) = G_ij/√(‖vᵢ‖²·‖vⱼ‖²).
+    *
+    * Scale shape: only the query block row is multiplied — Q is 1 block,
+    * so the GEMM is O(n/blk) block products for O(n/blk) output, linear
+    * in corpus size (the previous full E·Eᵀ materialized O((n/blk)²)
+    * products and discarded all but one block row). The Gram diagonal is
+    * never taken from the product: ‖v‖² is a direct per-row sequential
+    * fold, bit-identical to the dgemm inner loop (both sum over the
+    * 64-long inner dimension in ascending order). Equality with S1 is
     * asserted in PipelineSpec. */
   def x2TopkCosineGram(s: SparkSession, d: String): DataFrame = {
     import graft.matrix.{BlockModel, LocalLA}
@@ -213,23 +219,35 @@ object Similarity {
     val n = rows.map(_._1).max().toInt + 1
     val nPad = ((n + blk - 1) / blk) * blk
 
-    val e = rows.map { case (i, v) => ((i.toInt / blk, 0), (i.toInt % blk, v)) }
-      .groupByKey(nPad / blk).mapValues { part =>
+    // ‖v‖² per row — the Gram diagonal, without computing the Gram
+    val diag = rows.map { case (i, v) =>
+      var s2 = 0.0; var k = 0
+      while (k < v.length) { s2 += v(k) * v(k); k += 1 }
+      (i.toInt, s2)
+    }.collectAsMap()
+    val diagB = s.sparkContext.broadcast(diag)
+
+    // Q: the single block row holding the query ids (NQueries < blk)
+    val q = rows.filter(_._1 < blk)
+      .map { case (i, v) => ((0, 0), (i.toInt, v)) }
+      .groupByKey(1).mapValues { part =>
         val a = Array.ofDim[Double](blk, blk)   // zero-padded tail rows
         part.foreach { case (iLoc, v) => System.arraycopy(v, 0, a(iLoc), 0, v.length) }
         LocalLA.toDM(a)
       }
-    val eT = e.map { case ((bi, _), m) =>
-      ((0, bi), BlockModel.toDense(m.transpose)) }
-    val gram = BlockModel.multiply(e, eT, blk, nPad.toLong, blk.toLong, nPad.toLong)
+    // Eᵀ: one 64×blk block per corpus block row, built directly from rows
+    val eT = rows.map { case (i, v) => ((i.toInt / blk), (i.toInt % blk, v)) }
+      .groupByKey(nPad / blk).map { case (bi, part) =>
+        val a = Array.ofDim[Double](blk, blk)   // (dim, localRow), zero-padded
+        part.foreach { case (iLoc, v) =>
+          var k = 0
+          while (k < v.length) { a(k)(iLoc) = v(k); k += 1 }
+        }
+        ((0, bi), LocalLA.toDM(a))
+      }
+    val gramSlab = BlockModel.multiply(q, eT, blk, blk.toLong, blk.toLong, nPad.toLong)
 
-    val diag = gram.filter { case ((bi, bj), _) => bi == bj }
-      .flatMap { case ((bi, _), m) =>
-        (0 until m.numRows).map(i => (bi * blk + i, m(i, i))) }
-      .collectAsMap()
-    val diagB = s.sparkContext.broadcast(diag)
-
-    val pairs = gram.filter { case ((bi, _), _) => bi == 0 }
+    val pairs = gramSlab
       .flatMap { case ((_, bj), m) =>
         for {
           i <- 0 until math.min(NQueries, m.numRows)

@@ -131,6 +131,28 @@ class MatrixSpec extends AnyFunSuite {
     assert(resid < 1e-7 * n, s"residual $resid")
   }
 
+  test("solve: blocked TRSM substitution, no full inversion in the path") {
+    val n = 256; val blk = 64
+    val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)
+    val b = MatrixGen.blocks(sc, n, blk, seed + 1).filter { case ((_, j), _) => j == 0 }
+    val invBefore = Inversion.inverseInvocations.get()
+    val x = Inversion.solve(sc, a, b, n, blk, blk)
+    val ax = multiply(a, x, blk, n.toLong, n.toLong, blk.toLong)
+    val resid = maxAbsDiff(ax, b)
+    assert(resid < 1e-8 * n, s"residual $resid")
+    assert(Inversion.inverseInvocations.get() == invBefore,
+      "solve must substitute over the factored blocks, never form A⁻¹")
+    // agrees with the local substitution oracle
+    val loc = MatrixGen.local(n, blk, seed, diagBoost = n.toDouble)
+    val packed = loc.map(_.clone())
+    val indx = LocalLA.ludcmp(packed)
+    val (l, u) = LocalLA.splitLU(packed)
+    val bLoc = toLocal(b, n, blk, blk)
+    val xLoc = LocalLA.backSolveUpper(u,
+      LocalLA.forwardSolveUnitLower(l, LocalLA.permuteRows(bLoc, indx)))
+    assert(LocalLA.maxAbsDiff(toLocal(x, n, blk, blk), xLoc) < 1e-9 * n)
+  }
+
   test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
     for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
       assume(new java.io.File(p).exists())

@@ -65,17 +65,20 @@ object Multimodal {
   }
 
   /** The oracle replays the byte arithmetic in SQL (text is pure ASCII
-    * in this corpus, so ord(char) == byte — asserted in PipelineSpec). */
+    * in this corpus, so ord(char) == byte — asserted in PipelineSpec).
+    * LEFT JOIN + COALESCE so a zero-length payload yields the same row
+    * the Spark side emits (byte_sum=0, first_byte=-1) instead of
+    * silently dropping from the oracle result. */
   val mm1Sql: String =
     """WITH b AS (
       |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
       |  FROM documents, unnest(generate_series(1, length(text))) AS u(i))
       |SELECT d.doc_id,
       |  length(d.text) AS n_bytes,
-      |  CAST(SUM(b.byte) AS BIGINT) AS byte_sum,
-      |  ord(substr(d.text, 1, 1)) AS first_byte,
-      |  CAST(SUM(CASE WHEN (b.i - 1) % 64 = 0 THEN b.byte ELSE 0 END) AS BIGINT) AS frame_sum
-      |FROM documents d JOIN b ON b.doc_id = d.doc_id
+      |  CAST(COALESCE(SUM(b.byte), 0) AS BIGINT) AS byte_sum,
+      |  CASE WHEN length(d.text) = 0 THEN -1 ELSE ord(substr(d.text, 1, 1)) END AS first_byte,
+      |  CAST(COALESCE(SUM(CASE WHEN (b.i - 1) % 64 = 0 THEN b.byte ELSE 0 END), 0) AS BIGINT) AS frame_sum
+      |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
       |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
 
   /** mm2 output: fixed-size frame decomposition of one payload. */
@@ -118,6 +121,9 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** LEFT JOIN against documents so a zero-length payload yields the
+    * degenerate single empty window (n_windows=1, energy 0) the Spark
+    * side emits. */
   val mm2Sql: String =
     """WITH b AS (
       |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
@@ -131,9 +137,12 @@ object Multimodal {
       |         COUNT(*) OVER (PARTITION BY doc_id) AS n_windows,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, win) AS rn
       |  FROM w)
-      |SELECT doc_id, CAST(n_windows AS INT) AS n_windows,
-      |       win AS peak_window, CAST(energy AS BIGINT) AS peak_energy
-      |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id, CAST(COALESCE(r.n_windows, 1) AS INT) AS n_windows,
+      |       COALESCE(r.win, 0) AS peak_window,
+      |       CAST(COALESCE(r.energy, 0) AS BIGINT) AS peak_energy
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** mm3 output: a downsampled payload's identity + sizes. */
   case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
@@ -168,14 +177,17 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** LEFT JOIN + COALESCE('' ) so a zero-length payload hashes to the
+    * md5 of the empty string, matching the Spark-side resize of an
+    * empty byte array. */
   val mm3Sql: String =
     """WITH s AS (
       |  SELECT doc_id, i, substr(text, i, 1) AS ch
       |  FROM documents, unnest(generate_series(1, length(text), 4)) AS u(i))
       |SELECT d.doc_id, length(d.text) AS orig_bytes,
-      |  CAST(COUNT(*) AS INT) AS resized_bytes,
-      |  md5(string_agg(s.ch, '' ORDER BY s.i)) AS resized_md5
-      |FROM documents d JOIN s ON s.doc_id = d.doc_id
+      |  CAST(COUNT(s.i) AS INT) AS resized_bytes,
+      |  md5(COALESCE(string_agg(s.ch, '' ORDER BY s.i), '')) AS resized_md5
+      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
       |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -340,21 +340,25 @@ object Relational {
     * aggregation (map-side combinable sketch, no distinct shuffle).
     * Cross-engine sketch values can't hash-match, so the query CHECKS
     * ITSELF: it outputs the exact count plus whether the estimate is
-    * within 5% (HLL++ at default rsd=0.05); the oracle pins the exact
-    * counts and the within-tolerance flag as TRUE — estimate drift
-    * fails the gate. */
+    * within tolerance; the oracle pins the exact counts and the
+    * within-tolerance flag as TRUE — estimate drift fails the gate.
+    * The tolerance is 3× the sketch's rsd (0.05 is a STANDARD
+    * DEVIATION, not a bound — pinning 1 rsd would fail the gate on
+    * legitimate ~32% tail events per group at every data refresh;
+    * 3 rsd keeps false alarms ≈0.3% while any real sketch regression
+    * still lands far outside). */
   def r16(s: SparkSession, d: String): DataFrame = {
     val exact = countDistinct(col("l_partkey"))
     val approx = approx_count_distinct(col("l_partkey"))
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(exact.as("n_exact"),
-        (abs(approx - exact).cast("double") / exact <= 0.05).as("within_5pct"))
+        (abs(approx - exact).cast("double") / exact <= 0.15).as("within_3rsd"))
       .orderBy(col("l_returnflag"))
   }
 
   val r16Sql: String =
-    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_5pct
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_exact, TRUE AS within_3rsd
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- X1 (exact dedup)
@@ -584,23 +588,28 @@ object Relational {
   // ---------------------------------------------------------------- R23 (approx quantile, self-checking)
   /** Approximate percentile (t-digest-style `approx_percentile`, one
     * pass, mergeable sketch — the 100 TB path) self-checked against the
-    * exact `percentile` within 1%; the oracle pins the exact value and
+    * exact `percentile` within 5%; the oracle pins the exact value and
     * the tolerance verdict (same pattern as r16's HLL check: the
-    * approximate path's contract IS the tolerance). */
+    * approximate path's contract IS the tolerance). The contract at
+    * accuracy=1000 is a ≤0.1% RANK error; the induced VALUE error
+    * depends on the local density of the distribution, so the gate
+    * uses a deliberately loose 5% value tolerance — tight enough that
+    * a sketch-merge regression (typically order-of-magnitude) trips
+    * it, loose enough that a data refresh can't. */
   def r23(s: SparkSession, d: String): DataFrame = {
     val exact = expr("percentile(l_extendedprice, 0.5)")
     val approx = expr("approx_percentile(l_extendedprice, 0.5, 1000)")
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(r4(exact).as("p50_exact"),
-        (abs(approx - exact) / exact <= 0.01).as("within_1pct"))
+        (abs(approx - exact) / exact <= 0.05).as("within_5pct"))
       .orderBy(col("l_returnflag"))
   }
 
   val r23Sql: String =
     """SELECT l_returnflag,
       |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50_exact,
-      |  TRUE AS within_1pct
+      |  TRUE AS within_5pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------- R24 (latest per key)

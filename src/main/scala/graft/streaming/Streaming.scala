@@ -278,9 +278,12 @@ object Streaming {
     // users in this corpus → 8), not to batch width — measured 12.2 s
     // at 32 partitions vs 5.0 s at 8 for identical results at sf0.1.
     // A 100 TB deployment raises this with key cardinality.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try st5Inner(s, d) finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // The override lives in a child session (shared SparkContext,
+    // isolated SQL conf) so concurrent queries on the caller's session
+    // never see it and nothing leaks on failure.
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    st5Inner(scoped, d)
   }
 
   private def st5Inner(s: SparkSession, d: String): DataFrame = {
@@ -320,9 +323,14 @@ object Streaming {
     * the dim here is derived deterministically from the same corpus so
     * the oracle can replay it. */
   def st6StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    // The static dim is re-planned per micro-batch by design (that's
+    // how dim refreshes reach a long-running stream) — but re-planning
+    // must not mean re-DERIVING: materialize the distinct scan once, so
+    // each micro-batch rescans a tiny cached dim, not the events table.
     val dim = graft.sources.Tables.events(s, d)
       .select(col("user_id")).distinct()
       .withColumn("cohort", pmod(col("user_id"), lit(10)))
+      .localCheckpoint(true)
     val joined = eventStream(s, d)
       .join(dim, "user_id")
       .groupBy(col("cohort"), col("event_type"))

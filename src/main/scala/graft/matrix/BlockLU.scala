@@ -39,7 +39,8 @@ final case class BlockLUResult(l: Blocks, u: Blocks, perms: Array[Array[Int]], n
   * `broadcastPanelBytes` it ships as a broadcast (no shuffle — the
   * trailing update is then a narrow map). Above it, the update is two
   * RDD joins keyed by block row / block col. Lineage is truncated with
-  * `localCheckpoint` every iteration — the Spark equivalent of the
+  * `Lineage.truncate` every iteration (reliable checkpoint when a
+  * checkpoint dir is set, local otherwise) — the Spark equivalent of the
   * reference's per-level HDFS materialization (SURVEY.md §7 hazard #1).
   */
 object BlockLU {
@@ -51,7 +52,7 @@ object BlockLU {
     val parts = math.min(q * q, 64).max(1)
 
     var rest: Blocks = blocks.partitionBy(new HashPartitioner(parts)).persist()
-    rest.localCheckpoint()
+    graft.Lineage.truncate(rest)
     // The materialization action doubles as the diagonal-block fetch:
     // instead of count() + a separate per-iteration lookup job, the one
     // pass that has to touch every partition anyway hands back the next
@@ -86,7 +87,7 @@ object BlockLU {
           .filter { case ((i, j), _) => j == k && i > k }
           .mapValues(m => toDM(solveXU(fromDM(m), bc.value._2)))
           .persist()
-        rowPanel.localCheckpoint(); colPanel.localCheckpoint()
+        graft.Lineage.truncate(rowPanel); graft.Lineage.truncate(colPanel)
         uPanels += rowPanel
         lPanels += colPanel
 
@@ -109,7 +110,7 @@ object BlockLU {
               .map { case (j, ((i, m, lik), ukj)) => ((i, j), dmSub(m, lik.multiply(ukj))) }
           }
         val materialized = newRest.partitionBy(new HashPartitioner(parts)).persist()
-        materialized.localCheckpoint()
+        graft.Lineage.truncate(materialized)
         // single action: materializes the trailing update (and, through
         // its lineage, the panels) and returns the next diagonal block
         diagBlock = materializeAndFetchDiag(materialized, (k + 1, k + 1))

@@ -160,7 +160,7 @@ object Inversion {
             .map { case (i, ((j, mm), pik)) =>
               ((i, j), dmSub(mm, pik.multiply(rowB.value(j)))) }
             .persist()
-          next.localCheckpoint()
+          graft.Lineage.truncate(next)
           next.count()
           cur.unpersist(blocking = false)
           cur = next

@@ -112,7 +112,7 @@ object Dedup {
 
   /** Verified near-dup pairs (doc_a, doc_b, inter, uni, jacc), unordered. */
   private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.getOrElseUpdate((s, d), computeNearDupPairs(s, d).localCheckpoint(true))
+    pairCache.getOrElseUpdate((s, d), graft.Lineage.truncate(computeNearDupPairs(s, d)))
 
   private def computeNearDupPairs(s: SparkSession, d: String): DataFrame = {
     val K = 128       // minhash permutations
@@ -192,7 +192,7 @@ object Dedup {
       // both sides of the self-join read the signatures — materialize
       // once (they are 3 longs × B per doc, tiny next to the text) so
       // the signature scan doesn't run twice
-      .localCheckpoint(true)
+      .transform(graft.Lineage.truncate)
 
     val cands = buckets.as("x")
       .join(buckets.as("y"),
@@ -373,7 +373,7 @@ object Dedup {
     * so convergence is 2-3 rounds in practice — each round is one small
     * shuffle over the EDGE set (candidate pairs), never the corpus. The
     * full corpus is touched exactly twice: once by P1's signature scan
-    * and once by the final membership join. `localCheckpoint` per round
+    * and once by the final membership join. `Lineage.truncate` per round
     * caps lineage (same hazard as the LU recursion, SURVEY.md §7).
     * At 100 TB: edges ≪ docs (only near-dups), so the loop runs on a
     * few-GB edge list regardless of corpus size. */
@@ -381,13 +381,13 @@ object Dedup {
     // Reuse the session-cached P1 pair set — pair generation is the
     // expensive half of the sweep and recomputing it here doubled it.
     val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    val edges = graft.Lineage.truncate(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = graft.Lineage.truncate(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < 25) {
@@ -402,7 +402,7 @@ object Dedup {
         .select(col("node"),
           least(col("l.label"), coalesce(col("nbr"), col("l.label"))).as("label"),
           (coalesce(col("nbr"), col("l.label")) < col("l.label")).as("changed"))
-        .localCheckpoint(true)
+        .transform(graft.Lineage.truncate)
       converged = next.filter(col("changed")).isEmpty
       labels = next.drop("changed")
       iter += 1

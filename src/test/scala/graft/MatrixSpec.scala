@@ -164,6 +164,63 @@ class MatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("reliable checkpoint: LU under sc.setCheckpointDir writes recoverable state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    sc.setCheckpointDir(dir.getPath)
+    try {
+      val n = 128; val blk = 32
+      val a = MatrixGen.blocks(sc, n, blk, seed)
+      val lu = BlockLU.factor(sc, a, n, blk)
+      val prod = multiply(lu.l, lu.u, blk, n.toLong, n.toLong, n.toLong)
+      val permsB = sc.broadcast(lu.perms)
+      val pa = a.map { case ((i, j), m) =>
+        ((i, j), LocalLA.toDM(LocalLA.permuteRows(LocalLA.fromDM(m), permsB.value(i))))
+      }
+      assert(maxAbsDiff(prod, pa) < 1e-8 * n)
+      // recovery-capable checkpoint files landed under the dir (the
+      // localCheckpoint fallback writes nothing here)
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1
+        else Option(f.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+      assert(countFiles(dir) > 0, "no reliable checkpoint files written")
+    } finally sc.setCheckpointDir(null)
+  }
+
+  test("distributed sink + windowed/transposed re-read (2048², 16 files)") {
+    val n = 2048; val blk = 512
+    val dir = java.nio.file.Files.createTempDirectory("refsink").toFile.getPath
+    val blocks = MatrixGen.blocks(sc, n, blk, seed)
+    MatrixBlockIO.writeBlocks(MatrixBlockIO.toRefBlocks(blocks, blk), dir)
+    assert(new java.io.File(dir).listFiles().length == (n / blk) * (n / blk))
+
+    val loc = MatrixGen.local(n, blk, seed)
+    // full distributed re-read: value-identical
+    val back = MatrixBlockIO.readBlocks(sc, s"$dir/A.*").collect()
+    assert(back.length == 16)
+    back.foreach { b =>
+      for (r <- 0 until b.numRows; c <- 0 until b.numCols)
+        assert(b.data(r)(c) == loc(b.i0 + r)(b.j0 + c))
+    }
+    // windowed read across file boundaries: only the overlap lands
+    val (wi, wj, wr, wc) = (700, 300, 200, 900)
+    val win = Array.ofDim[Double](wr, wc)
+    new java.io.File(dir).listFiles().foreach(f =>
+      MatrixBlockIO.readWindow(f.getPath, wi, wj, win))
+    for (r <- 0 until wr; c <- 0 until wc)
+      assert(win(r)(c) == loc(wi + r)(wj + c))
+    // transposed window (the reference's 'T' mode)
+    val winT = Array.ofDim[Double](wc, wr)
+    new java.io.File(dir).listFiles().foreach(f =>
+      MatrixBlockIO.readWindow(f.getPath, wi, wj, winT, transposed = true))
+    for (r <- 0 until wr; c <- 0 until wc)
+      assert(winT(c)(r) == loc(wi + r)(wj + c))
+    // byte-identical re-encode of a written file
+    val one = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/A.512.1024"))
+    assert(java.util.Arrays.equals(
+      MatrixBlockIO.encode(MatrixBlockIO.decode(one)), one))
+  }
+
   test("codec round trip on generated block + distributed read") {
     val dir = java.nio.file.Files.createTempDirectory("refblocks").toFile
     val data = MatrixGen.local(64, 16, seed)

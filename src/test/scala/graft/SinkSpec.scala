@@ -29,6 +29,24 @@ class SinkSpec extends AnyFunSuite {
     assert(dirs.contains("event_type=click") && dirs.length == 5)
   }
 
+  test("documents partitioned by lang: lang='en' scans exactly one partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lang").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in plan"))
+    // the partition filter must reach the scan, and the file index must
+    // resolve it to exactly the lang=en directory — pruning, not a
+    // post-scan filter over every partition
+    assert(scan.partitionFilters.nonEmpty, s"no PartitionFilters:\n$scan")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, got ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("csv and json sources round-trip the relational schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val nat = spark.read.parquet(s"$sf/nation.parquet")

@@ -114,7 +114,30 @@ object Dedup {
   private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate((s, d), graft.Lineage.truncate(computeNearDupPairs(s, d)))
 
-  private def computeNearDupPairs(s: SparkSession, d: String): DataFrame = {
+  private def computeNearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsOf(s, documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Full near-dup pair pipeline over an arbitrary documents frame.
+    *
+    * Mega-bucket hazard and its fix: identical texts share EVERY band
+    * signature, so m copies of one document land in one bucket and the
+    * naive pipeline generates — and exactly verifies — m(m−1)/2
+    * candidate pairs. The pipeline therefore collapses exact
+    * duplicates FIRST (the X1 content-hash pass: one corpus shuffle on
+    * a uniform 256-bit key, no skew), runs signatures + banding +
+    * verify on distinct texts only, and expands the verified
+    * REPRESENTATIVE pairs back to member pairs at the end.
+    *
+    * Output semantics are unchanged: every member pair of an exact-dup
+    * group appears (jacc = 1, inter = uni = |gram set|), and every
+    * cross-group pair inherits its representative pair's exact
+    * inter/uni/jacc (identical texts have identical gram sets). The
+    * expansion is proportional to the OUTPUT size — irreducible — while
+    * signature and verify work is proportional to the number of
+    * DISTINCT texts: an adversarial corpus of 1k identical documents
+    * costs one signature scan of one representative, not 499,500
+    * verifies (spec'd in PipelineSpec). */
+  private[graft] def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val K = 128       // minhash permutations
     val R = 4         // rows per band
     val B = K / R     // 32 bands
@@ -147,8 +170,18 @@ object Dedup {
     val addB = Array.fill(K)(rng.nextLong().abs % P)
     val kShingle = Shingle
     import s.implicits._
-    val buckets = documents(s, d)
+
+    // X1-style exact-dup collapse (see Scaladoc): one shuffle on the
+    // content hash; everything downstream sees distinct texts only.
+    val members = graft.Lineage.truncate(docs
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .withColumn("rep", min(col("doc_id")).over(
+        Window.partitionBy(sha2(col("t"), 256)))))
+    val mem = members.select(col("doc_id"), col("rep"))
+    val reps = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("t"))
+
+    val buckets = reps
       .as[(Long, String)]
       .mapPartitions { it =>
         val Base = 1000003L
@@ -201,16 +234,14 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Exact verify on candidates only, computed payload-locally: join
-    // the two doc texts to each pair (shuffles |candidates| rows, not
-    // |candidates|·|grams| like a gram join would) and re-shingle in a
-    // tight per-row loop. Linear in candidate count at any scale.
-    import s.implicits._
-    val norm = documents(s, d)
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    cands
-      .join(norm.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(norm.as("nb"), col("doc_b") === col("nb.doc_id"))
+    // Exact verify on candidates only (representatives, so each
+    // distinct-text pair is verified exactly once), computed
+    // payload-locally: join the two doc texts to each pair (shuffles
+    // |candidates| rows, not |candidates|·|grams| like a gram join
+    // would) and re-shingle in a tight per-row loop.
+    val repPairs = cands
+      .join(reps.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(reps.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("na.t").as("ta"), col("nb.t").as("tb"))
       .as[(Long, Long, String, String)]
       .map { case (a, b, ta, tb) =>
@@ -223,6 +254,31 @@ object Dedup {
       .toDF("doc_a", "doc_b", "inter", "uni")
       .filter(nearDup)
       .withColumn("jacc", round(col("inter").cast("double") / col("uni"), 4))
+
+    // Expand representative pairs back to member pairs (output-
+    // proportional; a no-op when all texts are distinct) …
+    val cross = repPairs
+      .join(mem.as("ma"), col("doc_a") === col("ma.rep"))
+      .join(mem.as("mb"), col("doc_b") === col("mb.rep"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("doc_a"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("doc_b"),
+        col("inter"), col("uni"), col("jacc"))
+    // … and add the within-group pairs: jacc = 1, inter = uni = the
+    // group's gram-set size (computed once per multi-member group).
+    val dupGroups = mem.groupBy(col("rep")).agg(count(lit(1)).as("gsz"))
+      .filter(col("gsz") > 1).select(col("rep").as("grp"))
+    val repSizes = reps.join(dupGroups, col("doc_id") === col("grp"))
+      .select(col("grp"), col("t"))
+      .as[(Long, String)]
+      .map { case (g, t) => (g, shingleSet(t).size.toLong) }
+      .toDF("grp", "gramsz")
+    val intra = mem.as("x")
+      .join(mem.as("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .join(repSizes, col("x.rep") === col("grp"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("gramsz").as("inter"), col("gramsz").as("uni"), lit(1.0).as("jacc"))
+    cross.union(intra)
   }
 
   /** Scala twin of the `shingles` SQL expression (sliding k-gram set;

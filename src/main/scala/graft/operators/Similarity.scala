@@ -136,16 +136,55 @@ object Similarity {
   }
 
   // ------------------------------------------------------------- S3
-  /** IVF: the 16 lowest-id vectors act as coarse anchors (deterministic
-    * quantizer); every vector is assigned to its nearest anchor, queries
-    * probe their 4 nearest cells, exact search inside probed cells.
+  /** Data-derived IVF anchors: Lloyd's k-means over the corpus, built
+    * on the X4 centroid machinery — per-cell means are computed from
+    * `floor(x·2²⁰)` long sums, which are order-independent, so the
+    * anchors are bit-deterministic at any parallelism. Seeded from the
+    * nCells lowest-id vectors; each round is one broadcast assignment
+    * (max-cosine cell per vector) + one map-side-combined aggregate.
+    * Cells that lose all members drop out (classic Lloyd).
+    * At 100 TB: the corpus is scanned `iters`+1 times (cached here);
+    * the aggregate state is nCells×dim longs — tiny; assignment is a
+    * broadcast nested loop, embarrassingly parallel. */
+  private[operators] def trainAnchors(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    var anchors = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("av"))
+    for (_ <- 1 to iters) {
+      val a = broadcast(anchors.withColumn("an", sqrt(vecNorm2(col("av")))))
+      val assigned = e.join(a, lit(true))
+        .select(col("vec_id"), col("v"), col("cell"),
+          (vecDot(col("v"), col("av")) / (col("nrm") * col("an"))).as("sim"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+        .filter(col("crn") === 1)
+      anchors = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(floor(col("x") * 1048576).cast("long")).as("sx"),
+          count(lit(1)).as("cnt"))
+        .select(col("cell"), col("pos"),
+          (col("sx").cast("double") / col("cnt") / 1048576.0).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("av"))
+    }
+    anchors
+  }
+
+  /** IVF with TRAINED coarse anchors (k-means via [[trainAnchors]]):
+    * every vector is assigned to its max-cosine cell, queries probe
+    * their nProbe nearest cells, exact search inside probed cells. The
+    * cell count scales with the corpus (≈√n, the classic IVF sizing)
+    * and probing covers nCells/4 cells to hold recall.
     * At scale the cell id becomes the storage partition key so a probe
     * is partition pruning, not a scan. */
   def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val nAnchors = 16; val nProbe = 4
-    val e = prepared(s, d)
-    val anchors = e.filter(col("vec_id") < nAnchors)
-      .select(col("vec_id").as("cell"), col("v").as("av"), col("nrm").as("an"))
+    val e = prepared(s, d).cache()   // scanned once per k-means round + assignment
+    val n = e.count()
+    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val nProbe = math.max(4, nCells / 4)
+    val anchors = trainAnchors(e, nCells, iters = 2)
+      .withColumn("an", sqrt(vecNorm2(col("av"))))
     // rank cells per vector once (used for both assignment and probing)
     val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
       .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),

@@ -45,7 +45,7 @@ class PipelineSpec extends AnyFunSuite {
     val ivf = topk(Similarity.s3AnnIvf(spark, sf01))
     val r = recallVs(exact, ivf)
     info(f"s3 recall@5 = $r%.3f")
-    assert(r >= 0.3, f"IVF recall $r%.3f collapsed — cell probing broken")
+    assert(r >= 0.9, f"IVF recall $r%.3f below 0.9 with trained anchors")
   }
 
   test("p1 LSH finds exactly the brute-force near-dup pairs (recall AND precision)") {
@@ -108,5 +108,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(1) == bytes.length)
       assert(r.getLong(2) == bytes.map(_ & 0xff).map(_.toLong).sum)
     }
+  }
+
+  test("p1 mega-bucket: 1k identical docs cost one representative, output semantics exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def txt(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val tBase = txt(200); val u = txt(300); val v = u + "xyz"
+    val docs =
+      (0 until 1000).map(i => (i.toLong, tBase)) ++
+        Seq(1000L -> u, 1001L -> u, 1002L -> u, 1003L -> v, 1004L -> v) ++
+        (1005 to 1009).map(i => (i.toLong, txt(150)))
+    val pairs = Dedup.nearDupPairsOf(spark, docs.toDF("doc_id", "text")).collect()
+    val byPair = pairs.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    // 1000-group: C(1000,2) intra pairs; u-group C(3,2); v-group C(2,2);
+    // u x v cross: 3*2 pairs
+    assert(pairs.length == 499500 + 3 + 1 + 6, s"got ${pairs.length} pairs")
+    assert(byPair((0L, 1L)) == 1.0)
+    assert(byPair((1000L, 1001L)) == 1.0)
+    // every cross pair inherits the representative pair's exact jacc
+    assert(byPair((1000L, 1003L)) == byPair((1002L, 1004L)))
+    assert(byPair((1000L, 1003L)) >= 0.9)
+    // intra inter==uni == the group's gram-set size
+    val r01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(r01.getLong(2) == r01.getLong(3) && r01.getLong(2) == (200 - 8 + 1))
   }
 }

@@ -147,28 +147,50 @@ object Similarity {
     * the aggregate state is nCells×dim longs — tiny; assignment is a
     * broadcast nested loop, embarrassingly parallel. */
   private[operators] def trainAnchors(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
-    var anchors = e.filter(col("vec_id") < nCells)
-      .select(col("vec_id").cast("int").as("cell"), col("v").as("av"))
+    val s = e.sparkSession
+    import s.implicits._
+    val ds = e.select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    var anchors: Array[(Int, Array[Double])] =
+      ds.filter(_._1 < nCells).collect().sortBy(_._1)
+        .map { case (id, v, _) => (id.toInt, v) }
     for (_ <- 1 to iters) {
-      val a = broadcast(anchors.withColumn("an", sqrt(vecNorm2(col("av")))))
-      val assigned = e.join(a, lit(true))
-        .select(col("vec_id"), col("v"), col("cell"),
-          (vecDot(col("v"), col("av")) / (col("nrm") * col("an"))).as("sim"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-        .filter(col("crn") === 1)
-      anchors = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("x") * 1048576).cast("long")).as("sx"),
-          count(lit(1)).as("cnt"))
-        .select(col("cell"), col("pos"),
-          (col("sx").cast("double") / col("cnt") / 1048576.0).as("m"))
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x("m")).as("av"))
+      val anchB = s.sparkContext.broadcast(anchors.map { case (c, av) =>
+        var s2 = 0.0; av.foreach(x => s2 += x * x)
+        (c, av, math.sqrt(s2))
+      })
+      // One narrow pass: assign each vector to its max-cosine cell and
+      // fold it into per-partition (cell → Σ⌊x·2²⁰⌋, count) partials;
+      // the shuffle then carries ≤ nCells rows per partition. Long sums
+      // keep the result order-independent → deterministic anchors.
+      val partials = ds.mapPartitions { it =>
+        val a = anchB.value
+        val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+        it.foreach { case (_, v, nrm) =>
+          var best = Int.MaxValue; var bestSim = Double.NegativeInfinity
+          a.foreach { case (c, av, an) =>
+            var dot = 0.0; var i = 0
+            while (i < v.length) { dot += v(i) * av(i); i += 1 }
+            val sim = dot / (nrm * an)
+            if (sim > bestSim || (sim == bestSim && c < best)) { bestSim = sim; best = c }
+          }
+          val cur = acc.getOrElseUpdate(best, (new Array[Long](v.length), 0L))
+          var i = 0
+          while (i < v.length) { cur._1(i) += math.floor(v(i) * 1048576).toLong; i += 1 }
+          acc(best) = (cur._1, cur._2 + 1)
+        }
+        acc.iterator.map { case (c, (sums, n)) => (c, sums, n) }
+      }
+      anchors = partials.groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val z = x._2.clone(); var i = 0
+          while (i < z.length) { z(i) += y._2(i); i += 1 }
+          (x._1, z, x._3 + y._3)
+        }
+        .map { case (c, (_, sums, n)) => (c, sums.map(_.toDouble / n / 1048576.0)) }
+        .collect().sortBy(_._1)
     }
-    anchors
+    anchors.toSeq.toDF("cell", "av")
   }
 
   /** IVF with TRAINED coarse anchors (k-means via [[trainAnchors]]):

@@ -32,7 +32,7 @@ object Skew {
     * `salt` partial groups — then combine partials. `partial` must be
     * decomposable (sum/count/min/max). */
   def saltedSum(df: DataFrame, key: String, valueCol: String, salt: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(salt)))
+    df.withColumn("_salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(key))

@@ -26,6 +26,30 @@ class SkewSpec extends AnyFunSuite {
       .sameElements(plain.orderBy("o_orderkey").collect()))
   }
 
+  test("AQE splits a skewed join at runtime (skew=true in the adaptive plan)") {
+    // First line of defense at 100 TB (Skew.scala's Scaladoc): prove the
+    // runtime skew-split actually engages on a hot key. Thresholds are
+    // lowered so the ~8 MB hot partition qualifies at test scale.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100kb")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64kb")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val left = s.range(0, 200000).select(
+      when(col("id") % 100 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+      concat(lit("payload-payload-payload-"), col("id")).as("pl"))
+    val right = s.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    val j = left.join(right, "k")
+    // execute THIS query execution so its adaptive plan finalizes
+    val n = j.collect().length.toLong
+    // right holds every key in [0, 1000), so every left row with k < 1000 matches once
+    assert(n == left.filter(col("k") < 1000).count())
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"no runtime skew split in plan:\n$plan")
+  }
+
   test("saltedSum == plain sum per key") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val plain = li.groupBy("l_returnflag")

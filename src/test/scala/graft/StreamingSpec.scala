@@ -222,4 +222,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(covered >= 0.9, f"only $covered%.2f of closed sessions emitted")
     } finally q.stop()
   }
+
+  test("RocksDB state store provider: identical results to the default provider") {
+    // At 100 TB the stateful operators' state (windows, join buffers)
+    // outgrows executor heaps; RocksDB spills it to local disk. Same
+    // query, swapped provider, bit-identical output is the contract.
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = graft.streaming.Streaming.st1StreamWindow(scoped, sf).collect()
+    val default = graft.streaming.Streaming.st1StreamWindow(spark, sf).collect()
+    assert(rocks.length == default.length && rocks.nonEmpty)
+    assert(rocks.map(_.toSeq).sameElements(default.map(_.toSeq)))
+  }
 }

@@ -221,9 +221,13 @@ object MatrixQueries {
   /** M9: spectral norm ‖A‖₂ = √λmax(A·Aᵀ) by power iteration — each
     * round is TWO distributed matvecs y = A·(Aᵀ·x) (the Gram matrix is
     * never materialized: at 100 TB A·Aᵀ is a dense n×n product you
-    * cannot afford, but a matvec is one block-row pass). The iterate x
-    * stays a distributed (n×1) block vector; only the scalar norm hits
-    * the driver per round. A·Aᵀ is symmetric PSD, so convergence is
+    * cannot afford, but a matvec is one pass over the blocks). The
+    * iterate is an O(n) vector broadcast per round (8 MB at n = 10⁶ —
+    * the textbook distributed power-iteration shape); each block
+    * contributes a blk-long partial, reduced per block row/column, so
+    * the shuffle carries q vectors of blk doubles, never matrix data.
+    * No per-round RDD lineage accumulates — the only RDD is the cached
+    * block matrix itself. A·Aᵀ is symmetric PSD, so convergence is
     * monotone — no complex-eigenpair oscillation risk on the
     * nonsymmetric A itself. Checked against the same iteration run
     * driver-locally, plus the ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞) and ≥ ‖A‖F/√n
@@ -231,26 +235,57 @@ object MatrixQueries {
   def m9SpectralNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = s.sparkContext
-    val n = 256; val blk = 64; val q = n / blk; val iters = 15
-    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble).cache()
-    val at = a.map { case ((i, j), m) =>
-      ((j, i), LocalLA.toDM(LocalLA.fromDM(m).transpose))
-    }.cache()
+    val n = 256; val blk = 64; val iters = 15
+    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
+      .mapValues(m => LocalLA.fromDM(toDense(m))).cache()
+
+    def addInPlace(u: Array[Double], v: Array[Double]): Array[Double] = {
+      val w = u.clone(); var i = 0
+      while (i < w.length) { w(i) += v(i); i += 1 }
+      w
+    }
 
     val x0 = 1.0 / math.sqrt(n.toDouble)
-    var x: BlockModel.Blocks = sc.parallelize(
-      (0 until q).map(bi => ((bi, 0), LocalLA.toDM(Array.fill(blk)(Array(x0))))), q)
+    var x = Array.fill(n)(x0)
     var sigma2 = 0.0
     for (_ <- 0 until iters) {
-      val y = multiply(a, multiply(at, x, blk, n, n, 1), blk, n, n, 1)
-      val nrm = math.sqrt(y.map { case (_, m) =>
-        val v = m.values; var acc = 0.0; var i = 0
-        while (i < v.length) { acc += v(i) * v(i); i += 1 }; acc
-      }.sum())
+      val xB = sc.broadcast(x)
+      // z = Aᵀ·x: per-block column partials
+      val z = new Array[Double](n)
+      a.map { case ((bi, bj), d) =>
+        val xv = xB.value
+        val part = new Array[Double](d(0).length)
+        var i = 0
+        while (i < d.length) {
+          val xi = xv(bi * blk + i); val di = d(i)
+          var j = 0
+          while (j < part.length) { part(j) += di(j) * xi; j += 1 }
+          i += 1
+        }
+        (bj, part)
+      }.reduceByKey(addInPlace).collect()
+        .foreach { case (bj, part) => System.arraycopy(part, 0, z, bj * blk, part.length) }
+      // y = A·z: per-block row partials
+      val zB = sc.broadcast(z)
+      val y = new Array[Double](n)
+      a.map { case ((bi, bj), d) =>
+        val zv = zB.value
+        val part = new Array[Double](d.length)
+        var i = 0
+        while (i < d.length) {
+          val di = d(i); var acc = 0.0; var j = 0
+          while (j < di.length) { acc += di(j) * zv(bj * blk + j); j += 1 }
+          part(i) = acc
+          i += 1
+        }
+        (bi, part)
+      }.reduceByKey(addInPlace).collect()
+        .foreach { case (bi, part) => System.arraycopy(part, 0, y, bi * blk, part.length) }
+      var s2acc = 0.0
+      y.foreach(v => s2acc += v * v)
+      val nrm = math.sqrt(s2acc)
       sigma2 = nrm // ‖AAᵀx‖ for unit x → λmax(AAᵀ) at convergence
-      x = y.map { case (k, m) =>
-        (k, LocalLA.toDM(LocalLA.fromDM(m).map(_.map(_ / nrm))))
-      }.localCheckpoint() // truncate the per-iteration lineage
+      x = y.map(_ / nrm)
     }
     val sigma = math.sqrt(sigma2)
 

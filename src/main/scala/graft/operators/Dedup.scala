@@ -150,21 +150,13 @@ object Dedup {
     // No gram explode, no wide aggregate, no pre-banding shuffle —
     // cost is exactly one text scan per doc, which is the 100 TB shape.
     //
-    // Hot-loop engineering (measured 4.9 s → below at sf0.1):
-    //  - p = 2⁶¹−1 (Mersenne), so `mod p` is shift-add, not a hardware
-    //    division — the old 2³¹−1 with `%` spent 128 divs per gram;
-    //  - gram hashes come from a rolling polynomial over the chars
-    //    (one update per char), replacing a String allocation +
-    //    murmur3 pass per gram.
-    val P = (1L << 61) - 1
-    def modP(x: Long): Long = { val r = (x & P) + (x >>> 61); if (r >= P) r - P else r }
-    // 128-bit-safe (a·h mod p) via Math.multiplyHigh decomposition
-    def mulModP(a: Long, h: Long): Long = {
-      val hi = Math.multiplyHigh(a, h)   // a,h < 2^61 → product < 2^122
-      val lo = a * h
-      // product = hi·2^64 + lo; 2^64 ≡ 2^3 (mod 2^61−1)
-      modP(modP((hi << 3) | (lo >>> 61)) + (lo & P))
-    }
+    // Hot-loop engineering: the K-permutation update runs 8 lanes at a
+    // time through [[graft.functions.MinHash.Sketch]] (JDK Vector API,
+    // Mersenne 2³¹−1 shift-add mod — no division); gram hashes come
+    // from a rolling polynomial over the chars (one update per char,
+    // no per-gram String allocation).
+    import graft.functions.MinHash
+    val P = MinHash.P
     val rng = new scala.util.Random(7)
     val mulA = Array.fill(K)(rng.nextLong().abs % (P - 1) + 1)
     val addB = Array.fill(K)(rng.nextLong().abs % P)
@@ -186,33 +178,30 @@ object Dedup {
       .mapPartitions { it =>
         val Base = 1000003L
         // Base^(k-1) mod p, to roll the leading char out of the window
-        val basePow = (1 until kShingle).foldLeft(1L)((acc, _) => mulModP(acc, Base))
+        val basePow = (1 until kShingle).foldLeft(1L)((acc, _) => MinHash.mulModP(acc, Base))
+        val sketch = new MinHash.Sketch(mulA, addB)   // one per partition
         it.flatMap { case (id, t) =>
-          val mins = Array.fill(K)(Long.MaxValue)
-          def absorb(h: Long): Unit = {
-            var i = 0
-            while (i < K) {
-              val v = modP(mulModP(mulA(i), h) + addB(i))
-              if (v < mins(i)) mins(i) = v
-              i += 1
-            }
-          }
+          sketch.reset()
           val n = t.length
           if (n < kShingle) {
             var h = 0L; var j = 0
-            while (j < n) { h = modP(mulModP(h, Base) + t.charAt(j)); j += 1 }
-            absorb(h)
+            while (j < n) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
+            sketch.absorb(h)
           } else {
             var h = 0L; var j = 0
-            while (j < kShingle) { h = modP(mulModP(h, Base) + t.charAt(j)); j += 1 }
-            absorb(h)
+            while (j < kShingle) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
+            sketch.absorb(h)
             while (j < n) {
-              val drop = mulModP(basePow, t.charAt(j - kShingle))
-              h = modP(mulModP(modP(h + P - drop), Base) + t.charAt(j))
-              absorb(h)
+              val drop = MinHash.mulModP(basePow, t.charAt(j - kShingle))
+              h = MinHash.modP(MinHash.mulModP(MinHash.modP(h + P - drop), Base) + t.charAt(j))
+              sketch.absorb(h)
               j += 1
             }
           }
+          // copy the minima out BEFORE the lazy band iterator runs —
+          // the sketch is reused for the next document
+          val mins = new Array[Long](K)
+          sketch.mins(mins)
           (0 until B).iterator.map { b =>
             var acc = 1125899906842597L
             var j = b * R

@@ -280,13 +280,14 @@ object Similarity {
     val n = rows.map(_._1).max().toInt + 1
     val nPad = ((n + blk - 1) / blk) * blk
 
-    // ‖v‖² per row — the Gram diagonal, without computing the Gram
-    val diag = rows.map { case (i, v) =>
+    // ‖v‖² per row — the Gram diagonal, without computing the Gram.
+    // Kept distributed and joined to the scored pairs below (collect+
+    // broadcast would put O(n) doubles on the driver at 10⁸ rows).
+    val norms = rows.map { case (i, v) =>
       var s2 = 0.0; var k = 0
       while (k < v.length) { s2 += v(k) * v(k); k += 1 }
-      (i.toInt, s2)
-    }.collectAsMap()
-    val diagB = s.sparkContext.broadcast(diag)
+      (i, s2)
+    }.toDF("nvec_id", "nrm2")
 
     // Q: the single block row holding the query ids (NQueries < blk)
     val q = rows.filter(_._1 < blk)
@@ -308,17 +309,21 @@ object Similarity {
       }
     val gramSlab = BlockModel.multiply(q, eT, blk, blk.toLong, blk.toLong, nPad.toLong)
 
-    val pairs = gramSlab
+    val dots = gramSlab
       .flatMap { case ((_, bj), m) =>
         for {
           i <- 0 until math.min(NQueries, m.numRows)
           j <- 0 until m.numCols
           nb = bj * blk + j
           if nb < n && nb != i
-        } yield (i.toLong, nb.toLong,
-          m(i, j) / (math.sqrt(diagB.value(i)) * math.sqrt(diagB.value(nb))))
-      }.toDF("query_id", "neighbor_id", "cos")
-      .withColumn("cos4", round(col("cos"), 4))
+        } yield (i.toLong, nb.toLong, m(i, j))
+      }.toDF("query_id", "neighbor_id", "dot")
+    val pairs = dots
+      .join(norms.as("nn"), col("neighbor_id") === col("nn.nvec_id"))
+      .join(broadcast(norms.filter(col("nvec_id") < NQueries).as("qn")),
+        col("query_id") === col("qn.nvec_id"))
+      .withColumn("cos4",
+        round(col("dot") / (sqrt(col("qn.nrm2")) * sqrt(col("nn.nrm2"))), 4))
     rerank(pairs).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
   }
 

@@ -134,4 +134,24 @@ class PipelineSpec extends AnyFunSuite {
     val r01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
     assert(r01.getLong(2) == r01.getLong(3) && r01.getLong(2) == (200 - 8 + 1))
   }
+
+  test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
+    import graft.functions.MinHash
+    val K = 128
+    val rnd = new scala.util.Random(11)
+    val mulA = Array.fill(K)(rnd.nextLong().abs % (MinHash.P - 1) + 1)
+    val addB = Array.fill(K)(rnd.nextLong().abs % MinHash.P)
+    val sketch = new MinHash.Sketch(mulA, addB)
+    for (_ <- 0 until 20) {
+      val hashes = Array.fill(50 + rnd.nextInt(200))(rnd.nextLong().abs % MinHash.P)
+      sketch.reset()
+      hashes.foreach(sketch.absorb)
+      val got = new Array[Long](K)
+      sketch.mins(got)
+      val want = Array.tabulate(K) { i =>
+        hashes.map(h => ((BigInt(mulA(i)) * h + addB(i)) mod BigInt(MinHash.P)).toLong).min
+      }
+      assert(got.sameElements(want))
+    }
+  }
 }

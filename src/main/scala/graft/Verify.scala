@@ -4,6 +4,32 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Invariant gating: queries without a SQL oracle (m1-m9) carry their
+    * correctness as boolean `pass`/`*_pass`/`*_ok` columns. A false
+    * invariant must FAIL the query here — otherwise the driver's
+    * CORRECTNESS records a green `no_oracle` row for a wrong answer and
+    * the per-round gate never sees matrix regressions. Eager: throws
+    * `IllegalStateException` when any invariant row is false. */
+  def gateInvariants(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val passCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.BooleanType &&
+        (f.name == "pass" || f.name.endsWith("_pass") ||
+          f.name.endsWith("_ok")) => f.name
+    }
+    if (passCols.isEmpty) df
+    else {
+      val cached = df.cache()
+      val bad = cached.filter(
+        passCols.map(c => !org.apache.spark.sql.functions.col(c))
+          .reduce(_ || _)).count()
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"invariant violated: $bad rows with false ${passCols.mkString("/")}")
+      cached
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,30 +42,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        // Invariant gating: queries without a SQL oracle (m1-m9) carry
-        // their correctness as boolean `pass`/`*_pass` columns. A false
-        // invariant must FAIL the query here — otherwise the driver's
-        // CORRECTNESS records a green `no_oracle` row for a wrong answer
-        // and the per-round gate never sees matrix regressions.
-        val passCols = df.schema.fields.collect {
-          case f if f.dataType == org.apache.spark.sql.types.BooleanType &&
-            (f.name == "pass" || f.name.endsWith("_pass") ||
-              f.name.endsWith("_ok")) => f.name
-        }
-        val out = if (passCols.nonEmpty) {
-          val cached = df.cache()
-          val bad = cached.filter(
-            passCols.map(c => !org.apache.spark.sql.functions.col(c))
-              .reduce(_ || _)).count()
-          if (bad > 0)
-            throw new IllegalStateException(
-              s"invariant violated: $bad rows with false ${passCols.mkString("/")}")
-          cached
-        } else df
-        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
+      try gateInvariants(fn(spark, sfDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -88,7 +88,12 @@ object MatrixQueries {
   }
 
   /** M6: reference binary codec round trip on the golden fixtures
-    * /root/reference/out/A.0, out/A.1 (FIXTURES.md A2). */
+    * /root/reference/out/A.0, out/A.1 (FIXTURES.md A2), plus the
+    * round-2 distributed sink + windowed re-read path: a generated
+    * matrix is written per-task in reference format, then a window
+    * crossing file boundaries is re-read with [[MatrixBlockIO
+    * .readWindow]] and compared against the local generator. Both are
+    * driver-gated through the `roundtrip_ok` column. */
   def m6Codec(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = Seq("/root/reference/out/A.0", "/root/reference/out/A.1").flatMap { p =>
@@ -101,7 +106,25 @@ object MatrixQueries {
         Some((p, b.i0, b.i1, b.j0, b.j1, bytes.length, blockByteIdentical))
       }
     }
-    rows.toDF("path", "i0", "i1", "j0", "j1", "bytes", "roundtrip_ok")
+
+    val n = 256; val blk = 64
+    val tmp = java.nio.file.Files.createTempDirectory("m6sink").toFile
+    val sinkOk = try {
+      MatrixBlockIO.writeBlocks(
+        MatrixBlockIO.toRefBlocks(MatrixGen.blocks(s.sparkContext, n, blk, Seed), blk),
+        tmp.getPath)
+      val loc = MatrixGen.local(n, blk, Seed)
+      val (wi, wj, wr, wc) = (37, 5, 101, 133)   // spans multiple files
+      val win = Array.ofDim[Double](wr, wc)
+      tmp.listFiles().foreach(f => MatrixBlockIO.readWindow(f.getPath, wi, wj, win))
+      (0 until wr).forall(r => (0 until wc).forall(c => win(r)(c) == loc(wi + r)(wj + c))) &&
+        tmp.listFiles().length == (n / blk) * (n / blk)
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val sinkRow = ("dist-sink+window", 0, n, 0, n, n * n * 8 + 16 * 16 + 4 * n, sinkOk)
+
+    (rows :+ sinkRow).toDF("path", "i0", "i1", "j0", "j1", "bytes", "roundtrip_ok")
   }
 
   /** Sign of a permutation via cycle decomposition (an even-length

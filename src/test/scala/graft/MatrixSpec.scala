@@ -231,4 +231,17 @@ class MatrixSpec extends AnyFunSuite {
     val rdd = MatrixBlockIO.readBlocks(sc, s"$dir/A.*")
     assert(rdd.count() == 1)
   }
+
+  test("Verify invariant gate: a false pass column turns the query red") {
+    import spark.implicits._
+    assert(Verify.gateInvariants(Seq((1, true)).toDF("n", "pass")).count() == 1)
+    assert(Verify.gateInvariants(Seq((1, 2)).toDF("n", "m")).count() == 1)
+    val e = intercept[IllegalStateException] {
+      Verify.gateInvariants(Seq((1, true), (2, false)).toDF("n", "pass"))
+    }
+    assert(e.getMessage.contains("invariant violated"))
+    intercept[IllegalStateException] {
+      Verify.gateInvariants(Seq((1, false)).toDF("n", "roundtrip_ok"))
+    }
+  }
 }

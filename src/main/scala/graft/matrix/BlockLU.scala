@@ -97,9 +97,14 @@ object BlockLU {
           if (panelBytes <= broadcastPanelBytes) {
             val colMap = sc.broadcast(colPanel.map { case ((i, _), m) => (i, m) }.collectAsMap())
             val rowMap = sc.broadcast(rowPanel.map { case ((_, j), m) => (j, m) }.collectAsMap())
-            trailing.map { case ((i, j), m) =>
+            // keys are unchanged, so preserve the hash partitioning: the
+            // partitionBy below then recognizes the layout and the
+            // trailing matrix is NEVER re-shuffled on the broadcast path
+            // (previously: one full shuffle of the trailing blocks per
+            // iteration, q shuffles per factorization, for nothing)
+            trailing.mapPartitions(_.map { case ((i, j), m) =>
               ((i, j), dmSub(m, colMap.value(i).multiply(rowMap.value(j))))
-            }
+            }, preservesPartitioning = true)
           } else {
             // shuffle path for panels too large to broadcast: join trailing
             // blocks with their L block (by block row) then U block (by col)

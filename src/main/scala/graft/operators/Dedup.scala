@@ -244,8 +244,13 @@ object Dedup {
       .filter(nearDup)
       .withColumn("jacc", round(col("inter").cast("double") / col("uni"), 4))
 
-    // Expand representative pairs back to member pairs (output-
-    // proportional; a no-op when all texts are distinct) …
+    // Expand representative pairs back to member pairs — skipped
+    // entirely when every text is distinct (members ≡ reps ⇒ the
+    // expansion is the identity), which saves its join stages on the
+    // common no-exact-dup corpus.
+    val hasDupGroups = !members.filter(col("doc_id") =!= col("rep")).isEmpty
+    if (!hasDupGroups) return repPairs
+
     val cross = repPairs
       .join(mem.as("ma"), col("doc_a") === col("ma.rep"))
       .join(mem.as("mb"), col("doc_b") === col("mb.rep"))

@@ -175,13 +175,79 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------
+  /** T7: within-document repetition signals — the Gopher/C4-style
+    * quality rules a pretraining filter runs on every document: the
+    * fraction of words taken by the single most frequent word, and the
+    * fraction of bigram occurrences that belong to a repeated bigram.
+    * Counts are exact integers from one narrow typed pass (per-doc
+    * hash maps, no shuffle); the ratios are single double divisions
+    * rounded identically on both engines. */
+  def t7Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), norm.as("t")).as[(Long, String)]
+      .map { case (id, t) =>
+        val words = t.split(" +").filter(_.nonEmpty)
+        val n = words.length
+        val wc = scala.collection.mutable.HashMap.empty[String, Long]
+        words.foreach(w => wc.update(w, wc.getOrElse(w, 0L) + 1))
+        val top = if (n == 0) 0L else wc.values.max
+        val bc = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i + 1 < n) {
+          val b = words(i) + " " + words(i + 1)
+          bc.update(b, bc.getOrElse(b, 0L) + 1)
+          i += 1
+        }
+        val dup = bc.values.filter(_ > 1).sum
+        (id, n.toLong, top, math.max(n - 1, 0).toLong, dup)
+      }
+      .toDF("doc_id", "n_words", "top_word_n", "n_bigrams", "dup_bigram_n")
+      .withColumn("top_ratio4",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          round(col("top_word_n").cast("double") / col("n_words"), 4)))
+      .withColumn("dup_ratio4",
+        when(col("n_bigrams") === 0, lit(0.0)).otherwise(
+          round(col("dup_bigram_n").cast("double") / col("n_bigrams"), 4)))
+      .orderBy(col("doc_id"))
+  }
+
+  val t7Sql: String =
+    """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |sp AS (SELECT doc_id, string_split_regex(t, ' +') AS words FROM norm),
+      |w AS (SELECT doc_id, i, words[i] AS word
+      |      FROM sp, unnest(generate_series(1, len(words))) AS u(i)
+      |      WHERE words[i] <> ''),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |               CAST(MAX(c) AS BIGINT) AS top_n FROM wc GROUP BY 1),
+      |bg AS (SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+      |       FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |              CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+      |       FROM bc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(tot.n_words, 0) AS n_words,
+      |  COALESCE(tot.top_n, 0) AS top_word_n,
+      |  COALESCE(bt.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(bt.dup_n, 0) AS dup_bigram_n,
+      |  CASE WHEN COALESCE(tot.n_words, 0) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(tot.top_n AS DOUBLE) / tot.n_words, 4) END AS top_ratio4,
+      |  CASE WHEN COALESCE(bt.n_bigrams, 0) = 0 THEN 0.0
+      |       ELSE ROUND(CAST(bt.dup_n AS DOUBLE) / bt.n_bigrams, 4) END AS dup_ratio4
+      |FROM documents d
+      |LEFT JOIN tot ON tot.doc_id = d.doc_id
+      |LEFT JOIN bt ON bt.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid"      -> (t1LangId _),
     "t2_quality"     -> (t2Quality _),
     "t3_token_count" -> (t3TokenCount _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_normalize"   -> (t5Normalize _),
-    "t6_sample"      -> (t6StratifiedSample _))
+    "t6_sample"      -> (t6StratifiedSample _),
+    "t7_repetition"  -> (t7Repetition _))
 
   val oracles: Map[String, String] = Map(
     "t1_langid"      -> t1Sql,
@@ -189,5 +255,6 @@ object TextAnalysis {
     "t3_token_count" -> t3Sql,
     "t4_fingerprint" -> t4Sql,
     "t5_normalize"   -> t5Sql,
-    "t6_sample"      -> t6Sql)
+    "t6_sample"      -> t6Sql,
+    "t7_repetition"  -> t7Sql)
 }

@@ -136,7 +136,14 @@ object Dedup {
     * signature and verify work is proportional to the number of
     * DISTINCT texts: an adversarial corpus of 1k identical documents
     * costs one signature scan of one representative, not 499,500
-    * verifies (spec'd in PipelineSpec). */
+    * verifies (spec'd in PipelineSpec).
+    *
+    * Residual skew note: the within-group expansion shuffles on the
+    * group key, so a single pathological group concentrates its
+    * (quadratic, output-bound) pair rows on one reducer. That is a
+    * property of the PAIR-LIST output contract itself — a production
+    * pipeline at that scale would consume the linear (doc, cluster)
+    * form instead, which is exactly [[p5DupClusters]]. */
   private[graft] def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val K = 128       // minhash permutations
     val R = 4         // rows per band

@@ -15,12 +15,19 @@ import graft.matrix._
   *   val a    = Graft.generate(sc, n = 4096, blk = 512, seed = 42)
   *   val lu   = Graft.lu(sc, a, 4096, 512)          // P·A = L·U
   *   val ainv = Graft.inverse(sc, a, 4096, 512)     // A⁻¹
-  *   val x    = Graft.solve(sc, a, b, 4096, m, 512) // A·X = B
+  *   val x    = Graft.solve(sc, a, b, 4096, m, 512) // A·X = B (TRSM)
+  *   val x2   = Graft.solveFactored(sc, lu, b2, m)  // factor once, solve many
   *   val rows = Graft.inverseAny(sc, rowRdd, 3000, 512) // any n
   *   val ref  = Graft.readReferenceBlocks(sc, "/data/out/A.*") // O2/O3 codec
+  *   Graft.writeReferenceBlocks(ainv, 512, "/data/out2")       // O6 per-task sink
+  *   MatrixBlockIO.readWindow(path, i0, j0, buf, transposed = true) // O2 window
   * }}}
   *
-  * Query surface: [[SparkEntry.queries]] (39 named, oracle-checked
+  * Reliability: call `sc.setCheckpointDir(...)` before `lu`/`inverse`/
+  * dedup sweeps to upgrade per-iteration lineage cuts to reliable
+  * (executor-loss-safe) checkpoints — see [[Lineage]].
+  *
+  * Query surface: [[SparkEntry.queries]] (71 named, oracle-checked
   * queries) or the operator objects directly
   * ([[operators.Relational]], [[operators.Dedup]],
   * [[operators.Similarity]], [[operators.TextAnalysis]],
@@ -48,8 +55,17 @@ object Graft {
   def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
     Inversion.solve(sc, a, b, n, m, blk)
 
+  /** Solve against an existing factorization — the factor-once /
+    * solve-many entry point (each call costs only B-sized work). */
+  def solveFactored(sc: SparkContext, lu: BlockLUResult, b: Blocks, m: Int): Blocks =
+    Inversion.solveFactored(sc, lu, b, m)
+
   def readReferenceBlocks(sc: SparkContext, pathGlob: String): RDD[MatrixBlockIO.RefBlock] =
     MatrixBlockIO.readBlocks(sc, pathGlob)
+
+  /** Per-task distributed sink in the reference's binary block format. */
+  def writeReferenceBlocks(blocks: Blocks, blk: Int, dir: String): Unit =
+    MatrixBlockIO.writeBlocks(MatrixBlockIO.toRefBlocks(blocks, blk), dir)
 
   // ---- vector functions (codegen'd) ----
   def vecDot(a: Column, b: Column): Column = functions.VectorFunctions.vecDot(a, b)

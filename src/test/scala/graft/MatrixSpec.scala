@@ -153,6 +153,18 @@ class MatrixSpec extends AnyFunSuite {
     assert(LocalLA.maxAbsDiff(toLocal(x, n, blk, blk), xLoc) < 1e-9 * n)
   }
 
+  test("solveFactored: one factorization serves many right-hand sides") {
+    val n = 128; val blk = 32
+    val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)
+    val lu = BlockLU.factor(sc, a, n, blk)
+    for (s <- 1 to 3) {
+      val b = MatrixGen.blocks(sc, n, blk, seed + s).filter { case ((_, j), _) => j == 0 }
+      val x = Inversion.solveFactored(sc, lu, b, blk)
+      val ax = multiply(a, x, blk, n.toLong, n.toLong, blk.toLong)
+      assert(maxAbsDiff(ax, b) < 1e-8 * n, s"rhs $s residual")
+    }
+  }
+
   test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
     for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
       assume(new java.io.File(p).exists())

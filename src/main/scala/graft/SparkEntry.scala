@@ -21,5 +21,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ Streaming.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ Streaming.oracles ++
+      MatrixQueries.oracles
 }

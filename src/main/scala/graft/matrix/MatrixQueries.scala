@@ -4,10 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import BlockModel._
 
 /** The matrix capability surface as driver-checkable queries (M1–M6,
-  * SURVEY.md §2.3). These are not SQL-expressible, so they carry no
-  * DuckDB oracle — each returns its numeric invariant as rows so the
-  * driver's rows>0 check passes and a human (or VERDICT) can read the
-  * residuals; the tight assertions live in MatrixSpec.
+  * SURVEY.md §2.3). Floating-point residual checks (m2–m5, m7–m9) are
+  * not SQL-expressible, so they carry their correctness as boolean
+  * `pass` columns that [[graft.Verify.gateInvariants]] enforces
+  * driver-side; the tight assertions also live in MatrixSpec. m1 and
+  * m6 produce fully deterministic integer/string output, so they DO
+  * carry pinned-constant DuckDB oracles ([[oracles]]) and get the full
+  * rows+schema+hash verdict.
   *
   * Sizes are kept moderate (n=512) so the per-round Verify stays fast;
   * the same code paths scale by construction (block-level parallelism,
@@ -18,19 +21,25 @@ object MatrixQueries {
 
   /** M1: seeded distributed generator — row counts + seed-stable
     * checksum, gated against the local generator producing the same
-    * matrix (the distributed/local agreement invariant from MatrixSpec,
-    * now driver-visible via the `pass` column). */
+    * matrix. The checksum is INTEGER-EXACT (Σᵢ (i+1)·Σⱼ ⌊vᵢⱼ·2²⁰⌋, a
+    * long sum — order-independent at any parallelism), so the whole
+    * output row is a deterministic constant and the driver gets a real
+    * DuckDB oracle verdict, not a rows-only check. */
   def m1Generate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 256; val blk = 64
+    def rowSum(v: Array[Double]): Long = {
+      var acc = 0L; var j = 0
+      while (j < v.length) { acc += math.floor(v(j) * 1048576).toLong; j += 1 }
+      acc
+    }
     val rows = MatrixGen.rows(s.sparkContext, n, blk, Seed)
-    val checksum = rows.map { case (i, v) => (i + 1) * v.sum }.sum()
+    val checksum = rows.map { case (i, v) => (i + 1) * rowSum(v) }.sum()
     val count = rows.count()
     val local = MatrixGen.local(n, blk, Seed)
-    val checksumLoc = local.zipWithIndex.map { case (v, i) => (i + 1) * v.sum }.sum
-    val pass = count == n.toLong &&
-      math.abs(checksum - checksumLoc) <= 1e-9 * math.abs(checksumLoc)
-    Seq((count, n.toLong, math.round(checksum * 1e6) / 1e6, pass))
+    val checksumLoc = local.zipWithIndex.map { case (v, i) => (i + 1) * rowSum(v) }.sum
+    val pass = count == n.toLong && checksum.toLong == checksumLoc
+    Seq((count, n.toLong, checksum.toLong, pass))
       .toDF("n_rows", "n_cols", "checksum", "pass")
   }
 
@@ -125,6 +134,7 @@ object MatrixQueries {
     val sinkRow = ("dist-sink+window", 0, n, 0, n, n * n * 8 + 16 * 16 + 4 * n, sinkOk)
 
     (rows :+ sinkRow).toDF("path", "i0", "i1", "j0", "j1", "bytes", "roundtrip_ok")
+      .orderBy("path")
   }
 
   /** Sign of a permutation via cycle decomposition (an even-length
@@ -335,6 +345,26 @@ object MatrixQueries {
     Seq((n, blk, iters, math.round(sigma * 1e4) / 1e4, pass))
       .toDF("n", "blk", "iters", "spectral_norm", "pass")
   }
+
+  /** Pinned-constant DuckDB oracles for the two matrix queries whose
+    * output is deterministic to the last bit: m1 (integer-exact
+    * checksum of the seeded generator — the constant is the local
+    * generator's value, independently recomputed inside the query) and
+    * m6 (golden-fixture extents/sizes from FIXTURES.md A2 plus the
+    * arithmetic size of the distributed-sink round trip). A generator
+    * or codec regression now flips the driver's hash gate, not just
+    * `sbt test`. */
+  val oracles: Map[String, String] = Map(
+    "m1_generate" ->
+      """SELECT CAST(256 AS BIGINT) AS n_rows, CAST(256 AS BIGINT) AS n_cols,
+        |       CAST(4407163425331 AS BIGINT) AS checksum, TRUE AS pass""".stripMargin,
+    "m6_codec" ->
+      """SELECT * FROM (VALUES
+        |  ('/root/reference/out/A.0', 1024, 1536, 1024, 1536, 2099216, TRUE),
+        |  ('/root/reference/out/A.1', 1024, 1536, 1536, 2048, 2099216, TRUE),
+        |  ('dist-sink+window', 0, 256, 0, 256, 525568, TRUE)
+        |) AS t(path, i0, i1, j0, j1, bytes, roundtrip_ok)
+        |ORDER BY path""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_generate"   -> (m1Generate _),

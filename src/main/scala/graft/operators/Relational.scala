@@ -802,6 +802,44 @@ object Relational {
 
   val r29Sql: String = r03Sql
 
+  // ---------------------------------------------------------------- R30 (Bloom-filter join)
+  /** Semi-join through an explicit Bloom filter
+    * (`org.apache.spark.util.sketch.BloomFilter`, seeded Murmur3): the
+    * BUILDING-segment customer keys are folded into a ~1%-FPP bloom
+    * (mergeable per-partition, built with one aggregate pass), the
+    * filter is shipped to the orders scan as a broadcast variable, and
+    * only rows that might match reach the exact semi-join that removes
+    * the false positives. No false negatives ⇒ result is exactly the
+    * plain semi-join (the oracle).
+    *
+    * 100 TB story: 10⁸ build keys at 1% FPP is a ~114 MB bit array —
+    * shippable where the key SET is not — and the fact-side scan drops
+    * ~(1−sel−fpp) of its rows BEFORE the join shuffle. This is the
+    * explicit form of the runtime-filter pushdown Spark only applies
+    * under size thresholds; here it is an operator the user controls.
+    * The residual exact join makes correctness independent of fpp. */
+  def r30(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).cache()
+    val bloom = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightMatch = udf((k: Long) => bloomB.value.mightContainLong(k))
+    orders(s, d)
+      .filter(mightMatch(col("o_custkey")))          // bloom prune (no FN)
+      .join(cust, col("o_custkey") === col("c_custkey"), "left_semi") // exact residual
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        r4(dsum(col("o_totalprice"))).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val r30Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -835,6 +873,7 @@ object Relational {
     "r27_merge_upsert"   -> (r27 _),
     "r28_grouping_sets"  -> (r28 _),
     "r29_salted_join"    -> (r29 _),
+    "r30_bloom_join"     -> (r30 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _),
     "x5_pipeline"        -> (x5 _))
@@ -871,6 +910,7 @@ object Relational {
     "r27_merge_upsert"   -> r27Sql,
     "r28_grouping_sets"  -> r28Sql,
     "r29_salted_join"    -> r29Sql,
+    "r30_bloom_join"     -> r30Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

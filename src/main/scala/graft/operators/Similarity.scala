@@ -20,7 +20,10 @@ import graft.sources.Tables._
   * Determinism: every dot/norm is a fixed-order left-to-right double
   * fold; ranking is on `round(cos, 4)` with vec_id tiebreak. S2/S3
   * results are deterministic but recall<1 by design, so they carry no
-  * SQL oracle — their recall against S1 is asserted in PipelineSpec.
+  * SQL oracle — instead each row carries `recall4`/`recall_ok`
+  * columns (recall vs the exact S1 answer, computed in-query) that
+  * [[graft.Verify.gateInvariants]] enforces driver-side; the same
+  * floors are asserted in PipelineSpec.
   *
   * Reference analog: the Gram-product X2 path reuses the same GEMM
   * structure as the Schur complement (SURVEY.md §2.3 X2,
@@ -89,6 +92,26 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
+  /** Driver-visible recall gate for the approximate paths: recompute
+    * the exact S1 answer, measure recall@K of `approx` against it, and
+    * append it as constant `recall4`/`recall_ok` columns on every row.
+    * `recall_ok=false` makes [[graft.Verify.gateInvariants]] fail the
+    * query, so a bucketing/anchor regression flips the per-round
+    * correctness gate, not just the ScalaTest floor. The exact answer
+    * is |queries|·K rows — the extra cost is one more pass over the
+    * corpus (the S1 broadcast scan), not a new shuffle shape. */
+  private def withRecallGate(s: SparkSession, d: String,
+                             approx: DataFrame, floor: Double): DataFrame = {
+    val exact = s1BruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+    val total = exact.count()
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .intersect(exact).count()
+    val recall = hits.toDouble / total
+    approx
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= floor))
+  }
+
   // ------------------------------------------------------------- S2
   /** Random-hyperplane LSH. 16 hyperplanes are generated on the driver
     * from a fixed seed and broadcast as literals; the signature is 16
@@ -132,7 +155,9 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
       .distinct()
-    rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+    withRecallGate(s, d,
+      rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.7)
   }
 
   // ------------------------------------------------------------- S3
@@ -227,7 +252,9 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
       .distinct()
-    rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+    withRecallGate(s, d,
+      rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.9)
   }
 
   // ------------------------------------------------------------- S4
@@ -406,9 +433,10 @@ object Similarity {
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _))
 
-  /** S2/S3 are recall<1 candidate generators — no SQL oracle; their
-    * recall against S1 is asserted in PipelineSpec. X2 must equal S1
-    * exactly (asserted in PipelineSpec); it shares S1's oracle. */
+  /** S2/S3 are recall<1 candidate generators — no SQL oracle; they are
+    * driver-gated through their `recall_ok` column ([[withRecallGate]])
+    * and floor-asserted in PipelineSpec. X2 must equal S1 exactly
+    * (asserted in PipelineSpec); it shares S1's oracle. */
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,

@@ -211,6 +211,51 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** X7: heavy hitters — the exact top-20 tokens by frequency,
+    * cross-checked in-query against a Count–Min sketch
+    * (`org.apache.spark.util.sketch.CountMinSketch`, seeded). Output
+    * rows are the EXACT counts (DuckDB-checkable); the sketch
+    * contributes the `sketch_*_ok` verdict columns: a CMS estimate
+    * can never undercount, and with depth 5 (confidence 0.99) these
+    * heavy tokens don't overcount past cnt + ⌈eps·N⌉ — for a fixed
+    * corpus and seed both facts are deterministic, so the oracle pins
+    * them TRUE and a sketch regression flips the driver's hash gate.
+    *
+    * 100 TB story: the exact groupBy exists for the oracle; the
+    * sketch is the scale path — fixed 5×⌈2/eps⌉-int state per
+    * partition, merged associatively on the driver (the same shape
+    * as a treeAggregate), so no shuffle of token rows at all. Heavy-
+    * hitter candidates then need only a broadcast verification pass
+    * instead of a full-corpus aggregation, and sketches from
+    * different days/shards merge losslessly (the mergeability the
+    * reference's identity-reduce barrier O20 lacks entirely). */
+  def x7HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .cache()
+    val total = toks.count()
+    val eps = 0.001
+    val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20).collect()
+    toks.unpersist()
+    top.toSeq.map { r =>
+      val t = r.getString(0); val c = r.getLong(1)
+      val est = cms.estimateCount(t)
+      (t, c, est >= c, est <= c + math.ceil(eps * total).toLong)
+    }.toDF("token", "cnt", "sketch_lower_ok", "sketch_upper_ok")
+  }
+
+  val x7Sql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok
+      |      WHERE length(token) > 0 GROUP BY 1)
+      |SELECT token, cnt, TRUE AS sketch_lower_ok, TRUE AS sketch_upper_ok
+      |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   val t7Sql: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
       |sp AS (SELECT doc_id, string_split_regex(t, ' +') AS words FROM norm),
@@ -247,9 +292,11 @@ object TextAnalysis {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_normalize"   -> (t5Normalize _),
     "t6_sample"      -> (t6StratifiedSample _),
-    "t7_repetition"  -> (t7Repetition _))
+    "t7_repetition"  -> (t7Repetition _),
+    "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "x7_heavy_hitters" -> x7Sql,
     "t1_langid"      -> t1Sql,
     "t2_quality"     -> t2Sql,
     "t3_token_count" -> t3Sql,

@@ -140,6 +140,32 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("r30 bloom-filtered join equals the plain semi-join") {
+    val plain = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf).filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = Relational.r30(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == plain)
+  }
+
+  test("x7 exact counts match a driver-local count; sketch bounds hold") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = docs.flatMap(_.toLowerCase.split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val got = TextAnalysis.x7HeavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expected)
+    got.foreach { g =>
+      assert(g._3, s"CMS undercounted '${g._1}' — impossible for a correct CMS")
+      assert(g._4, s"CMS overcounted '${g._1}' past eps bound")
+    }
+  }
+
   test("r17 pivot covers every priority and has no null cells") {
     val df = Relational.r17(spark, sf)
     assert(df.columns.toSet == Set("o_orderstatus", "rev_urgent", "rev_high",

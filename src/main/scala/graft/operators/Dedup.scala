@@ -64,6 +64,81 @@ object Dedup {
   /** jacc >= 0.6 as exact integer arithmetic — no float boundary. */
   private val nearDup: Column = col("inter") * 5 >= col("uni") * 3
 
+  // MinHash/LSH geometry shared by P1 (self-join) and P6 (new-vs-index)
+  private val K = 128       // minhash permutations
+  private val R = 4         // rows per band
+  private val B = K / R     // 32 bands
+  /** Carter-Wegman permutation coefficients, fixed seed (the fill
+    * ORDER — all of mulA, then all of addB — is part of the recorded
+    * signature identity). */
+  private val (mulA, addB) = {
+    val rng = new scala.util.Random(7)
+    val p = graft.functions.MinHash.P
+    (Array.fill(K)(rng.nextLong().abs % (p - 1) + 1),
+      Array.fill(K)(rng.nextLong().abs % p))
+  }
+
+  /** (doc_id, band, sig) LSH band signatures for a (doc_id, t) frame.
+    *
+    * Whole signature per document in ONE narrow per-partition pass:
+    * stream the sliding shingles, hash each once, and keep K running
+    * minima under Carter-Wegman permutations h_i = (a_i·h + b_i) mod p
+    * (the mod is what makes the orderings independent — a plain
+    * mul-add is monotone in h and degenerates to a single minhash).
+    * No gram explode, no wide aggregate, no pre-banding shuffle —
+    * cost is exactly one text scan per doc, which is the 100 TB shape.
+    *
+    * Hot-loop engineering: the K-permutation update runs 8 lanes at a
+    * time through [[graft.functions.MinHash.Sketch]] (JDK Vector API,
+    * Mersenne 2³¹−1 shift-add mod — no division); gram hashes come
+    * from a rolling polynomial over the chars (one update per char,
+    * no per-gram String allocation). */
+  private def bandBuckets(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.MinHash
+    val P = MinHash.P
+    val kShingle = Shingle
+    val (mA, aB) = (mulA, addB)     // local copies — closure must not drag the object
+    val (kK, rR, bB) = (K, R, B)
+    docs.as[(Long, String)]
+      .mapPartitions { it =>
+        val Base = 1000003L
+        // Base^(k-1) mod p, to roll the leading char out of the window
+        val basePow = (1 until kShingle).foldLeft(1L)((acc, _) => MinHash.mulModP(acc, Base))
+        val sketch = new MinHash.Sketch(mA, aB)   // one per partition
+        it.flatMap { case (id, t) =>
+          sketch.reset()
+          val n = t.length
+          if (n < kShingle) {
+            var h = 0L; var j = 0
+            while (j < n) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
+            sketch.absorb(h)
+          } else {
+            var h = 0L; var j = 0
+            while (j < kShingle) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
+            sketch.absorb(h)
+            while (j < n) {
+              val drop = MinHash.mulModP(basePow, t.charAt(j - kShingle))
+              h = MinHash.modP(MinHash.mulModP(MinHash.modP(h + P - drop), Base) + t.charAt(j))
+              sketch.absorb(h)
+              j += 1
+            }
+          }
+          // copy the minima out BEFORE the lazy band iterator runs —
+          // the sketch is reused for the next document
+          val mins = new Array[Long](kK)
+          sketch.mins(mins)
+          (0 until bB).iterator.map { b =>
+            var acc = 1125899906842597L
+            var j = b * rR
+            while (j < (b + 1) * rR) { acc = acc * 31 + mins(j); j += 1 }
+            (id, b, acc)
+          }
+        }
+      }
+      .toDF("doc_id", "band", "sig")
+  }
+
   /** Cap for the quadratic brute-force baselines (P3): they run on a
     * fixed-size audit sample (doc_id < 600 — still the WHOLE corpus at
     * sf≤0.01, which is the oracle-gate scale, a bounded sample beyond)
@@ -145,29 +220,6 @@ object Dedup {
     * pipeline at that scale would consume the linear (doc, cluster)
     * form instead, which is exactly [[p5DupClusters]]. */
   private[graft] def nearDupPairsOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val K = 128       // minhash permutations
-    val R = 4         // rows per band
-    val B = K / R     // 32 bands
-
-    // Whole signature per document in ONE narrow per-partition pass:
-    // stream the sliding shingles, hash each once, and keep K running
-    // minima under Carter-Wegman permutations h_i = (a_i·h + b_i) mod p
-    // (the mod is what makes the orderings independent — a plain
-    // mul-add is monotone in h and degenerates to a single minhash).
-    // No gram explode, no wide aggregate, no pre-banding shuffle —
-    // cost is exactly one text scan per doc, which is the 100 TB shape.
-    //
-    // Hot-loop engineering: the K-permutation update runs 8 lanes at a
-    // time through [[graft.functions.MinHash.Sketch]] (JDK Vector API,
-    // Mersenne 2³¹−1 shift-add mod — no division); gram hashes come
-    // from a rolling polynomial over the chars (one update per char,
-    // no per-gram String allocation).
-    import graft.functions.MinHash
-    val P = MinHash.P
-    val rng = new scala.util.Random(7)
-    val mulA = Array.fill(K)(rng.nextLong().abs % (P - 1) + 1)
-    val addB = Array.fill(K)(rng.nextLong().abs % P)
-    val kShingle = Shingle
     import s.implicits._
 
     // X1-style exact-dup collapse (see Scaladoc): one shuffle on the
@@ -180,44 +232,7 @@ object Dedup {
     val reps = members.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("t"))
 
-    val buckets = reps
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val Base = 1000003L
-        // Base^(k-1) mod p, to roll the leading char out of the window
-        val basePow = (1 until kShingle).foldLeft(1L)((acc, _) => MinHash.mulModP(acc, Base))
-        val sketch = new MinHash.Sketch(mulA, addB)   // one per partition
-        it.flatMap { case (id, t) =>
-          sketch.reset()
-          val n = t.length
-          if (n < kShingle) {
-            var h = 0L; var j = 0
-            while (j < n) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
-            sketch.absorb(h)
-          } else {
-            var h = 0L; var j = 0
-            while (j < kShingle) { h = MinHash.modP(MinHash.mulModP(h, Base) + t.charAt(j)); j += 1 }
-            sketch.absorb(h)
-            while (j < n) {
-              val drop = MinHash.mulModP(basePow, t.charAt(j - kShingle))
-              h = MinHash.modP(MinHash.mulModP(MinHash.modP(h + P - drop), Base) + t.charAt(j))
-              sketch.absorb(h)
-              j += 1
-            }
-          }
-          // copy the minima out BEFORE the lazy band iterator runs —
-          // the sketch is reused for the next document
-          val mins = new Array[Long](K)
-          sketch.mins(mins)
-          (0 until B).iterator.map { b =>
-            var acc = 1125899906842597L
-            var j = b * R
-            while (j < (b + 1) * R) { acc = acc * 31 + mins(j); j += 1 }
-            (id, b, acc)
-          }
-        }
-      }
-      .toDF("doc_id", "band", "sig")
+    val buckets = bandBuckets(s, reps)
       // both sides of the self-join read the signatures — materialize
       // once (they are 3 longs × B per doc, tiny next to the text) so
       // the signature scan doesn't run twice
@@ -496,18 +511,104 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------------------- P6
+  /** Incremental dedup: screen a NEW ingest batch (here doc_id ≡ 4
+    * mod 5 — a deterministic ~20% slice standing in for "today's
+    * crawl") against the EXISTING corpus (the other 80% — standing in
+    * for the persisted index), without any new-vs-new or old-vs-old
+    * work. Per new document: how many existing near-dups (Jaccard ≥
+    * 0.6, exact-integer threshold) it has and the smallest matching
+    * existing doc_id (−1 if novel).
+    *
+    * This is the production shape at 100 TB: the historical corpus is
+    * never rescanned — its (band, sig) LSH index is a persisted table
+    * (bucketed by (band, sig), so the candidate join is co-located);
+    * each daily batch costs one narrow signature pass over the BATCH
+    * plus a candidate join whose left side is |batch|·32 rows. Exact
+    * duplicates surface as jacc = 1 through the same path — no
+    * separate hash join needed.
+    *
+    * Gate validity caveat (same as P1's): banding miss probability at
+    * the 0.6 boundary is ≈1.2e-2 per pair; the brute-force oracle is
+    * exact here only because this corpus's true pairs sit at ≥0.93
+    * Jaccard (miss ≤ 1e-19). */
+  def p6IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val isNew = col("doc_id") % 5 === 4
+    val newDocs = norm.filter(isNew)
+    val oldDocs = norm.filter(!isNew)
+
+    // In production oldSigs IS the index (persisted, bucketed); here it
+    // is recomputed because the gate has no cross-query storage.
+    val oldSigs = bandBuckets(s, oldDocs)
+    val newSigs = bandBuckets(s, newDocs)
+
+    val cands = newSigs.as("n")
+      .join(oldSigs.as("o"),
+        col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+
+    // Payload-local exact verify on candidates only (P1's discipline).
+    val dups = cands
+      .join(newDocs.as("nd"), col("new_id") === col("nd.doc_id"))
+      .join(oldDocs.as("od"), col("old_id") === col("od.doc_id"))
+      .select(col("new_id"), col("old_id"), col("nd.t").as("tn"), col("od.t").as("to"))
+      .as[(Long, Long, String, String)]
+      .map { case (n, o, tn, to) =>
+        val sn = shingleSet(tn); val so = shingleSet(to)
+        val (small, big) = if (sn.size < so.size) (sn, so) else (so, sn)
+        var inter = 0L
+        small.foreach(g => if (big.contains(g)) inter += 1)
+        (n, o, inter, sn.size.toLong + so.size - inter)
+      }
+      .toDF("new_id", "old_id", "inter", "uni")
+      .filter(nearDup)
+
+    newDocs.select(col("doc_id"))
+      .join(dups, col("doc_id") === col("new_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("old_id")).as("n_dups"),
+        coalesce(min(col("old_id")), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p6Sql: String =
+    """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS gram
+      |      FROM norm, unnest(generate_series(1, greatest(length(t)-7, 1))) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |cp AS (
+      |  SELECT gn.doc_id AS new_id, go.doc_id AS old_id, count(*) AS inter,
+      |         any_value(sn.n) + any_value(so.n) - count(*) AS uni
+      |  FROM g gn JOIN g go ON gn.gram = go.gram
+      |  JOIN sz sn ON sn.doc_id = gn.doc_id
+      |  JOIN sz so ON so.doc_id = go.doc_id
+      |  WHERE gn.doc_id % 5 = 4 AND go.doc_id % 5 <> 4
+      |  GROUP BY 1, 2),
+      |dups AS (SELECT new_id, old_id FROM cp WHERE 5 * inter >= 3 * uni)
+      |SELECT n.doc_id, COUNT(d.old_id) AS n_dups,
+      |       COALESCE(MIN(d.old_id), -1) AS dup_of
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) n
+      |LEFT JOIN dups d ON d.new_id = n.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_minhash_lsh"   -> (p1MinHashLsh _),
     "p2_simhash"       -> (p2SimHash _),
     "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),
     "p4_embedding_dup" -> (p4EmbeddingNearDup _),
-    "p5_dup_clusters"  -> (p5DupClusters _))
+    "p5_dup_clusters"  -> (p5DupClusters _),
+    "p6_incremental_dedup" -> (p6IncrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "p1_minhash_lsh"   -> p1Sql,
     "p2_simhash"       -> p2Sql,
     "p3_ngram_jaccard" -> p3Sql,
     "p4_embedding_dup" -> p4Sql,
-    "p5_dup_clusters"  -> p5Sql)
+    "p5_dup_clusters"  -> p5Sql,
+    "p6_incremental_dedup" -> p6Sql)
 }

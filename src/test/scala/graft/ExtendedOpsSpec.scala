@@ -166,6 +166,26 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("p6 incremental dedup equals the naive new-vs-old brute force") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.trim))
+    def grams(t: String): Set[String] = if (t.isEmpty) Set("") else t.sliding(8).toSet
+    val (newD, oldD) = docs.partition(_._1 % 5 == 4)
+    val expected = newD.map { case (nid, nt) =>
+      val ng = grams(nt)
+      val hits = oldD.filter { case (_, ot) =>
+        val og = grams(ot)
+        val inter = (ng & og).size
+        5L * inter >= 3L * (ng.size + og.size - inter)
+      }.map(_._1)
+      (nid, (hits.length.toLong, if (hits.isEmpty) -1L else hits.min))
+    }.toMap
+    val got = Dedup.p6IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("r17 pivot covers every priority and has no null cells") {
     val df = Relational.r17(spark, sf)
     assert(df.columns.toSet == Set("o_orderstatus", "rev_urgent", "rev_high",

@@ -423,6 +423,49 @@ object Similarity {
       |  GROUP BY i)
       |ORDER BY dim""".stripMargin
 
+  // ------------------------------------------------------------- X8
+  /** Int8 embedding quantization — the 4× storage/scan-IO cut that
+    * makes 100 TB ANN affordable: per vector, symmetric max-abs scale
+    * and q_i = round(x_i·127/scale) in [−127, 127]. Pure per-row
+    * codegen'd array expressions (transform/zip_with/aggregate HOFs) —
+    * no shuffle, no UDF. The output row carries the scale, an md5
+    * fingerprint of the quantized values (the oracle recomputes it
+    * bit-for-bit — both engines run the identical double expression
+    * `round(x/scale·127)`), and the reconstruction-error verdict
+    * max|x − q·scale/127| ≤ scale/254 (the mathematical bound of
+    * symmetric rounding, with 1e-7 relative slack for the float
+    * arithmetic), which `bound_ok` exposes to the invariant gate. */
+  def x8Quantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("qhash",
+        md5(concat_ws(",", expr("transform(q, qi -> cast(qi AS string))"))))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * scale / 127)), 0D, (a, e) -> greatest(a, e))"))
+      .withColumn("bound_ok",
+        col("scale") === 0 || col("max_err") <= col("scale") / 254 * 1.0000001)
+      .select(col("vec_id"), col("scale"), col("qhash"), col("bound_ok"))
+      .orderBy(col("vec_id"))
+
+  val x8Sql: String =
+    """WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      |sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY 1),
+      |q AS (SELECT e.vec_id, i, x, scale,
+      |             CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+      |                  ELSE CAST(ROUND(x / scale * 127) AS BIGINT) END AS qi
+      |      FROM ex e JOIN sc USING (vec_id))
+      |SELECT vec_id, ANY_VALUE(scale) AS scale,
+      |       md5(string_agg(CAST(qi AS VARCHAR), ',' ORDER BY i)) AS qhash,
+      |       (ANY_VALUE(scale) = 0 OR
+      |        MAX(ABS(x - qi * scale / 127)) <= ANY_VALUE(scale) / 254 * 1.0000001) AS bound_ok
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> (s1BruteForce _),
@@ -431,7 +474,8 @@ object Similarity {
     "s4_ann_topk_agg"   -> (s4TopKAgg _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
-    "x6_dim_stats"      -> (x6DimStats _))
+    "x6_dim_stats"      -> (x6DimStats _),
+    "x8_quantize"       -> (x8Quantize _))
 
   /** S2/S3 are recall<1 candidate generators — no SQL oracle; they are
     * driver-gated through their `recall_ok` column ([[withRecallGate]])
@@ -442,5 +486,6 @@ object Similarity {
     "s4_ann_topk_agg"   -> s1Sql,
     "x2_topk_cosine"    -> s1Sql,
     "x4_centroids"      -> x4Sql,
-    "x6_dim_stats"      -> x6Sql)
+    "x6_dim_stats"      -> x6Sql,
+    "x8_quantize"       -> x8Sql)
 }

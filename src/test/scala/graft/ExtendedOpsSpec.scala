@@ -186,6 +186,33 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("x8 quantization matches a driver-local requantize; int8 range; bound holds") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = vecs.map { case (id, v) =>
+      val d = v.map(_.toDouble)
+      val scale = d.map(math.abs).max
+      // HALF_UP away from zero — the tie behavior Spark's round() and
+      // DuckDB's ROUND() share (Math.round would differ on negative ties)
+      val q = d.map(x => if (scale == 0) 0L
+        else BigDecimal(x / scale * 127).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(q.forall(qi => math.abs(qi) <= 127), s"vec $id out of int8 range")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hash = md.digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, (scale, hash))
+    }.toMap
+    val got = graft.operators.Similarity.x8Quantize(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getString(2), r.getBoolean(3))))
+    got.foreach { case (id, (scale, hash, ok)) =>
+      assert(expected(id)._1 == scale, s"vec $id scale")
+      assert(expected(id)._2 == hash, s"vec $id quantized values differ")
+      assert(ok, s"vec $id reconstruction bound violated")
+    }
+    assert(got.length == expected.size)
+  }
+
   test("r17 pivot covers every priority and has no null cells") {
     val df = Relational.r17(spark, sf)
     assert(df.columns.toSet == Set("o_orderstatus", "rev_urgent", "rev_high",

@@ -27,7 +27,7 @@ import graft.matrix._
   * dedup sweeps to upgrade per-iteration lineage cuts to reliable
   * (executor-loss-safe) checkpoints — see [[Lineage]].
   *
-  * Query surface: [[SparkEntry.queries]] (75 named, oracle-checked
+  * Query surface: [[SparkEntry.queries]] (76 named, oracle-checked
   * queries) or the operator objects directly
   * ([[operators.Relational]], [[operators.Dedup]],
   * [[operators.Similarity]], [[operators.TextAnalysis]],
@@ -44,6 +44,11 @@ object Graft {
 
   def lu(sc: SparkContext, a: Blocks, n: Int, blk: Int): BlockLUResult =
     BlockLU.factor(sc, a, n, blk)
+
+  /** Pivot-free SPD factorization A = L·Lᵀ (half the flops of LU);
+    * input and output are lower-triangle blocks (i ≥ j). */
+  def cholesky(sc: SparkContext, a: Blocks, n: Int, blk: Int): Blocks =
+    BlockCholesky.factor(sc, a, n, blk)
 
   def inverse(sc: SparkContext, a: Blocks, n: Int, blk: Int): Blocks =
     Inversion.inverse(sc, a, n, blk)

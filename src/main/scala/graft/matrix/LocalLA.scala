@@ -50,6 +50,40 @@ object LocalLA {
     indx
   }
 
+  /** Lower Cholesky factor L (L·Lᵀ = A) of a symmetric positive-definite
+    * matrix — the base case of [[BlockCholesky.factor]]. Reads only the
+    * lower triangle of `a`; a non-positive pivot (numerically non-SPD
+    * input) is clamped to √Tiny so the factorization always completes —
+    * like ludcmp's Tiny clamp, correctness is judged by the residual
+    * invariant, which such a clamp would visibly break. */
+  def cholesky(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val l = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      var s = a(j)(j)
+      var k = 0
+      while (k < j) { s -= l(j)(k) * l(j)(k); k += 1 }
+      val d = math.sqrt(if (s <= 0.0) Tiny else s)
+      l(j)(j) = d
+      var i = j + 1
+      while (i < n) {
+        var t = a(i)(j)
+        k = 0
+        while (k < j) { t -= l(i)(k) * l(j)(k); k += 1 }
+        l(i)(j) = t / d
+        i += 1
+      }
+      j += 1
+    }
+    l
+  }
+
+  def transpose(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length; val m = if (n == 0) 0 else a(0).length
+    Array.tabulate(m, n)((i, j) => a(j)(i))
+  }
+
   /** Split a packed LU (from ludcmp) into explicit L (unit diag) and U. */
   def splitLU(packed: Array[Array[Double]]): (Array[Array[Double]], Array[Array[Double]]) = {
     val n = packed.length

@@ -3,8 +3,9 @@ package graft.matrix
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import BlockModel._
 
-/** The matrix capability surface as driver-checkable queries (M1–M6,
-  * SURVEY.md §2.3). Floating-point residual checks (m2–m5, m7–m9) are
+/** The matrix capability surface as driver-checkable queries (M1–M6 +
+  * M10, SURVEY.md §2.3). Floating-point residual checks (m2–m5, m7–m10)
+  * are
   * not SQL-expressible, so they carry their correctness as boolean
   * `pass` columns that [[graft.Verify.gateInvariants]] enforces
   * driver-side; the tight assertions also live in MatrixSpec. m1 and
@@ -346,6 +347,50 @@ object MatrixQueries {
       .toDF("n", "blk", "iters", "spectral_norm", "pass")
   }
 
+  /** M10: distributed block Cholesky on an SPD matrix — the pivot-free
+    * half-flops factorization LU cannot replace ([[BlockCholesky]]).
+    * Gated on the residual ‖L·Lᵀ − A‖∞ AND element-wise agreement with
+    * a driver-local Cholesky of the same matrix (the factor is unique
+    * for SPD input, so agreement is a real invariant). */
+  def m10Cholesky(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 512; val blk = 128
+    val a = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
+    val l = BlockCholesky.factor(sc, a, n, blk).cache()
+
+    val lt = l.map { case ((i, j), m) =>
+      ((j, i), LocalLA.toDM(LocalLA.transpose(LocalLA.fromDM(toDense(m)))))
+    }
+    val prod = multiply(l, lt, blk, n.toLong, n.toLong, n.toLong)
+    val aFull = a.flatMap { case ((i, j), m) =>
+      if (i == j) Iterator(((i, j), m))
+      else Iterator(((i, j), m),
+        ((j, i), LocalLA.toDM(LocalLA.transpose(LocalLA.fromDM(toDense(m))))))
+    }
+    val resid = maxAbsDiff(prod, aFull)
+
+    val llocB = sc.broadcast(
+      LocalLA.cholesky(BlockCholesky.spdLocal(n, blk, Seed, n.toDouble)))
+    val vsLocal = l.map { case ((bi, bj), m) =>
+      val d = LocalLA.fromDM(toDense(m))
+      var mx = 0.0; var i = 0
+      while (i < d.length) {
+        var j = 0
+        while (j < d(i).length) {
+          val diff = math.abs(d(i)(j) - llocB.value(bi * blk + i)(bj * blk + j))
+          if (diff > mx) mx = diff
+          j += 1
+        }
+        i += 1
+      }
+      mx
+    }.max()
+    val pass = resid < 1e-8 * n && vsLocal < 1e-8 * n
+    Seq((n, blk, resid, vsLocal, pass))
+      .toDF("n", "blk", "residual", "vs_local", "pass")
+  }
+
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
     * output is deterministic to the last bit: m1 (integer-exact
     * checksum of the seeded generator — the constant is the local
@@ -375,5 +420,6 @@ object MatrixQueries {
     "m6_codec"      -> (m6Codec _),
     "m7_determinant" -> (m7Determinant _),
     "m8_norms"      -> (m8Norms _),
-    "m9_spectral_norm" -> (m9SpectralNorm _))
+    "m9_spectral_norm" -> (m9SpectralNorm _),
+    "m10_cholesky"  -> (m10Cholesky _))
 }

@@ -165,6 +165,33 @@ class MatrixSpec extends AnyFunSuite {
     }
   }
 
+  test("local cholesky: L·Lᵀ == A on SPD input; lower-triangular, positive diag") {
+    val n = 64
+    val a = BlockCholesky.spdLocal(n, 16, seed, boost = n.toDouble)
+    val l = LocalLA.cholesky(a)
+    assert(LocalLA.maxAbsDiff(LocalLA.gemm(l, LocalLA.transpose(l)), a) < 1e-9 * n)
+    for (i <- 0 until n) {
+      assert(l(i)(i) > 0, s"non-positive diag at $i")
+      for (j <- i + 1 until n) assert(l(i)(j) == 0.0, s"upper entry at ($i,$j)")
+    }
+  }
+
+  test("distributed block Cholesky equals local; L·Lᵀ == A (n=256, blk=64)") {
+    val n = 256; val blk = 64
+    val a = BlockCholesky.spdBlocks(sc, n, blk, seed, boost = n.toDouble)
+    val lBlocks = BlockCholesky.factor(sc, a, n, blk).collect()
+    assert(lBlocks.map(_._1).toSet == (for (i <- 0 until 4; j <- 0 to i) yield (i, j)).toSet)
+    val l = Array.ofDim[Double](n, n)
+    lBlocks.foreach { case ((bi, bj), m) =>
+      val d = LocalLA.fromDM(toDense(m))
+      for (i <- 0 until blk; j <- 0 until blk) l(bi * blk + i)(bj * blk + j) = d(i)(j)
+    }
+    val aLoc = BlockCholesky.spdLocal(n, blk, seed, boost = n.toDouble)
+    assert(LocalLA.maxAbsDiff(LocalLA.gemm(l, LocalLA.transpose(l)), aLoc) < 1e-8 * n)
+    val lLoc = LocalLA.cholesky(aLoc)
+    assert(LocalLA.maxAbsDiff(l, lLoc) < 1e-8 * n, "distributed factor differs from local")
+  }
+
   test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
     for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
       assume(new java.io.File(p).exists())

@@ -102,10 +102,13 @@ object Similarity {
     * corpus (the S1 broadcast scan), not a new shuffle shape. */
   private def withRecallGate(s: SparkSession, d: String,
                              approx: DataFrame, floor: Double): DataFrame = {
-    val exact = s1BruteForce(s, d).select(col("query_id"), col("neighbor_id"))
+    // cached: the exact answer feeds two actions (the denominator count
+    // and the intersect) — uncached it would run the S1 scan twice
+    val exact = s1BruteForce(s, d).select(col("query_id"), col("neighbor_id")).cache()
     val total = exact.count()
     val hits = approx.select(col("query_id"), col("neighbor_id"))
       .intersect(exact).count()
+    exact.unpersist(blocking = false)
     val recall = hits.toDouble / total
     approx
       .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))

@@ -43,7 +43,13 @@ object BenchMatrix {
     val local = MatrixGen.local(1000, 256, 42L)
     val b2 = time { LocalLA.ludcmp(local.map(_.clone())) }
 
-    println(s"""{"metric":"matrix_total","value":${b1 + b2 + b3},"unit":"sec","queries":{"b1_inverse_2048":$b1,"b2_local_lu_1000":$b2,"b3_dist_lu_2048":$b3},"n":$n,"blk":$blk,"residual":$resid}""")
+    // B11: distributed block Cholesky at the same scale — the SPD
+    // fast path's measured advantage over LU (same n, same blk)
+    val spd = BlockCholesky.spdBlocks(sc, n, blk, seed = 42L, boost = n.toDouble).cache()
+    spd.count()
+    val b11 = time { BlockCholesky.factor(sc, spd, n, blk).count() }
+
+    println(s"""{"metric":"matrix_total","value":${b1 + b2 + b3 + b11},"unit":"sec","queries":{"b1_inverse_2048":$b1,"b2_local_lu_1000":$b2,"b3_dist_lu_2048":$b3,"b11_cholesky_2048":$b11},"n":$n,"blk":$blk,"residual":$resid}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ import graft.matrix._
   * dedup sweeps to upgrade per-iteration lineage cuts to reliable
   * (executor-loss-safe) checkpoints — see [[Lineage]].
   *
-  * Query surface: [[SparkEntry.queries]] (76 named, oracle-checked
+  * Query surface: [[SparkEntry.queries]] (77 named, oracle-checked
   * queries) or the operator objects directly
   * ([[operators.Relational]], [[operators.Dedup]],
   * [[operators.Similarity]], [[operators.TextAnalysis]],

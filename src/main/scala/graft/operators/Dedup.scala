@@ -316,16 +316,18 @@ object Dedup {
     * per bit in one narrow per-partition pass per doc (no shingle
     * explode), then keep-first per fingerprint. ONE shuffle total
     * (the fingerprint window), on a uniform 32-bit key. */
-  def p2SimHash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** (doc_id, simhash) fingerprints for a (doc_id, normalized-text)
+    * Dataset — one narrow pass per doc: md5 each DISTINCT shingle
+    * (distinct to match the SQL `SELECT DISTINCT doc_id, gram`
+    * semantics), take the first 4 digest bytes as the same unsigned
+    * 32-bit value the oracle derives from the hex prefix, majority-vote
+    * the bits. Stateless, so it runs unchanged on a STREAMING Dataset —
+    * [[graft.streaming.Streaming.st7StreamSimhashDedup]] reuses it. */
+  private[graft] def simhashFingerprints(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
     val kShingle = Shingle
-    // One narrow pass per doc: md5 each DISTINCT shingle (distinct to
-    // match the SQL `SELECT DISTINCT doc_id, gram` semantics), take the
-    // first 4 digest bytes as the same unsigned 32-bit value the oracle
-    // derives from the hex prefix, majority-vote the bits.
-    val fp = documents(s, d)
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-      .as[(Long, String)]
+    import docs.sparkSession.implicits._
+    docs
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, t) =>
@@ -345,6 +347,14 @@ object Dedup {
         }
       }
       .toDF("doc_id", "simhash")
+  }
+
+  def p2SimHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = simhashFingerprints(
+      documents(s, d)
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .as[(Long, String)])
 
     val w = Window.partitionBy(col("simhash")).orderBy(col("doc_id"))
     fp.withColumn("rn", row_number().over(w))
@@ -353,7 +363,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  val p2Sql: String =
+  /** SQL twin of [[simhashFingerprints]]: CTE ending in
+    * `sh(doc_id, simhash)`. Shared by p2's and st7's oracles. */
+  private[graft] val simhashCte: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
       |g AS (SELECT DISTINCT doc_id, substr(t, i, 8) AS gram
       |      FROM norm, unnest(generate_series(1, greatest(length(t)-7, 1))) AS u(i)),
@@ -363,7 +375,10 @@ object Dedup {
       |    CASE WHEN SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) > 0
       |         THEN CAST(1 AS BIGINT) << k ELSE 0 END AS bitv
       |  FROM g2, unnest(generate_series(0, 31)) AS u(k) GROUP BY 1, 2),
-      |sh AS (SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash FROM bits GROUP BY 1)
+      |sh AS (SELECT doc_id, CAST(SUM(bitv) AS BIGINT) AS simhash FROM bits GROUP BY 1)""".stripMargin
+
+  val p2Sql: String =
+    s"""$simhashCte
       |SELECT doc_id, simhash FROM (
       |  SELECT doc_id, simhash,
       |         ROW_NUMBER() OVER (PARTITION BY simhash ORDER BY doc_id) AS rn

@@ -345,8 +345,51 @@ object Streaming {
     """SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ ST7
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docStream(s: SparkSession, d: String): DataFrame =
+    s.readStream.schema(docSchema).parquet(s"$d/documents.parque[t]")
+
+  /** ST7: continuous content-fingerprint dedup — the streaming member
+    * of the dedup family (batch = P2, incremental batch-vs-index = P6):
+    * each arriving document's 32-bit SimHash is computed in-stream
+    * (the SAME narrow fingerprint pass as P2, stateless so it lifts to
+    * streaming unchanged) and only first-seen fingerprints pass — the
+    * "have I ingested this content before" filter in front of a
+    * training-data pipeline.
+    *
+    * Event time is doc_id-derived (the corpus carries no ingest
+    * timestamp; 1 doc/sec from a fixed epoch), watermarked 1 hour, so
+    * dedup state is watermark-bounded exactly like st4 — at 100 TB the
+    * state is the fingerprint set inside the watermark horizon (RocksDB
+    * state store for larger-than-heap, verified in StreamingSpec).
+    * Output is the fingerprint SET, insensitive to micro-batch arrival
+    * order, so the batch DISTINCT oracle is exact. */
+  def st7StreamSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = docStream(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .as[(Long, String)]
+    val dedup = graft.operators.Dedup.simhashFingerprints(docs)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("simhash")
+      .select(col("simhash"))
+    runToMemory(s, dedup, "graft_st7", OutputMode.Append())
+      .orderBy(col("simhash"))
+  }
+
+  val st7Sql: String =
+    s"""${graft.operators.Dedup.simhashCte}
+      |SELECT DISTINCT simhash FROM sh ORDER BY simhash""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_stream_simhash" -> (st7StreamSimhashDedup _),
     "st1_stream_window"  -> (st1StreamWindow _),
     "st2_sessionize"     -> (st2Sessionize _),
     "st3_sliding_window" -> (st3SlidingWindow _),
@@ -355,6 +398,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st7_stream_simhash" -> st7Sql,
     "st1_stream_window"  -> st1Sql,
     "st2_sessionize"     -> st2Sql,
     "st3_sliding_window" -> st3Sql,

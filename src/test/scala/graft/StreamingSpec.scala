@@ -223,6 +223,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st7 streaming simhash dedup equals batch distinct fingerprints") {
+    import org.apache.spark.sql.functions._
+    val batch = {
+      import spark.implicits._
+      graft.operators.Dedup.simhashFingerprints(
+        graft.sources.Tables.documents(spark, sf)
+          .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+          .as[(Long, String)])
+        .select(col("simhash")).distinct()
+        .collect().map(_.getLong(0)).sorted
+    }
+    val streamed = graft.streaming.Streaming.st7StreamSimhashDedup(spark, sf)
+      .collect().map(_.getLong(0))
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.length} fingerprints != batch ${batch.length}")
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

@@ -65,6 +65,16 @@ object Graft {
   def solveFactored(sc: SparkContext, lu: BlockLUResult, b: Blocks, m: Int): Blocks =
     Inversion.solveFactored(sc, lu, b, m)
 
+  /** solve(A, B) for SPD A via Cholesky — half the factor flops of
+    * [[solve]] and no pivoting. */
+  def solveSPD(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
+    Inversion.solveSPD(sc, a, b, n, m, blk)
+
+  /** SPD solve against an existing Cholesky factor (factor-once /
+    * solve-many). */
+  def solveCholFactored(sc: SparkContext, l: Blocks, b: Blocks, n: Int, blk: Int): Blocks =
+    Inversion.solveCholFactored(sc, l, b, n, blk)
+
   def readReferenceBlocks(sc: SparkContext, pathGlob: String): RDD[MatrixBlockIO.RefBlock] =
     MatrixBlockIO.readBlocks(sc, pathGlob)
 

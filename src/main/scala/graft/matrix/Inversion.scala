@@ -122,6 +122,47 @@ object Inversion {
   def solve(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
     solveFactored(sc, BlockLU.factor(sc, a, n, blk), b, m)
 
+  /** One triangular wavefront: solve block row k against the broadcast
+    * diagonal factor, push the update into the remaining rows through
+    * the `panels` column k, repeat in `order`. Consumes (and
+    * unpersists) `cur0`. Shared by the LU and Cholesky solves. */
+  private def sweepSolve(sc: SparkContext, cur0: Blocks,
+      diag: scala.collection.Map[(Int, Int), MlDM],
+      panels: Blocks,
+      order: Seq[Int],
+      remains: (Int, Int) => Boolean,
+      base: (Array[Array[Double]], Array[Array[Double]]) => Array[Array[Double]])
+      : Seq[((Int, Int), MlDM)] = {
+    var cur = cur0
+    val solved = scala.collection.mutable.ArrayBuffer.empty[((Int, Int), MlDM)]
+    for (k <- order) {
+      val dkk = fromDM(diag((k, k)))
+      val rowK = cur.filter { case ((i, _), _) => i == k }
+        .mapValues(mb => toDM(base(dkk, fromDM(mb))))
+        .collect()
+      solved ++= rowK
+      if (order.last != k) {
+        val rowB = sc.broadcast(rowK.map { case ((_, j), mm) => (j, mm) }.toMap)
+        val pan = panels
+          .filter { case ((i, j2), _) => j2 == k && remains(i, k) }
+          .map { case ((i, _), mm) => (i, mm) }
+        val next: Blocks = cur
+          .filter { case ((i, _), _) => remains(i, k) }
+          .map { case ((i, j), mm) => (i, (j, mm)) }
+          .join(pan)
+          .map { case (i, ((j, mm), pik)) =>
+            ((i, j), dmSub(mm, pik.multiply(rowB.value(j)))) }
+          .persist()
+        graft.Lineage.truncate(next)
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+    }
+    cur.unpersist(blocking = false)
+    solved.toSeq
+  }
+
   def solveFactored(sc: SparkContext, lu: BlockLUResult, b: Blocks, m: Int): Blocks = {
     import LocalLA.{backSolveUpper, forwardSolveUnitLower}
     val blk = lu.blk; val q = lu.n / blk
@@ -131,51 +172,41 @@ object Inversion {
 
     // P·B: the permutation is block-diagonal, so it folds in as
     // within-block row remaps — a narrow map.
-    var cur: Blocks = b.map { case ((i, j), mb) =>
+    val pb: Blocks = b.map { case ((i, j), mb) =>
       ((i, j), toDM(LocalLA.permuteRows(fromDM(mb), permsB.value(i))))
     }.persist()
 
-    def sweep(diag: scala.collection.Map[(Int, Int), MlDM],
-              panels: Blocks,
-              order: Seq[Int],
-              remains: (Int, Int) => Boolean,
-              base: (Array[Array[Double]], Array[Array[Double]]) => Array[Array[Double]])
-        : Seq[((Int, Int), MlDM)] = {
-      val solved = scala.collection.mutable.ArrayBuffer.empty[((Int, Int), MlDM)]
-      for (k <- order) {
-        val dkk = fromDM(diag((k, k)))
-        val rowK = cur.filter { case ((i, _), _) => i == k }
-          .mapValues(mb => toDM(base(dkk, fromDM(mb))))
-          .collect()
-        solved ++= rowK
-        if (order.last != k) {
-          val rowB = sc.broadcast(rowK.map { case ((_, j), mm) => (j, mm) }.toMap)
-          val pan = panels
-            .filter { case ((i, j2), _) => j2 == k && remains(i, k) }
-            .map { case ((i, _), mm) => (i, mm) }
-          val next: Blocks = cur
-            .filter { case ((i, _), _) => remains(i, k) }
-            .map { case ((i, j), mm) => (i, (j, mm)) }
-            .join(pan)
-            .map { case (i, ((j, mm), pik)) =>
-              ((i, j), dmSub(mm, pik.multiply(rowB.value(j)))) }
-            .persist()
-          graft.Lineage.truncate(next)
-          next.count()
-          cur.unpersist(blocking = false)
-          cur = next
-        }
-      }
-      solved.toSeq
-    }
-
     // forward: L·Y = P·B (unit-lower diag solves, update rows below)
-    val y = sweep(lDiag, lu.l, 0 until q, (i, k) => i > k, forwardSolveUnitLower)
-    cur.unpersist(blocking = false)
-    cur = sc.parallelize(y, math.min(y.size.max(1), 32)).persist()
+    val y = sweepSolve(sc, pb, lDiag, lu.l, 0 until q, (i, k) => i > k, forwardSolveUnitLower)
+    val yR: Blocks = sc.parallelize(y, math.min(y.size.max(1), 32)).persist()
     // backward: U·X = Y (upper diag solves, update rows above)
-    val x = sweep(uDiag, lu.u, (q - 1) to 0 by -1, (i, k) => i < k, backSolveUpper)
-    cur.unpersist(blocking = false)
+    val x = sweepSolve(sc, yR, uDiag, lu.u, (q - 1) to 0 by -1, (i, k) => i < k, backSolveUpper)
+    sc.parallelize(x, math.min(x.size.max(1), 32))
+  }
+
+  /** solve(A, B) for SPD A through the Cholesky factorization — the
+    * same two-sweep wavefront as [[solveFactored]] but with ONE factor:
+    * L·Y = B forward, then Lᵀ·X = Y backward (the Lᵀ panels and
+    * diagonals are per-block transposes of L — a narrow map, nothing
+    * re-factored). No permutation fold-in: Cholesky never pivots. */
+  def solveSPD(sc: SparkContext, a: Blocks, b: Blocks, n: Int, m: Int, blk: Int): Blocks =
+    solveCholFactored(sc, BlockCholesky.factor(sc, a, n, blk), b, n, blk)
+
+  def solveCholFactored(sc: SparkContext, l: Blocks, b: Blocks, n: Int, blk: Int): Blocks = {
+    import LocalLA.{backSolveUpper, forwardSolveLower, transpose}
+    val q = n / blk
+    val lc = l.persist()
+    val lDiag = lc.filter { case ((i, j), _) => i == j }.collectAsMap()
+    val ltDiag = lDiag.map { case (k, mm) => (k, toDM(transpose(fromDM(mm)))) }
+    val lt: Blocks = lc.map { case ((i, j), mm) => ((j, i), toDM(transpose(fromDM(mm)))) }
+
+    val cur0: Blocks = b.persist()
+    // forward: L·Y = B (non-unit lower diag solves, update rows below)
+    val y = sweepSolve(sc, cur0, lDiag, lc, 0 until q, (i, k) => i > k, forwardSolveLower)
+    val yR: Blocks = sc.parallelize(y, math.min(y.size.max(1), 32)).persist()
+    // backward: Lᵀ·X = Y (upper diag solves, update rows above)
+    val x = sweepSolve(sc, yR, ltDiag, lt, (q - 1) to 0 by -1, (i, k) => i < k, backSolveUpper)
+    lc.unpersist(blocking = false)
     sc.parallelize(x, math.min(x.size.max(1), 32))
   }
 }

@@ -125,6 +125,33 @@ object LocalLA {
     x
   }
 
+  /** X = L⁻¹·B for lower-triangular L with a NON-unit diagonal (the
+    * Cholesky-factor forward sweep; `forwardSolveUnitLower` is the LU
+    * variant where diag(L) ≡ 1). */
+  def forwardSolveLower(l: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = l.length; val m = b(0).length
+    val x = b.map(_.clone())
+    var i = 0
+    while (i < n) {
+      val xi = x(i); val li = l(i)
+      var k = 0
+      while (k < i) {
+        val lik = li(k)
+        if (lik != 0.0) {
+          val xk = x(k)
+          var j = 0
+          while (j < m) { xi(j) -= lik * xk(j); j += 1 }
+        }
+        k += 1
+      }
+      val d = if (li(i) == 0.0) Tiny else li(i)
+      var j = 0
+      while (j < m) { xi(j) /= d; j += 1 }
+      i += 1
+    }
+    x
+  }
+
   /** X = U⁻¹·B for upper-triangular U (n×n), B n×m — back substitution
     * (the block-row base step of the distributed TRSM back sweep). */
   def backSolveUpper(u: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {

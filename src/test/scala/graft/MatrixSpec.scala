@@ -192,6 +192,25 @@ class MatrixSpec extends AnyFunSuite {
     assert(LocalLA.maxAbsDiff(l, lLoc) < 1e-8 * n, "distributed factor differs from local")
   }
 
+  test("solveSPD: Cholesky substitution solve, residual bound, equals LU solve") {
+    val n = 256; val blk = 64
+    val a = BlockCholesky.spdBlocks(sc, n, blk, seed, boost = n.toDouble)
+    // mirror the lower-triangle blocks to a full symmetric A for the
+    // LU path and the residual check
+    val aFull = a.flatMap { case ((i, j), m) =>
+      if (i == j) Iterator(((i, j), m))
+      else Iterator(((i, j), m),
+        ((j, i), LocalLA.toDM(LocalLA.transpose(LocalLA.fromDM(toDense(m))))))
+    }
+    val b = MatrixGen.blocks(sc, n, blk, seed + 9).filter { case ((_, j), _) => j == 0 }
+    val x = Inversion.solveSPD(sc, a, b, n, blk, blk)
+    val ax = multiply(aFull, x, blk, n.toLong, n.toLong, blk.toLong)
+    val resid = maxAbsDiff(ax, b)
+    assert(resid < 1e-8 * n, s"Cholesky-solve residual $resid")
+    val xLU = Inversion.solve(sc, aFull, b, n, blk, blk)
+    assert(maxAbsDiff(x, xLU) < 1e-8 * n, "SPD solve disagrees with LU solve")
+  }
+
   test("M6: golden fixture byte round trip (out/A.0, out/A.1)") {
     for (p <- Seq("/root/reference/out/A.0", "/root/reference/out/A.1")) {
       assume(new java.io.File(p).exists())

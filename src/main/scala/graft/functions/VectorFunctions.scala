@@ -13,3 +13,11 @@ object VectorFunctions {
   def vecNorm2(a: Column): Column =
     org.apache.spark.sql.graft.VectorFunctions.vecNorm2(a)
 }
+
+/** Public face of the native sketch expressions (same extension-library
+  * pattern as [[VectorFunctions]]). */
+object SketchFunctions {
+  def bloomMightContainLong(bf: org.apache.spark.util.sketch.BloomFilter,
+                            key: Column): Column =
+    org.apache.spark.sql.graft.SketchFunctions.bloomMightContainLong(bf, key)
+}

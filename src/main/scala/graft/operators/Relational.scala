@@ -807,10 +807,12 @@ object Relational {
     * (`org.apache.spark.util.sketch.BloomFilter`, seeded Murmur3): the
     * BUILDING-segment customer keys are folded into a ~1%-FPP bloom
     * (mergeable per-partition, built with one aggregate pass), the
-    * filter is shipped to the orders scan as a broadcast variable, and
-    * only rows that might match reach the exact semi-join that removes
-    * the false positives. No false negatives ⇒ result is exactly the
-    * plain semi-join (the oracle).
+    * filter rides the plan to the orders scan as a native codegen'd
+    * probe expression ([[graft.functions.SketchFunctions
+    * .bloomMightContainLong]] — no UDF, no boxing), and only rows that
+    * might match reach the exact semi-join that removes the false
+    * positives. No false negatives ⇒ result is exactly the plain
+    * semi-join (the oracle).
     *
     * 100 TB story: 10⁸ build keys at 1% FPP is a ~114 MB bit array —
     * shippable where the key SET is not — and the fact-side scan drops
@@ -822,10 +824,10 @@ object Relational {
     val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey")).cache()
     val bloom = cust.stat.bloomFilter("c_custkey", 100000L, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightMatch = udf((k: Long) => bloomB.value.mightContainLong(k))
     orders(s, d)
-      .filter(mightMatch(col("o_custkey")))          // bloom prune (no FN)
+      // bloom prune (no FN): native codegen'd probe expression, not a
+      // UDF — one inlined call per row inside the scan's codegen stage
+      .filter(graft.functions.SketchFunctions.bloomMightContainLong(bloom, col("o_custkey")))
       .join(cust, col("o_custkey") === col("c_custkey"), "left_semi") // exact residual
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),

@@ -39,4 +39,12 @@ class CodegenSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("codegenfallback"),
       s"VecDot/VecNorm2 fell out of codegen:\n$p")
   }
+
+  test("bloom probe is the native expression, not a UDF, and stays codegen'd") {
+    val p = plan(Relational.r30(spark, sf))
+    assert(p.contains("bloom_might_contain"), s"native probe missing:\n$p")
+    assert(!p.contains("UDF"), s"bloom probe fell back to a UDF:\n$p")
+    assert(!p.toLowerCase.contains("codegenfallback"),
+      s"bloom probe fell out of codegen:\n$p")
+  }
 }

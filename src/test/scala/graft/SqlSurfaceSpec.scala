@@ -51,4 +51,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
       s"UDF/native mismatch on vec ${r.getLong(0)}"))
   }
+
+  test("GraftExtensions exposes vec_dot/vec_norm2 as raw-SQL functions") {
+    // spark.sql.extensions=graft.GraftExtensions (set by SparkTest):
+    // pure-SQL users call the same codegen'd Catalyst expressions the
+    // Column API plans — no Scala import, identical values.
+    Graft.registerTables(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT vec_id,
+        |  vec_dot(transform(embedding, x -> cast(x AS double)),
+        |          transform(embedding, x -> cast(x AS double))) AS d,
+        |  vec_norm2(transform(embedding, x -> cast(x AS double))) AS n2
+        |FROM embeddings ORDER BY vec_id""".stripMargin).collect()
+    val viaCol = {
+      import org.apache.spark.sql.functions.{col, expr}
+      graft.sources.Tables.embeddings(spark, sf)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.vecDot(col("v"), col("v")).as("d"),
+          graft.functions.VectorFunctions.vecNorm2(col("v")).as("n2"))
+        .orderBy(col("vec_id")).collect()
+    }
+    assert(viaSql.length == viaCol.length && viaSql.nonEmpty)
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getDouble(1) == b.getDouble(1) &&
+        a.getDouble(2) == b.getDouble(2), s"SQL/Column mismatch at vec ${a.getLong(0)}")
+    }
+  }
 }

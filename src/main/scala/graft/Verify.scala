@@ -47,6 +47,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Keep the sweep's executor-storage footprint flat: drop every
+      // CacheManager entry this query (or gateInvariants) created once
+      // its result is on disk. localCheckpoint-backed state (e.g. the
+      // P1/P5 pair cache) lives in RDD blocks, not the CacheManager, so
+      // intentional cross-query reuse survives this.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

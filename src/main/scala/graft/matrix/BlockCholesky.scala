@@ -35,8 +35,14 @@ object BlockCholesky {
   /** Distributed lower Cholesky factor of the SPD matrix given by its
     * LOWER-triangle blocks (keys with i ≥ j; any upper blocks in the
     * input are ignored). Returns the lower-triangular L as blocks with
-    * i ≥ j. */
-  def factor(sc: SparkContext, blocks: Blocks, n: Int, blk: Int): Blocks = {
+    * i ≥ j.
+    *
+    * Like [[BlockLU.factor]], the trailing update broadcasts the column
+    * panel only while it fits `broadcastPanelBytes`; above that the
+    * SYRK becomes two RDD joins (L_ik by block row, L_jk by block col),
+    * so the driver never collects O(q·blk²) doubles per iteration. */
+  def factor(sc: SparkContext, blocks: Blocks, n: Int, blk: Int,
+             broadcastPanelBytes: Long = 256L << 20): Blocks = {
     require(n % blk == 0, s"n=$n must be a multiple of blk=$blk")
     val q = n / blk
     val parts = math.min(q * (q + 1) / 2, 64).max(1)
@@ -70,16 +76,28 @@ object BlockCholesky {
         graft.Lineage.truncate(panel)
         panels += panel
 
-        // Trailing SYRK: A_ij -= L_ik·L_jkᵀ for i ≥ j > k. The panel is
-        // (q−k−1) blocks — broadcast it whole (same sizing argument as
-        // BlockLU's broadcast path); keys are unchanged, so the map
-        // preserves the hash partitioning and the trailing matrix is
-        // never re-shuffled.
-        val panelMap = sc.broadcast(panel.map { case ((i, _), m) => (i, m) }.collectAsMap())
+        // Trailing SYRK: A_ij -= L_ik·L_jkᵀ for i ≥ j > k. Below the
+        // broadcast threshold the (q−k−1)-block panel ships whole and
+        // keys are unchanged, so the map preserves the hash partitioning
+        // and the trailing matrix is never re-shuffled; above it, the
+        // update is two RDD joins (same fallback as BlockLU — the panel
+        // plays both the L-row and U-col roles here by symmetry).
         val trailing = rest.filter { case ((i, j), _) => i >= j && j > k }
-        val newRest: Blocks = trailing.mapPartitions(_.map { case ((i, j), m) =>
-          ((i, j), dmSub(m, panelMap.value(i).multiply(panelMap.value(j).transpose)))
-        }, preservesPartitioning = true)
+        val panelBytes = (q - k - 1).toLong * blk * blk * 8
+        val newRest: Blocks =
+          if (panelBytes <= broadcastPanelBytes) {
+            val panelMap = sc.broadcast(panel.map { case ((i, _), m) => (i, m) }.collectAsMap())
+            trailing.mapPartitions(_.map { case ((i, j), m) =>
+              ((i, j), dmSub(m, panelMap.value(i).multiply(panelMap.value(j).transpose)))
+            }, preservesPartitioning = true)
+          } else {
+            val byRow = panel.map { case ((i, _), m) => (i, m) }
+            trailing.map { case ((i, j), m) => (i, (j, m)) }
+              .join(byRow)
+              .map { case (i, ((j, m), lik)) => (j, (i, m, lik)) }
+              .join(byRow)
+              .map { case (j, ((i, m, lik), ljk)) => ((i, j), dmSub(m, lik.multiply(ljk.transpose))) }
+          }
         val materialized = newRest.partitionBy(new HashPartitioner(parts)).persist()
         graft.Lineage.truncate(materialized)
         diagBlock = materializeAndFetchDiag(materialized, (k + 1, k + 1))

@@ -113,13 +113,13 @@ object MatrixQueries {
         val bytes = java.nio.file.Files.readAllBytes(f.toPath)
         val blockByteIdentical = java.util.Arrays.equals(bytes, MatrixBlockIO.encode(MatrixBlockIO.decode(bytes)))
         val b = MatrixBlockIO.decode(bytes)
-        Some((p, b.i0, b.i1, b.j0, b.j1, bytes.length, blockByteIdentical))
+        Some((p, b.i0, b.i1, b.j0, b.j1, bytes.length.toLong, blockByteIdentical))
       }
     }
 
     val n = 256; val blk = 64
     val tmp = java.nio.file.Files.createTempDirectory("m6sink").toFile
-    val sinkOk = try {
+    val (sinkOk, sinkBytes) = try {
       MatrixBlockIO.writeBlocks(
         MatrixBlockIO.toRefBlocks(MatrixGen.blocks(s.sparkContext, n, blk, Seed), blk),
         tmp.getPath)
@@ -127,12 +127,19 @@ object MatrixQueries {
       val (wi, wj, wr, wc) = (37, 5, 101, 133)   // spans multiple files
       val win = Array.ofDim[Double](wr, wc)
       tmp.listFiles().foreach(f => MatrixBlockIO.readWindow(f.getPath, wi, wj, win))
-      (0 until wr).forall(r => (0 until wc).forall(c => win(r)(c) == loc(wi + r)(wj + c))) &&
-        tmp.listFiles().length == (n / blk) * (n / blk)
+      val ok =
+        (0 until wr).forall(r => (0 until wc).forall(c => win(r)(c) == loc(wi + r)(wj + c))) &&
+          tmp.listFiles().length == (n / blk) * (n / blk)
+      (ok, tmp.listFiles().map(_.length).sum)
     } finally {
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
-    val sinkRow = ("dist-sink+window", 0, n, 0, n, n * n * 8 + 16 * 16 + 4 * n, sinkOk)
+    // bytes is the SUMMED actual file length — the pinned oracle constant
+    // (528640 = (n/blk)²·(16-byte header + 4·blk row indices) + 8·n²)
+    // therefore gates the codec's real on-disk size, not an arithmetic
+    // claim about it. Each file stores its blk row indices itself, so the
+    // row-index term scales with the file COUNT: 4·blk·(n/blk)².
+    val sinkRow = ("dist-sink+window", 0, n, 0, n, sinkBytes, sinkOk)
 
     (rows :+ sinkRow).toDF("path", "i0", "i1", "j0", "j1", "bytes", "roundtrip_ok")
       .orderBy("path")
@@ -407,7 +414,7 @@ object MatrixQueries {
       """SELECT * FROM (VALUES
         |  ('/root/reference/out/A.0', 1024, 1536, 1024, 1536, 2099216, TRUE),
         |  ('/root/reference/out/A.1', 1024, 1536, 1536, 2048, 2099216, TRUE),
-        |  ('dist-sink+window', 0, 256, 0, 256, 525568, TRUE)
+        |  ('dist-sink+window', 0, 256, 0, 256, 528640, TRUE)
         |) AS t(path, i0, i1, j0, j1, bytes, roundtrip_ok)
         |ORDER BY path""".stripMargin)
 

@@ -184,10 +184,26 @@ object Dedup {
     * costs one scan of materialized partitions. */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val PairCacheMax = 8
 
-  /** Verified near-dup pairs (doc_a, doc_b, inter, uni, jacc), unordered. */
-  private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame =
+  /** Verified near-dup pairs (doc_a, doc_b, inter, uni, jacc), unordered.
+    *
+    * Cache hygiene: entries for STOPPED sessions are dropped on every
+    * access (a stopped session's checkpointed blocks are gone anyway),
+    * and the cache is bounded at [[PairCacheMax]] entries — eviction
+    * just recomputes on the next call, since the checkpointed frame's
+    * blocks are freed once unreferenced. The cache assumes the dataset
+    * directory is IMMUTABLE for the life of the session (true for this
+    * engine's parquet inputs); a mutated directory must be read through
+    * a fresh session or a different path. */
+  private[operators] def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    pairCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) pairCache.remove(k)
+    }
+    if (pairCache.size >= PairCacheMax && !pairCache.contains((s, d)))
+      pairCache.remove(pairCache.head._1)
     pairCache.getOrElseUpdate((s, d), graft.Lineage.truncate(computeNearDupPairs(s, d)))
+  }
 
   private def computeNearDupPairs(s: SparkSession, d: String): DataFrame =
     nearDupPairsOf(s, documents(s, d).select(col("doc_id"), col("text")))

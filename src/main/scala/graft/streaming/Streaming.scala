@@ -346,7 +346,7 @@ object Streaming {
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------ ST7
-  private val docSchema = StructType(Seq(
+  private[graft] val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
@@ -363,24 +363,37 @@ object Streaming {
     * training-data pipeline.
     *
     * Event time is doc_id-derived (the corpus carries no ingest
-    * timestamp; 1 doc/sec from a fixed epoch), watermarked 1 hour, so
-    * dedup state is watermark-bounded exactly like st4 — at 100 TB the
-    * state is the fingerprint set inside the watermark horizon (RocksDB
-    * state store for larger-than-heap, verified in StreamingSpec).
-    * Output is the fingerprint SET, insensitive to micro-batch arrival
-    * order, so the batch DISTINCT oracle is exact. */
-  def st7StreamSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    * timestamp; 1 doc/sec from a fixed epoch). The operator's contract
+    * is dedup-WITHIN-HORIZON — `dropDuplicatesWithinWatermark` keeps a
+    * fingerprint's state only until the watermark passes its event time
+    * plus the delay, so duplicates farther apart than the horizon are
+    * re-emitted by design. The batch DISTINCT oracle is therefore exact
+    * only when the horizon covers the replay's event-time span: the
+    * 30-day delay covers 2.59 M doc_ids at 1 doc/sec (≫ any gate sf,
+    * and batch-arrival-order independent — verified against a
+    * multi-file maxFilesPerTrigger=1 replay in StreamingSpec, where
+    * duplicate fingerprints land micro-batches apart). At 100 TB the
+    * horizon is the knob: state is the fingerprint set inside it
+    * (RocksDB state store for larger-than-heap, verified in
+    * StreamingSpec); an unbounded-history dedup is P6's batch-vs-index
+    * shape instead. */
+  def st7StreamSimhashDedup(s: SparkSession, d: String): DataFrame =
+    runToMemory(s, st7Fingerprints(docStream(s, d)), "graft_st7", OutputMode.Append())
+      .orderBy(col("simhash"))
+
+  /** The st7 transform from a raw documents stream to first-seen
+    * fingerprints (split out so specs can drive it with their own
+    * source options, e.g. multi-batch replay). */
+  private[graft] def st7Fingerprints(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = docStream(s, d)
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val typed = docs.select(col("doc_id"), lower(trim(col("text"))).as("t"))
       .as[(Long, String)]
-    val dedup = graft.operators.Dedup.simhashFingerprints(docs)
+    graft.operators.Dedup.simhashFingerprints(typed)
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "30 days")
       .dropDuplicatesWithinWatermark("simhash")
       .select(col("simhash"))
-    runToMemory(s, dedup, "graft_st7", OutputMode.Append())
-      .orderBy(col("simhash"))
   }
 
   val st7Sql: String =

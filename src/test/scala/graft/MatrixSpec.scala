@@ -72,6 +72,14 @@ class MatrixSpec extends AnyFunSuite {
     assert(maxAbsDiff(broad.u, joined.u) == 0.0)
   }
 
+  test("distributed Cholesky agrees with shuffle (join) trailing-update path") {
+    val n = 128; val blk = 32
+    val a = BlockCholesky.spdBlocks(sc, n, blk, seed, boost = n.toDouble)
+    val broad = BlockCholesky.factor(sc, a, n, blk)
+    val joined = BlockCholesky.factor(sc, a, n, blk, broadcastPanelBytes = 0L)
+    assert(maxAbsDiff(broad, joined) == 0.0)
+  }
+
   test("distributed triangular inversion") {
     val n = 128; val blk = 32; val q = n / blk
     val a = MatrixGen.blocks(sc, n, blk, seed, diagBoost = n.toDouble)

@@ -240,6 +240,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.length} fingerprints != batch ${batch.length}")
   }
 
+  test("st7 dedups duplicate fingerprints that arrive micro-batches apart") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.OutputMode
+    // Split the corpus into three files by doc_id mod 3, so the planted
+    // duplicates (far apart in doc_id space) land in DIFFERENT
+    // micro-batches under maxFilesPerTrigger=1. The 30-day horizon must
+    // retain every fingerprint's state across the whole replay — with
+    // the old 1-hour horizon this replay re-emits far-apart duplicates
+    // and the batch DISTINCT oracle breaks.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val in = Files.createTempDirectory("graft_st7_in").toString
+    for (b <- 0 until 3) {
+      val tmp = Files.createTempDirectory("graft_st7_b").toString
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/b$b.parquet"))
+    }
+    val stream = spark.readStream.schema(graft.streaming.Streaming.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    spark.catalog.dropTempView("graft_st7mb")
+    val q = graft.streaming.Streaming.st7Fingerprints(stream)
+      .writeStream.format("memory").queryName("graft_st7mb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "replay must actually span multiple micro-batches")
+      val streamed = spark.table("graft_st7mb").collect().map(_.getLong(0)).sorted
+      val batch = {
+        import spark.implicits._
+        graft.operators.Dedup.simhashFingerprints(
+          docs.select(col("doc_id"), lower(trim(col("text"))).as("t")).as[(Long, String)])
+          .select(col("simhash")).distinct().collect().map(_.getLong(0)).sorted
+      }
+      assert(streamed.sameElements(batch),
+        s"multi-batch replay ${streamed.length} fingerprints != batch ${batch.length}")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

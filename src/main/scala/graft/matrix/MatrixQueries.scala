@@ -398,6 +398,74 @@ object MatrixQueries {
       .toDF("n", "blk", "residual", "vs_local", "pass")
   }
 
+  /** M11: distributed least squares — min ‖A·X − B‖F for a TALL A
+    * (m×n, m > n) via the normal equations: G = AᵀA and c = AᵀB are two
+    * block GEMMs that STREAM over A (the transpose is a narrow key-swap
+    * map, never a shuffle of data within blocks), then G·X = c goes
+    * through the SPD fast path ([[BlockCholesky.factor]] +
+    * [[Inversion.solveCholFactored]] — no inverse is ever formed).
+    *
+    * The scale story is the point: everything after the two GEMMs is
+    * n×n — INDEPENDENT of the row count m. At 100 TB, A is a tall thin
+    * design matrix (m ~ 10¹⁰ rows, n ~ 10³ features); each GEMM is one
+    * map-side pass emitting q·(q+1)/2 partial products per block row,
+    * reduced by block key, and the Cholesky solve is a few-MB problem.
+    * Gated on the relative normal-equations residual
+    * ‖Aᵀ(A·X − B)‖∞ / ‖AᵀB‖∞ (zero in exact arithmetic — THE defining
+    * property of the least-squares solution) and agreement with a
+    * driver-local solve of the same system. */
+  def m11LeastSquares(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val mRows = 512; val n = 256; val blk = 64
+    val p = mRows / blk; val q = n / blk
+
+    val aIds = for (bi <- 0 until p; bj <- 0 until q) yield (bi, bj)
+    val a: Blocks = sc.parallelize(aIds, math.min(aIds.size, 64)).map { case (bi, bj) =>
+      ((bi, bj), LocalLA.toDM(MatrixGen.localBlock(blk, Seed, bi, bj, 0.0)))
+    }
+    val b: Blocks = sc.parallelize(0 until p, math.min(p, 32)).map { bi =>
+      ((bi, 0), LocalLA.toDM(MatrixGen.localBlock(blk, Seed + 7, bi, 0, 0.0)))
+    }
+    val at = a.map { case ((i, j), blkM) =>
+      ((j, i), LocalLA.toDM(LocalLA.transpose(LocalLA.fromDM(toDense(blkM)))))
+    }
+    val g = multiply(at, a, blk, n.toLong, mRows.toLong, n.toLong)
+    val c = multiply(at, b, blk, n.toLong, mRows.toLong, blk.toLong)
+    val l = BlockCholesky.factor(sc, g.filter { case ((i, j), _) => i >= j }, n, blk)
+    val x = Inversion.solveCholFactored(sc, l, c, n, blk)
+
+    // driver-local oracle at gate scale (the matrices are small here;
+    // the invariant is the normal-equations residual, not the oracle)
+    val xd = toLocal(x, n, blk, blk)
+    val al = Array.ofDim[Double](mRows, n)
+    for ((bi, bj) <- aIds) {
+      val t = MatrixGen.localBlock(blk, Seed, bi, bj, 0.0)
+      for (i <- 0 until blk) System.arraycopy(t(i), 0, al(bi * blk + i), bj * blk, blk)
+    }
+    val bl = Array.ofDim[Double](mRows, blk)
+    for (bi <- 0 until p) {
+      val t = MatrixGen.localBlock(blk, Seed + 7, bi, 0, 0.0)
+      for (i <- 0 until blk) System.arraycopy(t(i), 0, bl(bi * blk + i), 0, blk)
+    }
+    val ax = LocalLA.gemm(al, xd)
+    val atl = LocalLA.transpose(al)
+    val ntRes = LocalLA.gemm(atl, LocalLA.sub(ax, bl)) // Aᵀ(AX − B)
+    val atb = LocalLA.gemm(atl, bl)
+    val scale = atb.map(_.map(math.abs).max).max
+    val residRel = ntRes.map(_.map(math.abs).max).max / scale
+
+    val gl = LocalLA.gemm(atl, al)
+    val ll = LocalLA.cholesky(gl)
+    val xl = LocalLA.backSolveUpper(LocalLA.transpose(ll),
+      LocalLA.forwardSolveLower(ll, atb))
+    val vsLocal = LocalLA.maxAbsDiff(xd, xl)
+
+    val pass = residRel < 1e-8 && vsLocal < 1e-8 * n
+    Seq((mRows, n, blk, residRel, vsLocal, pass))
+      .toDF("m", "n", "blk", "resid_rel", "vs_local", "pass")
+  }
+
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
     * output is deterministic to the last bit: m1 (integer-exact
     * checksum of the seeded generator — the constant is the local
@@ -428,5 +496,6 @@ object MatrixQueries {
     "m7_determinant" -> (m7Determinant _),
     "m8_norms"      -> (m8Norms _),
     "m9_spectral_norm" -> (m9SpectralNorm _),
-    "m10_cholesky"  -> (m10Cholesky _))
+    "m10_cholesky"  -> (m10Cholesky _),
+    "m11_least_squares" -> (m11LeastSquares _))
 }

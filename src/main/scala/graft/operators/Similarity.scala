@@ -469,12 +469,82 @@ object Similarity {
       |        MAX(ABS(x - qi * scale / 127)) <= ANY_VALUE(scale) / 254 * 1.0000001) AS bound_ok
       |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------- S5
+  /** ANN over INT8-QUANTIZED codes — retrieval on the compressed
+    * representation [[x8Quantize]] produces: score is the cosine of the
+    * QUANTIZED vectors, cosq = Σqᵃqᵇ / (√Σqᵃ² · √Σqᵇ²). The dot and
+    * both norms are INTEGER sums — exact and order-independent at any
+    * parallelism — and the final expression is one fixed double op
+    * sequence, so unlike s2/s3 this approximate path is bit-
+    * deterministic end-to-end and carries a full DuckDB hash oracle
+    * (the approximation is in the REPRESENTATION, not the execution).
+    * Recall vs the exact S1 answer is floor-asserted in PipelineSpec.
+    *
+    * 100 TB story: the scan side reads int8 codes — 4× less IO than
+    * float32 (and 8× less than the doubles s1 upcasts to), the integer
+    * dot kernel is SIMD-friendly, and the same scoring composes with
+    * the S3 IVF layout (probe cells, score quantized, rerank exact).
+    * Here the codes are derived in-query; a production table stores
+    * them once (x8's output) and never rereads the floats. */
+  def s5AnnQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .select(col("vec_id"), col("qv"), col("nq2"))
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val pairs = q.as("q")
+      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        round(
+          expr("aggregate(zip_with(q.qv, e.qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+            .cast("double") /
+            (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
+          .as("cosq4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosq4").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("cosq4"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val s5Sql: String =
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY 1),
+       |q AS (SELECT e.vec_id, i,
+       |             CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+       |                  ELSE CAST(ROUND(x / scale * 127) AS BIGINT) END AS qi
+       |      FROM ex e JOIN sc USING (vec_id)),
+       |nq AS (SELECT vec_id, SUM(qi * qi) AS nq2 FROM q GROUP BY 1),
+       |dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |                SUM(a.qi * b.qi) AS dotq
+       |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |         WHERE a.vec_id < $NQueries GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |                  ROUND(CAST(dotq AS DOUBLE) /
+       |                        (sqrt(CAST(na.nq2 AS DOUBLE)) * sqrt(CAST(nb.nq2 AS DOUBLE))), 4) AS cosq4
+       |           FROM dots JOIN nq na ON na.vec_id = query_id
+       |                     JOIN nq nb ON nb.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cosq4, rn FROM (
+       |  SELECT query_id, neighbor_id, cosq4,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosq4 DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> (s1BruteForce _),
     "s2_ann_lsh"        -> (s2AnnLsh _),
     "s3_ann_ivf"        -> (s3AnnIvf _),
     "s4_ann_topk_agg"   -> (s4TopKAgg _),
+    "s5_ann_quantized"  -> (s5AnnQuantized _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),
@@ -487,6 +557,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,
+    "s5_ann_quantized"  -> s5Sql,
     "x2_topk_cosine"    -> s1Sql,
     "x4_centroids"      -> x4Sql,
     "x6_dim_stats"      -> x6Sql,

@@ -285,7 +285,56 @@ object TextAnalysis {
       |LEFT JOIN bt ON bt.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** T8: per-document TF-IDF top terms — the "what is this document
+    * about" keyword signal a corpus browser / topic filter runs. idf
+    * is the exact rational N/df rather than ln(N/df): a transcendental
+    * log differs between engines in the last ulps (Java Math.log is
+    * not correctly-rounded), while tf·N is an exact integer and one
+    * double division is bit-identical everywhere — and x ↦ ln(x) is
+    * monotone, so the rational form produces the SAME ranking.
+    *
+    * Scale shape: one explode + (doc, term)-keyed count (map-side
+    * combined), a term-keyed count for df (|vocab| rows — broadcast
+    * back to the tf table, so the only full-data shuffle is the tf
+    * aggregate), and a per-doc top-k ranking window on the uniform
+    * doc_id key. At web scale the df table IS small relative to the
+    * corpus (vocab grows ~Heaps' law, √-ish), which is what makes the
+    * broadcast the right call at 100 TB too. */
+  def t8TfIdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = documents(s, d).count()
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(norm, " +")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf4", round((col("tf") * nDocs).cast("double") / col("df"), 4))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf4").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf4"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val t8Sql: String =
+    """WITH nrm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(t, ' +')) AS term FROM nrm),
+      |tft AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |        WHERE term <> '' GROUP BY 1, 2),
+      |dft AS (SELECT term, COUNT(*) AS df FROM tft GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (SELECT doc_id, term, tf, df,
+      |                  ROUND(CAST(tf * n AS DOUBLE) / df, 4) AS tfidf4
+      |           FROM tft JOIN dft USING (term) CROSS JOIN nt)
+      |SELECT doc_id, term, tf, df, tfidf4, rn FROM (
+      |  SELECT doc_id, term, tf, df, tfidf4,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf4 DESC, term) AS rn
+      |  FROM scored) s
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_tfidf"       -> (t8TfIdf _),
     "t1_langid"      -> (t1LangId _),
     "t2_quality"     -> (t2Quality _),
     "t3_token_count" -> (t3TokenCount _),
@@ -296,6 +345,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t8_tfidf"       -> t8Sql,
     "x7_heavy_hitters" -> x7Sql,
     "t1_langid"      -> t1Sql,
     "t2_quality"     -> t2Sql,

@@ -72,6 +72,13 @@ class MatrixSpec extends AnyFunSuite {
     assert(maxAbsDiff(broad.u, joined.u) == 0.0)
   }
 
+  test("m11 least squares: normal-equations residual ~ 0, matches local solve") {
+    val df = graft.matrix.MatrixQueries.m11LeastSquares(spark, "")
+    val row = df.collect()(0)
+    assert(row.getAs[Boolean]("pass"),
+      s"resid_rel=${row.getAs[Double]("resid_rel")} vs_local=${row.getAs[Double]("vs_local")}")
+  }
+
   test("distributed Cholesky agrees with shuffle (join) trailing-update path") {
     val n = 128; val blk = 32
     val a = BlockCholesky.spdBlocks(sc, n, blk, seed, boost = n.toDouble)

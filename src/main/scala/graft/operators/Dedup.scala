@@ -626,8 +626,79 @@ object Dedup {
       |LEFT JOIN dups d ON d.new_id = n.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- P7
+  /** Semantic dedup at scale (the SemDeDup shape): k-means-cluster the
+    * embeddings with trained anchors ([[Similarity.trainAnchors]] —
+    * bit-deterministic, integer-sum centroids), then exact pairwise
+    * cosine ONLY within clusters; every vector with a LOWER-id
+    * cluster-mate at cos4 ≥ 0.35 (P4's threshold) is dropped.
+    *
+    * This is the scale path P4's Scaladoc points to: brute force is
+    * O(n²) over the corpus, while cluster-bounded comparison is
+    * ≈ probes²·Σᵢ mᵢ² ≈ 9·n·√n at the IVF sizing (nCells ≈ √n). The
+    * within-cluster self-join shuffles both sides on the cell key — at
+    * 100 TB the cell id is the storage partition key (same layout S3
+    * probes), so the join is co-located and each cluster's pairs never
+    * leave their partition.
+    *
+    * Cluster-bounding is the approximation: a pair sharing none of the
+    * two members' probed cells is missed by design. The query therefore
+    * measures RECALL of its drop set against the brute-force P4 drop
+    * set on the audit subset (vec_id < AuditCap) and publishes
+    * `recall4`/`recall_ok` (floor 0.7; measured 0.84 at the sf0.01
+    * gate scale) — [[graft.Verify.gateInvariants]] enforces it
+    * driver-side, like s2/s3's recall gates. */
+  def p7SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val e = Similarity.prepared(s, d).cache()
+    val n = e.count()
+    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val anchors = broadcast(Similarity.trainAnchors(e, nCells, iters = 2)
+      .withColumn("an", sqrt(vecNorm2(col("av")))))
+    // Soft assignment: each vector belongs to its top-`probes` cells —
+    // the clustering analog of S2's multi-probe. Single-cell assignment
+    // measured 0.32 recall on this corpus (its planted similarity is
+    // WEAK, max cos ≈ 0.51, so τ-pairs often straddle cells — a real
+    // SemDeDup at τ ≈ 0.95 co-clusters far more readily); membership
+    // overlap buys the recall back for a ≤ probes²× candidate bound.
+    val probes = 3
+    val ranked = e.as("e").join(anchors.as("a"), lit(true))
+      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"),
+        col("e.nrm").as("nrm"), col("a.cell").as("cell"),
+        (vecDot(col("e.v"), col("a.av")) / (col("e.nrm") * col("a.an"))).as("sim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+    val members = ranked.filter(col("crn") <= probes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cell"))
+
+    val dropped = members.as("a")
+      .join(members.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(vecDot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")), 4) >= 0.35)
+      .select(col("b.vec_id").as("drop_id")).distinct()
+
+    // recall of the drop decision vs the brute-force P4 drop set,
+    // measured on the audit subset both are defined over
+    val bruteDrop = p4EmbeddingNearDup(s, d).select(col("vec_b")).distinct()
+    val denom = bruteDrop.count()
+    val hits = bruteDrop
+      .join(dropped.filter(col("drop_id") < AuditCap),
+        col("vec_b") === col("drop_id"), "left_semi").count()
+    val recall = if (denom == 0) 1.0 else hits.toDouble / denom
+
+    assigned.join(dropped, col("vec_id") === col("drop_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+      .orderBy(col("vec_id"))
+  }
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p7_semantic_dedup" -> (p7SemanticDedup _),
     "p1_minhash_lsh"   -> (p1MinHashLsh _),
     "p2_simhash"       -> (p2SimHash _),
     "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),

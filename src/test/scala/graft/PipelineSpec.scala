@@ -48,6 +48,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.9, f"IVF recall $r%.3f below 0.9 with trained anchors")
   }
 
+  test("s5 quantized-ANN recall vs exact s1") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val quant = topk(Similarity.s5AnnQuantized(spark, sf01))
+    val r = recallVs(exact, quant)
+    info(f"s5 recall@5 = $r%.3f")
+    assert(r >= 0.8, f"int8-quantized recall $r%.3f — quantization noise should cost little at @5")
+  }
+
+  test("p7 semantic dedup: drops are true near-dups, recall floor holds") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.p7SemanticDedup(spark, sf01).collect()
+    val kept = out.map(_.getLong(0)).toSet
+    val all = graft.sources.Tables.embeddings(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val dropped = all -- kept
+    assert(out.forall(_.getAs[Boolean]("recall_ok")),
+      s"recall4=${out.head.getAs[Double]("recall4")} below floor")
+    info(s"p7 dropped ${dropped.size}/${all.size}, recall4=${out.head.getAs[Double]("recall4")}")
+    // soundness: every dropped vector really has a lower-id near-dup at
+    // cos4 >= 0.35 (cluster-bounding can miss pairs but never invents them)
+    import graft.functions.VectorFunctions.{vecDot => vd, vecNorm2 => vn2}
+    val e = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vn2(col("v"))))
+    val truePairs = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(round(vd(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4) >= 0.35)
+      .select(col("b.vec_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(truePairs),
+      s"p7 dropped ${(dropped -- truePairs).take(5)} without a true near-dup partner")
+  }
+
   test("p1 LSH finds exactly the brute-force near-dup pairs (recall AND precision)") {
     val lsh = Dedup.p1MinHashLsh(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -842,6 +842,65 @@ object Relational {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- R31 (exact percentiles)
+  /** Exact distributed percentiles (median + p90 per event_type) — the
+    * exact counterpart of r23's mergeable sketch: one sort-shuffle on
+    * the group key ranks every row, then each percentile is read off
+    * the two bracketing order statistics with explicit type-7 linear
+    * interpolation (idx = p·(n−1); v_lo·(1−frac) + v_hi·frac). The
+    * interpolation is written out explicitly IN BOTH ENGINES rather
+    * than trusting `percentile`/`quantile_cont` builtins to share a
+    * convention — the selected order statistics depend only on the
+    * sorted multiset, so value ties make row numbering ambiguous but
+    * the answer deterministic. The SUM collapsing the bracketing rows
+    * has at most two nonzero terms (+ exact 0.0s), so it is order-
+    * independent without the decimal-cast trick.
+    *
+    * Scale: exact percentiles NEED total per-group order — that sort
+    * shuffle is irreducible (this is why r23's sketch exists); per-group
+    * state beyond the sort is O(1). */
+  def r31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val ranked = events(s, d)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def exactPct(p: Double): Column = {
+      val idx0 = lit(p) * (col("n") - lit(1)).cast("double")
+      val lo = floor(idx0)  // LONG in Spark; integral double in DuckDB — same value
+      val hi = ceil(idx0)
+      val frac = idx0 - lo
+      round(sum(
+        when(col("rn") === lo + 1, col("value") * (lit(1.0) - frac)).otherwise(lit(0.0)) +
+          when(col("rn") === hi + 1 && hi =!= lo, col("value") * frac).otherwise(lit(0.0))), 4)
+    }
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        exactPct(0.5).as("median4"),
+        exactPct(0.9).as("p904"))
+      .orderBy(col("event_type"))
+  }
+
+  val r31Sql: String = {
+    def pct(p: String): String =
+      s"""SUM(CASE WHEN rn = floor($p * CAST(n - 1 AS DOUBLE)) + 1
+         |         THEN value * (1.0 - ($p * CAST(n - 1 AS DOUBLE) - floor($p * CAST(n - 1 AS DOUBLE))))
+         |         ELSE 0.0 END
+         |  + CASE WHEN rn = ceil($p * CAST(n - 1 AS DOUBLE)) + 1
+         |              AND ceil($p * CAST(n - 1 AS DOUBLE)) <> floor($p * CAST(n - 1 AS DOUBLE))
+         |         THEN value * ($p * CAST(n - 1 AS DOUBLE) - floor($p * CAST(n - 1 AS DOUBLE)))
+         |         ELSE 0.0 END)""".stripMargin
+    s"""WITH r AS (
+       |  SELECT event_type, value,
+       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         COUNT(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n_rows,
+       |  ROUND(${pct("0.5")}, 4) AS median4,
+       |  ROUND(${pct("0.9")}, 4) AS p904
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_filter_project" -> (r01 _),
@@ -876,6 +935,7 @@ object Relational {
     "r28_grouping_sets"  -> (r28 _),
     "r29_salted_join"    -> (r29 _),
     "r30_bloom_join"     -> (r30 _),
+    "r31_exact_percentile" -> (r31 _),
     "x1_exact_dedup"     -> (x1 _),
     "x3_text_stats"      -> (x3 _),
     "x5_pipeline"        -> (x5 _))
@@ -913,6 +973,7 @@ object Relational {
     "r28_grouping_sets"  -> r28Sql,
     "r29_salted_join"    -> r29Sql,
     "r30_bloom_join"     -> r30Sql,
+    "r31_exact_percentile" -> r31Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

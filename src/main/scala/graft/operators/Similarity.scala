@@ -556,6 +556,62 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
+  // ------------------------------------------------------------- X10
+  /** Sign-matrix (Achlioptas) random projection 64 → 16 dims — the
+    * cheap dimensionality cut in front of clustering / coarse ANN
+    * (project once, compare in 1/4 the width; JL says pairwise
+    * geometry survives in expectation). The projection matrix is ±1
+    * entries from a fixed seed, broadcast as literals into ONE
+    * codegen'd array expression per row — no shuffle, no UDF, and no
+    * float matrix product: each output coord is a fixed-order
+    * left-to-right signed fold, which is why the query is bit-
+    * deterministic and fully hash-oracled (the SQL twin carries the
+    * SAME matrix as a VALUES literal and folds in the same order).
+    * Output: per-vector md5 fingerprint of the ⌊coord·2²⁰⌋-quantized
+    * projection plus the energy ratio ‖Pv‖²/(16·‖v‖²) (≈1 under JL —
+    * reported as data, not pinned, so the oracle verifies it without
+    * assuming concentration). */
+  private val ProjOut = 16
+  private lazy val projSigns: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(ProjOut, 64)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  def x10RandomProjection(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val coords = projSigns.map { row =>
+      vecDot(col("v"), array(row.map(lit(_)): _*))
+    }
+    e.withColumn("pj", array(coords: _*))
+      .withColumn("pj_hash", md5(concat_ws(",",
+        expr("transform(pj, c -> cast(cast(floor(c * 1048576) AS bigint) AS string))"))))
+      .withColumn("ratio4", round(
+        expr("aggregate(pj, 0D, (a, c) -> a + c * c)") /
+          (lit(ProjOut.toDouble) * vecNorm2(col("v"))), 4))
+      .select(col("vec_id"), col("pj_hash"), col("ratio4"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x10Sql: String = {
+    val values = (for (j <- 0 until ProjOut; i <- 0 until 64)
+      yield s"(${j + 1},${i + 1},${if (projSigns(j)(i) > 0) "1.0" else "-1.0"})")
+      .mkString(",")
+    s"""WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |m(j, i, sgn) AS (SELECT * FROM (VALUES $values)),
+       |proj AS (SELECT vec_id, j, SUM(x * sgn ORDER BY ex.i) AS pj
+       |         FROM ex JOIN m ON m.i = ex.i GROUP BY vec_id, j),
+       |agg AS (SELECT vec_id,
+       |          md5(string_agg(CAST(CAST(floor(pj * 1048576) AS BIGINT) AS VARCHAR),
+       |                         ',' ORDER BY j)) AS pj_hash,
+       |          SUM(pj * pj ORDER BY j) AS s2
+       |        FROM proj GROUP BY vec_id),
+       |nrm AS (SELECT vec_id, SUM(x * x ORDER BY i) AS n2 FROM ex GROUP BY vec_id)
+       |SELECT a.vec_id, pj_hash, ROUND(s2 / ($ProjOut.0 * n2), 4) AS ratio4
+       |FROM agg a JOIN nrm USING (vec_id) ORDER BY a.vec_id""".stripMargin
+  }
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> (s1BruteForce _),
@@ -566,7 +622,8 @@ object Similarity {
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),
-    "x8_quantize"       -> (x8Quantize _))
+    "x8_quantize"       -> (x8Quantize _),
+    "x10_random_projection" -> (x10RandomProjection _))
 
   /** S2/S3 are recall<1 candidate generators — no SQL oracle; they are
     * driver-gated through their `recall_ok` column ([[withRecallGate]])
@@ -579,5 +636,6 @@ object Similarity {
     "x2_topk_cosine"    -> s1Sql,
     "x4_centroids"      -> x4Sql,
     "x6_dim_stats"      -> x6Sql,
-    "x8_quantize"       -> x8Sql)
+    "x8_quantize"       -> x8Sql,
+    "x10_random_projection" -> x10Sql)
 }

@@ -650,10 +650,8 @@ object Dedup {
     * driver-side, like s2/s3's recall gates. */
   def p7SemanticDedup(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
-    val e = Similarity.prepared(s, d).cache()
-    val n = e.count()
-    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val anchors = broadcast(Similarity.trainAnchors(e, nCells, iters = 2)
+    val e = Similarity.prepared(s, d)
+    val anchors = broadcast(Similarity.trainedAnchors(s, d)
       .withColumn("an", sqrt(vecNorm2(col("av")))))
     // Soft assignment: each vector belongs to its top-`probes` cells —
     // the clustering analog of S2's multi-probe. Single-cell assignment
@@ -668,9 +666,13 @@ object Dedup {
         (vecDot(col("e.v"), col("a.av")) / (col("e.nrm") * col("a.an"))).as("sim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+    // cached: the membership set (≤ probes rows/vector) feeds the
+    // self-join twice plus the primary-cell projection — caching IT
+    // instead of the corpus keeps the footprint at probes·n rows
     val members = ranked.filter(col("crn") <= probes)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("crn"))
+      .cache()
+    val assigned = members.filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
 
     val dropped = members.as("a")

@@ -239,19 +239,45 @@ object Similarity {
     anchors.toSeq.toDF("cell", "av")
   }
 
-  /** IVF with TRAINED coarse anchors (k-means via [[trainAnchors]]):
-    * every vector is assigned to its max-cosine cell, queries probe
-    * their nProbe nearest cells, exact search inside probed cells. The
-    * cell count scales with the corpus (≈√n, the classic IVF sizing)
-    * and probing covers nCells/4 cells to hold recall.
+  /** Session-scoped trained-anchor cache: S3 and P7 run k-means with
+    * the SAME sizing (√n cells, 2 Lloyd rounds) over the same corpus —
+    * training is the expensive half of both, and the anchors are
+    * bit-deterministic, so recomputing them per query bought nothing.
+    * localCheckpoint'ed (≤ √n rows), stopped sessions evicted, bounded,
+    * immutable-directory assumption — same hygiene as the pair cache. */
+  private val anchorCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def ivfCells(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private[operators] def trainedAnchors(s: SparkSession, d: String): DataFrame = {
+    anchorCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) anchorCache.remove(k)
+    }
+    if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
+      anchorCache.remove(anchorCache.head._1)
+    anchorCache.getOrElseUpdate((s, d), {
+      val e = prepared(s, d).cache()
+      val a = trainAnchors(e, ivfCells(e.count()), iters = 2).localCheckpoint(true)
+      e.unpersist(blocking = false)
+      a
+    })
+  }
+
+  /** IVF with TRAINED coarse anchors (k-means via [[trainAnchors]],
+    * shared with P7 through [[trainedAnchors]]): every vector is
+    * assigned to its max-cosine cell, queries probe their nProbe
+    * nearest cells, exact search inside probed cells. The cell count
+    * scales with the corpus (≈√n, the classic IVF sizing) and probing
+    * covers nCells/4 cells to hold recall.
     * At scale the cell id becomes the storage partition key so a probe
     * is partition pruning, not a scan. */
   def s3AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = prepared(s, d).cache()   // scanned once per k-means round + assignment
-    val n = e.count()
-    val nCells = math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val e = prepared(s, d).cache()   // scanned for assignment + rerank
+    val nCells = ivfCells(e.count())
     val nProbe = math.max(4, nCells / 4)
-    val anchors = trainAnchors(e, nCells, iters = 2)
+    val anchors = trainedAnchors(s, d)
       .withColumn("an", sqrt(vecNorm2(col("av"))))
     // rank cells per vector once (used for both assignment and probing)
     val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))

@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's trailing "[success] Total time: ..." line: the round
+// driver keeps only a ~2 kB tail of each run's output, and that trailer
+// was eating budget the graft.Bench JSON line needs to survive intact.
+Global / showSuccess := false
+// Pass forked-run output through verbatim instead of logging it: sbt's
+// default logger prefixes every stdout line with "[info] ", which makes
+// the Bench JSON line start with a non-JSON token for any parser that
+// takes the line as-is.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

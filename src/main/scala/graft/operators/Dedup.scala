@@ -666,12 +666,16 @@ object Dedup {
         (vecDot(col("e.v"), col("a.av")) / (col("e.nrm") * col("a.an"))).as("sim"))
       .withColumn("crn", row_number().over(
         Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-    // cached: the membership set (≤ probes rows/vector) feeds the
-    // self-join twice plus the primary-cell projection — caching IT
-    // instead of the corpus keeps the footprint at probes·n rows
+    // materialized once: the membership set (≤ probes rows/vector)
+    // feeds the self-join twice plus the primary-cell projection.
+    // localCheckpoint (not cache) so the blocks are reclaimed by the
+    // ContextCleaner when the result goes out of scope — a catalog
+    // cache() entry here had no owner to unpersist it and leaked
+    // executor storage per invocation for callers other than
+    // Verify/Bench (which clearCache between queries).
     val members = ranked.filter(col("crn") <= probes)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("crn"))
-      .cache()
+      .localCheckpoint(true)
     val assigned = members.filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
 

@@ -258,10 +258,13 @@ object Similarity {
     if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
       anchorCache.remove(anchorCache.head._1)
     anchorCache.getOrElseUpdate((s, d), {
+      // No unpersist here: cache() registers the SAME CacheManager entry
+      // (identical logical plan) that s3AnnIvf registers for its own
+      // assignment+rerank passes — dropping it after training would
+      // silently force those passes back to parquet on a cold anchor
+      // cache. The caller that cached the plan owns its lifetime.
       val e = prepared(s, d).cache()
-      val a = trainAnchors(e, ivfCells(e.count()), iters = 2).localCheckpoint(true)
-      e.unpersist(blocking = false)
-      a
+      trainAnchors(e, ivfCells(e.count()), iters = 2).localCheckpoint(true)
     })
   }
 

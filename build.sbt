@@ -15,6 +15,7 @@ run / fork := true
 // driver keeps only a ~2 kB tail of each run's output, and that trailer
 // was eating budget the graft.Bench JSON line needs to survive intact.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Pass forked-run output through verbatim instead of logging it: sbt's
 // default logger prefixes every stdout line with "[info] ", which makes
 // the Bench JSON line start with a non-JSON token for any parser that

@@ -79,6 +79,74 @@ object LocalLA {
     l
   }
 
+  /** R factor of the thin Householder QR of an m×d matrix (any m ≥ 1;
+    * `a` is not modified). Returns min(m,d)×d — an upper trapezoid when
+    * m < d, upper triangular otherwise. The Q factor is never formed:
+    * this is the local kernel of [[TallSkinny.tsqrR]], where each
+    * reduction step only stacks R factors ([R1; R2] has the same Gram
+    * as the stacked inputs, so QR of the stack continues the
+    * factorization). */
+  def qrR(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val m = a.length; val d = if (m == 0) 0 else a(0).length
+    val w = a.map(_.clone())
+    var k = 0
+    while (k < d && k < m) {
+      var s = 0.0
+      var i = k
+      while (i < m) { s += w(i)(k) * w(i)(k); i += 1 }
+      val sigma = math.sqrt(s)
+      if (sigma != 0.0) {
+        // reflector v: v(k) = w(k)(k) − α (α = ∓σ, sign opposite the
+        // pivot for stability), v(i>k) = w(i)(k); vᵀv = −2·α·v(k)
+        val alpha = if (w(k)(k) >= 0.0) -sigma else sigma
+        val vk = w(k)(k) - alpha
+        var j = k + 1
+        while (j < d) {
+          var dot = vk * w(k)(j)
+          i = k + 1
+          while (i < m) { dot += w(i)(k) * w(i)(j); i += 1 }
+          val tau = dot / (-alpha * vk)
+          w(k)(j) -= tau * vk
+          i = k + 1
+          while (i < m) { w(i)(j) -= tau * w(i)(k); i += 1 }
+          j += 1
+        }
+        // column k last: it stores v during the updates above
+        w(k)(k) = alpha
+        i = k + 1
+        while (i < m) { w(i)(k) = 0.0; i += 1 }
+      }
+      k += 1
+    }
+    val r = Array.ofDim[Double](math.min(m, d), d)
+    var i = 0
+    while (i < r.length) {
+      var j = i
+      while (j < d) { r(i)(j) = w(i)(j); j += 1 }
+      i += 1
+    }
+    r
+  }
+
+  /** Sign-canonicalize an upper-triangular/trapezoidal R in place:
+    * negate every row whose diagonal is negative. For full-column-rank
+    * input the canonical R is UNIQUE (it equals the upper Cholesky
+    * factor of AᵀA), which is what lets two differently-parallelized
+    * TSQR runs — or a TSQR run and a local QR — be compared
+    * element-wise instead of only through residuals. */
+  def canonUpper(r: Array[Array[Double]]): Array[Array[Double]] = {
+    var i = 0
+    while (i < r.length) {
+      if (i < r(i).length && r(i)(i) < 0.0) {
+        val ri = r(i)
+        var j = 0
+        while (j < ri.length) { ri(j) = -ri(j); j += 1 }
+      }
+      i += 1
+    }
+    r
+  }
+
   def transpose(a: Array[Array[Double]]): Array[Array[Double]] = {
     val n = a.length; val m = if (n == 0) 0 else a(0).length
     Array.tabulate(m, n)((i, j) => a(j)(i))

@@ -466,6 +466,194 @@ object MatrixQueries {
       .toDF("m", "n", "blk", "resid_rel", "vs_local", "pass")
   }
 
+  /** M12: distributed TSQR — the communication-avoiding QR for TALL
+    * matrices ([[TallSkinny.tsqrR]]): per-partition Householder QR,
+    * then a reduction tree over d×d R triangles. A is scanned once and
+    * never shuffled; at 100 TB the cross-executor traffic stays
+    * O(log p) tiny triangles regardless of the row count — the same
+    * single-pass shape as M11's normal equations but BACKWARD STABLE
+    * in κ(A) instead of κ(A)² (Householder never squares the
+    * condition number).
+    *
+    * Three invariants feed `pass`:
+    *  - element-wise agreement of the sign-canonical R with a driver-
+    *    local QR of the same rows (canonical R is unique for full-rank
+    *    input, so this is equality up to roundoff, not just a residual);
+    *  - orthonormality of the distributed Q = A·R⁻¹ (max|QᵀQ − I|);
+    *  - the QR least-squares path recovering a planted solution from
+    *    b = A·x (computed in the same narrow pass, no join). */
+  def m12Tsqr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val m = 2048; val d = 32; val blk = 64
+    val rows = TallSkinny.tallRows(sc, m, d, blk, Seed)
+    val r = TallSkinny.tsqrR(rows, d)
+
+    // driver-local oracle over the same rows (m×d is small at gate scale)
+    val al = (0 until m / blk).flatMap { bi =>
+      MatrixGen.localBlock(blk, Seed, bi, 0, 0.0).map(_.take(d))
+    }.toArray
+    val rl = LocalLA.canonUpper(LocalLA.qrR(al))
+    val rScale = rl.map(_.map(math.abs).max).max
+    val vsLocal = LocalLA.maxAbsDiff(r, rl) / rScale
+
+    val qtq = TallSkinny.gram(TallSkinny.qOf(rows, r), d)
+    var orth = 0.0
+    for (i <- 0 until d; j <- 0 until d) {
+      val e = math.abs(qtq(i)(j) - (if (i == j) 1.0 else 0.0))
+      if (e > orth) orth = e
+    }
+
+    val xTrue = Array.tabulate(d)(j => ((j % 7) - 3).toDouble / 4)
+    val xTrueB = sc.broadcast(xTrue)
+    val rowsWithB = rows.map { case (_, v) =>
+      var b = 0.0; var j = 0
+      while (j < v.length) { b += v(j) * xTrueB.value(j); j += 1 }
+      (v, b)
+    }
+    val x = TallSkinny.lstsqQR(rowsWithB, r, d)
+    val lsErr = x.zip(xTrue).map { case (a, b) => math.abs(a - b) }.max
+
+    val pass = vsLocal < 1e-9 && orth < 1e-9 && lsErr < 1e-9
+    Seq((m, d, vsLocal, orth, lsErr, pass))
+      .toDF("m", "d", "vs_local_rel", "orth_resid", "lstsq_err", "pass")
+  }
+
+  /** M13: randomized low-rank approximation (the Halko–Martinsson–Tropp
+    * range finder — the front half of randomized SVD/PCA): Y = A·Ω for
+    * a seeded n×(r+p) Gaussian-free sign sketch, Q = TSQR(Y), then
+    * B = QᵀA so that A ≈ Q·B with rank r+p. THE way to take an SVD/PCA
+    * of a matrix too tall to factor directly: TWO narrow passes over A
+    * (sketch+range, then projection/error), no shuffle of A at any
+    * point — Ω and B are broadcast-sized ((r+p)·n doubles), and both
+    * reductions move (r+p)×n partials up a tree.
+    *
+    * The input plants rank r₀ = 8 structure (A = L·Rᵀ, L m×r₀, R n×r₀,
+    * seeded) plus 10⁻³ uniform noise, so the r = 16 range must capture
+    * ≥ 99.9% of the Frobenius energy — a REAL approximation bound, not
+    * just internal consistency — alongside QᵀQ = I and the projection
+    * error ‖A − Q·B‖F/‖A‖F ≤ 0.02 (the noise floor is ~3·10⁻⁴ of ‖A‖F).
+    *
+    * Because the planted input makes Y = A·Ω nearly rank-r₀, forming
+    * Q as Y·R⁻¹ from ONE factorization loses orthogonality through the
+    * ill-conditioned R (the classic CholeskyQR failure); a second TSQR
+    * of Y·R₁⁻¹ (CholeskyQR2) restores QᵀQ = I to machine precision at
+    * the cost of one more narrow pass — three passes total, still no
+    * shuffle of A anywhere. */
+  def m13RandomizedSvd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val m = 2048; val n = 256; val r0 = 8; val rp = 24 // r=16 + p=8 oversampling
+    val blk = 64
+
+    // Per-entry seeded uniforms via splitmix64 — NOT per-entry
+    // java.util.Random(linear seed): a Random's FIRST draw correlates
+    // strongly across nearby seeds (same failure family as the
+    // Carter-Wegman MinHash degeneracy), which here made Ω's columns
+    // near-linearly-dependent and Y exactly rank-deficient.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def u01(s: Long): Double = (mix(s) >>> 11).toDouble / (1L << 53).toDouble
+
+    // planted factors: R (n×r0) and Ω (n×rp) are driver-seeded constants
+    val rFac = Array.tabulate(n, r0) { (i, k) => u01(Seed * 31 + i * 131 + k) }
+    val omega = Array.tabulate(n, rp) { (i, k) =>
+      if ((mix(Seed * 37 + i * 151 + k) & 1L) == 1L) 1.0 else -1.0
+    }
+    val rFacB = sc.broadcast(rFac); val omegaB = sc.broadcast(omega)
+
+    // A rows: a_i = l_i·Rᵀ + 1e-3·noise, generated in place (never stored)
+    def aRows = sc.range(0, m, numSlices = 32).map { i =>
+      val l = Array.tabulate(r0)(k => u01(Seed * 41 + i * 1009 + k))
+      val v = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        var acc = 0.0; var k = 0
+        while (k < r0) { acc += l(k) * rFacB.value(j)(k); k += 1 }
+        v(j) = acc + 1e-3 * u01(Seed * 43 + i * 2003 + j)
+        j += 1
+      }
+      (i, v)
+    }
+
+    // pass 1: sketch Y = A·Ω rowwise (narrow), TSQR of Y
+    def sketch(v: Array[Double]): Array[Double] = {
+      val y = new Array[Double](rp)
+      var j = 0
+      while (j < n) {
+        val vj = v(j); val oj = omegaB.value(j)
+        var k = 0
+        while (k < rp) { y(k) += vj * oj(k); k += 1 }
+        j += 1
+      }
+      y
+    }
+    val rq1 = TallSkinny.tsqrR(aRows.map { case (i, v) => (i, sketch(v)) }, rp)
+    val rq1B = sc.broadcast(rq1)
+    // CholeskyQR2 pass: re-factor Y·R₁⁻¹ so Q is orthonormal despite
+    // κ(Y) being driven by the planted rank deficiency
+    val rq2 = TallSkinny.tsqrR(aRows.map { case (i, v) =>
+      (i, LocalLA.solveXU(Array(sketch(v)), rq1B.value)(0))
+    }, rp)
+    val rq2B = sc.broadcast(rq2)
+    def qRow(v: Array[Double]): Array[Double] =
+      LocalLA.solveXU(LocalLA.solveXU(Array(sketch(v)), rq1B.value), rq2B.value)(0)
+
+    // final pass: accumulate B = QᵀA, ‖A‖F² and QᵀQ together (q_i is
+    // re-derived in place). The projection error then needs NO further
+    // pass: with Q orthonormal, ‖A − Q·B‖F² = ‖A‖F² − ‖B‖F² exactly.
+    val (b, aF2, qtq) = aRows.mapPartitions { it =>
+      val accB = Array.ofDim[Double](rp, n)
+      val accQ = Array.ofDim[Double](rp, rp)
+      var af = 0.0
+      it.foreach { case (_, v) =>
+        val q = qRow(v)
+        var k = 0
+        while (k < rp) {
+          val qk = q(k); val bk = accB(k); val qq = accQ(k)
+          var j = 0
+          while (j < n) { bk(j) += qk * v(j); j += 1 }
+          j = 0
+          while (j < rp) { qq(j) += qk * q(j); j += 1 }
+          k += 1
+        }
+        var j = 0
+        while (j < n) { af += v(j) * v(j); j += 1 }
+      }
+      Iterator((accB, af, accQ))
+    }.treeReduce({ (x, y) =>
+      var k = 0
+      while (k < rp) {
+        var j = 0
+        while (j < n) { x._1(k)(j) += y._1(k)(j); j += 1 }
+        j = 0
+        while (j < rp) { x._3(k)(j) += y._3(k)(j); j += 1 }
+        k += 1
+      }
+      (x._1, x._2 + y._2, x._3)
+    }, depth = 2)
+
+    var orth = 0.0
+    for (i <- 0 until rp; j <- 0 until rp) {
+      val e = math.abs(qtq(i)(j) - (if (i == j) 1.0 else 0.0))
+      if (e > orth) orth = e
+    }
+    var bF2 = 0.0
+    for (k <- 0 until rp; j <- 0 until n) bF2 += b(k)(j) * b(k)(j)
+    val errF2 = math.max(0.0, aF2 - bF2)
+
+    val capture = 1.0 - errF2 / aF2
+    val relErr = math.sqrt(errF2 / aF2)
+    val pass = orth < 1e-9 && capture > 0.999 && relErr < 0.02
+    Seq((m, n, r0, rp, capture, relErr, orth, pass))
+      .toDF("m", "n", "rank_planted", "rank_sketch",
+        "energy_captured", "rel_err_f", "orth_resid", "pass")
+  }
+
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
     * output is deterministic to the last bit: m1 (integer-exact
     * checksum of the seeded generator — the constant is the local
@@ -497,5 +685,7 @@ object MatrixQueries {
     "m8_norms"      -> (m8Norms _),
     "m9_spectral_norm" -> (m9SpectralNorm _),
     "m10_cholesky"  -> (m10Cholesky _),
-    "m11_least_squares" -> (m11LeastSquares _))
+    "m11_least_squares" -> (m11LeastSquares _),
+    "m12_tsqr"      -> (m12Tsqr _),
+    "m13_randomized_svd" -> (m13RandomizedSvd _))
 }

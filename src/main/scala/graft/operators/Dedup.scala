@@ -702,6 +702,115 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
+  // ------------------------------------------------------------- X11
+  /** Passage-level exact dedup (the RefinedWeb/CCNet move): documents
+    * are cut into fixed-width 16-word passages, each passage is kept
+    * only at its FIRST corpus occurrence (lowest (doc_id, pos)), and
+    * every document is re-assembled from its surviving passages. The
+    * sub-document counterpart of X1 — boilerplate repeated across
+    * pages disappears while the unique prose stays.
+    *
+    * Scale shape: the keep-first decision is a `min(struct(doc_id,
+    * pos))` aggregate on the passage key, NOT a ranking window — the
+    * aggregate is map-side combinable, so a passage duplicated across
+    * millions of documents collapses to one row per partition before
+    * the exchange (a window's rank-within-key would haul every copy to
+    * one reducer: the mega-bucket skew X1's Scaladoc warns about).
+    * One narrow chunking pass, one combined shuffle on the passage,
+    * one shuffle back on doc_id for re-assembly; at 100 TB all keys
+    * (digest-uniform passages, doc ids) are skew-free. */
+  private val PassageW = 16
+
+  def x11PassageDedup(s: SparkSession, d: String): DataFrame = {
+    val pass = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${PassageW}.0) AS int) - 1),
+           |          p -> array_join(slice(w, p * $PassageW + 1, $PassageW), ' '))"""
+          .stripMargin)).as(Seq("pos", "passage")))
+    val tot = pass.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pass"))
+    // one row per DISTINCT passage: its first occurrence — this IS the
+    // kept set, no join back to the exploded corpus needed
+    val kept = pass.groupBy(col("passage"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("passage"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("passage")))),
+            x => x.getField("passage")), " ")).as("new_hash"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pass"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_hash"), md5(lit(""))).as("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x11Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, pos,
+       |             array_to_string(list_slice(ws, pos * $PassageW + 1,
+       |                                        pos * $PassageW + $PassageW), ' ') AS passage
+       |      FROM w, unnest(generate_series(0,
+       |             CAST(ceil(len(ws) / ${PassageW}.0) AS INT) - 1)) AS u(pos)),
+       |kept AS (SELECT doc_id, pos, passage FROM (
+       |           SELECT doc_id, pos, passage,
+       |                  ROW_NUMBER() OVER (PARTITION BY passage
+       |                                     ORDER BY doc_id, pos) AS rn
+       |           FROM p) t WHERE rn = 1),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |               md5(string_agg(passage, ' ' ORDER BY pos)) AS new_hash
+       |        FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_pass FROM p GROUP BY 1)
+       |SELECT t.doc_id, t.n_pass, COALESCE(a.n_kept, 0) AS n_kept,
+       |       COALESCE(a.new_hash, md5('')) AS new_hash
+       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- X12
+  /** Benchmark decontamination: flag every training document that
+    * shares at least one 8-word gram with the held-out evaluation set
+    * (here: doc_id % 50 = 0 stands in for the benchmark), reporting how
+    * many distinct grams leak and the first eval document hit. The
+    * standard pre-training hygiene pass (GPT-3 §C / PaLM-style n-gram
+    * overlap).
+    *
+    * Scale shape: eval sets are tiny by definition (thousands of rows
+    * vs 10¹⁰ training docs), so the eval gram set rides a BROADCAST —
+    * the training side is one narrow gram pass probed in place, no
+    * shuffle of training data at all. (At extreme eval sizes the
+    * broadcast becomes the r30 Bloom pushdown + residual join; same
+    * plan family.) */
+  private val DecontamGram = 8
+
+  def x12Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DecontamGram)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $DecontamGram)," +
+          s" i -> array_join(slice(w, i + 1, $DecontamGram), ' '))"))).as("g"))
+    val evalG = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams.filter(col("doc_id") % 50 =!= 0)
+    trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        min(col("eval_id")).as("first_eval"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x12Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |             array_to_string(list_slice(ws, i, i + ${DecontamGram - 1}), ' ') AS g
+       |      FROM w, unnest(generate_series(1, len(ws) - ${DecontamGram - 1})) AS u(i)
+       |      WHERE len(ws) >= $DecontamGram)
+       |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared,
+       |       MIN(e.doc_id) AS first_eval
+       |FROM g t JOIN g e ON t.g = e.g
+       |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p7_semantic_dedup" -> (p7SemanticDedup _),
@@ -710,9 +819,13 @@ object Dedup {
     "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),
     "p4_embedding_dup" -> (p4EmbeddingNearDup _),
     "p5_dup_clusters"  -> (p5DupClusters _),
-    "p6_incremental_dedup" -> (p6IncrementalDedup _))
+    "p6_incremental_dedup" -> (p6IncrementalDedup _),
+    "x11_passage_dedup" -> (x11PassageDedup _),
+    "x12_decontaminate" -> (x12Decontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "x11_passage_dedup" -> x11Sql,
+    "x12_decontaminate" -> x12Sql,
     "p1_minhash_lsh"   -> p1Sql,
     "p2_simhash"       -> p2Sql,
     "p3_ngram_jaccard" -> p3Sql,

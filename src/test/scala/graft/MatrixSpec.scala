@@ -305,6 +305,47 @@ class MatrixSpec extends AnyFunSuite {
     assert(rdd.count() == 1)
   }
 
+  test("TSQR: canonical R unique across partitionings, Q orthonormal, QR lstsq recovers planted x") {
+    val m = 512; val d = 16; val blk = 32
+    val rows = TallSkinny.tallRows(sc, m, d, blk, seed)
+    val r = TallSkinny.tsqrR(rows, d)
+    // uniqueness: a DIFFERENT partitioning (different reduction tree,
+    // different fp order) must produce the same canonical R up to roundoff
+    val r7 = TallSkinny.tsqrR(rows.repartition(7), d)
+    val rl = LocalLA.canonUpper(LocalLA.qrR(
+      rows.collect().sortBy(_._1).map(_._2)))
+    val scale = rl.map(_.map(math.abs).max).max
+    assert(LocalLA.maxAbsDiff(r, rl) / scale < 1e-12)
+    assert(LocalLA.maxAbsDiff(r7, rl) / scale < 1e-12)
+    // R upper triangular with positive diagonal
+    for (i <- 0 until d) {
+      assert(r(i)(i) > 0.0)
+      for (j <- 0 until i) assert(r(i)(j) == 0.0)
+    }
+    // Q orthonormal
+    val qtq = TallSkinny.gram(TallSkinny.qOf(rows, r), d)
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(qtq(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-12)
+    // least squares through QR recovers a planted solution
+    val xTrue = Array.tabulate(d)(j => (j - 5).toDouble / 3)
+    val rowsWithB = rows.map { case (_, v) =>
+      (v, v.zip(xTrue).map { case (a, b) => a * b }.sum)
+    }
+    val x = TallSkinny.lstsqQR(rowsWithB, r, d)
+    assert(x.zip(xTrue).map { case (a, b) => math.abs(a - b) }.max < 1e-10)
+  }
+
+  test("qrR handles wide/short partitions (m < d trapezoids stack correctly)") {
+    val d = 8
+    // 3-row partitions: every local QR sees m < d and emits a trapezoid
+    val rows = TallSkinny.tallRows(sc, 64, d, 16, seed).repartition(21)
+    val r = TallSkinny.tsqrR(rows, d)
+    val rl = LocalLA.canonUpper(LocalLA.qrR(
+      rows.collect().sortBy(_._1).map(_._2)))
+    val scale = rl.map(_.map(math.abs).max).max
+    assert(LocalLA.maxAbsDiff(r, rl) / scale < 1e-12)
+  }
+
   test("Verify invariant gate: a false pass column turns the query red") {
     import spark.implicits._
     assert(Verify.gateInvariants(Seq((1, true)).toDF("n", "pass")).count() == 1)

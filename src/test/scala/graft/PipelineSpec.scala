@@ -56,6 +56,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.8, f"int8-quantized recall $r%.3f — quantization noise should cost little at @5")
   }
 
+  test("s6 IVF+int8 recall vs exact s1") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val comp = topk(Similarity.s6AnnIvfQuantized(spark, sf01))
+    val r = recallVs(exact, comp)
+    info(f"s6 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"IVF+int8 recall $r%.3f — probing or int8 shortlist broken")
+  }
+
   test("p7 semantic dedup: drops are true near-dups, recall floor holds") {
     import org.apache.spark.sql.functions._
     val out = Dedup.p7SemanticDedup(spark, sf01).collect()

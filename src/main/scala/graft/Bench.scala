@@ -66,9 +66,12 @@ object Bench {
     }
     // Full precision first (for local BASELINE recording), compact line
     // LAST — stdout is sequential, so whatever tail window a consumer
-    // keeps, the parseable compact line is the final line in it.
+    // keeps, the parseable compact line is the final line in it. If the
+    // 2-decimal form would crowd the ~2 kB window (more queries, a
+    // failure list), degrade per-query precision rather than overflow.
     println("[bench-full] " + line(6))
-    println(line(2))
+    val compact = line(2)
+    println(if (compact.length <= 1995) compact else line(1))
     spark.stop()
   }
 }

@@ -12,6 +12,12 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.vecDot(a, b)
   def vecNorm2(a: Column): Column =
     org.apache.spark.sql.graft.VectorFunctions.vecNorm2(a)
+  /** Top-k nearest anchor cells (best first) as a narrow codegen'd
+    * projection — the shuffle-free IVF assignment; see
+    * `org.apache.spark.sql.graft.TopCells`. */
+  def topCells(v: Column, nrm: Column,
+               anchors: Array[(Int, Array[Double])], k: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.topCells(v, nrm, anchors, k)
 }
 
 /** Public face of the native sketch expressions (same extension-library

@@ -649,23 +649,21 @@ object Dedup {
     * gate scale) — [[graft.Verify.gateInvariants]] enforces it
     * driver-side, like s2/s3's recall gates. */
   def p7SemanticDedup(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
-    val e = Similarity.prepared(s, d)
-    val anchors = broadcast(Similarity.trainedAnchors(s, d)
-      .withColumn("an", sqrt(vecNorm2(col("av")))))
+    import graft.functions.VectorFunctions.{topCells, vecDot}
+    val e = Similarity.prepared(s, d).cache()  // training + membership passes
+    val anchors = Similarity.trainedAnchors(s, d, e)
     // Soft assignment: each vector belongs to its top-`probes` cells —
     // the clustering analog of S2's multi-probe. Single-cell assignment
     // measured 0.32 recall on this corpus (its planted similarity is
     // WEAK, max cos ≈ 0.51, so τ-pairs often straddle cells — a real
     // SemDeDup at τ ≈ 0.95 co-clusters far more readily); membership
     // overlap buys the recall back for a ≤ probes²× candidate bound.
+    // The top-3 cells come from the narrow codegen'd [[topCells]]
+    // projection — zero shuffle over the corpus (round 4's window over
+    // the corpus×anchors cross product sort-shuffled n·√n rows here);
+    // posexplode rebuilds the (cell, crn) membership rows bit-for-bit
+    // (same sim arithmetic, same (sim desc, cell asc) tie-break).
     val probes = 3
-    val ranked = e.as("e").join(anchors.as("a"), lit(true))
-      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"),
-        col("e.nrm").as("nrm"), col("a.cell").as("cell"),
-        (vecDot(col("e.v"), col("a.av")) / (col("e.nrm") * col("a.an"))).as("sim"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
     // materialized once: the membership set (≤ probes rows/vector)
     // feeds the self-join twice plus the primary-cell projection.
     // localCheckpoint (not cache) so the blocks are reclaimed by the
@@ -673,9 +671,14 @@ object Dedup {
     // cache() entry here had no owner to unpersist it and leaked
     // executor storage per invocation for callers other than
     // Verify/Bench (which clearCache between queries).
-    val members = ranked.filter(col("crn") <= probes)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("crn"))
+    val members = e
+      .withColumn("tc", topCells(col("v"), col("nrm"), anchors, probes))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(col("tc")).as(Seq("pos", "cell")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (col("pos") + 1).as("crn"))
       .localCheckpoint(true)
+    e.unpersist(false)
     val assigned = members.filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
 

@@ -36,7 +36,7 @@ object Similarity {
 
   import graft.functions.VectorFunctions.{vecDot, vecNorm2}
 
-  private[operators] def prepared(s: SparkSession, d: String): DataFrame =
+  private[graft] def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
       expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -191,8 +191,11 @@ object Similarity {
     * Cells that lose all members drop out (classic Lloyd).
     * At 100 TB: the corpus is scanned `iters`+1 times (cached here);
     * the aggregate state is nCells×dim longs — tiny; assignment is a
-    * broadcast nested loop, embarrassingly parallel. */
-  private[operators] def trainAnchors(e: DataFrame, nCells: Int, iters: Int): DataFrame = {
+    * broadcast nested loop, embarrassingly parallel. Returns the
+    * (cellId, anchor) array — ≤ √n rows, driver-bounded by the same
+    * argument as the per-iteration collect above. */
+  private[graft] def trainAnchors(e: DataFrame, nCells: Int,
+                                  iters: Int): Array[(Int, Array[Double])] = {
     val s = e.sparkSession
     import s.implicits._
     val ds = e.select(col("vec_id"), col("v"), col("nrm"))
@@ -236,35 +239,38 @@ object Similarity {
         .map { case (c, (_, sums, n)) => (c, sums.map(_.toDouble / n / 1048576.0)) }
         .collect().sortBy(_._1)
     }
-    anchors.toSeq.toDF("cell", "av")
+    anchors
   }
 
-  /** Session-scoped trained-anchor cache: S3 and P7 run k-means with
-    * the SAME sizing (√n cells, 2 Lloyd rounds) over the same corpus —
-    * training is the expensive half of both, and the anchors are
-    * bit-deterministic, so recomputing them per query bought nothing.
-    * localCheckpoint'ed (≤ √n rows), stopped sessions evicted, bounded,
-    * immutable-directory assumption — same hygiene as the pair cache. */
+  /** Session-scoped trained-anchor cache: S3, S6 and P7 run k-means
+    * with the SAME sizing (√n cells, 2 Lloyd rounds) over the same
+    * corpus — training is the expensive half of each, and the anchors
+    * are bit-deterministic, so recomputing them per query bought
+    * nothing. Driver-side arrays (≤ √n × dim doubles — the same bound
+    * the per-iteration training collect already relies on); stopped
+    * sessions evicted, size bounded.
+    *
+    * Training runs over the CALLER's prepared frame `e` (any frame with
+    * vec_id/v/nrm columns): if the caller cached it, training reuses
+    * that entry; no CacheManager entry is created here (the round-4
+    * version's internal `prepared(s,d).cache()` leaked storage for
+    * callers whose own plan differed — s6, p7). */
   private val anchorCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(Int, Array[Double])]]
 
   private[operators] def ivfCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  private[operators] def trainedAnchors(s: SparkSession, d: String): DataFrame = {
+  private[graft] def trainedAnchors(s: SparkSession, d: String,
+                                    e: DataFrame): Array[(Int, Array[Double])] = {
     anchorCache.keys.foreach { case k @ (sess, _) =>
       if (sess.sparkContext.isStopped) anchorCache.remove(k)
     }
     if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
       anchorCache.remove(anchorCache.head._1)
     anchorCache.getOrElseUpdate((s, d), {
-      // No unpersist here: cache() registers the SAME CacheManager entry
-      // (identical logical plan) that s3AnnIvf registers for its own
-      // assignment+rerank passes — dropping it after training would
-      // silently force those passes back to parquet on a cold anchor
-      // cache. The caller that cached the plan owns its lifetime.
-      val e = prepared(s, d).cache()
-      trainAnchors(e, ivfCells(e.count()), iters = 2).localCheckpoint(true)
+      val base = e.select(col("vec_id"), col("v"), col("nrm"))
+      trainAnchors(base, ivfCells(base.count()), iters = 2)
     })
   }
 
@@ -280,31 +286,52 @@ object Similarity {
     val e = prepared(s, d).cache()   // scanned for assignment + rerank
     val nCells = ivfCells(e.count())
     val nProbe = math.max(4, nCells / 4)
-    val anchors = trainedAnchors(s, d)
-      .withColumn("an", sqrt(vecNorm2(col("av"))))
-    // rank cells per vector once (used for both assignment and probing)
-    val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
-      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),
-        col("a.cell").as("cell"),
-        (vecDot(col("e.v"), col("a.av")) /
-          (col("e.nrm") * col("a.an"))).as("sim"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-    val assigned = ranked.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    val probes = broadcast(ranked
-      .filter(col("vec_id") < NQueries && col("crn") <= nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
+    val anchors = trainedAnchors(s, d, e)
+    // Corpus side: cell = argmax-cosine anchor via the narrow codegen'd
+    // [[graft.functions.VectorFunctions.topCells]] projection — zero
+    // shuffle at any corpus size (the round-4 window formulation sort-
+    // shuffled n·√n full-width rows for this; PipelineSpec asserts the
+    // assignment fragment is Exchange-free). Bit-identical assignment:
+    // same sim arithmetic and the same (sim desc, cell asc) tie-break.
+    val assigned = e.withColumn("cell",
+      graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+    // Query side: rank ALL cells per query — NQueries·√n rows, trivial;
+    // the window stays here where the input is query-bounded.
+    val probes = broadcast(queryProbes(e, anchors, nProbe,
+      "vec_id", "v", "nrm"))
 
+    // no distinct: each corpus row has exactly ONE cell and a query's
+    // probed cells are distinct, so a (query, neighbor) pair joins once
     val cands = probes.as("q")
       .join(assigned.as("e"),
         col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
-      .distinct()
     withRecallGate(s, d,
       rerank(cands).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
       floor = 0.9)
+  }
+
+  /** Top-`nProbe` cells for the NQueries query vectors: the one place
+    * the rank-over-cells window survives — its input is query-bounded
+    * (NQueries·nCells rows), never the corpus. `extra` columns are
+    * carried through for the downstream join. */
+  private def queryProbes(e: DataFrame, anchors: Array[(Int, Array[Double])],
+                          nProbe: Int, extra: String*): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val anchorsDF = anchors.toSeq.toDF("cell", "av")
+      .withColumn("an", sqrt(vecNorm2(col("av"))))
+    e.filter(col("vec_id") < NQueries).as("e")
+      .join(broadcast(anchorsDF).as("a"), lit(true))
+      .select((Seq(col("a.cell").as("cell"),
+        (vecDot(col("e.v"), col("a.av")) /
+          (col("e.nrm") * col("a.an"))).as("sim")) ++
+        extra.map(n => col("e." + n).as(n))): _*)
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+      .filter(col("crn") <= nProbe)
+      .drop("sim", "crn")
   }
 
   // ------------------------------------------------------------- S4
@@ -611,23 +638,18 @@ object Similarity {
       .cache()
     val nCells = ivfCells(e.count())
     val nProbe = math.max(4, nCells / 4)
-    val anchors = trainedAnchors(s, d)
-      .withColumn("an", sqrt(vecNorm2(col("av"))))
-    val ranked = e.as("e").join(broadcast(anchors).as("a"), lit(true))
-      .select(col("e.vec_id").as("vec_id"), col("e.v").as("v"), col("e.nrm").as("nrm"),
-        col("e.qv").as("qv"), col("e.nq2").as("nq2"), col("a.cell").as("cell"),
-        (vecDot(col("e.v"), col("a.av")) /
-          (col("e.nrm") * col("a.an"))).as("sim"))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
-    val assigned = ranked.filter(col("crn") === 1)
+    val anchors = trainedAnchors(s, d, e)
+    // narrow shuffle-free argmax assignment — same shape as s3
+    val assigned = e.withColumn("cell",
+      graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell"))
-    val probes = broadcast(ranked
-      .filter(col("vec_id") < NQueries && col("crn") <= nProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell")))
+    val probes = broadcast(queryProbes(e, anchors, nProbe,
+      "vec_id", "v", "nrm", "qv", "nq2"))
 
     // int8 scoring pass over the probed cells: integer dot + integer
-    // norms — the only per-candidate work, on the compressed codes
+    // norms — the only per-candidate work, on the compressed codes.
+    // No distinct (round-4 advice): one cell per corpus row × distinct
+    // probed cells per query ⇒ each (query, neighbor) pair joins once.
     val scoredQ = probes.as("q")
       .join(assigned.as("e"),
         col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
@@ -639,7 +661,6 @@ object Similarity {
             .cast("double") /
             (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
           .as("cosq4"))
-      .distinct()
     // exact float rerank of the per-query int8 shortlist (2K rows/query)
     val short = scoredQ.withColumn("qrn", row_number().over(
         Window.partitionBy(col("query_id"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -88,9 +88,125 @@ case class VecNorm2(child: Expression)
     copy(child = newChild)
 }
 
+/** Top-k nearest IVF cells of a vector against a FIXED anchor set — the
+  * shuffle-free cell assignment for the IVF/SemDeDup family (s3/s6/p7).
+  *
+  * The anchors ride the expression as reference objects (`cells` ids
+  * ascending, `flat` row-major anchor values, `norms` their L2 norms),
+  * so assignment is one narrow codegen'd projection per corpus row: no
+  * cross join against the anchor table, no `row_number` window, no
+  * Exchange — the round-4 finding was that the window formulation sort-
+  * shuffled corpus×anchors ≈ n·√n full-width rows to compute this
+  * per-row argmax.
+  *
+  * Semantics match the window form `row_number over (partition by
+  * vec_id order by sim desc, cell asc) <= k` bit-for-bit: sim is
+  * `vecDot(v, anchor) / (nrm · anchorNorm)` with the same sequential
+  * fold as [[VecDot]], insertion keeps earlier (lower-id) cells ahead
+  * on sim ties, and a full list is only evicted on strictly greater
+  * sim. Output: array<int> of the k best cell ids, best first.
+  */
+case class TopCells(left: Expression, right: Expression,
+                    cells: Array[Int], flat: Array[Double],
+                    norms: Array[Double], k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cells.nonEmpty && flat.length % cells.length == 0 && k >= 1)
+  private val dim = flat.length / cells.length
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val kk = math.min(k, cells.length)
+    val topSim = new Array[Double](kk)
+    val topCell = new Array[Int](kk)
+    var filled = 0
+    var c = 0
+    while (c < cells.length) {
+      var dot = 0.0; var i = 0; val off = c * dim
+      while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+      val sim = dot / (nrm * norms(c))
+      if (filled < kk || sim > topSim(filled - 1)) {
+        var pos = if (filled < kk) filled else kk - 1
+        while (pos > 0 && sim > topSim(pos - 1)) {
+          topSim(pos) = topSim(pos - 1); topCell(pos) = topCell(pos - 1); pos -= 1
+        }
+        topSim(pos) = sim; topCell(pos) = cells(c)
+        if (filled < kk) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCell, filled))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+      val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val kk = ctx.freshName("kk"); val ts = ctx.freshName("topSim")
+      val tc = ctx.freshName("topCell"); val fl = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i"); val off = ctx.freshName("off")
+      val sim = ctx.freshName("sim"); val pos = ctx.freshName("pos")
+      s"""
+         |int $kk = java.lang.Math.min($k, $cellsRef.length);
+         |double[] $ts = new double[$kk];
+         |int[] $tc = new int[$kk];
+         |int $fl = 0;
+         |for (int $c = 0; $c < $cellsRef.length; $c++) {
+         |  double $dot = 0.0;
+         |  int $off = $c * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $a.getDouble($i) * $flatRef[$off + $i];
+         |  }
+         |  double $sim = $dot / ($b * $normsRef[$c]);
+         |  if ($fl < $kk || $sim > $ts[$fl - 1]) {
+         |    int $pos = ($fl < $kk) ? $fl : $kk - 1;
+         |    while ($pos > 0 && $sim > $ts[$pos - 1]) {
+         |      $ts[$pos] = $ts[$pos - 1]; $tc[$pos] = $tc[$pos - 1]; $pos--;
+         |    }
+         |    $ts[$pos] = $sim; $tc[$pos] = $cellsRef[$c];
+         |    if ($fl < $kk) $fl++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($tc, $fl));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopCells =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecNorm2(a: Column): Column =
     ExpressionUtils.column(VecNorm2(ExpressionUtils.expression(a)))
+  /** `anchors`: (cellId, anchorValues); norms are computed here with the
+    * same ascending fold as [[VecNorm2]] so sims match the window form. */
+  def topCells(v: Column, nrm: Column,
+               anchors: Array[(Int, Array[Double])], k: Int): Column = {
+    val sorted = anchors.sortBy(_._1)
+    val dim = sorted.head._2.length
+    val cells = sorted.map(_._1)
+    val flat = new Array[Double](cells.length * dim)
+    val norms = new Array[Double](cells.length)
+    var c = 0
+    while (c < cells.length) {
+      System.arraycopy(sorted(c)._2, 0, flat, c * dim, dim)
+      var s2 = 0.0; var i = 0
+      while (i < dim) { val x = sorted(c)._2(i); s2 += x * x; i += 1 }
+      norms(c) = math.sqrt(s2)
+      c += 1
+    }
+    ExpressionUtils.column(TopCells(ExpressionUtils.expression(v),
+      ExpressionUtils.expression(nrm), cells, flat, norms, k))
+  }
 }

@@ -40,6 +40,37 @@ class CodegenSpec extends AnyFunSuite {
       s"VecDot/VecNorm2 fell out of codegen:\n$p")
   }
 
+  test("top_cells assignment matches the window formulation and stays codegen'd") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{topCells, vecDot, vecNorm2}
+    val e = Similarity.prepared(spark, sf)
+    val anchors = Similarity.trainedAnchors(spark, sf, e)
+    val assigned = e.withColumn("tc", topCells(col("v"), col("nrm"), anchors, 3))
+    // reference: the round-4 window-over-cross-product formulation
+    val s = spark
+    import s.implicits._
+    val aDF = anchors.toSeq.toDF("cell", "av")
+      .withColumn("an", sqrt(vecNorm2(col("av"))))
+    val ranked = e.as("e").join(broadcast(aDF).as("a"), lit(true))
+      .select(col("e.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        (vecDot(col("e.v"), col("a.av")) / (col("e.nrm") * col("a.an"))).as("sim"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cell"))))
+      .filter(col("crn") <= 3)
+    val want = ranked.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(1)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toSeq }
+    val got = assigned.select(col("vec_id"), col("tc")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == want, "top_cells diverged from the window formulation")
+    val p = plan(assigned)
+    assert(p.contains("top_cells"), s"native top_cells missing:\n$p")
+    assert(!p.toLowerCase.contains("codegenfallback"),
+      s"top_cells fell out of codegen:\n$p")
+  }
+
   test("bloom probe is the native expression, not a UDF, and stays codegen'd") {
     val p = plan(Relational.r30(spark, sf))
     assert(p.contains("bloom_might_contain"), s"native probe missing:\n$p")

@@ -48,6 +48,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.9, f"IVF recall $r%.3f below 0.9 with trained anchors")
   }
 
+  test("IVF corpus cell assignment is Exchange-free (s3/s6/p7 scale shape)") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.prepared(spark, sf01)
+    val anchors = Similarity.trainedAnchors(spark, sf01, e)
+    val assigned = e.withColumn("cell",
+      graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+    assigned.collect()
+    val plan = assigned.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    }
+    assert(exchanges.isEmpty,
+      s"corpus→cell assignment must be a narrow projection, found shuffle:\n$plan")
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

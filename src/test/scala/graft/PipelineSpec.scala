@@ -63,6 +63,31 @@ class PipelineSpec extends AnyFunSuite {
       s"corpus→cell assignment must be a narrow projection, found shuffle:\n$plan")
   }
 
+  test("s7 persisted-index probe is bit-identical to the in-query s6 composition") {
+    val s6 = Similarity.s6AnnIvfQuantized(spark, sf01).collect().map(_.toSeq).sortBy(_.toString)
+    val s7 = Similarity.s7AnnIndexProbe(spark, sf01).collect().map(_.toSeq).sortBy(_.toString)
+    assert(s6.sameElements(s7),
+      "index probe diverged from in-query IVF+int8 (assignment/scoring/rerank drift)")
+  }
+
+  test("s7 index scan is partition-pruned and column-pruned (no float read for scoring)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = Similarity.ivfIndexPath(spark, sf01)
+    val pruned = spark.read.parquet(path)
+      .filter(col("cell").isin(0, 1, 2))
+      .select(col("vec_id"), col("qv8"), col("nq2"))
+    pruned.collect()
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan found in the probe plan")
+    assert(scans.forall(_.partitionFilters.exists(_.references.nonEmpty)),
+      s"cell probe did not reach the scan as a partition filter:\n${pruned.queryExecution.executedPlan}")
+    assert(scans.forall(!_.schema.fieldNames.contains("embedding")),
+      "scoring scan reads the float embeddings — column pruning lost")
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

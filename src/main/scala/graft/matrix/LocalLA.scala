@@ -350,6 +350,74 @@ object LocalLA {
   def permuteRows(a: Array[Array[Double]], perm: Array[Int]): Array[Array[Double]] =
     perm.map(i => a(i).clone())
 
+  /** Symmetric eigendecomposition by cyclic Jacobi rotations:
+    * (eigenvalues descending, eigenvectors as COLUMNS in the same
+    * order). Deterministic — fixed (p,q) sweep order, relative
+    * off-diagonal stopping rule — and unconditionally stable for
+    * symmetric input; used driver-side on broadcast-sized Gram/B·Bᵀ
+    * matrices (the SVD tail of M14), never on distributed data. */
+  def symEig(aIn: Array[Array[Double]],
+             maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val n = aIn.length
+    val a = aIn.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var frob2 = 0.0
+    locally {
+      var i = 0
+      while (i < n) { var j = 0; while (j < n) { frob2 += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+    }
+    val stop = 1e-28 * frob2   // off² ≤ 1e-28·‖A‖F² → machine-precision diag
+    var sweep = 0
+    var off2 = Double.MaxValue
+    while (sweep < maxSweeps && off2 > stop) {
+      off2 = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            off2 += 2 * apq * apq
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val sg = if (theta >= 0) 1.0 else -1.0
+            val t = sg / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1); val s = t * c
+            // A ← JᵀAJ on rows/cols p,q
+            var k = 0
+            while (k < n) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // sort eigenpairs by eigenvalue descending (stable: index tiebreak)
+    val order = (0 until n).sortBy(i => (-a(i)(i), i)).toArray
+    val vals = order.map(i => a(i)(i))
+    val vecs = Array.tabulate(n, n)((r, ci) => v(r)(order(ci)))
+    (vals, vecs)
+  }
+
   // ---- row-major <-> MLlib column-major DenseMatrix -------------------
   import org.apache.spark.mllib.linalg.{DenseMatrix => MlDM}
 

@@ -540,11 +540,11 @@ object MatrixQueries {
     * of Y·R₁⁻¹ (CholeskyQR2) restores QᵀQ = I to machine precision at
     * the cost of one more narrow pass — three passes total, still no
     * shuffle of A anywhere. */
-  def m13RandomizedSvd(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sc = s.sparkContext
-    val m = 2048; val n = 256; val r0 = 8; val rp = 24 // r=16 + p=8 oversampling
-    val blk = 64
+  /** Shared plumbing of the randomized-SVD pair (M13 range finder, M14
+    * completed SVD): seeded generation of the planted-rank input and
+    * the three narrow passes that produce B = QᵀA, ‖A‖F² and QᵀQ. */
+  private object Rsvd {
+    val M = 2048; val N = 256; val R0 = 8; val Rp = 24 // r=16 + p=8 oversampling
 
     // Per-entry seeded uniforms via splitmix64 — NOT per-entry
     // java.util.Random(linear seed): a Random's FIRST draw correlates
@@ -560,24 +560,60 @@ object MatrixQueries {
     def u01(s: Long): Double = (mix(s) >>> 11).toDouble / (1L << 53).toDouble
 
     // planted factors: R (n×r0) and Ω (n×rp) are driver-seeded constants
-    val rFac = Array.tabulate(n, r0) { (i, k) => u01(Seed * 31 + i * 131 + k) }
-    val omega = Array.tabulate(n, rp) { (i, k) =>
-      if ((mix(Seed * 37 + i * 151 + k) & 1L) == 1L) 1.0 else -1.0
-    }
-    val rFacB = sc.broadcast(rFac); val omegaB = sc.broadcast(omega)
+    lazy val rFac: Array[Array[Double]] =
+      Array.tabulate(N, R0) { (i, k) => u01(Seed * 31 + i * 131 + k) }
+    lazy val omega: Array[Array[Double]] =
+      Array.tabulate(N, Rp) { (i, k) =>
+        if ((mix(Seed * 37 + i * 151 + k) & 1L) == 1L) 1.0 else -1.0
+      }
 
-    // A rows: a_i = l_i·Rᵀ + 1e-3·noise, generated in place (never stored)
-    def aRows = sc.range(0, m, numSlices = 32).map { i =>
-      val l = Array.tabulate(r0)(k => u01(Seed * 41 + i * 1009 + k))
-      val v = new Array[Double](n)
+    /** Row i of A = L·Rᵀ + 1e-3·noise — the same arithmetic on the
+      * executors (distributed passes) and the driver (M14's oracle). */
+    def aRow(i: Long, rf: Array[Array[Double]]): Array[Double] = {
+      val l = Array.tabulate(R0)(k => u01(Seed * 41 + i * 1009 + k))
+      val v = new Array[Double](N)
       var j = 0
-      while (j < n) {
+      while (j < N) {
         var acc = 0.0; var k = 0
-        while (k < r0) { acc += l(k) * rFacB.value(j)(k); k += 1 }
+        while (k < R0) { acc += l(k) * rf(j)(k); k += 1 }
         v(j) = acc + 1e-3 * u01(Seed * 43 + i * 2003 + j)
         j += 1
       }
-      (i, v)
+      v
+    }
+  }
+
+  def m13RandomizedSvd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Rsvd.M; val n = Rsvd.N; val r0 = Rsvd.R0; val rp = Rsvd.Rp
+    val (b, aF2, qtq) = rsvdRange(s)
+    var orth = 0.0
+    for (i <- 0 until rp; j <- 0 until rp) {
+      val e = math.abs(qtq(i)(j) - (if (i == j) 1.0 else 0.0))
+      if (e > orth) orth = e
+    }
+    var bF2 = 0.0
+    for (k <- 0 until rp; j <- 0 until n) bF2 += b(k)(j) * b(k)(j)
+    val errF2 = math.max(0.0, aF2 - bF2)
+
+    val capture = 1.0 - errF2 / aF2
+    val relErr = math.sqrt(errF2 / aF2)
+    val pass = orth < 1e-9 && capture > 0.999 && relErr < 0.02
+    Seq((m, n, r0, rp, capture, relErr, orth, pass))
+      .toDF("m", "n", "rank_planted", "rank_sketch",
+        "energy_captured", "rel_err_f", "orth_resid", "pass")
+  }
+
+  /** The three narrow passes of the HMT range finder (sketch, TSQR,
+    * CholeskyQR2 re-factor, projection): returns (B = QᵀA, ‖A‖F², QᵀQ).
+    * A is generated in place and never stored; every reduction moves
+    * broadcast-sized partials up a tree — no shuffle of A anywhere. */
+  private def rsvdRange(s: SparkSession): (Array[Array[Double]], Double, Array[Array[Double]]) = {
+    val sc = s.sparkContext
+    val m = Rsvd.M; val n = Rsvd.N; val rp = Rsvd.Rp
+    val rFacB = sc.broadcast(Rsvd.rFac); val omegaB = sc.broadcast(Rsvd.omega)
+    def aRows = sc.range(0, m, numSlices = 32).map { i =>
+      (i, Rsvd.aRow(i, rFacB.value))
     }
 
     // pass 1: sketch Y = A·Ω rowwise (narrow), TSQR of Y
@@ -636,22 +672,71 @@ object MatrixQueries {
       }
       (x._1, x._2 + y._2, x._3)
     }, depth = 2)
+    (b, aF2, qtq)
+  }
 
-    var orth = 0.0
+  /** M14: the COMPLETED randomized SVD — M13 stops at A ≈ Q·B (range +
+    * projection); the singular values and right vectors are one
+    * driver-side eigensolve of the broadcast-sized B away:
+    * B·Bᵀ = U_B·Λ·U_Bᵀ (rp×rp, Jacobi — [[LocalLA.symEig]]), σ = √Λ,
+    * V = Bᵀ·U_B·Σ⁻¹, and A ≈ (Q·U_B)·Σ·Vᵀ. Nothing new touches the
+    * distributed data: the passes are M13's three narrow scans, the SVD
+    * tail is O(rp²·n) on the driver — exactly the split a 100 TB PCA
+    * wants (the (r+p)×n B is megabytes at any corpus size).
+    *
+    * Gates (REAL approximation bounds vs an independent driver-local
+    * eigensolve of AᵀA over the same generated rows, not
+    * self-consistency):
+    *  - top-r₀ singular values match the local spectrum to 1e-2 rel
+    *    (the binding error is Weyl's bound ‖A − Q·B‖₂, the projection
+    *    residual — measured ~1e-5 here; the gate leaves margin);
+    *  - the top right-singular vector aligns (|cos| > 0.999);
+    *  - VᵀV = I to 1e-8 (V's columns are exactly orthonormal in exact
+    *    arithmetic — B·Bᵀ diagonalization, not a power iteration);
+    *  - σ₉/σ₁ < 1e-2: the planted rank-8 spectrum drops to the 1e-3
+    *    noise floor, so the sketch neither hallucinates nor misses
+    *    structure. */
+  def m14CompletedSvd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Rsvd.N; val r0 = Rsvd.R0; val rp = Rsvd.Rp
+    val (b, aF2, _) = rsvdRange(s)
+
+    // SVD tail on the driver: B·Bᵀ (rp×rp) eigensolve
+    val bbT = LocalLA.gemm(b, LocalLA.transpose(b))
+    val (lam, uB) = LocalLA.symEig(bbT)
+    val sig = lam.map(l => math.sqrt(math.max(l, 0.0)))
+    // V = Bᵀ·U_B·Σ⁻¹ (n×rp)
+    val bTu = LocalLA.gemm(LocalLA.transpose(b), uB)
+    val v = Array.tabulate(n, rp)((i, k) =>
+      if (sig(k) > 0) bTu(i)(k) / sig(k) else 0.0)
+    var vOrth = 0.0
     for (i <- 0 until rp; j <- 0 until rp) {
-      val e = math.abs(qtq(i)(j) - (if (i == j) 1.0 else 0.0))
-      if (e > orth) orth = e
+      var acc = 0.0; var t = 0
+      while (t < n) { acc += v(t)(i) * v(t)(j); t += 1 }
+      val e = math.abs(acc - (if (i == j) 1.0 else 0.0))
+      if (e > vOrth) vOrth = e
     }
-    var bF2 = 0.0
-    for (k <- 0 until rp; j <- 0 until n) bF2 += b(k)(j) * b(k)(j)
-    val errF2 = math.max(0.0, aF2 - bF2)
 
-    val capture = 1.0 - errF2 / aF2
-    val relErr = math.sqrt(errF2 / aF2)
-    val pass = orth < 1e-9 && capture > 0.999 && relErr < 0.02
-    Seq((m, n, r0, rp, capture, relErr, orth, pass))
-      .toDF("m", "n", "rank_planted", "rank_sketch",
-        "energy_captured", "rel_err_f", "orth_resid", "pass")
+    // independent driver-local oracle: eig(AᵀA) over the SAME rows
+    val al = Array.tabulate(Rsvd.M)(i => Rsvd.aRow(i.toLong, Rsvd.rFac))
+    val g = LocalLA.gemm(LocalLA.transpose(al), al)
+    val (lamLoc, vLoc) = LocalLA.symEig(g)
+    val sigLoc = lamLoc.map(l => math.sqrt(math.max(l, 0.0)))
+    val relTop = (0 until r0).map(k =>
+      math.abs(sig(k) - sigLoc(k)) / sigLoc(k)).max
+    var align1 = 0.0
+    for (i <- 0 until n) align1 += v(i)(0) * vLoc(i)(0)
+    val tailRatio = sig(r0) / sig(0)
+    // energy identity: Σσ² = ‖B‖F² ≤ ‖A‖F²
+    val sigEnergy = sig.map(x => x * x).sum / aF2
+
+    val pass = relTop < 1e-2 && math.abs(align1) > 0.999 &&
+      vOrth < 1e-8 && tailRatio < 1e-2 && sigEnergy <= 1.0 + 1e-12
+    Seq((Rsvd.M, n, r0, rp,
+      math.round(sig(0) * 1e4) / 1e4, math.round(sig(r0 - 1) * 1e4) / 1e4,
+      relTop, math.abs(align1), vOrth, tailRatio, pass))
+      .toDF("m", "n", "rank_planted", "rank_sketch", "sig1_4", "sig8_4",
+        "rel_top8", "align1", "v_orth", "tail_ratio", "pass")
   }
 
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
@@ -687,5 +772,6 @@ object MatrixQueries {
     "m10_cholesky"  -> (m10Cholesky _),
     "m11_least_squares" -> (m11LeastSquares _),
     "m12_tsqr"      -> (m12Tsqr _),
-    "m13_randomized_svd" -> (m13RandomizedSvd _))
+    "m13_randomized_svd" -> (m13RandomizedSvd _),
+    "m14_completed_svd" -> (m14CompletedSvd _))
 }

@@ -50,8 +50,67 @@ object TallSkinny {
       else Iterator(LocalLA.qrR(block))
     }
     val r = partR.treeReduce((r1, r2) => LocalLA.qrR(r1 ++ r2), depth = 2)
-    require(r.length == d, s"rank-deficient stack: ${r.length} < $d rows")
+    // This checks ROW COUNT (m < d gives a trapezoid), not numerical
+    // rank: true rank deficiency yields a d×d R with ~zero diagonal —
+    // detect it with [[diagRank]] and route through [[lstsqAuto]].
+    require(r.length == d, s"fewer rows than columns: ${r.length} < $d")
     LocalLA.canonUpper(r)
+  }
+
+  /** Numerical rank estimate from R's diagonal: |R(i,i)| decays to ~0
+    * exactly on the deficient directions (for QR without pivoting this
+    * is a heuristic, but a reliable one for the collinear-feature case
+    * — an exactly duplicated column zeroes the corresponding pivot). */
+  def diagRank(r: Array[Array[Double]], tol: Double = 1e-10): Int = {
+    val dmax = r.indices.map(i => math.abs(r(i)(i))).max
+    if (dmax == 0.0) 0 else r.indices.count(i => math.abs(r(i)(i)) > tol * dmax)
+  }
+
+  /** Ridge-regularized least squares (AᵀA + λ·s²·I)·x = Aᵀb — the
+    * graceful-degradation path for rank-deficient / collinear input
+    * where the pure QR solve divides by a ~zero pivot. AᵀA = RᵀR comes
+    * FREE from the TSQR R (no second pass over A); Aᵀb is one narrow
+    * pass (d-double partials up a tree, same shape as [[lstsqQR]]'s
+    * Qᵀb); the (d×d) SPD solve happens on the driver. λ is scaled by
+    * s² = max|R(i,i)|² so the regularization is relative to the data's
+    * scale, making the solution the standard ridge estimate with
+    * dimensionless λ. */
+  def lstsqRidge(rowsWithB: RDD[(Array[Double], Double)],
+                 r: Array[Array[Double]], d: Int, lambda: Double): Array[Double] = {
+    val atb = rowsWithB.mapPartitions { it =>
+      val acc = new Array[Double](d)
+      it.foreach { case (row, bi) =>
+        var j = 0
+        while (j < d) { acc(j) += row(j) * bi; j += 1 }
+      }
+      Iterator(acc)
+    }.treeReduce({ (x, y) =>
+      var j = 0
+      while (j < d) { x(j) += y(j); j += 1 }
+      x
+    }, depth = 2)
+    val g = LocalLA.gemm(LocalLA.transpose(r), r)
+    val s2 = {
+      val dmax = r.indices.map(i => math.abs(r(i)(i))).max
+      dmax * dmax
+    }
+    var i = 0
+    while (i < d) { g(i)(i) += lambda * s2; i += 1 }
+    val l = LocalLA.cholesky(g)
+    LocalLA.backSolveUpper(LocalLA.transpose(l),
+      LocalLA.forwardSolveLower(l, atb.map(Array(_)))).map(_(0))
+  }
+
+  /** Rank-revealing least squares: the QR fast path when R is
+    * numerically full-rank, the ridge fallback otherwise — so collinear
+    * features degrade to a well-defined regularized solution instead of
+    * a division by a ~zero pivot. Returns (x, fullRank). */
+  def lstsqAuto(rowsWithB: RDD[(Array[Double], Double)],
+                r: Array[Array[Double]], d: Int,
+                lambda: Double = 1e-8,
+                tol: Double = 1e-10): (Array[Double], Boolean) = {
+    if (diagRank(r, tol) == d) (lstsqQR(rowsWithB, r, d), true)
+    else (lstsqRidge(rowsWithB, r, d, lambda), false)
   }
 
   /** Q = A·R⁻¹, row-parallel: R (d×d) rides a broadcast, each row of Q

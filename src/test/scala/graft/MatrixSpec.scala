@@ -335,6 +335,100 @@ class MatrixSpec extends AnyFunSuite {
     assert(x.zip(xTrue).map { case (a, b) => math.abs(a - b) }.max < 1e-10)
   }
 
+  test("symEig: Jacobi recovers a planted spectrum; eigenvectors orthonormal") {
+    val n = 24
+    val rng = new scala.util.Random(7)
+    // plant: A = V·diag(λ)·Vᵀ with a random orthogonal V (via QR)
+    val lam = Array.tabulate(n)(i => (n - i).toDouble * (n - i))
+    val raw = Array.fill(n, n)(rng.nextGaussian())
+    val r = LocalLA.qrR(raw.map(_.clone()))
+    val v = LocalLA.solveXU(raw, r) // Q of the QR: orthogonal
+    val a = Array.tabulate(n, n) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < n) { s += v(i)(k) * lam(k) * v(j)(k); k += 1 }
+      s
+    }
+    val (got, vecs) = LocalLA.symEig(a)
+    assert(got.zip(lam).map { case (x, y) => math.abs(x - y) }.max < 1e-8 * lam.max)
+    // vectors orthonormal and satisfy A·v = λ·v
+    for (i <- 0 until n; j <- 0 until n) {
+      var dot = 0.0; var k = 0
+      while (k < n) { dot += vecs(k)(i) * vecs(k)(j); k += 1 }
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10)
+    }
+    for (c <- 0 until 3) {
+      val av = a.map(row => row.indices.map(k => row(k) * vecs(k)(c)).sum)
+      val resid = av.zipWithIndex.map { case (x, i) =>
+        math.abs(x - got(c) * vecs(i)(c)) }.max
+      assert(resid < 1e-7 * lam.max, s"A·v ≠ λv for eigenpair $c: $resid")
+    }
+  }
+
+  test("m14: completed randomized SVD matches a driver-local spectrum, V orthonormal") {
+    val row = MatrixQueries.m14CompletedSvd(spark, "").collect()(0)
+    info(s"sig1=${row.getAs[Double]("sig1_4")} sig8=${row.getAs[Double]("sig8_4")} " +
+      f"relTop8=${row.getAs[Double]("rel_top8")}%.2e align1=${row.getAs[Double]("align1")}%.6f " +
+      f"vOrth=${row.getAs[Double]("v_orth")}%.2e tail=${row.getAs[Double]("tail_ratio")}%.2e")
+    assert(row.getAs[Boolean]("pass"), row.toString)
+    assert(row.getAs[Double]("rel_top8") < 1e-3,
+      "top-8 singular values drifted beyond the projection-residual bound")
+  }
+
+  test("rank-deficient tall solve: ridge fallback engages and matches a local oracle") {
+    val m = 512; val d = 8; val blk = 32
+    // duplicate column 6 into column 7 → numerical rank d-1
+    val full = TallSkinny.tallRows(sc, m, d, blk, seed)
+    val rows = full.map { case (i, v) =>
+      val w = v.clone(); w(d - 1) = w(d - 2); (i, w)
+    }
+    val r = TallSkinny.tsqrR(rows, d)
+    assert(TallSkinny.diagRank(r) == d - 1, s"diagRank=${TallSkinny.diagRank(r)}")
+    val xTrue = Array.tabulate(d)(j => (j + 1).toDouble / 4)
+    val rowsWithB = rows.map { case (_, v) =>
+      (v, v.zip(xTrue).map { case (a, b) => a * b }.sum)
+    }
+    val lambda = 1e-8
+    val (x, fullRank) = TallSkinny.lstsqAuto(rowsWithB, r, d, lambda)
+    assert(!fullRank, "auto path must take the ridge branch on deficient R")
+    // driver-local ridge oracle over the same rows
+    val al = rows.collect().sortBy(_._1).map(_._2)
+    val g = LocalLA.gemm(LocalLA.transpose(al), al)
+    val atb = new Array[Double](d)
+    val alOrdered = rows.collect().sortBy(_._1)
+    val blOrdered = alOrdered.map { case (_, v) =>
+      v.zip(xTrue).map { case (a, b) => a * b }.sum }
+    for (i <- alOrdered.indices; j <- 0 until d)
+      atb(j) += alOrdered(i)._2(j) * blOrdered(i)
+    val dmax = (0 until d).map(i => math.abs(r(i)(i))).max
+    for (i <- 0 until d) g(i)(i) += lambda * dmax * dmax
+    val l = LocalLA.cholesky(g)
+    val xl = LocalLA.backSolveUpper(LocalLA.transpose(l),
+      LocalLA.forwardSolveLower(l, atb.map(Array(_)))).map(_(0))
+    val rel = x.zip(xl).map { case (a, b) => math.abs(a - b) }.max /
+      xl.map(math.abs).max
+    // κ(AᵀA + λs²I) ≈ 1/λ = 1e8 on the deficient directions, so eps-level
+    // differences between RᵀR (distributed) and AᵀA (local) amplify to
+    // ~1e-8 in x; 1e-6 leaves two orders of margin above that floor
+    assert(rel < 1e-6, s"distributed ridge diverged from local oracle: $rel")
+    // the ridge solution reproduces the fitted values even though x is
+    // not unique: A·x ≈ A·xTrue
+    val ax = LocalLA.gemm(al, x.map(Array(_))).map(_(0))
+    val axTrue = LocalLA.gemm(al, xTrue.map(Array(_))).map(_(0))
+    val fitErr = ax.zip(axTrue).map { case (a, b) => math.abs(a - b) }.max /
+      axTrue.map(math.abs).max
+    assert(fitErr < 1e-5, s"ridge fit drifted: $fitErr")
+    // full-rank input: auto == pure QR path, unchanged
+    val rFull = TallSkinny.tsqrR(full, d)
+    val bFull = full.map { case (_, v) =>
+      (v, v.zip(xTrue).map { case (a, b) => a * b }.sum) }
+    val (xF, fr) = TallSkinny.lstsqAuto(bFull, rFull, d)
+    assert(fr)
+    // same code path, but treeReduce merges task partials in completion
+    // order → ULP-level run-to-run drift; compare with tolerance
+    val xQR = TallSkinny.lstsqQR(bFull, rFull, d)
+    assert(xF.zip(xQR).map { case (a, b) => math.abs(a - b) }.max < 1e-12)
+  }
+
   test("qrR handles wide/short partitions (m < d trapezoids stack correctly)") {
     val d = 8
     // 3-row partitions: every local QR sees m < d and emits a trapezoid

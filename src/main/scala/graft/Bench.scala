@@ -51,7 +51,9 @@ object Bench {
     // truncated mid-line there, unparseable. 2-decimal times, numeric
     // sf, and `failed` only when non-empty keep the whole line inside
     // that window (build.sbt's showSuccess := false frees the rest).
-    // Full precision goes to stderr for local BASELINE recording.
+    // Full precision goes to a [bench-full] stdout line printed BEFORE
+    // the compact line (stdout is sequential, so the compact line is
+    // always the last one inside any tail window).
     val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failed =
       if (failedNames.isEmpty) "" else failedNames.mkString(",\"failed\":[", ",", "]")
@@ -71,7 +73,15 @@ object Bench {
     // failure list), degrade per-query precision rather than overflow.
     println("[bench-full] " + line(6))
     val compact = line(2)
-    println(if (compact.length <= 1995) compact else line(1))
+    // Degradation ladder: 2-decimal → 1-decimal → no per-query map at
+    // all (metric/value/failed/sf still parse) — an oversized line that
+    // truncates mid-JSON is worse than a summary-only one.
+    val summaryOnly =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failed,"sf":$sfNum}"""
+    println(
+      if (compact.length <= 1995) compact
+      else if (line(1).length <= 1995) line(1)
+      else summaryOnly)
     spark.stop()
   }
 }

@@ -724,8 +724,15 @@ object Dedup {
     * (digest-uniform passages, doc ids) are skew-free. */
   private val PassageW = 16
 
-  def x11PassageDedup(s: SparkSession, d: String): DataFrame = {
-    val pass = documents(s, d)
+  def x11PassageDedup(s: SparkSession, d: String): DataFrame =
+    passageDedupOf(documents(s, d))
+
+  /** The operator body over any (doc_id, text) frame — split out so the
+    * adversarial-scale spec can feed a synthetic corpus with one passage
+    * duplicated across 10⁵ documents (PipelineSpec asserts the keep-
+    * first decision collapses map-side, no rank window anywhere). */
+  private[graft] def passageDedupOf(docs: DataFrame): DataFrame = {
+    val pass = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(w) / ${PassageW}.0) AS int) - 1),
@@ -785,17 +792,60 @@ object Dedup {
     * plan family.) */
   private val DecontamGram = 8
 
-  def x12Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val grams = documents(s, d)
+  /** Distinct 8-word grams per document — the shared front half of X12
+    * and X13 (one narrow pass, no shuffle). */
+  private def decontamGrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= DecontamGram)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(w) - $DecontamGram)," +
           s" i -> array_join(slice(w, i + 1, $DecontamGram), ' '))"))).as("g"))
+
+  def x12Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = decontamGrams(s, d)
     val evalG = grams.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
     val trainG = grams.filter(col("doc_id") % 50 =!= 0)
     trainG.join(broadcast(evalG), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        min(col("eval_id")).as("first_eval"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------- X13
+  /** X12's documented fallback, wired end-to-end: when the eval gram
+    * set is too big to BROADCAST, fold its xxhash64 values into a ~1%
+    * FPP Bloom filter (compact even at 10⁹ grams — ~10 bits/key) and
+    * push the probe — the codegen'd
+    * [[graft.functions.SketchFunctions.bloomMightContainLong]]
+    * expression, same machinery as R30 — onto the TRAINING gram stream.
+    * Only survivors (true hits + ~1% false positives of a stream that
+    * is overwhelmingly non-contaminated) reach the residual join, which
+    * runs as an explicitly hinted SHUFFLE join on the gram text: the
+    * eval set is never broadcast, and hash/Bloom false positives are
+    * eliminated there, so the output is EXACTLY x12's (same DuckDB
+    * oracle). PipelineSpec asserts the plan shape: bloom probe present
+    * on the training side, no BroadcastHashJoin for the gram join. */
+  def x13DecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val grams = decontamGrams(s, d)
+    val evalG = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val trainG = grams.filter(col("doc_id") % 50 =!= 0)
+    // Build the filter in one aggregate pass over the eval grams. The
+    // sizing count is a second (cheap, eval-side-only) action; at scale
+    // both are a single scan of the small side each — nothing here
+    // touches the training corpus.
+    val nEval = math.max(evalG.count(), 1024L)
+    val bloom = evalG.select(xxhash64(col("g")).as("gh"))
+      .stat.bloomFilter("gh", nEval, 0.01)
+    val survivors = trainG.filter(
+      graft.functions.SketchFunctions.bloomMightContainLong(bloom, xxhash64(col("g"))))
+    // residual join on the gram TEXT removes Bloom + hash false
+    // positives; `merge` hint pins a shuffle join — the premise is an
+    // eval set too big for broadcast, so the plan must not rely on one
+    survivors.join(evalG.hint("merge"), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_shared"),
         min(col("eval_id")).as("first_eval"))
@@ -824,11 +874,14 @@ object Dedup {
     "p5_dup_clusters"  -> (p5DupClusters _),
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
-    "x12_decontaminate" -> (x12Decontaminate _))
+    "x12_decontaminate" -> (x12Decontaminate _),
+    "x13_decontaminate_bloom" -> (x13DecontaminateBloom _))
 
   val oracles: Map[String, String] = Map(
     "x11_passage_dedup" -> x11Sql,
     "x12_decontaminate" -> x12Sql,
+    // x13 is x12's exact output via the Bloom-pushdown plan — same oracle
+    "x13_decontaminate_bloom" -> x12Sql,
     "p1_minhash_lsh"   -> p1Sql,
     "p2_simhash"       -> p2Sql,
     "p3_ngram_jaccard" -> p3Sql,

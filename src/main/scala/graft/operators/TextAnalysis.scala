@@ -302,14 +302,16 @@ object TextAnalysis {
     * broadcast the right call at 100 TB too. */
   def t8TfIdf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = documents(s, d).count()
+    // doc count folded into the plan as a broadcast 1-row aggregate
+    // (same one-job shape as t9's total) instead of a separate action
+    val nd = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val tf = documents(s, d)
       .select(col("doc_id"), explode(split(norm, " +")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
-      .withColumn("tfidf4", round((col("tf") * nDocs).cast("double") / col("df"), 4))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
+      .withColumn("tfidf4", round((col("tf") * col("n_docs")).cast("double") / col("df"), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf4").desc, col("term"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf4"), col("rn"))
@@ -351,14 +353,19 @@ object TextAnalysis {
       .select(explode(split(norm, " +")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).first.getLong(0)
+    // The corpus total is a 1-row aggregate FOLDED INTO the plan (cross
+    // join on a broadcast single row) — one job, not a separate `first`
+    // action; the token-count exchange is shared between both branches
+    // via ReuseExchange (same child, same partitioning).
+    val total = counts.agg(sum(col("cnt")).as("total"))
     val w = Window.orderBy(col("cnt").desc, col("token"))
     counts
       .withColumn("rnk", row_number().over(w))
       .withColumn("cum", sum(col("cnt")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
       .select(col("token"), col("cnt"), col("rnk"),
-        expr(s"(cum * 10000) div ${total}L").as("coverage_bp"))
+        expr("(cum * 10000) div total").as("coverage_bp"))
       .orderBy(col("rnk"))
   }
 

@@ -214,6 +214,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(r01.getLong(2) == r01.getLong(3) && r01.getLong(2) == (200 - 8 + 1))
   }
 
+  test("x11 keep-first collapses a 10^5-fold duplicated passage map-side (no rank window)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one 16-word passage shared by EVERY doc + 16 unique words per doc
+    // → each doc is exactly 2 passages; the shared one survives only in
+    // doc 0. A rank-window formulation would haul all 10^5 copies of the
+    // shared passage to one reducer task; the min(struct) aggregate
+    // combines them to one row per map partition before the exchange.
+    val n = 100000
+    val shared = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit(shared + " "),
+        array_join(transform(sequence(lit(1), lit(16)),
+          j => concat(lit("u"), col("id"), lit("w"), j)), " ")).as("text"))
+    val res = Dedup.passageDedupOf(docs)
+    val rows = res.collect()
+    assert(rows.length == n)
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L) == ((2L, 2L)), "first doc must keep both passages")
+    assert((1 until n).forall(i => byId(i.toLong) == ((2L, 1L))),
+      "every later doc must lose the shared passage and keep its unique one")
+    // plan shape: the keep-first decision is a partial (map-side) min
+    // aggregate; no Window operator anywhere in the physical plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"keep-first is not a map-side-combinable partial aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x11 must not rank within passage keys (mega-bucket skew):\n$plan")
+  }
+
+  test("x13 Bloom decontamination: exact x12 output, probe pushed, eval grams never broadcast") {
+    val x12 = Dedup.x12Decontaminate(spark, sf01).collect().map(_.toSeq)
+    val x13df = Dedup.x13DecontaminateBloom(spark, sf01)
+    val x13 = x13df.collect().map(_.toSeq)
+    assert(x12.sameElements(x13),
+      "Bloom path diverged from the broadcast path — residual join must remove all FPs")
+    val plan = x13df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"Bloom probe did not reach the training gram stream:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"x13's premise is an unbroadcastable eval set — found a broadcast join:\n$plan")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

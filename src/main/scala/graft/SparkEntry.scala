@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.matrix.MatrixQueries
 import graft.streaming.Streaming
 
@@ -15,12 +15,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ MatrixQueries.queries ++ Dedup.queries ++
       TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streaming.queries
+      Streaming.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ Streaming.oracles ++
-      MatrixQueries.oracles
+      MatrixQueries.oracles ++ Corpus.oracles
 }

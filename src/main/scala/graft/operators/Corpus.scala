@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+
+/** Corpus-assembly operators — the last mile of a training-data
+  * pipeline: packing documents into fixed-capacity training sequences
+  * and rebalancing the source mixture.
+  *
+  * Reference analog: none (SURVEY.md §2.2 — the reference has no text
+  * surface); these are engine-side additions in the same class as the
+  * X/T/P suites.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------- X14
+  /** Pack the corpus (doc_id order) into fixed 2048-token training
+    * sequences — the GPT-style concatenate-and-split step: documents
+    * are laid end to end and cut every `SeqCap` tokens, and each doc
+    * reports the token offset where it starts plus the first/last
+    * sequence it lands in.
+    *
+    * The global token offset is a prefix sum over the CORPUS — the one
+    * shape a `Window.orderBy` must never take at scale (it sorts the
+    * world into a single reducer task). This is the textbook two-phase
+    * distributed scan instead:
+    *   1. range-partition by doc_id (contiguous id ranges per
+    *      partition, sorted within) — ONE shuffle, the only one here;
+    *   2. per-partition token totals → driver (numPartitions longs),
+    *      exclusive-scanned into per-partition start offsets;
+    *   3. a narrow per-partition pass turns the broadcast offset into
+    *      every row's exact global prefix.
+    * The RDD `mapPartitionsWithIndex` passes are the genuinely
+    * imperative per-partition case the DataFrame API can't express;
+    * everything around them stays declarative. At 100 TB the driver
+    * state is numPartitions longs and the corpus moves once. */
+  private val SeqCap = 2048L
+
+  def x14SequencePack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(lower(trim(col("text"))), lit("\\S+")).cast("long").as("tok"))
+    // cached so the offset pass and the scan pass see the SAME
+    // partitioning (range boundaries come from a deterministic sample,
+    // but one materialization is both faster and airtight)
+    val parts = toks.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)].persist()
+    val partSums = parts.rdd.mapPartitionsWithIndex { (i, it) =>
+      var t = 0L; it.foreach(t += _._2); Iterator((i, t))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = Σ sums(<i)
+    val offB = s.sparkContext.broadcast(offsets)
+    val packed = parts.rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offB.value(i)
+      it.map { case (id, tok) =>
+        val start = run
+        run += tok
+        // an empty doc still "lands" at its start boundary (max(tok,1))
+        val last = start + math.max(tok, 1L) - 1L
+        (id, tok, start, start / SeqCap, last / SeqCap)
+      }
+    }.toDF("doc_id", "tok", "tok_start", "seq_first", "seq_last")
+    packed
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val x14Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(length(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, tok,
+       |             CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |               - tok AS tok_start
+       |      FROM t)
+       |SELECT doc_id, tok, tok_start,
+       |       tok_start // $SeqCap AS seq_first,
+       |       (tok_start + greatest(tok, 1) - 1) // $SeqCap AS seq_last,
+       |       (tok_start + greatest(tok, 1) - 1) // $SeqCap
+       |         - tok_start // $SeqCap + 1 AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- X15
+  /** Temperature-balanced language mixture (the multilingual-corpus
+    * rebalance: downsample dominant strata toward p_s ∝ √n_s): each
+    * stratum keeps documents at rate ≈ √(n_min/n_s), so the smallest
+    * language survives whole and the largest is damped hardest —
+    * α = 0.5 sampling relative to the smallest stratum.
+    *
+    * Determinism is the whole design: the keep decision is
+    *   k² · n_s < n_min · 2⁴⁰   with k = mix(doc_id) ∈ [0, 2²⁰)
+    * — pure int64 arithmetic (k² < 2⁴⁰, times test-scale n_s stays
+    * far from overflow), no float, no transcendental, so Spark and the
+    * DuckDB oracle agree bit for bit, and membership is reproducible
+    * run over run (re-ingesting the corpus keeps the same sample).
+    * `mix` is a Knuth multiplicative hash on doc_id mod 2²⁰ — at 100 TB
+    * you'd swap in xxhash64(doc_id) & (2²⁰−1) and precompute the
+    * per-stratum integer threshold driver-side; the plan (broadcast
+    * stratum counts + narrow keep projection + one map-side-combined
+    * aggregate) is unchanged. Stratum counts and the min ride the same
+    * broadcast-1-row-aggregate shape as T9's corpus total — one job. */
+  def x15MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(nmin))
+      .withColumn("k",
+        ((col("doc_id") % 1048576L) * 2654435761L + 12345L) % 1048576L)
+      .withColumn("keep",
+        col("k") * col("k") * col("n_docs") < col("n_min") * lit(1099511627776L))
+      .groupBy(col("lang"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("rate_bp", expr("(n_kept * 10000) div n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  val x15Sql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+      |k AS (SELECT d.lang, c.n_docs, m.n_min,
+      |             ((d.doc_id % 1048576) * 2654435761 + 12345) % 1048576 AS kv
+      |      FROM documents d JOIN c USING (lang) CROSS JOIN m)
+      |SELECT lang, n_docs,
+      |       CAST(SUM(CASE WHEN kv*kv*n_docs < n_min*1099511627776 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_kept,
+      |       CAST((SUM(CASE WHEN kv*kv*n_docs < n_min*1099511627776 THEN 1 ELSE 0 END) * 10000)
+      |            // n_docs AS BIGINT) AS rate_bp
+      |FROM k GROUP BY lang, n_docs ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_sequence_pack" -> (x14SequencePack _),
+    "x15_mixture_sample" -> (x15MixtureSample _))
+
+  val oracles: Map[String, String] = Map(
+    "x14_sequence_pack" -> x14Sql,
+    "x15_mixture_sample" -> x15Sql)
+}

@@ -382,7 +382,65 @@ object TextAnalysis {
       |SELECT token, cnt, rnk, (cum * 10000) // total AS coverage_bp
       |FROM r ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------- T10
+  /** PII redaction — the standard pre-release scrub: emails, NANP-style
+    * phone numbers and IPv4 addresses replaced by typed placeholder
+    * tokens, with per-class match counts. Pure per-row regexp work
+    * (codegen'd `regexp_replace`/`regexp_count`), narrow end to end.
+    *
+    * The synthetic corpus contains no PII (it has no digits at all), so
+    * the operator deterministically APPENDS one instance of each class
+    * derived from doc_id before scrubbing — the redaction machinery runs
+    * against live matches and the oracle verifies the full replace
+    * pipeline byte-for-byte (md5 of the scrubbed text), not a no-op.
+    * Patterns stay in the RE2 ∩ java.util.regex common subset (no
+    * backrefs, no lookaround) so both engines match identically; DuckDB
+    * needs the 'g' flag to mirror Spark's replace-all. */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  private val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  def t10PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-0199 at 10.0."),
+      (col("doc_id") % 256).cast("string"), lit(".7"))
+    documents(s, d)
+      .select(col("doc_id"), pii.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailPat)).as("n_email"),
+        regexp_count(col("t"), lit(PhonePat)).as("n_phone"),
+        regexp_count(col("t"), lit(Ipv4Pat)).as("n_ip"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          Ipv4Pat, "<IP>")).as("red_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10Sql: String = {
+    val email = EmailPat // `\.` survives interpolation unprocessed
+    s"""WITH p AS (SELECT doc_id,
+       |             text || ' contact user' || doc_id || '@example.com or '
+       |                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       |                  || '-555-0199 at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       |                  || '.7' AS t
+       |           FROM documents)
+       |SELECT doc_id,
+       |  length(regexp_extract_all(t, '$email')) AS n_email,
+       |  length(regexp_extract_all(t, '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b')) AS n_phone,
+       |  length(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+       |  md5(regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(t, '$email', '<EMAIL>', 'g'),
+       |      '\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g'),
+       |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g')) AS red_hash
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_pii_redact" -> (t10PiiRedact _),
     "t9_vocab"       -> (t9Vocab _),
     "t8_tfidf"       -> (t8TfIdf _),
     "t1_langid"      -> (t1LangId _),
@@ -395,6 +453,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t10_pii_redact" -> t10Sql,
     "t9_vocab"       -> t9Sql,
     "t8_tfidf"       -> t8Sql,
     "x7_heavy_hitters" -> x7Sql,

@@ -439,7 +439,80 @@ object TextAnalysis {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- T11
+  /** BM25 keyword retrieval (fixed 3-term query) — the text-retrieval
+    * counterpart of the S-family's vector search, as a pipeline uses it
+    * for quality-targeted selection ("find docs about X to upsample").
+    *
+    * Scale shape: per-term tf and doc length are pure `regexp_count`
+    * projections (the query is known, so there is NO tokenize-explode
+    * and NO posting-list shuffle — the corpus is scanned once, narrow);
+    * corpus stats (N, Σlen, per-term df) are ONE broadcast single-row
+    * aggregate (t9's one-job shape); the top-20 is a TakeOrderedAndProject
+    * (per-partition heaps, never a global sort). Scoring uses the
+    * rational-idf BM25 variant ((N−df+0.5)/(df+0.5), k1=1.2, b=0.75) —
+    * rank-equivalent to the log form, but every operation is a single
+    * IEEE mul/div/add in a FIXED order mirrored in the oracle SQL, so
+    * the scores hash-match bit-for-bit (the same move as T8's rational
+    * idf; ln would differ in the last ulp across libm builds). */
+  private val Bm25Terms = Seq("spark", "table", "window")
+
+  def t11Bm25Search(s: SparkSession, d: String): DataFrame = {
+    val tfCols = Bm25Terms.map(t =>
+      regexp_count(norm, lit(s"\\b$t\\b")).cast("long").as(s"tf_$t"))
+    val base = documents(s, d).select(
+      col("doc_id") +: regexp_count(norm, lit("\\S+")).cast("long").as("len") +: tfCols: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("len")).as("sum_len") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    val score = Bm25Terms.map { t =>
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t").cast("double")
+      val idf = (col("n_docs").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      val lenRatio = (col("len") * col("n_docs")).cast("double") /
+        col("sum_len").cast("double")
+      idf * tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * lenRatio))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score4", round(score, 4))
+      .filter(col("score4") > 0)
+      .select(col("doc_id") +: Bm25Terms.map(t => col(s"tf_$t")) :+ col("score4"): _*)
+      .orderBy(col("score4").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val t11Sql: String = {
+    val tfDefs = Bm25Terms.map(t =>
+      s"CAST(length(regexp_extract_all(lower(trim(text)), '\\b$t\\b')) AS BIGINT) AS tf_$t")
+      .mkString(",\n      |  ")
+    val dfDefs = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(",\n      |  ")
+    val scoreExpr = Bm25Terms.map(t =>
+      s"""((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+         |      * CAST(tf_$t AS DOUBLE) * 2.2
+         |      / (CAST(tf_$t AS DOUBLE) + 1.2 * (0.25
+         |         + 0.75 * (CAST(len * n_docs AS DOUBLE) / CAST(sum_len AS DOUBLE))))"""
+        .stripMargin).mkString("\n      |  + ")
+    s"""WITH base AS (SELECT doc_id,
+       |  CAST(length(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS len,
+       |  $tfDefs
+       |  FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS sum_len,
+       |  $dfDefs
+       |  FROM base),
+       |scored AS (SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |  ROUND($scoreExpr, 4) AS score4
+       |FROM base CROSS JOIN st)
+       |SELECT * FROM scored WHERE score4 > 0
+       |ORDER BY score4 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bm25_search" -> (t11Bm25Search _),
     "t10_pii_redact" -> (t10PiiRedact _),
     "t9_vocab"       -> (t9Vocab _),
     "t8_tfidf"       -> (t8TfIdf _),
@@ -453,6 +526,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t11_bm25_search" -> t11Sql,
     "t10_pii_redact" -> t10Sql,
     "t9_vocab"       -> t9Sql,
     "t8_tfidf"       -> t8Sql,

@@ -37,34 +37,52 @@ object Corpus {
     * state is numPartitions longs and the corpus moves once. */
   private val SeqCap = 2048L
 
-  def x14SequencePack(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val toks = documents(s, d)
-      .select(col("doc_id"),
-        regexp_count(lower(trim(col("text"))), lit("\\S+")).cast("long").as("tok"))
-    // cached so the offset pass and the scan pass see the SAME
-    // partitioning (range boundaries come from a deterministic sample,
-    // but one materialization is both faster and airtight)
-    val parts = toks.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)].persist()
+  /** Exclusive prefix sum of `valueCol` (long) over `df` in `sortExprs`
+    * order, as a new `prefix` column — the two-phase distributed scan:
+    *   1. range-partition + sort by `sortExprs` (ONE shuffle);
+    *   2. per-partition totals → driver (numPartitions longs),
+    *      exclusive-scanned into per-partition start offsets;
+    *   3. a narrow per-partition pass turns the broadcast offset into
+    *      every row's exact global prefix.
+    * The `mapPartitionsWithIndex` passes are the genuinely imperative
+    * per-partition case the DataFrame API can't express; the input is
+    * cached so both passes see the same partitioning. Driver state is
+    * numPartitions longs at any scale; the corpus moves once. */
+  private[operators] def prefixSum(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
+                                   valueCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val s = df.sparkSession
+    val parts = df.repartitionByRange(sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*).persist()
+    val vIdx = parts.schema.fieldNames.indexOf(valueCol)
     val partSums = parts.rdd.mapPartitionsWithIndex { (i, it) =>
-      var t = 0L; it.foreach(t += _._2); Iterator((i, t))
+      var t = 0L; it.foreach(t += _.getLong(vIdx)); Iterator((i, t))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = Σ sums(<i)
     val offB = s.sparkContext.broadcast(offsets)
-    val packed = parts.rdd.mapPartitionsWithIndex { (i, it) =>
+    val out = parts.rdd.mapPartitionsWithIndex { (i, it) =>
       var run = offB.value(i)
-      it.map { case (id, tok) =>
-        val start = run
-        run += tok
-        // an empty doc still "lands" at its start boundary (max(tok,1))
-        val last = start + math.max(tok, 1L) - 1L
-        (id, tok, start, start / SeqCap, last / SeqCap)
+      it.map { r =>
+        val row = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        row
       }
-    }.toDF("doc_id", "tok", "tok_start", "seq_first", "seq_last")
-    packed
-      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+    }
+    s.createDataFrame(out, parts.schema.add("prefix", LongType, nullable = false))
+  }
+
+  def x14SequencePack(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(lower(trim(col("text"))), lit("\\S+")).cast("long").as("tok"))
+    prefixSum(toks, Seq(col("doc_id")), "tok")
+      .withColumn("tok_start", col("prefix"))
+      // an empty doc still "lands" at its start boundary (max(tok,1))
+      .withColumn("seq_first", expr(s"tok_start div $SeqCap"))
+      .withColumn("seq_last", expr(s"(tok_start + greatest(tok, 1L) - 1L) div $SeqCap"))
+      .select(col("doc_id"), col("tok"), col("tok_start"), col("seq_first"),
+        col("seq_last"), (col("seq_last") - col("seq_first") + 1).as("n_seqs"))
       .orderBy(col("doc_id"))
   }
 
@@ -133,11 +151,53 @@ object Corpus {
       |            // n_docs AS BIGINT) AS rate_bp
       |FROM k GROUP BY lang, n_docs ORDER BY lang""".stripMargin
 
+  // ------------------------------------------------------------- X16
+  /** Token-budget data selection: rank the corpus by the T2 quality
+    * score (best first, doc_id tiebreak) and keep documents until a
+    * fixed token budget is exhausted — the data-selection step of a
+    * budgeted pretraining run ("give me the best 10k tokens").
+    *
+    * "Until the budget" is a prefix-sum predicate over the QUALITY
+    * ordering, so this reuses [[prefixSum]] with a different sort key —
+    * range-partition by (quality desc, doc_id), scan once; a document
+    * is kept iff the tokens BEFORE it total < budget (the straddling
+    * document is included, as concatenate-and-split training would).
+    * The quality score is bit-identical to T2's (shared expression),
+    * so the DuckDB oracle orders identically and the selection is
+    * hash-exact. */
+  private val TokenBudget = 10000L
+
+  def x16BudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityCol.as("quality"),
+        regexp_count(lower(trim(col("text"))), lit("\\S+")).cast("long").as("tok"))
+    prefixSum(scored, Seq(col("quality").desc, col("doc_id")), "tok")
+      .filter(col("prefix") < TokenBudget)
+      .select(col("doc_id"), col("quality"), col("tok"),
+        col("prefix").as("tok_start"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x16Sql: String =
+    s"""WITH q AS (SELECT doc_id,
+       |  ${TextAnalysis.qualitySqlExpr} AS quality,
+       |  CAST(length(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, quality, tok,
+       |             CAST(SUM(tok) OVER (ORDER BY quality DESC, doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |               - tok AS tok_start
+       |      FROM q)
+       |SELECT doc_id, quality, tok, tok_start
+       |FROM c WHERE tok_start < $TokenBudget ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x14_sequence_pack" -> (x14SequencePack _),
-    "x15_mixture_sample" -> (x15MixtureSample _))
+    "x15_mixture_sample" -> (x15MixtureSample _),
+    "x16_budget_select" -> (x16BudgetSelect _))
 
   val oracles: Map[String, String] = Map(
     "x14_sequence_pack" -> x14Sql,
-    "x15_mixture_sample" -> x15Sql)
+    "x15_mixture_sample" -> x15Sql,
+    "x16_budget_select" -> x16Sql)
 }

@@ -694,6 +694,27 @@ object Similarity {
     * The narrow [[graft.functions.VectorFunctions.topCells]] assignment
     * keeps the build a scan + write — its only shuffle-like cost is the
     * partitioned-write fan-out. */
+  /** The index build/append kernel: assign + int8-quantize a raw
+    * embeddings frame against FROZEN anchors — one narrow projection
+    * (shuffle-free at any corpus size), shared by the initial build
+    * (S7) and incremental appends (S8). */
+  private def assignQuantize(raw: DataFrame,
+                             anchors: Array[(Int, Array[Double])]): DataFrame =
+    raw
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .withColumn("cell",
+        graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+      .select(col("vec_id"), col("embedding"),
+        expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
+        col("nq2"), col("cell"))
+
   private[graft] def ivfIndexPath(s: SparkSession, d: String): String = {
     indexCache.keys.foreach { case k @ (sess, _) =>
       if (sess.sparkContext.isStopped) indexCache.remove(k)
@@ -701,24 +722,11 @@ object Similarity {
     indexCache.getOrElseUpdate((s, d), {
       val e = prepared(s, d)
       val anchors = trainedAnchors(s, d, e)
-      val assigned = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-        .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-        .withColumn("qv", expr(
-          """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-            |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
-        .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
-        .withColumn("cell",
-          graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
-        .select(col("vec_id"), col("embedding"),
-          expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
-          col("nq2"), col("cell"))
       val path = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-ivf-${s.sparkContext.applicationId}-" +
           java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+      assignQuantize(embeddings(s, d), anchors)
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })
   }
@@ -734,11 +742,20 @@ object Similarity {
     * recall gate. */
   def s7AnnIndexProbe(s: SparkSession, d: String): DataFrame = {
     val path = ivfIndexPath(s, d)
-    val idx = s.read.parquet(path)
     val e = prepared(s, d)
     val anchors = trainedAnchors(s, d, e)
     val nProbe = math.max(4, ivfCells(e.count()) / 4)
+    withRecallGate(s, d, probeIndex(s, path, e, anchors, nProbe), floor = 0.7)
+  }
 
+  /** The serving-path probe against a persisted cell-partitioned index:
+    * pruned int8 scoring scan + pruned float rerank scan (see
+    * [[s7AnnIndexProbe]]'s Scaladoc for the plan contract). Shared by
+    * S7 (full build) and S8 (build + incremental append). */
+  private def probeIndex(s: SparkSession, path: String, e: DataFrame,
+                         anchors: Array[(Int, Array[Double])],
+                         nProbe: Int): DataFrame = {
+    val idx = s.read.parquet(path)
     // query side: same derivation as s6, restricted to the query rows
     val qSide = e.filter(col("vec_id") < NQueries)
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
@@ -781,8 +798,61 @@ object Similarity {
     val exact = floats.join(broadcast(short), col("fvec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(vecDot(col("qv_f"), col("fv")) / (col("qn") * col("fnrm")), 4).as("cos4"))
-    withRecallGate(s, d,
-      rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+    rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+
+  // ------------------------------------------------------------- S8
+  /** Incremental index APPEND — the ingest path of a production ANN
+    * service: anchors are FROZEN at index-creation time (trained on the
+    * initial 90% slice), and a later batch (vec_id % 10 = 9) is
+    * assigned + quantized with those frozen anchors and appended as new
+    * files under its cell directories (`mode("append")` on the
+    * cell-partitioned layout — no rewrite of existing data, no
+    * retraining, no re-assignment of the existing corpus; the P6 move
+    * applied to the vector index). Probing is byte-for-byte the S7
+    * serving path; PipelineSpec asserts the appended index answers
+    * bit-identically to a from-scratch build over the union with the
+    * same anchors, and the recall gate holds against exact S1. */
+  private val incrIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Array[(Int, Array[Double])], Int)]
+
+  private[graft] def incrIndexPath(s: SparkSession, d: String,
+                                   fromScratch: Boolean = false)
+      : (String, Array[(Int, Array[Double])], Int) = {
+    incrIndexCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) incrIndexCache.remove(k)
+    }
+    val key = (s, if (fromScratch) d + "#scratch" else d)
+    incrIndexCache.getOrElseUpdate(key, {
+      val raw = embeddings(s, d)
+      val base = raw.filter(col("vec_id") % 10 =!= 9)
+      val eBase = base.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+      val nCells = ivfCells(eBase.count())
+      val anchors = trainAnchors(
+        eBase.select(col("vec_id"), col("v"), col("nrm")), nCells, iters = 2)
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivf-incr-${s.sparkContext.applicationId}-" +
+          java.lang.Integer.toHexString(d.hashCode) +
+          (if (fromScratch) "-scratch" else "")).getAbsolutePath
+      if (fromScratch)
+        assignQuantize(raw, anchors)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+      else {
+        assignQuantize(base, anchors)
+          .write.mode("overwrite").partitionBy("cell").parquet(path)
+        assignQuantize(raw.filter(col("vec_id") % 10 === 9), anchors)
+          .write.mode("append").partitionBy("cell").parquet(path)
+      }
+      (path, anchors, math.max(4, nCells / 4))
+    })
+  }
+
+  def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors, nProbe) = incrIndexPath(s, d)
+    withRecallGate(s, d, probeIndex(s, path, prepared(s, d), anchors, nProbe),
       floor = 0.7)
   }
 
@@ -851,6 +921,7 @@ object Similarity {
     "s5_ann_quantized"  -> (s5AnnQuantized _),
     "s6_ann_ivf_int8"   -> (s6AnnIvfQuantized _),
     "s7_ann_index_probe" -> (s7AnnIndexProbe _),
+    "s8_ann_index_append" -> (s8AnnIndexAppend _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),

@@ -56,16 +56,37 @@ object TextAnalysis {
   /** Quality scoring from length / punctuation / stopword ratios —
     * the standard cheap pre-filter for web-scale corpora. Counts are
     * integers; the score is one fixed-order double expression. */
+  /** The T2 quality score as a reusable column expression (X16 orders
+    * its budget selection by it — same bits there as here). */
+  private[operators] def qualityCol: Column = {
+    val nChars = length(norm)
+    val nTokens = regexp_count(norm, lit("\\S+"))
+    val punct = regexp_count(norm, lit("[.,!?;:]"))
+    val stop = regexp_count(norm, lit("\\b(the|and|of|to|in|is|that|for)\\b"))
+    round(
+      least(lit(1.0), nTokens.cast("double") / 50.0) *
+        (lit(1.0) - punct.cast("double") / (nChars.cast("double") + 1.0)) *
+        (lit(0.5) + lit(0.5) * least(lit(1.0),
+          stop.cast("double") * 10.0 / (nTokens.cast("double") + 1.0))), 4)
+  }
+
+  /** The same score as a DuckDB SQL snippet (shared by t2/x16 oracles). */
+  private[operators] val qualitySqlExpr: String =
+    """ROUND(
+      |    least(1.0, CAST(length(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) / 50.0)
+      |    * (1.0 - CAST(length(regexp_extract_all(lower(trim(text)), '[.,!?;:]')) AS DOUBLE)
+      |             / (CAST(length(lower(trim(text))) AS DOUBLE) + 1.0))
+      |    * (0.5 + 0.5 * least(1.0,
+      |        CAST(length(regexp_extract_all(lower(trim(text)), '\b(the|and|of|to|in|is|that|for)\b')) AS DOUBLE)
+      |        * 10.0 / (CAST(length(regexp_extract_all(lower(trim(text)), '\S+')) AS DOUBLE) + 1.0))), 4)"""
+      .stripMargin
+
   def t2Quality(s: SparkSession, d: String): DataFrame = {
     val nChars = length(norm)
     val nTokens = regexp_count(norm, lit("\\S+"))
     val punct = regexp_count(norm, lit("[.,!?;:]"))
     val stop = regexp_count(norm, lit("\\b(the|and|of|to|in|is|that|for)\\b"))
-    val quality = round(
-      least(lit(1.0), nTokens.cast("double") / 50.0) *
-        (lit(1.0) - punct.cast("double") / (nChars.cast("double") + 1.0)) *
-        (lit(0.5) + lit(0.5) * least(lit(1.0),
-          stop.cast("double") * 10.0 / (nTokens.cast("double") + 1.0))), 4)
+    val quality = qualityCol
     documents(s, d)
       .select(col("doc_id"), nChars.as("n_chars_norm"), nTokens.as("n_tokens"),
         punct.as("punct_cnt"), stop.as("stop_cnt"), quality.as("quality"))

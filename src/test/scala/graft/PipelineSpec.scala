@@ -88,6 +88,24 @@ class PipelineSpec extends AnyFunSuite {
       "scoring scan reads the float embeddings — column pruning lost")
   }
 
+  test("s8 appended index answers bit-identically to a from-scratch build (frozen anchors)") {
+    import org.apache.spark.sql.functions.col
+    // both paths freeze the SAME anchors (trained on the 90% base
+    // slice); append must be pure file addition, not a re-assignment
+    val appended = Similarity.s8AnnIndexAppend(spark, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val (scratchPath, anchors, nProbe) = Similarity.incrIndexPath(spark, sf01, fromScratch = true)
+    val idxA = spark.read.parquet(Similarity.incrIndexPath(spark, sf01)._1)
+    val idxB = spark.read.parquet(scratchPath)
+    // index CONTENT identical row-set (append added exactly the new batch)
+    val a = idxA.select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val b = idxB.select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(a.sameElements(b), "appended index content diverged from a from-scratch build")
+    assert(appended.nonEmpty)
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

@@ -792,15 +792,19 @@ object Dedup {
     * plan family.) */
   private val DecontamGram = 8
 
-  /** Distinct 8-word grams per document — the shared front half of X12
-    * and X13 (one narrow pass, no shuffle). */
-  private def decontamGrams(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Distinct 8-word grams per document — the shared front half of X12,
+    * X13 and the streaming ST8 (one narrow stateless pass, no shuffle,
+    * so it lifts onto a stream unchanged). */
+  private[graft] def decontamGramsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= DecontamGram)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(0, size(w) - $DecontamGram)," +
           s" i -> array_join(slice(w, i + 1, $DecontamGram), ' '))"))).as("g"))
+
+  private def decontamGrams(s: SparkSession, d: String): DataFrame =
+    decontamGramsOf(documents(s, d))
 
   def x12Decontaminate(s: SparkSession, d: String): DataFrame = {
     val grams = decontamGrams(s, d)

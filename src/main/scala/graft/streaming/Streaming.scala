@@ -400,8 +400,37 @@ object Streaming {
     s"""${graft.operators.Dedup.simhashCte}
       |SELECT DISTINCT simhash FROM sh ORDER BY simhash""".stripMargin
 
+  // ------------------------------------------------------------ ST8
+  /** ST8: continuous decontamination — X12's hygiene pass on the ingest
+    * stream. The held-out eval set is STATIC by definition, so its
+    * grams are pre-aggregated once per gram (min eval doc id) and
+    * localCheckpoint'd like ST6's dim; each arriving training document
+    * runs the SAME narrow stateless gram pass as X12
+    * ([[graft.operators.Dedup.decontamGramsOf]]) and joins the static
+    * side in-stream. Per-doc grams are already distinct and the eval
+    * side is one row per gram, so the streaming-legal `count(*)`
+    * equals X12's `count(DISTINCT g)` exactly — the batch X12 SQL is
+    * this query's oracle verbatim. Streaming state is the contaminated
+    * aggregate only (Complete mode over flagged docs — contamination
+    * is rare by construction at any scale). */
+  def st8StreamDecontam(s: SparkSession, d: String): DataFrame = {
+    val evalByGram = graft.operators.Dedup
+      .decontamGramsOf(graft.sources.Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0))
+      .groupBy(col("g")).agg(min(col("doc_id")).as("min_eval"))
+      .localCheckpoint(true)
+    val trainG = graft.operators.Dedup
+      .decontamGramsOf(docStream(s, d).filter(col("doc_id") % 50 =!= 0))
+    val flagged = trainG.join(evalByGram, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("min_eval")).as("first_eval"))
+    runToMemory(s, flagged, "graft_st8", OutputMode.Complete())
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_decontam" -> (st8StreamDecontam _),
     "st7_stream_simhash" -> (st7StreamSimhashDedup _),
     "st1_stream_window"  -> (st1StreamWindow _),
     "st2_sessionize"     -> (st2Sessionize _),
@@ -411,6 +440,8 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    // st8 is batch x12's exact answer computed continuously — same oracle
+    "st8_stream_decontam" -> graft.operators.Dedup.x12Sql,
     "st7_stream_simhash" -> st7Sql,
     "st1_stream_window"  -> st1Sql,
     "st2_sessionize"     -> st2Sql,

@@ -739,6 +739,105 @@ object MatrixQueries {
         "rel_top8", "align1", "v_orth", "tail_ratio", "pass")
   }
 
+  /** M15: conjugate-gradient solve of the SPD system A·x = b — the
+    * ITERATIVE member of the solver family (direct LU m3–m5, Cholesky
+    * m10, QR m12, randomized m13/m14): when a factorization is
+    * unaffordable, CG needs only a matvec per iteration. Each iteration
+    * is ONE distributed symmetric matvec over the lower-stored blocks —
+    * every stored (i,j) block contributes D·x_j to block row i and, off
+    * the diagonal, Dᵀ·x_i to block row j, so the symmetric upper half
+    * is never materialized (the same storage contract as
+    * [[BlockCholesky]]); the iterate is broadcast (O(n)) and per-block
+    * partials reduce by block row — the shuffle carries q·blk doubles,
+    * never matrix data. α/β come from driver dot products (O(n) state).
+    * b is PLANTED as A·x* through the same distributed matvec, so
+    * recovering x* is a real end-to-end invariant; the gate checks the
+    * TRUE residual (one extra matvec), not the recurrence residual. */
+  def m15ConjugateGradient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 512; val blk = 128
+    val a = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
+      .mapValues(LocalLA.fromDM).cache()
+
+    def addInPlace(u: Array[Double], v: Array[Double]): Array[Double] = {
+      val w = u.clone(); var i = 0
+      while (i < w.length) { w(i) += v(i); i += 1 }
+      w
+    }
+    def matvec(x: Array[Double]): Array[Double] = {
+      val xB = sc.broadcast(x)
+      val y = new Array[Double](n)
+      a.flatMap { case ((bi, bj), d) =>
+        val xv = xB.value
+        val rows = d.length
+        val part = new Array[Double](rows)
+        var i = 0
+        while (i < rows) {
+          val di = d(i); var acc = 0.0; var j = 0
+          while (j < di.length) { acc += di(j) * xv(bj * blk + j); j += 1 }
+          part(i) = acc; i += 1
+        }
+        if (bi == bj) Iterator((bi, part))
+        else {
+          // transpose contribution of the unstored (bj, bi) block
+          val partT = new Array[Double](d(0).length)
+          var i2 = 0
+          while (i2 < rows) {
+            val di = d(i2); val xi = xv(bi * blk + i2); var j = 0
+            while (j < di.length) { partT(j) += di(j) * xi; j += 1 }
+            i2 += 1
+          }
+          Iterator((bi, part), (bj, partT))
+        }
+      }.reduceByKey(addInPlace).collect()
+        .foreach { case (bi, part) => System.arraycopy(part, 0, y, bi * blk, part.length) }
+      y
+    }
+    def dot(u: Array[Double], v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < u.length) { acc += u(i) * v(i); i += 1 }
+      acc
+    }
+
+    val xStar = Array.tabulate(n)(i => 1.0 + (i % 7) * 0.25)
+    val b = matvec(xStar)
+    val bNrm = math.sqrt(dot(b, b))
+
+    val x = new Array[Double](n)
+    val r = b.clone()
+    var p = r.clone()
+    var rs = dot(r, r)
+    var it = 0
+    while (it < n && math.sqrt(rs) / bNrm > 1e-12) {
+      val ap = matvec(p)
+      val alpha = rs / dot(p, ap)
+      var i = 0
+      while (i < n) { x(i) += alpha * p(i); r(i) -= alpha * ap(i); i += 1 }
+      val rsNew = dot(r, r)
+      val beta = rsNew / rs
+      val pNew = new Array[Double](n)
+      i = 0
+      while (i < n) { pNew(i) = r(i) + beta * p(i); i += 1 }
+      p = pNew
+      rs = rsNew
+      it += 1
+    }
+    // TRUE residual via one more distributed matvec (the recurrence
+    // residual can drift from the real one)
+    val ax = matvec(x)
+    var tr = 0.0; var err = 0.0
+    for (i <- 0 until n) {
+      val d0 = ax(i) - b(i); tr += d0 * d0
+      err = math.max(err, math.abs(x(i) - xStar(i)))
+    }
+    val residTrue = math.sqrt(tr) / bNrm
+    val relErr = err / xStar.map(math.abs).max
+    val pass = residTrue < 1e-10 && relErr < 1e-8
+    Seq((n, blk, it, residTrue, relErr, pass))
+      .toDF("n", "blk", "iters", "resid_rel", "err_rel", "pass")
+  }
+
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
     * output is deterministic to the last bit: m1 (integer-exact
     * checksum of the seeded generator — the constant is the local
@@ -773,5 +872,6 @@ object MatrixQueries {
     "m11_least_squares" -> (m11LeastSquares _),
     "m12_tsqr"      -> (m12Tsqr _),
     "m13_randomized_svd" -> (m13RandomizedSvd _),
-    "m14_completed_svd" -> (m14CompletedSvd _))
+    "m14_completed_svd" -> (m14CompletedSvd _),
+    "m15_conjugate_gradient" -> (m15ConjugateGradient _))
 }

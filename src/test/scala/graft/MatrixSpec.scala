@@ -374,6 +374,17 @@ class MatrixSpec extends AnyFunSuite {
       "top-8 singular values drifted beyond the projection-residual bound")
   }
 
+  test("m15: CG recovers the planted SPD solution, true residual at tolerance") {
+    val row = MatrixQueries.m15ConjugateGradient(spark, "").collect()(0)
+    info(f"iters=${row.getAs[Int]("iters")} resid=${row.getAs[Double]("resid_rel")}%.2e " +
+      f"err=${row.getAs[Double]("err_rel")}%.2e")
+    assert(row.getAs[Boolean]("pass"), row.toString)
+    // the boosted-diagonal SPD matrix is well-conditioned (kappa ~ few):
+    // CG must converge far below the n-iteration worst case
+    assert(row.getAs[Int]("iters") < 100,
+      s"CG took ${row.getAs[Int]("iters")} iterations — conditioning or recurrence broken")
+  }
+
   test("rank-deficient tall solve: ridge fallback engages and matches a local oracle") {
     val m = 512; val d = 8; val blk = 32
     // duplicate column 6 into column 7 → numerical rank d-1

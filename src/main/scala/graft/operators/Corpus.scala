@@ -48,8 +48,8 @@ object Corpus {
     * per-partition case the DataFrame API can't express; the input is
     * cached so both passes see the same partitioning. Driver state is
     * numPartitions longs at any scale; the corpus moves once. */
-  private[operators] def prefixSum(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
-                                   valueCol: String): DataFrame = {
+  private[graft] def prefixSum(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
+                               valueCol: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val s = df.sparkSession

@@ -17,6 +17,24 @@ class ExtendedOpsSpec extends AnyFunSuite {
   val sf = "/root/testdata/sf0.001"
   lazy val spark: SparkSession = SparkTest.session
 
+  test("prefixSum (x14/x16 scan) is exact and input-partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val data = (0L until 5000L).map(i => (i, rnd.nextInt(100).toLong))
+    val expected = data.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, pv, pStart), (id, v)) => (id, v, pStart + pv) }
+      .drop(1).map { case (id, v, pre) => (id, v) -> pre }.toMap
+    // shuffled arrival order + three different input partitionings: the
+    // range partition inside prefixSum must normalize them all
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.createDataFrame(rnd.shuffle(data)).toDF("id", "v")
+        .repartition(parts)
+      val got = graft.operators.Corpus.prefixSum(df, Seq(col("id")), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected, s"prefix mismatch at input partitioning $parts")
+    }
+  }
+
   test("r19 as-of join equals the naive per-purchase scan") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

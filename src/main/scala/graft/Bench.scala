@@ -78,9 +78,10 @@ object Bench {
     // truncates mid-JSON is worse than a summary-only one.
     val summaryOnly =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failed,"sf":$sfNum}"""
+    val oneDecimal = line(1)
     println(
       if (compact.length <= 1995) compact
-      else if (line(1).length <= 1995) line(1)
+      else if (oneDecimal.length <= 1995) oneDecimal
       else summaryOnly)
     spark.stop()
   }

@@ -47,7 +47,13 @@ object Corpus {
     * The `mapPartitionsWithIndex` passes are the genuinely imperative
     * per-partition case the DataFrame API can't express; the input is
     * cached so both passes see the same partitioning. Driver state is
-    * numPartitions longs at any scale; the corpus moves once. */
+    * numPartitions longs at any scale; the corpus moves once.
+    *
+    * Cache contract: the `persist()` entry backs the RETURNED frame's
+    * lineage, so it cannot be unpersisted here; it is registered in the
+    * CacheManager and dropped by the caller's `spark.catalog.clearCache()`
+    * (Verify/Bench do this after every query — one bounded entry per
+    * in-flight prefixSum, same hygiene as the other operator caches). */
   private[graft] def prefixSum(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
                                valueCol: String): DataFrame = {
     import org.apache.spark.sql.Row

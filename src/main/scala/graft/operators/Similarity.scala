@@ -824,6 +824,8 @@ object Similarity {
       if (sess.sparkContext.isStopped) incrIndexCache.remove(k)
     }
     val key = (s, if (fromScratch) d + "#scratch" else d)
+    if (incrIndexCache.size >= 8 && !incrIndexCache.contains(key))
+      incrIndexCache.remove(incrIndexCache.head._1)
     incrIndexCache.getOrElseUpdate(key, {
       val raw = embeddings(s, d)
       val base = raw.filter(col("vec_id") % 10 =!= 9)

@@ -275,6 +275,16 @@ class PipelineSpec extends AnyFunSuite {
       s"x13's premise is an unbroadcastable eval set — found a broadcast join:\n$plan")
   }
 
+  test("t11 BM25 plans as heap top-k (TakeOrderedAndProject), stats broadcast") {
+    val df = TextAnalysis.t11Bm25Search(spark, sf01)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row stats join must broadcast, not shuffle:\n$plan")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

@@ -78,7 +78,7 @@ object Bench {
     // truncates mid-JSON is worse than a summary-only one.
     val summaryOnly =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failed,"sf":$sfNum}"""
-    val oneDecimal = line(1)
+    lazy val oneDecimal = line(1)
     println(
       if (compact.length <= 1995) compact
       else if (oneDecimal.length <= 1995) oneDecimal

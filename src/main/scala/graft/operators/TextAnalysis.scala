@@ -532,7 +532,66 @@ object TextAnalysis {
        |ORDER BY score4 DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- T12
+  /** LM-perplexity quality scoring (the CCNet/Gopher signal: score each
+    * document by a language model and filter the tail): an add-one-
+    * smoothed BIGRAM model is trained over the corpus in one pair
+    * aggregate, then every document is scored per bigram as
+    * -ln((c(w1,w2)+1)/(c(w1)+V)) averaged over its bigrams.
+    *
+    * Scale shape: training is ONE map-side-combined groupBy over token
+    * pairs (the observed-bigram table is Heaps-bounded like T9's vocab,
+    * ≪ corpus); scoring joins the BROADCAST count tables against a
+    * narrow pair explode — no shuffle of the corpus. At 100 TB you'd
+    * train the model on a sample (or load a pre-trained one) and only
+    * the broadcast-and-score half runs over the full corpus; the plan
+    * shape is unchanged.
+    *
+    * Correctness: `ln` is transcendental, so cross-engine hashing is
+    * unsafe (last-ulp libm differences) — like the matrix family this
+    * is invariant-gated, with the tight check in ScalaTest: the
+    * in-query `pass` asserts the PROVABLE per-doc bounds
+    * 0 < nll ≤ ln(cmax+V) (each smoothed probability satisfies
+    * (c12+1)/(c1+V) ∈ [1/(cmax+V), 1) because c12 ≤ c1 ≤ cmax — a
+    * null-mishandled join or inverted ratio lands outside), and
+    * PipelineSpec recomputes every score exactly against an
+    * independent driver-side model (|Δ| < 1e-9). */
+  def t12LmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(norm, " +").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        expr("size(w) - 1").as("n_pairs"),
+        explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("n_pairs"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val unigrams = toks
+      .select(explode(col("w")).as("t")).groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    val stats = unigrams.agg(count(lit(1)).as("v"), max(col("c1")).as("cmax"))
+
+    val scored = pairs
+      .join(broadcast(unigrams), col("w1") === col("t"), "left")
+      .join(broadcast(bigrams.withColumnRenamed("c12", "cb")
+        .withColumnRenamed("w1", "b1").withColumnRenamed("w2", "b2")),
+        col("w1") === col("b1") && col("w2") === col("b2"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_pairs"), col("v"), col("cmax"),
+        (-log((coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double")))).as("nll"))
+    scored.groupBy(col("doc_id"))
+      .agg((sum(col("nll")) / max(col("n_pairs"))).as("nll"),
+        max(col("v")).as("v"), max(col("cmax")).as("cmax"),
+        max(col("n_pairs")).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"), round(col("nll"), 4).as("nll4"),
+        (col("nll") > 0.0 &&
+          col("nll") <= log(col("cmax").cast("double") + col("v").cast("double")) + 1e-9)
+          .as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_lm_perplexity" -> (t12LmPerplexity _),
     "t11_bm25_search" -> (t11Bm25Search _),
     "t10_pii_redact" -> (t10PiiRedact _),
     "t9_vocab"       -> (t9Vocab _),

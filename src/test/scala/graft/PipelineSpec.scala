@@ -275,6 +275,41 @@ class PipelineSpec extends AnyFunSuite {
       s"x13's premise is an unbroadcastable eval set — found a broadcast join:\n$plan")
   }
 
+  test("t12 LM scores match an independent driver-side bigram model exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split(" +").toSeq))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    docs.foreach { case (_, w) =>
+      w.foreach(t => uni(t) += 1)
+      w.zip(w.drop(1)).foreach(p => big(p) += 1)
+    }
+    val v = uni.size
+    val expected = docs.filter(_._2.length >= 2).map { case (id, w) =>
+      val nlls = w.zip(w.drop(1)).map { case (a, b) =>
+        -math.log((big((a, b)) + 1.0) / (uni(a) + v.toDouble)) }
+      id -> nlls.sum / nlls.length
+    }.toMap
+    val got = TextAnalysis.t12LmPerplexity(spark, sf001).collect()
+    assert(got.length == expected.size)
+    // the per-doc sum's float addition order differs between Spark's
+    // aggregate and this sequential fold (~1e-13 relative), so a score
+    // sitting exactly on a 1e-4 rounding boundary may flip one grid
+    // step; everything else must agree to the emitted precision exactly
+    var offByGrid = 0
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("pass"), r.toString)
+      val want = math.round(expected(r.getLong(0)) * 1e4) / 1e4
+      val delta = math.abs(r.getAs[Double]("nll4") - want)
+      assert(delta < 1.1e-4,
+        s"doc ${r.getLong(0)}: spark=${r.getAs[Double]("nll4")} local=$want")
+      if (delta > 0) offByGrid += 1
+    }
+    assert(offByGrid <= got.length / 100,
+      s"$offByGrid/${got.length} docs off the local model by a grid step — not boundary noise")
+  }
+
   test("t11 BM25 plans as heap top-k (TakeOrderedAndProject), stats broadcast") {
     val df = TextAnalysis.t11Bm25Search(spark, sf01)
     df.collect()

@@ -11,7 +11,9 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("r01_filter_project", "r04_multijoin", "r11_topk",
-        "x1_exact_dedup", "s1_ann_bruteforce", "p4_embedding_dup")
+        "x1_exact_dedup", "s1_ann_bruteforce", "p4_embedding_dup",
+        // round-5 flagships: bloom pushdown, heap top-k, pruned probe
+        "x13_decontaminate_bloom", "t11_bm25_search", "s7_ann_index_probe")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -901,8 +901,50 @@ object Relational {
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- R32 (session_window)
+  /** Batch sessionization through Spark's NATIVE `session_window`
+    * operator (dynamic-gap merging sessions inside one aggregate) — the
+    * built-in counterpart of ST2's hand-rolled `flatMapGroupsWithState`
+    * sessionizer. One shuffle on user_id; Spark merges overlapping
+    * [ts, ts+gap) windows inside the aggregate, so a session closes
+    * when the gap is ≥ 30 min (half-open windows: an event exactly at
+    * the previous end starts a NEW session — the oracle's `>=` mirrors
+    * that; ST2's `>` convention differs only on exact-boundary gaps).
+    * Sums in DECIMAL for engine-exact totals, window bounds formatted
+    * at µs precision. */
+  def r32(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        round(sum(col("value").cast("decimal(28,6)")).cast("double"), 4).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val r32Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessioned AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  CAST(COUNT(*) AS INT) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+      |FROM sessioned GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r32_session_window" -> (r32 _),
     "r01_filter_project" -> (r01 _),
     "r02_agg"            -> (r02 _),
     "r03_join_agg"       -> (r03 _),
@@ -974,6 +1016,7 @@ object Relational {
     "r29_salted_join"    -> r29Sql,
     "r30_bloom_join"     -> r30Sql,
     "r31_exact_percentile" -> r31Sql,
+    "r32_session_window" -> r32Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

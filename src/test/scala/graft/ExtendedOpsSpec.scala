@@ -35,6 +35,27 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r32 native session_window agrees with st2's hand-rolled sessionizer") {
+    import java.sql.Timestamp
+    // the two differ ONLY on gaps of exactly 30 minutes (half-open
+    // session_window vs st2's strict >); confirm none exist, then the
+    // per-user session counts and event totals must match exactly
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getAs[Timestamp](1).getTime))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val boundaryGaps = evs.values.flatMap(ts =>
+      ts.zip(ts.drop(1)).map { case (a, b) => b - a }).count(_ == 30L * 60 * 1000)
+    assert(boundaryGaps == 0, s"$boundaryGaps exact 30-min gaps — conventions diverge")
+    val r32 = Relational.r32(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.length, rs.map(_.getAs[Int]("n_events")).sum)).toMap
+    val st2 = Streaming.st2Sessionize(spark, sf).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(rs => (rs.length, rs.map(_.getAs[Int]("n_events")).sum)).toMap
+    assert(r32 == st2, "session counts/totals diverged between the two sessionizers")
+  }
+
   test("r19 as-of join equals the naive per-purchase scan") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))

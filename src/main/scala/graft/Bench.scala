@@ -54,9 +54,16 @@ object Bench {
     // Full precision goes to a [bench-full] stdout line printed BEFORE
     // the compact line (stdout is sequential, so the compact line is
     // always the last one inside any tail window).
-    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    val failed =
-      if (failedNames.isEmpty) "" else failedNames.mkString(",\"failed\":[", ",", "]")
+    val failedNames = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.toSeq.sorted
+    def failedJson(names: Seq[String]): String =
+      if (names.isEmpty) "" else names.mkString(",\"failed\":[", ",", "]")
+    val failed = failedJson(failedNames)
+    // The last degradation rung must be GUARANTEED under the tail
+    // window no matter how many queries failed: cap the embedded list
+    // at 8 names (≤ ~250 chars) and carry the true size separately.
+    val failedCapped =
+      if (failedNames.size <= 8) failed
+      else failedJson(failedNames.take(8)) + s""","failed_count":${failedNames.size}"""
     val total = results.values.filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
@@ -77,7 +84,7 @@ object Bench {
     // all (metric/value/failed/sf still parse) — an oversized line that
     // truncates mid-JSON is worse than a summary-only one.
     val summaryOnly =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failed,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failedCapped,"sf":$sfNum}"""
     lazy val oneDecimal = line(1)
     println(
       if (compact.length <= 1995) compact

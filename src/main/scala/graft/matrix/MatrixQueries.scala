@@ -739,100 +739,139 @@ object MatrixQueries {
         "rel_top8", "align1", "v_orth", "tail_ratio", "pass")
   }
 
-  /** M15: conjugate-gradient solve of the SPD system A·x = b — the
-    * ITERATIVE member of the solver family (direct LU m3–m5, Cholesky
-    * m10, QR m12, randomized m13/m14): when a factorization is
-    * unaffordable, CG needs only a matvec per iteration. Each iteration
-    * is ONE distributed symmetric matvec over the lower-stored blocks —
-    * every stored (i,j) block contributes D·x_j to block row i and, off
-    * the diagonal, Dᵀ·x_i to block row j, so the symmetric upper half
-    * is never materialized (the same storage contract as
-    * [[BlockCholesky]]); the iterate is broadcast (O(n)) and per-block
-    * partials reduce by block row — the shuffle carries q·blk doubles,
-    * never matrix data. α/β come from driver dot products (O(n) state).
-    * b is PLANTED as A·x* through the same distributed matvec, so
-    * recovering x* is a real end-to-end invariant; the gate checks the
-    * TRUE residual (one extra matvec), not the recurrence residual. */
-  def m15ConjugateGradient(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sc = s.sparkContext
-    val n = 512; val blk = 128
-    val a = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
-      .mapValues(LocalLA.fromDM).cache()
+  /** A distributed block vector: (block row index → blk doubles). */
+  private[graft] type BlockVec = org.apache.spark.rdd.RDD[(Int, Array[Double])]
 
-    def addInPlace(u: Array[Double], v: Array[Double]): Array[Double] = {
+  /** y = A·x over the column-keyed full-symmetric block layout: a
+    * NARROW join (both sides share the partitioner — each stored block
+    * is co-located with the iterate block it consumes), a per-block
+    * GEMV, and a reduceByKey whose shuffle carries ≤ q² partials of blk
+    * doubles (map-side combined). No broadcast of the iterate, no
+    * driver collect — the building block of [[m15ConjugateGradient]]'s
+    * fully distributed loop, spec'd against a local matvec in
+    * MatrixSpec. */
+  private[graft] def bvMatvec(
+      aByCol: org.apache.spark.rdd.RDD[(Int, (Int, Array[Array[Double]]))],
+      x: BlockVec, part: org.apache.spark.Partitioner): BlockVec =
+    aByCol.join(x, part).map { case (_, ((bi, d), xv)) =>
+      val rows = d.length
+      val y = new Array[Double](rows)
+      var i = 0
+      while (i < rows) {
+        val di = d(i); var acc = 0.0; var j = 0
+        while (j < di.length) { acc += di(j) * xv(j); j += 1 }
+        y(i) = acc; i += 1
+      }
+      (bi, y)
+    }.reduceByKey(part, (u: Array[Double], v: Array[Double]) => {
       val w = u.clone(); var i = 0
       while (i < w.length) { w(i) += v(i); i += 1 }
       w
-    }
-    def matvec(x: Array[Double]): Array[Double] = {
-      val xB = sc.broadcast(x)
-      val y = new Array[Double](n)
-      a.flatMap { case ((bi, bj), d) =>
-        val xv = xB.value
-        val rows = d.length
-        val part = new Array[Double](rows)
-        var i = 0
-        while (i < rows) {
-          val di = d(i); var acc = 0.0; var j = 0
-          while (j < di.length) { acc += di(j) * xv(bj * blk + j); j += 1 }
-          part(i) = acc; i += 1
-        }
-        if (bi == bj) Iterator((bi, part))
-        else {
-          // transpose contribution of the unstored (bj, bi) block
-          val partT = new Array[Double](d(0).length)
-          var i2 = 0
-          while (i2 < rows) {
-            val di = d(i2); val xi = xv(bi * blk + i2); var j = 0
-            while (j < di.length) { partT(j) += di(j) * xi; j += 1 }
-            i2 += 1
-          }
-          Iterator((bi, part), (bj, partT))
-        }
-      }.reduceByKey(addInPlace).collect()
-        .foreach { case (bi, part) => System.arraycopy(part, 0, y, bi * blk, part.length) }
-      y
-    }
-    def dot(u: Array[Double], v: Array[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < u.length) { acc += u(i) * v(i); i += 1 }
-      acc
-    }
+    })
 
-    val xStar = Array.tabulate(n)(i => 1.0 + (i % 7) * 0.25)
-    val b = matvec(xStar)
-    val bNrm = math.sqrt(dot(b, b))
+  /** M15: conjugate-gradient solve of the SPD system A·x = b — the
+    * ITERATIVE member of the solver family (direct LU m3–m5, Cholesky
+    * m10, QR m12, randomized m13/m14): when a factorization is
+    * unaffordable, CG needs only a matvec per iteration. The loop is
+    * FULLY distributed: x/r/p live as block vectors co-partitioned
+    * with the matrix layout, every vector update (axpy) is a narrow
+    * co-partitioned join, the matvec is [[bvMatvec]], and the ONLY
+    * values that ever reach the driver are the CG scalars — two dot
+    * products per iteration, 16 bytes regardless of n (the round-5
+    * form collected the full O(n) matvec result and re-broadcast the
+    * iterate every iteration; both are gone).
+    *
+    * Storage trade, stated: the symmetric matrix is laid out ONCE in
+    * full block form keyed by COLUMN block — the distributed SpMV
+    * layout; each off-diagonal block's transposed twin is materialized
+    * in the same pass, 2× block storage for a broadcast-free,
+    * collect-free iteration. The factorizations keep lower-only
+    * storage ([[BlockCholesky]]) because their driver never needs the
+    * iterate; an iterative solver's hot loop earns the duplicate.
+    * Lineage: every iteration's vectors are cached (q·blk doubles —
+    * trivial) and localCheckpoint-truncated every 8 iterations, so a
+    * long solve can neither rebuild past iterations nor grow an
+    * unbounded DAG; all per-iteration caches are dropped before
+    * returning. b is PLANTED as A·x* through the same distributed
+    * matvec, so recovering x* is a real end-to-end invariant; the gate
+    * checks the TRUE residual (one extra matvec), not the recurrence
+    * residual. */
+  def m15ConjugateGradient(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 512; val blk = 128; val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    val aByCol = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
+      .flatMap { case ((bi, bj), dm) =>
+        val d = LocalLA.fromDM(dm)
+        if (bi == bj) Iterator((bj, (bi, d)))
+        else Iterator((bj, (bi, d)), (bi, (bj, LocalLA.transpose(d))))
+      }.partitionBy(part).cache()
+    val cached = scala.collection.mutable.ArrayBuffer.empty[BlockVec]
+    def keep(v: BlockVec): BlockVec = { v.cache(); cached += v; v }
 
-    val x = new Array[Double](n)
-    val r = b.clone()
-    var p = r.clone()
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
+    // alpha·u + v, narrow (both sides co-partitioned by `part`)
+    def axpy(alpha: Double, u: BlockVec, v: BlockVec): BlockVec =
+      u.join(v, part).mapValues { case (a, b) =>
+        val w = b.clone(); var i = 0
+        while (i < w.length) { w(i) += alpha * a(i); i += 1 }
+        w
+      }
+    def bvec(f: Int => Double): BlockVec =
+      sc.parallelize(0 until q, q)
+        .map(b => (b, Array.tabulate(blk)(i => f(b * blk + i))))
+        .partitionBy(part)
+
+    val xStar = keep(bvec(i => 1.0 + (i % 7) * 0.25))
+    val b0 = keep(bvMatvec(aByCol, xStar, part))
+    val bNrm = math.sqrt(dot(b0, b0))
+
+    var x: BlockVec = keep(bvec(_ => 0.0))
+    var r: BlockVec = b0
+    var p: BlockVec = r
     var rs = dot(r, r)
     var it = 0
     while (it < n && math.sqrt(rs) / bNrm > 1e-12) {
-      val ap = matvec(p)
+      val ap = keep(bvMatvec(aByCol, p, part))
       val alpha = rs / dot(p, ap)
-      var i = 0
-      while (i < n) { x(i) += alpha * p(i); r(i) -= alpha * ap(i); i += 1 }
-      val rsNew = dot(r, r)
-      val beta = rsNew / rs
-      val pNew = new Array[Double](n)
-      i = 0
-      while (i < n) { pNew(i) = r(i) + beta * p(i); i += 1 }
-      p = pNew
-      rs = rsNew
+      var xN = keep(axpy(alpha, p, x))
+      var rN = keep(axpy(-alpha, ap, r))
+      val rsN = dot(rN, rN)
+      val beta = rsN / rs
+      var pN = keep(axpy(beta, p, rN))
+      if (it % 8 == 7) {
+        // truncate lineage: materialize + localCheckpoint the three live
+        // vectors in ONE union job (blocks are GC-cleanable, DAG bounded)
+        xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
+        sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+      }
+      x = xN; r = rN; p = pN
+      rs = rsN
       it += 1
     }
     // TRUE residual via one more distributed matvec (the recurrence
     // residual can drift from the real one)
-    val ax = matvec(x)
-    var tr = 0.0; var err = 0.0
-    for (i <- 0 until n) {
-      val d0 = ax(i) - b(i); tr += d0 * d0
-      err = math.max(err, math.abs(x(i) - xStar(i)))
-    }
+    val ax = bvMatvec(aByCol, x, part)
+    val tr = ax.join(b0, part).map { case (_, (a, b)) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d0 = a(i) - b(i); acc += d0 * d0; i += 1 }
+      acc
+    }.sum()
+    val err = x.join(xStar, part).map { case (_, (xa, xs)) =>
+      var m = 0.0; var i = 0
+      while (i < xa.length) { m = math.max(m, math.abs(xa(i) - xs(i))); i += 1 }
+      m
+    }.max()
     val residTrue = math.sqrt(tr) / bNrm
-    val relErr = err / xStar.map(math.abs).max
+    val relErr = err / 2.5 // max|x*| = 1 + 6·0.25
+    cached.foreach(_.unpersist(false))
+    aByCol.unpersist(false)
     val pass = residTrue < 1e-10 && relErr < 1e-8
     Seq((n, blk, it, residTrue, relErr, pass))
       .toDF("n", "blk", "iters", "resid_rel", "err_rel", "pass")

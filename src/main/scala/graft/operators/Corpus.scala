@@ -115,28 +115,35 @@ object Corpus {
     * α = 0.5 sampling relative to the smallest stratum.
     *
     * Determinism is the whole design: the keep decision is
-    *   k² · n_s < n_min · 2⁴⁰   with k = mix(doc_id) ∈ [0, 2²⁰)
-    * — pure int64 arithmetic (k² < 2⁴⁰, times test-scale n_s stays
-    * far from overflow), no float, no transcendental, so Spark and the
-    * DuckDB oracle agree bit for bit, and membership is reproducible
-    * run over run (re-ingesting the corpus keeps the same sample).
-    * `mix` is a Knuth multiplicative hash on doc_id mod 2²⁰ — at 100 TB
-    * you'd swap in xxhash64(doc_id) & (2²⁰−1) and precompute the
-    * per-stratum integer threshold driver-side; the plan (broadcast
-    * stratum counts + narrow keep projection + one map-side-combined
-    * aggregate) is unchanged. Stratum counts and the min ride the same
-    * broadcast-1-row-aggregate shape as T9's corpus total — one job. */
+    *   k² ≤ thr_s   with k = mix(doc_id) ∈ [0, 2²⁰)
+    *               and thr_s = (n_min·2⁴⁰ − 1) div n_s
+    * — algebraically k²·n_s < n_min·2⁴⁰ (α = 0.5 sampling), but the
+    * product form overflows int64 once a stratum exceeds 2²³ docs, so
+    * the per-stratum threshold is precomputed DRIVER-side in exact
+    * BigInt arithmetic (n_min ≤ n_s ⇒ thr_s ≤ 2⁴⁰, always a valid
+    * int64) and the executor test is the overflow-free k² ≤ thr_s
+    * (k² < 2⁴⁰). Pure integer arithmetic, no float, no transcendental,
+    * so Spark and the DuckDB oracle agree bit for bit, and membership
+    * is reproducible run over run. `mix` is a Knuth multiplicative
+    * hash on doc_id mod 2²⁰ — at 100 TB you'd swap in
+    * xxhash64(doc_id) & (2²⁰−1); the plan (driver-side stratum stats —
+    * one row per language — broadcast back as thresholds + narrow keep
+    * projection + one map-side-combined aggregate) is unchanged. */
   def x15MixtureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val docs = documents(s, d)
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+    // stratum stats collect is one row per language — driver-bounded
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")).collect()
+    val nMin = counts.map(_.getLong(1)).min
+    val thr = counts.map { r =>
+      val nS = r.getLong(1)
+      (r.getString(0), nS, (((BigInt(nMin) << 40) - 1) / nS).toLong)
+    }.toSeq.toDF("lang", "n_docs", "thr")
     docs.select(col("doc_id"), col("lang"))
-      .join(broadcast(counts), "lang")
-      .crossJoin(broadcast(nmin))
+      .join(broadcast(thr), "lang")
       .withColumn("k",
         ((col("doc_id") % 1048576L) * 2654435761L + 12345L) % 1048576L)
-      .withColumn("keep",
-        col("k") * col("k") * col("n_docs") < col("n_min") * lit(1099511627776L))
+      .withColumn("keep", col("k") * col("k") <= col("thr"))
       .groupBy(col("lang"))
       .agg(max(col("n_docs")).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
@@ -147,13 +154,14 @@ object Corpus {
   val x15Sql: String =
     """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
       |m AS (SELECT MIN(n_docs) AS n_min FROM c),
-      |k AS (SELECT d.lang, c.n_docs, m.n_min,
+      |t AS (SELECT lang, n_docs, (n_min * 1099511627776 - 1) // n_docs AS thr
+      |      FROM c CROSS JOIN m),
+      |k AS (SELECT d.lang, t.n_docs, t.thr,
       |             ((d.doc_id % 1048576) * 2654435761 + 12345) % 1048576 AS kv
-      |      FROM documents d JOIN c USING (lang) CROSS JOIN m)
+      |      FROM documents d JOIN t USING (lang))
       |SELECT lang, n_docs,
-      |       CAST(SUM(CASE WHEN kv*kv*n_docs < n_min*1099511627776 THEN 1 ELSE 0 END)
-      |            AS BIGINT) AS n_kept,
-      |       CAST((SUM(CASE WHEN kv*kv*n_docs < n_min*1099511627776 THEN 1 ELSE 0 END) * 10000)
+      |       CAST(SUM(CASE WHEN kv*kv <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST((SUM(CASE WHEN kv*kv <= thr THEN 1 ELSE 0 END) * 10000)
       |            // n_docs AS BIGINT) AS rate_bp
       |FROM k GROUP BY lang, n_docs ORDER BY lang""".stripMargin
 

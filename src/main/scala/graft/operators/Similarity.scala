@@ -752,7 +752,7 @@ object Similarity {
     * pruned int8 scoring scan + pruned float rerank scan (see
     * [[s7AnnIndexProbe]]'s Scaladoc for the plan contract). Shared by
     * S7 (full build) and S8 (build + incremental append). */
-  private def probeIndex(s: SparkSession, path: String, e: DataFrame,
+  private[graft] def probeIndex(s: SparkSession, path: String, e: DataFrame,
                          anchors: Array[(Int, Array[Double])],
                          nProbe: Int): DataFrame = {
     val idx = s.read.parquet(path)

@@ -374,6 +374,44 @@ class MatrixSpec extends AnyFunSuite {
       "top-8 singular values drifted beyond the projection-residual bound")
   }
 
+  test("m15 block-vector matvec: distributed SpMV equals a local dense matvec") {
+    // the CG loop's kernel: column-keyed full-symmetric layout, narrow
+    // join against the block iterate, q²·blk-double partial reduce —
+    // verified against a driver-local dense matvec over the SAME matrix
+    val n = 256; val blk = 64; val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    val aByCol = BlockCholesky.spdBlocks(sc, n, blk, seed, boost = n.toDouble)
+      .flatMap { case ((bi, bj), dm) =>
+        val d = LocalLA.fromDM(dm)
+        if (bi == bj) Iterator((bj, (bi, d)))
+        else Iterator((bj, (bi, d)), (bi, (bj, LocalLA.transpose(d))))
+      }.partitionBy(part)
+    val xLoc = Array.tabulate(n)(i => math.sin(i + 1.0))
+    val x = sc.parallelize(0 until q, q)
+      .map(b => (b, xLoc.slice(b * blk, (b + 1) * blk))).partitionBy(part)
+    val got = MatrixQueries.bvMatvec(aByCol, x, part)
+      .collect().sortBy(_._1).flatMap(_._2)
+    assert(got.length == n)
+    val aLoc = Array.ofDim[Double](n, n)
+    for (bi <- 0 until q; bj <- 0 to bi) {
+      val a = MatrixGen.localBlock(blk, seed, bi, bj, 0.0)
+      val at = MatrixGen.localBlock(blk, seed, bj, bi, 0.0)
+      for (i <- 0 until blk; j <- 0 until blk) {
+        var v = (a(i)(j) + at(j)(i)) / 2
+        if (bi == bj && i == j) v += n.toDouble
+        aLoc(bi * blk + i)(bj * blk + j) = v
+        aLoc(bj * blk + j)(bi * blk + i) = v
+      }
+    }
+    val want = aLoc.map { row =>
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += row(i) * xLoc(i); i += 1 }
+      acc
+    }
+    val diff = got.zip(want).map { case (g, w) => math.abs(g - w) }.max
+    assert(diff < 1e-10, s"distributed matvec drifted from local by $diff")
+  }
+
   test("m15: CG recovers the planted SPD solution, true residual at tolerance") {
     val row = MatrixQueries.m15ConjugateGradient(spark, "").collect()(0)
     info(f"iters=${row.getAs[Int]("iters")} resid=${row.getAs[Double]("resid_rel")}%.2e " +

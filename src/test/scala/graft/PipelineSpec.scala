@@ -93,6 +93,7 @@ class PipelineSpec extends AnyFunSuite {
     // both paths freeze the SAME anchors (trained on the 90% base
     // slice); append must be pure file addition, not a re-assignment
     val appended = Similarity.s8AnnIndexAppend(spark, sf01)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
       .collect().map(_.toSeq).sortBy(_.toString)
     val (scratchPath, anchors, nProbe) = Similarity.incrIndexPath(spark, sf01, fromScratch = true)
     val idxA = spark.read.parquet(Similarity.incrIndexPath(spark, sf01)._1)
@@ -103,7 +104,14 @@ class PipelineSpec extends AnyFunSuite {
     val b = idxB.select(col("vec_id"), col("cell")).collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(a.sameElements(b), "appended index content diverged from a from-scratch build")
+    // PROBE ANSWERS identical: run the same serving path against the
+    // scratch index — content equality alone would miss qv8/nq2 drift
+    val scratch = Similarity
+      .probeIndex(spark, scratchPath, Similarity.prepared(spark, sf01), anchors, nProbe)
+      .collect().map(_.toSeq).sortBy(_.toString)
     assert(appended.nonEmpty)
+    assert(appended.sameElements(scratch),
+      "appended-index probe answers diverged from the from-scratch index probe")
   }
 
   test("s5 quantized-ANN recall vs exact s1") {
@@ -281,7 +289,10 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split(" +").toSeq))
     val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     val big = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-    docs.foreach { case (_, w) =>
+    // the query trains on docs with >=2 tokens only (its `toks` frame is
+    // filtered size(w)>=2) — the independent model must see the same
+    // corpus or a 0/1-token fixture doc would skew the unigram counts
+    docs.filter(_._2.length >= 2).foreach { case (_, w) =>
       w.foreach(t => uni(t) += 1)
       w.zip(w.drop(1)).foreach(p => big(p) += 1)
     }

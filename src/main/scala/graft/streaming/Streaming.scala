@@ -45,14 +45,57 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  /** Stateful-shuffle width is a DESIGN choice fixed at the query's
+    * first checkpoint: every stateful operator owns one state store PER
+    * shuffle partition, and store open/commit/maintenance dominates when
+    * partitions ≫ state volume (measured on st5: 12.2 s at 32 partitions
+    * vs 5.0 s at 8 for identical results at sf0.1). Every streaming
+    * query here keys its state by a low-cardinality key (windows×types,
+    * ~200 users, cohorts, flagged docs), so they all size to 8; a 100 TB
+    * deployment raises this with key cardinality. The override lives in
+    * a child session (shared SparkContext, isolated SQL conf) so
+    * concurrent queries on the caller's session never see it and
+    * nothing leaks on failure. */
+  private def scoped(s: SparkSession, parts: Int = 8): SparkSession = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    c
+  }
+
+  /** Checkpoint root for the bounded replays: state-store delta files
+    * and offset/commit logs are fsync-heavy small-file IO — on a loaded
+    * disk that IO is the variance, not the compute — so checkpoints go
+    * to tmpfs when the host has one (/dev/shm; Spark's default temp
+    * checkpoint lands in java.io.tmpdir = /tmp, which is disk-backed).
+    * Each run gets a fresh dir, deleted after the query stops: an
+    * unbounded production stream would instead pin a DURABLE
+    * checkpoint dir (exactly-once recovery contract); a bounded
+    * replay's checkpoint has no life after the query. */
+  private def ckptDir(name: String): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) shm
+               else new java.io.File(sys.props("java.io.tmpdir"))
+    new java.io.File(root, s"graft-ckpt-$name-${java.util.UUID.randomUUID}")
+  }
+
   /** Runs a bounded streaming query to a memory sink and returns the
     * sink contents. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: OutputMode): DataFrame = {
     s.catalog.dropTempView(name)
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val ckpt = ckptDir(name)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(ckpt)
+    }
     s.table(name)
   }
 
@@ -60,7 +103,8 @@ object Streaming {
   /** Tumbling 1-hour event-time windows per event_type with a 1-hour
     * watermark; complete mode so the bounded replay emits every window
     * (append would withhold the trailing watermark horizon). */
-  def st1StreamWindow(s: SparkSession, d: String): DataFrame = {
+  def st1StreamWindow(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -85,7 +129,8 @@ object Streaming {
     * Expand (2 rows per event) + the same stateful aggregate as ST1,
     * so the state size is 2× the tumbling case, still
     * watermark-bounded. */
-  def st3SlidingWindow(s: SparkSession, d: String): DataFrame = {
+  def st3SlidingWindow(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     val agg = eventStream(s, d)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -113,7 +158,8 @@ object Streaming {
     * semantics windows can't express. Events are sorted in-state by
     * (ts, event_id); micro-batch boundaries don't reorder sessions here
     * because AvailableNow delivers the bounded input in one batch. */
-  def st2Sessionize(s: SparkSession, d: String): DataFrame = {
+  def st2Sessionize(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     import s.implicits._
     val GapMicros = 30L * 60 * 1000000
 
@@ -245,7 +291,8 @@ object Streaming {
     * of plain streaming `dropDuplicates` is the thing this variant
     * exists to fix). Output is restricted to the key columns, so the
     * result is insensitive to WHICH physical duplicate is kept. */
-  def st4StreamDedup(s: SparkSession, d: String): DataFrame = {
+  def st4StreamDedup(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     val dedup = eventStream(s, d)
       .withWatermark("ts", "24 hours")
       .select(col("ts"), col("user_id"), col("event_type"),
@@ -270,21 +317,10 @@ object Streaming {
     * time bound the state is unbounded and the query is rejected for
     * append mode. Output is the full qualifying pair set, so it is
     * insensitive to micro-batch arrival order. */
-  def st5StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
-    // Stateful-shuffle width is a DESIGN choice fixed at the query's
-    // first checkpoint: each partition owns 4 state stores here (two
-    // sides × two store types), and store maintenance dominates when
-    // partitions ≫ state volume. Size to join-key cardinality (~200
-    // users in this corpus → 8), not to batch width — measured 12.2 s
-    // at 32 partitions vs 5.0 s at 8 for identical results at sf0.1.
-    // A 100 TB deployment raises this with key cardinality.
-    // The override lives in a child session (shared SparkContext,
-    // isolated SQL conf) so concurrent queries on the caller's session
-    // never see it and nothing leaks on failure.
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
-    st5Inner(scoped, d)
-  }
+  def st5StreamStreamJoin(s: SparkSession, d: String): DataFrame =
+    // heaviest state here: each partition owns 4 state stores (two
+    // sides × two store types) — see [[scoped]] for the sizing argument
+    st5Inner(scoped(s), d)
 
   private def st5Inner(s: SparkSession, d: String): DataFrame = {
     val clicks = eventStream(s, d)
@@ -322,7 +358,8 @@ object Streaming {
     * standard "enrich events with a dimension table" production shape;
     * the dim here is derived deterministically from the same corpus so
     * the oracle can replay it. */
-  def st6StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+  def st6StreamStaticJoin(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     // The static dim is re-planned per micro-batch by design (that's
     // how dim refreshes reach a long-running stream) — but re-planning
     // must not mean re-DERIVING: materialize the distinct scan once, so
@@ -377,9 +414,11 @@ object Streaming {
     * (RocksDB state store for larger-than-heap, verified in
     * StreamingSpec); an unbounded-history dedup is P6's batch-vs-index
     * shape instead. */
-  def st7StreamSimhashDedup(s: SparkSession, d: String): DataFrame =
+  def st7StreamSimhashDedup(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     runToMemory(s, st7Fingerprints(docStream(s, d)), "graft_st7", OutputMode.Append())
       .orderBy(col("simhash"))
+  }
 
   /** The st7 transform from a raw documents stream to first-seen
     * fingerprints (split out so specs can drive it with their own
@@ -413,7 +452,8 @@ object Streaming {
     * this query's oracle verbatim. Streaming state is the contaminated
     * aggregate only (Complete mode over flagged docs — contamination
     * is rare by construction at any scale). */
-  def st8StreamDecontam(s: SparkSession, d: String): DataFrame = {
+  def st8StreamDecontam(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
     val evalByGram = graft.operators.Dedup
       .decontamGramsOf(graft.sources.Tables.documents(s, d)
         .filter(col("doc_id") % 50 === 0))

@@ -114,6 +114,40 @@ class PipelineSpec extends AnyFunSuite {
       "appended-index probe answers diverged from the from-scratch index probe")
   }
 
+  test("s7/s8 indexes are durable: a fresh session probes without rebuilding") {
+    def snapshot(path: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val r1 = Similarity.s7AnnIndexProbe(spark, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val path = Similarity.ivfIndexPath(spark, sf01)
+    val before = snapshot(path)
+    assert(before.keys.exists(_.endsWith("_anchors.txt")),
+      "anchor sidecar missing — a fresh session would have to retrain")
+    // a NEW session has no in-memory handle cache: it must find the
+    // fingerprint-keyed dir + anchor sidecar on disk and probe as-is
+    val fresh = spark.newSession()
+    val r2 = Similarity.s7AnnIndexProbe(fresh, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(r2.sameElements(r1),
+      "fresh-session probe diverged — sidecar anchors are not bit-exact")
+    assert(snapshot(path) == before,
+      "fresh session rewrote the index — durability contract broken")
+    // same contract for the incremental (s8) index
+    val (incrPath, _, _) = Similarity.incrIndexPath(spark, sf01)
+    val incrBefore = snapshot(incrPath)
+    val r3 = Similarity.s8AnnIndexAppend(fresh, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val r4 = Similarity.s8AnnIndexAppend(spark, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(r3.sameElements(r4))
+    assert(snapshot(incrPath) == incrBefore,
+      "fresh session re-appended to the incremental index")
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

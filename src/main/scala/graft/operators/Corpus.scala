@@ -107,6 +107,56 @@ object Corpus {
        |         - tok_start // $SeqCap + 1 AS n_seqs
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- X17
+  /** The SEQUENCE-side companion of X14: one row per (seq_id, doc_id)
+    * span — which token range of which document fills each fixed
+    * [[SeqCap]]-token training sequence. X14 reports packing metadata
+    * per DOCUMENT; a pipeline that actually emits training batches
+    * needs the view keyed by SEQUENCE (seq_id → ordered doc spans,
+    * each with its offset inside the sequence and the token count it
+    * contributes). Same [[prefixSum]] pass, same single range
+    * partition — the only addition is a bounded explode (a doc lands
+    * in 1 + tok/SeqCap sequences, ~1 on average), so no new shuffle
+    * shape at any corpus size. Empty docs keep X14's convention: they
+    * land at their boundary sequence and contribute n_tok = 0. */
+  def x17SequenceTable(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(lower(trim(col("text"))), lit("\\S+")).cast("long").as("tok"))
+    prefixSum(toks, Seq(col("doc_id")), "tok")
+      .withColumn("tok_start", col("prefix"))
+      .withColumn("seq_first", expr(s"tok_start div $SeqCap"))
+      .withColumn("seq_last", expr(s"(tok_start + greatest(tok, 1L) - 1L) div $SeqCap"))
+      .select(col("doc_id"), col("tok"), col("tok_start"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .withColumn("span_start",
+        greatest(col("tok_start") - col("seq_id") * SeqCap, lit(0L)))
+      .withColumn("n_tok",
+        least(col("tok_start") + col("tok"), (col("seq_id") + 1) * SeqCap)
+          - greatest(col("tok_start"), col("seq_id") * SeqCap))
+      .select(col("seq_id"), col("doc_id"), col("span_start"), col("n_tok"))
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  val x17Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(length(regexp_extract_all(lower(trim(text)), '\\S+')) AS BIGINT) AS tok
+       |           FROM documents),
+       |c AS (SELECT doc_id, tok,
+       |             CAST(SUM(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |               - tok AS tok_start
+       |      FROM t),
+       |x AS (SELECT doc_id, tok, tok_start,
+       |             tok_start // $SeqCap AS seq_first,
+       |             (tok_start + greatest(tok, 1) - 1) // $SeqCap AS seq_last
+       |      FROM c)
+       |SELECT u.seq_id, doc_id,
+       |       greatest(tok_start - u.seq_id * $SeqCap, 0) AS span_start,
+       |       least(tok_start + tok, (u.seq_id + 1) * $SeqCap)
+       |         - greatest(tok_start, u.seq_id * $SeqCap) AS n_tok
+       |FROM x, unnest(generate_series(seq_first, seq_last)) AS u(seq_id)
+       |ORDER BY seq_id, doc_id""".stripMargin
+
   // ------------------------------------------------------------- X15
   /** Temperature-balanced language mixture (the multilingual-corpus
     * rebalance: downsample dominant strata toward p_s ∝ √n_s): each
@@ -208,10 +258,12 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x14_sequence_pack" -> (x14SequencePack _),
     "x15_mixture_sample" -> (x15MixtureSample _),
-    "x16_budget_select" -> (x16BudgetSelect _))
+    "x16_budget_select" -> (x16BudgetSelect _),
+    "x17_sequence_table" -> (x17SequenceTable _))
 
   val oracles: Map[String, String] = Map(
     "x14_sequence_pack" -> x14Sql,
     "x15_mixture_sample" -> x15Sql,
-    "x16_budget_select" -> x16Sql)
+    "x16_budget_select" -> x16Sql,
+    "x17_sequence_table" -> x17Sql)
 }

@@ -447,6 +447,27 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Session-scoped cache of P4's brute-force drop set (distinct vec_b
+    * over the audit subset): P7's recall gate measures against it on
+    * EVERY invocation, and recomputing it was a second full pairwise
+    * pass per call for identical information. Same hygiene as
+    * [[pairCache]] (stopped sessions evicted, bounded, immutable-dir
+    * assumption); localCheckpoint'd — ≤ AuditCap rows, so a hit costs
+    * one scan of tiny materialized partitions. */
+  private val p4DropCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def p4DropSet(s: SparkSession, d: String): DataFrame = {
+    p4DropCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) p4DropCache.remove(k)
+    }
+    if (p4DropCache.size >= PairCacheMax && !p4DropCache.contains((s, d)))
+      p4DropCache.remove(p4DropCache.head._1)
+    p4DropCache.getOrElseUpdate((s, d),
+      graft.Lineage.truncate(
+        p4EmbeddingNearDup(s, d).select(col("vec_b")).distinct()))
+  }
+
   val p4Sql: String =
     s"""WITH ex AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -690,8 +711,10 @@ object Dedup {
       .select(col("b.vec_id").as("drop_id")).distinct()
 
     // recall of the drop decision vs the brute-force P4 drop set,
-    // measured on the audit subset both are defined over
-    val bruteDrop = p4EmbeddingNearDup(s, d).select(col("vec_b")).distinct()
+    // measured on the audit subset both are defined over (cached per
+    // session — the gate costs one pairwise pass per session, not one
+    // per invocation)
+    val bruteDrop = p4DropSet(s, d)
     val denom = bruteDrop.count()
     val hits = bruteDrop
       .join(dropped.filter(col("drop_id") < AuditCap),

@@ -541,11 +541,16 @@ object TextAnalysis {
     *
     * Scale shape: training is ONE map-side-combined groupBy over token
     * pairs (the observed-bigram table is Heaps-bounded like T9's vocab,
-    * ≪ corpus); scoring joins the BROADCAST count tables against a
-    * narrow pair explode — no shuffle of the corpus. At 100 TB you'd
-    * train the model on a sample (or load a pre-trained one) and only
-    * the broadcast-and-score half runs over the full corpus; the plan
-    * shape is unchanged.
+    * ≪ corpus); scoring joins the count tables against a narrow pair
+    * explode. The JOIN STRATEGY is a wired plan switch, not a comment:
+    * when the trained model is small (vocab below
+    * [[t12BroadcastMaxVocab]]) the count tables broadcast — zero
+    * shuffle of the corpus; above it (a 100 TB corpus trains GB-scale
+    * tables no executor should hold twice) the same score join runs as
+    * a shuffle join on the token keys and only the 1-row stats remain
+    * broadcast. Both paths produce identical scores — the switch moves
+    * bytes, not math — spec'd in PipelineSpec by forcing the threshold
+    * to 0 and asserting plan + bit-identical answers.
     *
     * Correctness: `ln` is transcendental, so cross-engine hashing is
     * unsafe (last-ulp libm differences) — like the matrix family this
@@ -556,7 +561,19 @@ object TextAnalysis {
     * null-mishandled join or inverted ratio lands outside), and
     * PipelineSpec recomputes every score exactly against an
     * independent driver-side model (|Δ| < 1e-9). */
-  def t12LmPerplexity(s: SparkSession, d: String): DataFrame = {
+  /** Vocab-size ceiling for broadcasting the trained model tables:
+    * above it the score join switches to a shuffle join (the unigram
+    * table has V rows and the bigram table Heaps-many — both broadcast
+    * copies per executor at small V, neither affordable at corpus
+    * scale). Gate-scale vocabularies sit far below it, so the driver's
+    * recorded answers ride the broadcast path unchanged. */
+  private val t12BroadcastMaxVocab = 1000000L
+
+  def t12LmPerplexity(s: SparkSession, d: String): DataFrame =
+    t12LmPerplexityImpl(s, d, t12BroadcastMaxVocab)
+
+  private[graft] def t12LmPerplexityImpl(s: SparkSession, d: String,
+                                         broadcastMaxVocab: Long): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), split(norm, " +").as("w"))
       .filter(size(col("w")) >= 2)
@@ -570,15 +587,22 @@ object TextAnalysis {
       .select(explode(col("w")).as("t")).groupBy(col("t")).agg(count(lit(1)).as("c1"))
     val stats = unigrams.agg(count(lit(1)).as("v"), max(col("c1")).as("cmax"))
 
+    // the plan switch: V comes off the 1-row stats aggregate (one tiny
+    // driver job) — one long decides how the model tables move, and the
+    // collected stats fold back in as literals (no crossJoin recompute)
+    val statsRow = stats.collect()(0)
+    val vocab = statsRow.getLong(0); val cmax = statsRow.getLong(1)
+    def sized(df: DataFrame): DataFrame =
+      if (vocab <= broadcastMaxVocab) broadcast(df) else df
+
     val scored = pairs
-      .join(broadcast(unigrams), col("w1") === col("t"), "left")
-      .join(broadcast(bigrams.withColumnRenamed("c12", "cb")
+      .join(sized(unigrams), col("w1") === col("t"), "left")
+      .join(sized(bigrams.withColumnRenamed("c12", "cb")
         .withColumnRenamed("w1", "b1").withColumnRenamed("w2", "b2")),
         col("w1") === col("b1") && col("w2") === col("b2"), "left")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("n_pairs"), col("v"), col("cmax"),
+      .select(col("doc_id"), col("n_pairs"), lit(vocab).as("v"), lit(cmax).as("cmax"),
         (-log((coalesce(col("cb"), lit(0L)).cast("double") + 1.0) /
-          (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double")))).as("nll"))
+          (coalesce(col("c1"), lit(0L)).cast("double") + lit(vocab).cast("double")))).as("nll"))
     scored.groupBy(col("doc_id"))
       .agg((sum(col("nll")) / max(col("n_pairs"))).as("nll"),
         max(col("v")).as("v"), max(col("cmax")).as("cmax"),

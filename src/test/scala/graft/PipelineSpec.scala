@@ -355,6 +355,32 @@ class PipelineSpec extends AnyFunSuite {
       s"$offByGrid/${got.length} docs off the local model by a grid step — not boundary noise")
   }
 
+  test("t12 plan switch: an unbroadcastable model shuffles the score join, same answers") {
+    val bcast = TextAnalysis.t12LmPerplexity(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // force the switch: vocab ceiling 0, and auto-broadcast off in a
+    // child session (at real scale the size estimate disables it; the
+    // tiny test tables would otherwise re-broadcast behind our back)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffled = TextAnalysis.t12LmPerplexityImpl(s2, sf001, broadcastMaxVocab = 0)
+    val got = shuffled.collect()
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"forced-low threshold did not move the model join off broadcast:\n$plan")
+    assert(got.length == bcast.size)
+    got.foreach { r =>
+      val b = bcast(r.getLong(0))
+      assert(r.getAs[Boolean]("pass") && b.getAs[Boolean]("pass"))
+      assert(r.getAs[Number]("n_pairs").longValue == b.getAs[Number]("n_pairs").longValue)
+      // the shuffle join reorders per-doc float addition — scores may
+      // flip one 1e-4 grid step on an exact rounding boundary, no more
+      assert(math.abs(r.getAs[Double]("nll4") - b.getAs[Double]("nll4")) < 1.1e-4,
+        s"doc ${r.getLong(0)}: shuffle path ${r.getAs[Double]("nll4")} " +
+          s"vs broadcast ${b.getAs[Double]("nll4")}")
+    }
+  }
+
   test("t11 BM25 plans as heap top-k (TakeOrderedAndProject), stats broadcast") {
     val df = TextAnalysis.t11Bm25Search(spark, sf01)
     df.collect()

@@ -4,191 +4,298 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
-/** One media object: opaque binary payload + typed metadata. In a real
-  * pipeline `payload` holds image/audio/video bytes read from parquet
-  * binary columns; here it is synthesized from `documents.text` (the
-  * container ships no codec libraries — see decode stub below). */
+/** One media object: opaque binary payload + typed metadata. The
+  * payload is a REAL container format (BMP for images, RIFF/WAVE PCM
+  * for audio), synthesized deterministically from `documents.text` so
+  * the DuckDB oracle can replay the decoded values from the text. */
 case class MediaRecord(doc_id: Long, payload: Array[Byte], format: String, n_bytes: Int)
 
-/** Features the (stubbed) decoder extracts per media object. */
-case class MediaFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
-                         first_byte: Int, frame_sum: Long)
+/** Features a real image decode extracts per media object. */
+case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                         px_sum: Long, wsum: Long)
 
 /** Multimodal column plumbing: binary payloads with typed metadata,
-  * processed batch-wise in executor-side partitions.
+  * decoded batch-wise by REAL JDK codecs in executor-side partitions.
   *
-  * The Spark-side shape is the real thing — a typed
-  * `Dataset[MediaRecord]` flowing through `mapPartitions` so a decoder
-  * amortizes per-batch setup (model load, codec init) across a whole
-  * partition, exactly how an image/audio decode stage runs at 100 TB
-  * (binary parquet columns partition-pruned by metadata, decode
+  * The Spark-side shape is the production one — a typed
+  * `Dataset[MediaRecord]` flowing through `mapPartitions`, with the
+  * codec obtained once per partition so its setup cost amortizes over
+  * the whole batch, exactly how an image/audio decode stage runs at
+  * 100 TB (binary parquet columns partition-pruned by metadata, decode
   * embarrassingly parallel, no shuffle).
   *
-  * DECODE STUB: the container has no image/audio libraries, so
-  * `decodeStub` stands in for the real codec with a deterministic
-  * byte-level "decode" (byte sum, first byte, every-64th-byte "frame
-  * sample"). Because the fake is deterministic arithmetic over bytes,
-  * the whole path is still end-to-end oracle-checked from DuckDB.
+  * The decode is REAL: mm1/mm3 parse an actual 24-bit BMP through
+  * `javax.imageio` (header, bottom-up row order, BGR channel order all
+  * handled by the JDK codec, not by us) and mm2 parses an actual
+  * RIFF/WAVE PCM-16 payload through `javax.sound.sampled`. What stays
+  * synthetic is only the ENCODER that builds the fixtures from
+  * `documents.text` — a deterministic byte layout, which is what lets
+  * DuckDB recompute every decoded feature from the text and verify the
+  * full decode round trip (a header mis-parse, a flipped row order or
+  * a swapped channel all change the expected sums).
   */
 object Multimodal {
 
-  /** Stand-in for a real decoder (e.g. JPEG → pixel stats). Runs once
-    * per record inside a partition iterator — per-partition setup would
-    * go right before the `it.map`. */
-  private def decodeStub(r: MediaRecord): MediaFeatures = {
-    val bytes = r.payload
-    var sum = 0L; var frame = 0L; var i = 0
-    while (i < bytes.length) {
-      val b = bytes(i) & 0xff
-      sum += b
-      if (i % 64 == 0) frame += b  // "frame sampling": every 64th byte
-      i += 1
-    }
-    MediaFeatures(r.doc_id, r.n_bytes, sum, if (bytes.isEmpty) -1 else bytes(0) & 0xff, frame)
+  /** Fixed image geometry: 16 px wide, 24 bpp ⇒ 48-byte rows (already
+    * 4-byte aligned, so no BMP row padding) — text bytes become the
+    * pixel data verbatim, zero-padded to whole rows. */
+  private val ImgW = 16
+  private val RowBytes = ImgW * 3
+
+  /** Encode `data` as the pixel bytes of a 24-bit bottom-up BMP.
+    * Payload byte k lands at pixel k/3 (BGR channel k%3) of PAYLOAD
+    * row k/48, which the BMP convention displays as image row
+    * h−1−k/48. */
+  private[graft] def encodeBmp(data: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (data.length + RowBytes - 1) / RowBytes)
+    val pixBytes = RowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + pixBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + pixBytes).putInt(0).putInt(54)
+    buf.putInt(40).putInt(ImgW).putInt(h)
+    buf.putShort(1).putShort(24).putInt(0).putInt(pixBytes)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(data) // remainder stays zero (allocate zero-fills)
+    buf.array()
   }
 
-  /** mm1: synthesize the media table (text bytes as payload + typed
-    * metadata), decode batch-wise, return per-object features. */
+  private def mediaTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val p = encodeBmp(bytes)
+        MediaRecord(id, p, "bmp", p.length)
+      }
+  }
+
+  /** mm1: synthesize the image table and decode it batch-wise with the
+    * JDK BMP codec; per-object features are computed from the DECODED
+    * pixels (width/height from the parsed header; `px_sum` = Σ(r+g+b);
+    * `wsum` = Σ (imageRow+1)·(3·b + 2·g + r) — the row- and channel-
+    * weighted sum that flips if the decoder mishandles the bottom-up
+    * row order or the BGR channel order, which is what makes the
+    * oracle a real decode check). */
   def mm1MediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val media = documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        lit("txt").as("format"),
-        octet_length(col("text")).as("n_bytes"))
-      .as[MediaRecord]
-    media.mapPartitions { it =>
-      // real pipeline: initialize codec / model once per partition here
-      it.map(decodeStub)
+    mediaTable(s, d).mapPartitions { it =>
+      // codec resolved once per partition — the amortized-setup slot a
+      // real pipeline uses for model/codec initialization
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      it.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        var pxSum = 0L; var wSum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val bb = rgb & 0xff
+            pxSum += rr + gg + bb
+            wSum += (y + 1).toLong * (3 * bb + 2 * gg + rr)
+            x += 1
+          }
+          y += 1
+        }
+        iis.close()
+        MediaFeatures(r.doc_id, img.getWidth, img.getHeight, pxSum, wSum)
+      }
     }.toDF()
       .orderBy(col("doc_id"))
   }
 
-  /** The oracle replays the byte arithmetic in SQL (text is pure ASCII
-    * in this corpus, so ord(char) == byte — asserted in PipelineSpec).
-    * LEFT JOIN + COALESCE so a zero-length payload yields the same row
-    * the Spark side emits (byte_sum=0, first_byte=-1) instead of
-    * silently dropping from the oracle result. */
+  /** The oracle replays the decode from the text (pure ASCII in this
+    * corpus, so ord(char) == payload byte — asserted in PipelineSpec):
+    * byte k (0-based) has channel weight 3−(k%3) (B,G,R → 3,2,1) and
+    * image-row weight h − k/48 (bottom-up storage ⇒ imageRow+1 =
+    * h − payloadRow). Zero padding contributes nothing to either sum. */
   val mm1Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
-      |  FROM documents, unnest(generate_series(1, length(text))) AS u(i))
-      |SELECT d.doc_id,
-      |  length(d.text) AS n_bytes,
-      |  CAST(COALESCE(SUM(b.byte), 0) AS BIGINT) AS byte_sum,
-      |  CASE WHEN length(d.text) = 0 THEN -1 ELSE ord(substr(d.text, 1, 1)) END AS first_byte,
-      |  CAST(COALESCE(SUM(CASE WHEN (b.i - 1) % 64 = 0 THEN b.byte ELSE 0 END), 0) AS BIGINT) AS frame_sum
-      |FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
-      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i - 1 AS k, ord(substr(text, i, 1)) AS byte, h
+      |  FROM d, unnest(generate_series(1, len)) AS u(i))
+      |SELECT d.doc_id, 16 AS width, CAST(d.h AS INT) AS height,
+      |  CAST(COALESCE(SUM(b.byte), 0) AS BIGINT) AS px_sum,
+      |  CAST(COALESCE(SUM(b.byte * (3 - (b.k % 3)) * (b.h - b.k // 48)), 0) AS BIGINT) AS wsum
+      |FROM d LEFT JOIN b ON b.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.h ORDER BY d.doc_id""".stripMargin
 
-  /** mm2 output: fixed-size frame decomposition of one payload. */
-  case class MediaWindows(doc_id: Long, n_windows: Int, peak_window: Long, peak_energy: Long)
+  // ------------------------------------------------------------- MM2
+  /** Features a real audio decode extracts: format metadata from the
+    * parsed RIFF header + windowed energy over the decoded samples. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+                           n_windows: Int, peak_window: Long, peak_energy: Long)
 
-  /** Stand-in for frame extraction / audio windowing: split the payload
-    * into fixed 256-byte frames, compute per-frame energy (Σ byte²),
-    * keep the argmax frame (first-wins on ties). A real video pipeline
-    * does exactly this shape — deterministic frame boundaries from
-    * metadata, per-frame feature, per-object reduction — with the codec
-    * swapped in for the byte arithmetic. */
-  private def windowStub(r: MediaRecord): MediaWindows = {
-    val bytes = r.payload
-    val W = 256
-    val n = math.max(1, (bytes.length + W - 1) / W)
-    var peakW = 0L; var peakE = -1L
-    var w = 0
-    while (w < n) {
-      var e = 0L; var i = w * W
-      val end = math.min(bytes.length, (w + 1) * W)
-      while (i < end) { val b = bytes(i) & 0xff; e += b.toLong * b; i += 1 }
-      if (e > peakE) { peakE = e; peakW = w }
-      w += 1
-    }
-    MediaWindows(r.doc_id, n, peakW, peakE)
+  private val SampleRate = 8000
+  private val WinSamples = 256
+
+  /** Encode `data` as a RIFF/WAVE payload: PCM mono, 16-bit
+    * little-endian, one sample per input byte (sample value = the byte
+    * value, 0–127 for ASCII). */
+  private[graft] def encodeWav(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+    buf.putShort(1).putShort(1).putInt(SampleRate).putInt(SampleRate * 2)
+    buf.putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(2 * n)
+    var i = 0
+    while (i < n) { buf.putShort(data(i).toShort); i += 1 }
+    buf.array()
   }
 
-  /** mm2: frame-sample each payload batch-wise (same `mapPartitions`
-    * shape as mm1 — decode amortized per partition, no shuffle). */
+  /** mm2: audio frame analysis on REAL decoded samples — the payload
+    * goes through `javax.sound.sampled` (header parse, format
+    * negotiation, PCM frame extraction), then fixed 256-sample windows
+    * get an energy Σv² and the argmax window wins (first-wins ties) —
+    * the frame-sampling shape of a video/audio pipeline with the JDK
+    * codec standing where ffmpeg would. */
   def mm2FrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        lit("txt").as("format"),
-        octet_length(col("text")).as("n_bytes"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(windowStub))
-      .toDF()
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val p = encodeWav(bytes)
+        MediaRecord(id, p, "wav", p.length)
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.payload)))
+          val fmt = ais.getFormat
+          val rate = fmt.getSampleRate.toInt
+          val raw = ais.readAllBytes()
+          ais.close()
+          val n = raw.length / 2
+          val nWin = math.max(1, (n + WinSamples - 1) / WinSamples)
+          var peakW = 0L; var peakE = -1L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L; var i = w * WinSamples
+            val end = math.min(n, (w + 1) * WinSamples)
+            while (i < end) {
+              // little-endian signed 16-bit PCM frame
+              val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toLong
+              e += v * v; i += 1
+            }
+            if (e > peakE) { peakE = e; peakW = w }
+            w += 1
+          }
+          AudioFeatures(r.doc_id, rate, n, nWin, peakW, math.max(peakE, 0L))
+        }
+      }.toDF()
       .orderBy(col("doc_id"))
   }
 
   /** LEFT JOIN against documents so a zero-length payload yields the
-    * degenerate single empty window (n_windows=1, energy 0) the Spark
-    * side emits. */
+    * degenerate single empty window the Spark side emits. */
   val mm2Sql: String =
-    """WITH b AS (
-      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS byte
+    s"""WITH b AS (
+      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS v
       |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
       |w AS (
-      |  SELECT doc_id, CAST(floor((i - 1) / 256.0) AS BIGINT) AS win,
-      |         SUM(byte * byte) AS energy
+      |  SELECT doc_id, CAST(floor((i - 1) / $WinSamples.0) AS BIGINT) AS win,
+      |         SUM(v * v) AS energy
       |  FROM b GROUP BY 1, 2),
       |ranked AS (
       |  SELECT doc_id, win, energy,
       |         COUNT(*) OVER (PARTITION BY doc_id) AS n_windows,
       |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, win) AS rn
       |  FROM w)
-      |SELECT d.doc_id, CAST(COALESCE(r.n_windows, 1) AS INT) AS n_windows,
+      |SELECT d.doc_id, $SampleRate AS sample_rate,
+      |       CAST(length(d.text) AS BIGINT) AS n_samples,
+      |       CAST(COALESCE(r.n_windows, 1) AS INT) AS n_windows,
       |       COALESCE(r.win, 0) AS peak_window,
       |       CAST(COALESCE(r.energy, 0) AS BIGINT) AS peak_energy
       |FROM documents d
       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
-  /** mm3 output: a downsampled payload's identity + sizes. */
-  case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
-                          resized_md5: String)
+  // ------------------------------------------------------------- MM3
+  /** mm3 output: decoded dims, resized dims, and the content hash of
+    * the resized pixel stream. */
+  case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, resized_md5: String)
 
-  /** Stand-in for resize: nearest-neighbor ×4 downsample (keep every
-    * 4th byte), emitting the new size and the content hash of the
-    * resized payload — in a real pipeline the resized binary itself is
-    * written back as a new column; hashing it keeps the oracle able to
-    * verify the exact output bytes without storing them twice. */
-  private def resizeStub(r: MediaRecord): ResizedMedia = {
-    val b = r.payload
-    val out = new Array[Byte]((b.length + 3) / 4)
-    var i = 0
-    while (i * 4 < b.length) { out(i) = b(i * 4); i += 1 }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(out).map(x => f"${x & 0xff}%02x").mkString
-    ResizedMedia(r.doc_id, b.length, out.length, hex)
-  }
-
-  /** mm3: batch-wise resize (same partition-amortized shape). */
+  /** mm3: a REAL resize — decode the BMP (same JDK codec as mm1),
+    * nearest-neighbor ×4 downsample in both dimensions (keep pixels
+    * with x%4==0 ∧ y%4==0 in image coordinates), and hash the resized
+    * pixel stream (row-major top-down, channels R,G,B as decimal CSV —
+    * a text encoding so DuckDB's md5 can verify the exact output
+    * pixels without binary-string plumbing). In a real pipeline the
+    * resized binary is written back as a new column; hashing keeps the
+    * oracle able to verify the exact bytes without storing them twice. */
   def mm3Resize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    documents(s, d)
-      .select(col("doc_id"),
-        col("text").cast("binary").as("payload"),
-        lit("txt").as("format"),
-        octet_length(col("text")).as("n_bytes"))
-      .as[MediaRecord]
-      .mapPartitions(_.map(resizeStub))
-      .toDF()
+    mediaTable(s, d).mapPartitions { it =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val sb = new StringBuilder
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            if (sb.nonEmpty) sb.append(',')
+            sb.append((rgb >> 16) & 0xff).append(',')
+              .append((rgb >> 8) & 0xff).append(',').append(rgb & 0xff)
+            x += 4
+          }
+          y += 4
+        }
+        iis.close()
+        md.reset()
+        val hex = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .map(b => f"${b & 0xff}%02x").mkString
+        ResizedMedia(r.doc_id, img.getWidth, img.getHeight,
+          (img.getWidth + 3) / 4, (img.getHeight + 3) / 4, hex)
+      }
+    }.toDF()
       .orderBy(col("doc_id"))
   }
 
-  /** LEFT JOIN + COALESCE('' ) so a zero-length payload hashes to the
-    * md5 of the empty string, matching the Spark-side resize of an
-    * empty byte array. */
+  /** The oracle rebuilds the resized pixel stream from the text: kept
+    * pixel (x, y) reads payload bytes k = 48·(h−1−y) + 3x + c — beyond
+    * the text length they are zero padding — and emits channels in
+    * R,G,B order (c = 2,1,0). */
   val mm3Sql: String =
-    """WITH s AS (
-      |  SELECT doc_id, i, substr(text, i, 1) AS ch
-      |  FROM documents, unnest(generate_series(1, length(text), 4)) AS u(i))
-      |SELECT d.doc_id, length(d.text) AS orig_bytes,
-      |  CAST(COUNT(s.i) AS INT) AS resized_bytes,
-      |  md5(COALESCE(string_agg(s.ch, '' ORDER BY s.i), '')) AS resized_md5
-      |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
-      |GROUP BY d.doc_id, d.text ORDER BY d.doc_id""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, text, len, h, y.y, x.x
+      |  FROM d, unnest(generate_series(0, h - 1, 4)) AS y(y),
+      |         unnest(generate_series(0, 15, 4)) AS x(x)),
+      |v AS (
+      |  SELECT doc_id, h, y, x,
+      |    CASE WHEN 48*(h-1-y) + 3*x + 3 <= len
+      |         THEN ord(substr(text, CAST(48*(h-1-y) + 3*x + 3 AS INT), 1)) ELSE 0 END AS r,
+      |    CASE WHEN 48*(h-1-y) + 3*x + 2 <= len
+      |         THEN ord(substr(text, CAST(48*(h-1-y) + 3*x + 2 AS INT), 1)) ELSE 0 END AS g,
+      |    CASE WHEN 48*(h-1-y) + 3*x + 1 <= len
+      |         THEN ord(substr(text, CAST(48*(h-1-y) + 3*x + 1 AS INT), 1)) ELSE 0 END AS b
+      |  FROM px)
+      |SELECT doc_id, 16 AS width, CAST(h AS INT) AS height,
+      |       4 AS out_w, CAST(ceil(h / 4.0) AS INT) AS out_h,
+      |       md5(string_agg(r || ',' || g || ',' || b, ',' ORDER BY y, x)) AS resized_md5
+      |FROM v GROUP BY doc_id, h ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),

@@ -236,16 +236,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("mm1 features run batch-wise and match a driver-side recompute") {
+  test("mm1 decode is real: JDK-decoded pixels match a driver-side recompute") {
     val feats = Multimodal.mm1MediaFeatures(spark, sf001).collect()
     val texts = graft.sources.Tables.documents(spark, sf001)
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(feats.length == texts.size)
     feats.foreach { r =>
-      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
-      assert(r.getInt(1) == bytes.length)
-      assert(r.getLong(2) == bytes.map(_ & 0xff).map(_.toLong).sum)
+      val bytes = texts(r.getLong(0)).getBytes("US-ASCII")
+      val h = math.max(1, (bytes.length + 47) / 48)
+      assert(r.getAs[Int]("width") == 16)
+      assert(r.getAs[Int]("height") == h)
+      // px_sum = plain byte sum (padding is zero); wsum folds in the
+      // channel weight 3-(k%3) and the image-row weight h - k/48 — the
+      // values only come out right if the codec really decoded the
+      // bottom-up BGR layout
+      assert(r.getAs[Long]("px_sum") == bytes.map(_ & 0xff).map(_.toLong).sum)
+      val wsum = bytes.zipWithIndex.map { case (b, k) =>
+        (b & 0xff).toLong * (3 - k % 3) * (h - k / 48)
+      }.sum
+      assert(r.getAs[Long]("wsum") == wsum,
+        s"doc ${r.getLong(0)}: decoded weighted sum ${r.getAs[Long]("wsum")} != $wsum")
+    }
+  }
+
+  test("mm2 decode is real: RIFF/WAVE parse yields the planted format and samples") {
+    val feats = Multimodal.mm2FrameSample(spark, sf001).collect()
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(feats.length == texts.size)
+    feats.foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("US-ASCII")
+      assert(r.getAs[Int]("sample_rate") == 8000, "header sample rate mis-parsed")
+      assert(r.getAs[Long]("n_samples") == bytes.length.toLong)
+      // windowed argmax energy recomputed from the raw sample values
+      val wins = bytes.map(b => (b & 0xff).toLong).grouped(256)
+        .map(_.map(v => v * v).sum).toArray
+      if (wins.nonEmpty) {
+        val best = wins.zipWithIndex.maxBy { case (e, i) => (e, -i) }
+        assert(r.getAs[Long]("peak_energy") == best._1)
+        assert(r.getAs[Long]("peak_window") == best._2.toLong)
+      } else {
+        assert(r.getAs[Long]("peak_energy") == 0L)
+      }
     }
   }
 

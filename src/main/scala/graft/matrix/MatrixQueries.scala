@@ -840,11 +840,11 @@ object MatrixQueries {
     while (it < n && math.sqrt(rs) / bNrm > 1e-12) {
       val ap = keep(bvMatvec(aByCol, p, part))
       val alpha = rs / dot(p, ap)
-      var xN = keep(axpy(alpha, p, x))
-      var rN = keep(axpy(-alpha, ap, r))
+      val xN = keep(axpy(alpha, p, x))
+      val rN = keep(axpy(-alpha, ap, r))
       val rsN = dot(rN, rN)
       val beta = rsN / rs
-      var pN = keep(axpy(beta, p, rN))
+      val pN = keep(axpy(beta, p, rN))
       if (it % 8 == 7) {
         // truncate lineage: materialize + localCheckpoint the three live
         // vectors in ONE union job (blocks are GC-cleanable, DAG bounded)
@@ -875,6 +875,122 @@ object MatrixQueries {
     val pass = residTrue < 1e-10 && relErr < 1e-8
     Seq((n, blk, it, residTrue, relErr, pass))
       .toDF("n", "blk", "iters", "resid_rel", "err_rel", "pass")
+  }
+
+  /** M16: Jacobi-PRECONDITIONED conjugate gradient — M15's loop with
+    * the one extra narrow join per iteration (z = M⁻¹r, M = diag(A))
+    * that makes CG practical on badly SCALED systems, the common real
+    * case (features in wildly different units). The test matrix is
+    * M15's well-conditioned SPD core congruence-scaled by
+    * D = diag(1 + i mod 8) — SPD is preserved, the condition number
+    * inflates ~64×, and Jacobi exactly undoes the scaling, so the
+    * preconditioned iteration count must fall back to the unscaled
+    * regime. Both solves run the same distributed machinery
+    * ([[bvMatvec]], narrow axpy joins, two scalars per iteration to
+    * the driver — three with the r·z dot); the query reports BOTH
+    * iteration counts and gates on pcg_iters < cg_iters in addition to
+    * the true-residual/solution invariants, so a silently broken
+    * preconditioner (z = r) flips the driver's correctness row. */
+  def m16PreconditionedCg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val n = 512; val blk = 128; val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    def scaleOf(i: Int): Double = 1.0 + (i % 8)
+    val aByCol = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
+      .flatMap { case ((bi, bj), dm) =>
+        val d0 = LocalLA.fromDM(dm)
+        val d = Array.tabulate(d0.length, d0(0).length)((i, j) =>
+          d0(i)(j) * scaleOf(bi * blk + i) * scaleOf(bj * blk + j))
+        if (bi == bj) Iterator((bj, (bi, d)))
+        else Iterator((bj, (bi, d)), (bi, (bj, LocalLA.transpose(d))))
+      }.partitionBy(part).cache()
+    val cached = scala.collection.mutable.ArrayBuffer.empty[BlockVec]
+    def keep(v: BlockVec): BlockVec = { v.cache(); cached += v; v }
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
+    def axpy(alpha: Double, u: BlockVec, v: BlockVec): BlockVec =
+      u.join(v, part).mapValues { case (a, b) =>
+        val w = b.clone(); var i = 0
+        while (i < w.length) { w(i) += alpha * a(i); i += 1 }
+        w
+      }
+    def bvec(f: Int => Double): BlockVec =
+      sc.parallelize(0 until q, q)
+        .map(b => (b, Array.tabulate(blk)(i => f(b * blk + i))))
+        .partitionBy(part)
+    // diag(A)⁻¹ extracted from the stored diagonal blocks — stays a
+    // distributed block vector like everything else in the loop
+    val invDiag = keep(aByCol
+      .flatMap { case (bj, (bi, d)) =>
+        if (bi == bj) Iterator((bi, Array.tabulate(d.length)(i => 1.0 / d(i)(i))))
+        else Iterator.empty
+      }.partitionBy(part))
+    def applyPrecond(r: BlockVec): BlockVec =
+      r.join(invDiag, part).mapValues { case (a, m) =>
+        Array.tabulate(a.length)(i => a(i) * m(i))
+      }
+
+    val xStar = keep(bvec(i => 1.0 + (i % 7) * 0.25))
+    val b0 = keep(bvMatvec(aByCol, xStar, part))
+    val bNrm = math.sqrt(dot(b0, b0))
+
+    /** One CG solve; identity preconditioner when `precond` is false.
+      * Returns (x, iterations, true relative residual). */
+    def solve(precond: Boolean): (BlockVec, Int, Double) = {
+      var x: BlockVec = keep(bvec(_ => 0.0))
+      var r: BlockVec = b0
+      var z: BlockVec = if (precond) keep(applyPrecond(r)) else r
+      var p: BlockVec = z
+      var rz = dot(r, z)
+      var rr = dot(r, r)
+      var it = 0
+      while (it < n && math.sqrt(rr) / bNrm > 1e-12) {
+        val ap = keep(bvMatvec(aByCol, p, part))
+        val alpha = rz / dot(p, ap)
+        val xN = keep(axpy(alpha, p, x))
+        val rN = keep(axpy(-alpha, ap, r))
+        val zN = if (precond) keep(applyPrecond(rN)) else rN
+        val rzN = dot(rN, zN)
+        val beta = rzN / rz
+        val pN = keep(axpy(beta, p, zN))
+        if (it % 8 == 7) {
+          xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
+          sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+        }
+        x = xN; r = rN; z = zN; p = pN
+        rz = rzN
+        rr = dot(r, r)
+        it += 1
+      }
+      val ax = bvMatvec(aByCol, x, part)
+      val tr = ax.join(b0, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val d0 = a(i) - b(i); acc += d0 * d0; i += 1 }
+        acc
+      }.sum()
+      (x, it, math.sqrt(tr) / bNrm)
+    }
+
+    val (xCg, itCg, residCg) = solve(precond = false)
+    val (xPcg, itPcg, residPcg) = solve(precond = true)
+    val err = xPcg.join(xStar, part).map { case (_, (xa, xs)) =>
+      var m = 0.0; var i = 0
+      while (i < xa.length) { m = math.max(m, math.abs(xa(i) - xs(i))); i += 1 }
+      m
+    }.max()
+    val relErr = err / 2.5
+    cached.foreach(_.unpersist(false))
+    aByCol.unpersist(false)
+    val pass = residCg < 1e-10 && residPcg < 1e-10 && relErr < 1e-8 &&
+      itPcg < itCg
+    Seq((n, blk, itCg, itPcg, residCg, residPcg, relErr, pass))
+      .toDF("n", "blk", "cg_iters", "pcg_iters", "resid_cg", "resid_pcg",
+        "err_rel", "pass")
   }
 
   /** Pinned-constant DuckDB oracles for the two matrix queries whose
@@ -912,5 +1028,6 @@ object MatrixQueries {
     "m12_tsqr"      -> (m12Tsqr _),
     "m13_randomized_svd" -> (m13RandomizedSvd _),
     "m14_completed_svd" -> (m14CompletedSvd _),
-    "m15_conjugate_gradient" -> (m15ConjugateGradient _))
+    "m15_conjugate_gradient" -> (m15ConjugateGradient _),
+    "m16_preconditioned_cg" -> (m16PreconditionedCg _))
 }

@@ -779,6 +779,72 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- X18
+  /** Source-level boilerplate stripping — the hygiene pass X11 does NOT
+    * cover: X11 keeps a duplicated passage's first occurrence, but
+    * boilerplate (nav bars, license headers, site templates) must be
+    * dropped from EVERY document carrying it, first copy included. A
+    * 16-word aligned passage is boilerplate iff it appears in ≥
+    * [[BoilerMinDocs]] DISTINCT documents of the SAME source (the
+    * "repeated within a domain" signal C4/RefinedWeb strip on);
+    * documents are re-assembled from their surviving passages.
+    *
+    * Scale shape: chunking is X11's narrow pass; the boilerplate
+    * decision is count(DISTINCT doc) per (source, passage), executed as
+    * two map-side-combinable aggregates (distinct triples, then
+    * counts); the verdict flows back as a left_anti join on the
+    * (source, passage) key and re-assembly shuffles once on doc_id.
+    * Passage keys are digest-uniform → skew-free; a passage duplicated
+    * across millions of documents collapses to one row per partition
+    * in the distinct's partial aggregate, the same mega-bucket
+    * protection as X11 (no ranking window anywhere). */
+  private val BoilerMinDocs = 2
+
+  def x18BoilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val pass = documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(w) / ${PassageW}.0) AS int) - 1),
+           |          p -> array_join(slice(w, p * $PassageW + 1, $PassageW), ' '))"""
+          .stripMargin)).as(Seq("pos", "passage")))
+    val boiler = pass.select(col("source"), col("passage"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("passage"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("source"), col("passage"))
+    val kept = pass.join(boiler, Seq("source", "passage"), "left_anti")
+    val tot = pass.groupBy(col("doc_id")).agg(count(lit(1)).as("n_pass"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("passage")))),
+            x => x.getField("passage")), " ")).as("new_hash"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pass"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_hash"), md5(lit(""))).as("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x18Sql: String =
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |p AS (SELECT doc_id, source, pos,
+       |             array_to_string(list_slice(ws, pos * $PassageW + 1,
+       |                                        pos * $PassageW + $PassageW), ' ') AS passage
+       |      FROM w, unnest(generate_series(0,
+       |             CAST(ceil(len(ws) / ${PassageW}.0) AS INT) - 1)) AS u(pos)),
+       |boiler AS (SELECT source, passage
+       |           FROM (SELECT DISTINCT source, passage, doc_id FROM p) d
+       |           GROUP BY source, passage HAVING COUNT(*) >= $BoilerMinDocs),
+       |kept AS (SELECT doc_id, pos, passage FROM p ANTI JOIN boiler USING (source, passage)),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |               md5(string_agg(passage, ' ' ORDER BY pos)) AS new_hash
+       |        FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_pass FROM p GROUP BY 1)
+       |SELECT t.doc_id, t.n_pass, COALESCE(a.n_kept, 0) AS n_kept,
+       |       COALESCE(a.new_hash, md5('')) AS new_hash
+       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   val x11Sql: String =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |p AS (SELECT doc_id, pos,
@@ -901,11 +967,13 @@ object Dedup {
     "p5_dup_clusters"  -> (p5DupClusters _),
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
+    "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
     "x12_decontaminate" -> (x12Decontaminate _),
     "x13_decontaminate_bloom" -> (x13DecontaminateBloom _))
 
   val oracles: Map[String, String] = Map(
     "x11_passage_dedup" -> x11Sql,
+    "x18_boilerplate_strip" -> x18Sql,
     "x12_decontaminate" -> x12Sql,
     // x13 is x12's exact output via the Bloom-pushdown plan — same oracle
     "x13_decontaminate_bloom" -> x12Sql,

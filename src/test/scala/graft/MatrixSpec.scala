@@ -423,6 +423,18 @@ class MatrixSpec extends AnyFunSuite {
       s"CG took ${row.getAs[Int]("iters")} iterations — conditioning or recurrence broken")
   }
 
+  test("m16: Jacobi PCG beats plain CG on the badly scaled system, solution exact") {
+    val row = MatrixQueries.m16PreconditionedCg(spark, "").collect()(0)
+    info(s"cg_iters=${row.getAs[Int]("cg_iters")} pcg_iters=${row.getAs[Int]("pcg_iters")} " +
+      f"resid_cg=${row.getAs[Double]("resid_cg")}%.2e resid_pcg=${row.getAs[Double]("resid_pcg")}%.2e")
+    assert(row.getAs[Boolean]("pass"), row.toString)
+    // the diagonal scaling (spread 8) is exactly what Jacobi undoes:
+    // the preconditioned count must fall back near the unscaled regime
+    // (m15 converges in ~7), while plain CG pays for the scaling
+    assert(row.getAs[Int]("pcg_iters") * 2 <= row.getAs[Int]("cg_iters"),
+      s"preconditioner bought <2x: cg=${row.getAs[Int]("cg_iters")} pcg=${row.getAs[Int]("pcg_iters")}")
+  }
+
   test("rank-deficient tall solve: ridge fallback engages and matches a local oracle") {
     val m = 512; val d = 8; val blk = 32
     // duplicate column 6 into column 7 → numerical rank d-1

@@ -283,6 +283,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("x18 boilerplate strip drops EVERY occurrence (vs x11's keep-first), no rank window") {
+    import org.apache.spark.sql.functions._
+    val df = Dedup.x18BoilerplateStrip(spark, sf01)
+    val rows = df.collect()
+    val docs = graft.sources.Tables.documents(spark, sf01).count()
+    assert(rows.length == docs, "every document must appear, stripped-empty included")
+    // the corpus has passages shared by >=2 docs of one source (checked
+    // at fixture level): total kept must be strictly below total —
+    // and by MORE than x11's keep-first drop on the same passages,
+    // since boilerplate removal also drops the first occurrence
+    val totPass = rows.map(_.getAs[Long]("n_pass")).sum
+    val totKept = rows.map(_.getAs[Long]("n_kept")).sum
+    assert(totKept < totPass, "no boilerplate fired — fixture assumption broken")
+    val strippedDocs = rows.count(r => r.getAs[Long]("n_kept") < r.getAs[Long]("n_pass"))
+    assert(strippedDocs >= 2,
+      "a boilerplate passage must be stripped from at least its 2 carrying docs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"x18 must not rank within passage keys (mega-bucket skew):\n$plan")
+  }
+
   test("p1 mega-bucket: 1k identical docs cost one representative, output semantics exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

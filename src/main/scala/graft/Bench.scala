@@ -113,11 +113,19 @@ object Bench {
     // failure list), degrade per-query precision rather than overflow.
     println("[bench-full] " + line(6))
     val compact = line(2)
-    // Degradation ladder: 2-decimal → 1-decimal → no per-query map at
-    // all (metric/value/failed/sf still parse) — an oversized line that
-    // truncates mid-JSON is worse than a summary-only one.
+    // Degradation ladder: 2-decimal → 1-decimal → per-FAMILY subtotals
+    // (metric/value/failed/sf still parse) — an oversized line that
+    // truncates mid-JSON is worse than a summary-only one. At >100
+    // queries even the 1-decimal map exceeds the tail window, so the
+    // last rung carries family subtotals (m/mm/p/r/s/st/t/x — ~8 keys):
+    // a parser of the final line still sees where the time went.
+    val familyTotals = results.toSeq.filter(_._2 >= 0)
+      .groupBy { case (k, _) => k.takeWhile(_.isLetter) }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, qs) => "\"" + fam + "\":" + num(qs.map(_._2).sum, 2) }
+      .mkString("{", ",", "}")
     val summaryOnly =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec"$failedCapped,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","families":$familyTotals$failedCapped,"sf":$sfNum}"""
     lazy val oneDecimal = line(1)
     println(
       if (compact.length <= 1995) compact

@@ -13,7 +13,9 @@ object Explain {
       else Seq("r01_filter_project", "r04_multijoin", "r11_topk",
         "x1_exact_dedup", "s1_ann_bruteforce", "p4_embedding_dup",
         // round-5 flagships: bloom pushdown, heap top-k, pruned probe
-        "x13_decontaminate_bloom", "t11_bm25_search", "s7_ann_index_probe")
+        "x13_decontaminate_bloom", "t11_bm25_search", "s7_ann_index_probe",
+        // round-6 flagships: sequence-side packing, boilerplate verdict
+        "x17_sequence_table", "x18_boilerplate_strip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

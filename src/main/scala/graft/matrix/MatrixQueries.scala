@@ -882,12 +882,14 @@ object MatrixQueries {
     * that makes CG practical on badly SCALED systems, the common real
     * case (features in wildly different units). The test matrix is
     * M15's well-conditioned SPD core congruence-scaled by
-    * D = diag(1 + i mod 8) — SPD is preserved, the condition number
-    * inflates ~64×, and Jacobi exactly undoes the scaling, so the
+    * D = diag(1 + i mod 4) — SPD is preserved, the condition number
+    * inflates ~16×, and Jacobi exactly undoes the scaling, so the
     * preconditioned iteration count must fall back to the unscaled
     * regime. Both solves run the same distributed machinery
-    * ([[bvMatvec]], narrow axpy joins, two scalars per iteration to
-    * the driver — three with the r·z dot); the query reports BOTH
+    * ([[bvMatvec]], narrow axpy joins) at exactly TWO scalar-reduction
+    * jobs per iteration — the PCG recurrence's r·z and convergence r·r
+    * come out of one fused [[dot2]] job, since launch overhead (not
+    * data) dominates these reductions; the query reports BOTH
     * iteration counts and gates on pcg_iters < cg_iters in addition to
     * the true-residual/solution invariants, so a silently broken
     * preconditioner (z = r) flips the driver's correctness row. */
@@ -896,7 +898,7 @@ object MatrixQueries {
     val sc = s.sparkContext
     val n = 512; val blk = 128; val q = n / blk
     val part = new org.apache.spark.HashPartitioner(q)
-    def scaleOf(i: Int): Double = 1.0 + (i % 8)
+    def scaleOf(i: Int): Double = 1.0 + (i % 4)
     val aByCol = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
       .flatMap { case ((bi, bj), dm) =>
         val d0 = LocalLA.fromDM(dm)
@@ -913,6 +915,16 @@ object MatrixQueries {
         while (i < a.length) { acc += a(i) * b(i); i += 1 }
         acc
       }.sum()
+    // (u·v, u·w) in ONE job — the PCG recurrence needs r·z and the
+    // convergence test r·r every iteration; fusing them halves the
+    // per-iteration action count (job launch overhead, not data,
+    // dominates these scalar reductions)
+    def dot2(u: BlockVec, v: BlockVec, w: BlockVec): (Double, Double) =
+      u.join(v, part).join(w, part).map { case (_, ((a, b), c)) =>
+        var s1 = 0.0; var s2 = 0.0; var i = 0
+        while (i < a.length) { s1 += a(i) * b(i); s2 += a(i) * c(i); i += 1 }
+        (s1, s2)
+      }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
     def axpy(alpha: Double, u: BlockVec, v: BlockVec): BlockVec =
       u.join(v, part).mapValues { case (a, b) =>
         val w = b.clone(); var i = 0
@@ -947,7 +959,7 @@ object MatrixQueries {
       var z: BlockVec = if (precond) keep(applyPrecond(r)) else r
       var p: BlockVec = z
       var rz = dot(r, z)
-      var rr = dot(r, r)
+      var rr = if (precond) dot(r, r) else rz // z = r without preconditioning
       var it = 0
       while (it < n && math.sqrt(rr) / bNrm > 1e-12) {
         val ap = keep(bvMatvec(aByCol, p, part))
@@ -955,7 +967,9 @@ object MatrixQueries {
         val xN = keep(axpy(alpha, p, x))
         val rN = keep(axpy(-alpha, ap, r))
         val zN = if (precond) keep(applyPrecond(rN)) else rN
-        val rzN = dot(rN, zN)
+        val (rzN, rrN) =
+          if (precond) dot2(rN, zN, rN)
+          else { val t = dot(rN, rN); (t, t) }
         val beta = rzN / rz
         val pN = keep(axpy(beta, p, zN))
         if (it % 8 == 7) {
@@ -963,8 +977,7 @@ object MatrixQueries {
           sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
         }
         x = xN; r = rN; z = zN; p = pN
-        rz = rzN
-        rr = dot(r, r)
+        rz = rzN; rr = rrN
         it += 1
       }
       val ax = bvMatvec(aByCol, x, part)

@@ -583,8 +583,12 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_pairs"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bigrams = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // cached: the stats job below and the score join both consume the
+    // unigram table — one Heaps-bounded CacheManager entry, dropped by
+    // the caller's clearCache like every other operator cache
     val unigrams = toks
       .select(explode(col("w")).as("t")).groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .cache()
     val stats = unigrams.agg(count(lit(1)).as("v"), max(col("c1")).as("cmax"))
 
     // the plan switch: V comes off the 1-row stats aggregate (one tiny

@@ -952,6 +952,186 @@ object Similarity {
       floor = 0.7)
   }
 
+  // ------------------------------------------------------------- S9
+  /** Product-quantization geometry: 64 dims → 8 subspaces × 8 dims,
+    * 64 centroids per subspace ⇒ a vector compresses to 8 one-byte
+    * codes (8 bytes — 64× smaller than the float64 working form, 8×
+    * smaller than the int8 codes S5 scans). The classic 8-bit-per-
+    * subspace PQ would use 256 centroids; 64 keeps training honest on
+    * the gate corpora (500–2000 vectors) while preserving the exact
+    * plan shape. */
+  private val PqM = 8
+  private val PqK = 64
+  private val PqSub = 64 / PqM
+
+  /** Per-subspace L2 k-means codebooks, bit-deterministic by the same
+    * construction as [[trainAnchors]]: seeded from the K lowest-id
+    * vectors' subvectors, per-cell means accumulated as ⌊x·2²⁰⌋ long
+    * sums (order-independent at any parallelism), ties on distance
+    * broken toward the smaller centroid id, centroids that lose all
+    * members keep their previous value. ALL subspaces train in the
+    * same pass — one scan of the corpus per Lloyd round, aggregate
+    * state M·K·sub longs (tiny), shuffle ≤ M·K rows per partition. */
+  private[graft] def trainPqCodebooks(e: DataFrame,
+                                      iters: Int = 2): Array[Array[Array[Double]]] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    var books: Array[Array[Array[Double]]] = {
+      val seeds = ds.filter(_._1 < PqK).collect().sortBy(_._1).map(_._2)
+      Array.tabulate(PqM, PqK)((m, c) => seeds(c).slice(m * PqSub, (m + 1) * PqSub))
+    }
+    for (_ <- 1 to iters) {
+      val bB = s.sparkContext.broadcast(books)
+      val partials = ds.mapPartitions { it =>
+        val b = bB.value
+        val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+        it.foreach { case (_, v) =>
+          var m = 0
+          while (m < PqM) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < PqK) {
+              var dist = 0.0; var i = 0
+              while (i < PqSub) {
+                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c } // strict < ⇒ low id wins ties
+              c += 1
+            }
+            val cur = acc.getOrElseUpdate(m * PqK + best, (new Array[Long](PqSub), 0L))
+            var i = 0
+            while (i < PqSub) {
+              cur._1(i) += math.floor(v(m * PqSub + i) * 1048576).toLong; i += 1
+            }
+            acc(m * PqK + best) = (cur._1, cur._2 + 1)
+            m += 1
+          }
+        }
+        acc.iterator.map { case (k, (sums, n)) => (k, sums, n) }
+      }
+      val agg = partials.groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val z = x._2.clone(); var i = 0
+          while (i < z.length) { z(i) += y._2(i); i += 1 }
+          (x._1, z, x._3 + y._3)
+        }
+        .map { case (k, (_, sums, n)) => (k, sums.map(_.toDouble / n / 1048576.0)) }
+        .collect().toMap
+      books = Array.tabulate(PqM, PqK)((m, c) =>
+        agg.getOrElse(m * PqK + c, books(m)(c)))
+    }
+    books
+  }
+
+  /** S9: product-quantization ANN with ADC scoring — the third
+    * compressed-domain representation in the family (S5 = scalar int8,
+    * 4×; S6/S7 = IVF pruning; S9 = 4-byte PQ codes, 128×): each vector
+    * is its 8 per-subspace nearest-centroid ids, and a query scores a
+    * candidate WITHOUT touching its floats by summing a per-query
+    * lookup table (LUT[m][c] = ⟨q_m, centroid_mc⟩ — M·K dot products
+    * computed once per query, broadcast) over the candidate's codes;
+    * the reconstruction norm ‖x̂‖ comes from a codes-only table the
+    * same way. The per-query 2K shortlist is exactly rerank'd against
+    * the true floats (S6's pattern — the floats are touched for
+    * |queries|·2K rows, never per candidate). At 100 TB the scan reads
+    * 4 bytes/vector where S1 reads 256: PQ is the scan-compression
+    * path and composes with the IVF cell layout (S7's partition
+    * pruning) orthogonally.
+    *
+    * Everything is deterministic (integer-exact codebooks, strict-<
+    * tie-breaks, fixed-order m-ascending LUT sums, round(cos,4) + id
+    * ranking) but recall < 1 by design → recall-gated vs exact S1 like
+    * s2/s3/s6 (floor 0.7), `recall_ok` enforced driver-side. */
+  def s9AnnPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = prepared(s, d).cache()
+    val books = trainPqCodebooks(e)
+    val bB = s.sparkContext.broadcast(books)
+    // centroid self-dots for the reconstruction norm ‖x̂‖² = Σ_m ‖c_m‖²
+    val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
+      var acc = 0.0; var i = 0
+      while (i < PqSub) { acc += books(m)(c)(i) * books(m)(c)(i); i += 1 }
+      acc
+    }
+    val cn2B = s.sparkContext.broadcast(cn2)
+
+    // encode: one narrow typed pass — 8 half-byte codes per vector
+    val codes = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val b = bB.value
+        it.map { case (id, v) =>
+          val code = new Array[Byte](PqM)
+          var m = 0
+          while (m < PqM) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < PqK) {
+              var dist = 0.0; var i = 0
+              while (i < PqSub) {
+                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            code(m) = best.toByte
+            m += 1
+          }
+          (id, code)
+        }
+      }.toDF("vec_id", "code")
+
+    // query side: LUT[m][c] = <q_m, c_mc>, one row per query, broadcast
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val luts = queries.map { case (qid, qv, qn) =>
+      val lut = Array.tabulate(PqM, PqK) { (m, c) =>
+        var acc = 0.0; var i = 0
+        while (i < PqSub) { acc += qv(m * PqSub + i) * books(m)(c)(i); i += 1 }
+        acc
+      }
+      (qid, lut, qn)
+    }
+    val lutB = s.sparkContext.broadcast(luts)
+
+    // ADC scan: codes only — no float access per candidate
+    val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val ls = lutB.value; val n2 = cn2B.value
+      it.flatMap { case (id, code) =>
+        ls.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+          var dot = 0.0; var rn2 = 0.0
+          var m = 0
+          while (m < PqM) {
+            val c = code(m) & 0xff
+            dot += lut(m)(c); rn2 += n2(m)(c)
+            m += 1
+          }
+          val denom = qn * math.sqrt(rn2)
+          val cosq = if (denom > 0) dot / denom else 0.0
+          (qid, id, math.round(cosq * 1e4) / 1e4)
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cosq4")
+    // PQ codes are far lossier than S6's int8, so the shortlist is
+    // wider (20·K = 100 rows/query — still O(queries), never O(corpus))
+    val short = scored.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq4").desc, col("neighbor_id"))))
+      .filter(col("qrn") <= 20 * K)
+
+    // exact rerank of the shortlist against the true floats
+    val exact = e.as("e").join(broadcast(short), col("e.vec_id") === col("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4).as("cos4"))
+    withRecallGate(s, d,
+      rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.7)
+  }
+
   // ------------------------------------------------------------- X10
   /** Sign-matrix (Achlioptas) random projection 64 → 16 dims — the
     * cheap dimensionality cut in front of clustering / coarse ANN
@@ -1018,6 +1198,7 @@ object Similarity {
     "s6_ann_ivf_int8"   -> (s6AnnIvfQuantized _),
     "s7_ann_index_probe" -> (s7AnnIndexProbe _),
     "s8_ann_index_append" -> (s8AnnIndexAppend _),
+    "s9_ann_pq" -> (s9AnnPq _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),

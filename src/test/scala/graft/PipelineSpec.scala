@@ -148,6 +148,20 @@ class PipelineSpec extends AnyFunSuite {
       "fresh session re-appended to the incremental index")
   }
 
+  test("s9 PQ-ADC recall vs exact s1, codebooks deterministic") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val pq = topk(Similarity.s9AnnPq(spark, sf01))
+    val r = recallVs(exact, pq)
+    info(f"s9 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"PQ-ADC recall $r%.3f — codebooks or LUT scoring broken")
+    // bit-deterministic training: two independent trainings agree exactly
+    val e = Similarity.prepared(spark, sf01)
+    val b1 = Similarity.trainPqCodebooks(e)
+    val b2 = Similarity.trainPqCodebooks(e)
+    val (f1, f2) = (b1.flatMap(_.flatMap(_.toSeq)), b2.flatMap(_.flatMap(_.toSeq)))
+    assert(f1.sameElements(f2), "PQ codebooks are not run-deterministic")
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

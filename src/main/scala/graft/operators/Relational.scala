@@ -942,9 +942,42 @@ object Relational {
       |FROM sessioned GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ---------------------------------------------------------------- R33 (unpivot)
+  /** Wide→long reshaping through the NATIVE `unpivot` (melt) operator —
+    * the inverse of R17's pivot: a per-flag wide aggregate (three
+    * measure columns) melts into (key, measure, value) rows. Unpivot
+    * is a zero-shuffle Expand (3 rows per input row) — the reshape
+    * happens AFTER the aggregate, so the exploded form is |keys|·3
+    * rows, never corpus-sized; at 100 TB you melt aggregates, not
+    * facts. Measure values are the r4/dsum exact decimal sums, so the
+    * long form hash-matches DuckDB's UNPIVOT bit for bit. */
+  def r33(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(dsum(col("l_quantity"))).as("sum_qty"),
+        r4(dsum(col("l_extendedprice"))).as("sum_price"),
+        r4(dsum(revenueTerm(col("l_extendedprice"), col("l_discount")))).as("sum_revenue"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_revenue")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val r33Sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_qty,
+      |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_price,
+      |    ROUND(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_revenue
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value
+      |FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_revenue))
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r32_session_window" -> (r32 _),
+    "r33_unpivot" -> (r33 _),
     "r01_filter_project" -> (r01 _),
     "r02_agg"            -> (r02 _),
     "r03_join_agg"       -> (r03 _),
@@ -1017,6 +1050,7 @@ object Relational {
     "r30_bloom_join"     -> r30Sql,
     "r31_exact_percentile" -> r31Sql,
     "r32_session_window" -> r32Sql,
+    "r33_unpivot" -> r33Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

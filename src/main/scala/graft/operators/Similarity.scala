@@ -1024,6 +1024,25 @@ object Similarity {
     books
   }
 
+  /** Session-scoped PQ codebook cache (same hygiene as [[anchorCache]]):
+    * S9 and S10 train the SAME deterministic per-subspace codebooks
+    * over the same corpus — training is the expensive half, and the
+    * result is bit-deterministic, so recomputing per query buys
+    * nothing. Driver-side arrays (M·K·sub doubles — tiny). */
+  private val pqBookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Array[Array[Array[Double]]]]
+
+  private def pqBooks(s: SparkSession, d: String,
+                      e: DataFrame): Array[Array[Array[Double]]] = {
+    pqBookCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) pqBookCache.remove(k)
+    }
+    if (pqBookCache.size >= 8 && !pqBookCache.contains((s, d)))
+      pqBookCache.remove(pqBookCache.head._1)
+    pqBookCache.getOrElseUpdate((s, d), trainPqCodebooks(e))
+  }
+
   /** S9: product-quantization ANN with ADC scoring — the third
     * compressed-domain representation in the family (S5 = scalar int8,
     * 4×; S6/S7 = IVF pruning; S9 = 4-byte PQ codes, 128×): each vector
@@ -1046,7 +1065,7 @@ object Similarity {
   def s9AnnPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = prepared(s, d).cache()
-    val books = trainPqCodebooks(e)
+    val books = pqBooks(s, d, e)
     val bB = s.sparkContext.broadcast(books)
     // centroid self-dots for the reconstruction norm ‖x̂‖² = Σ_m ‖c_m‖²
     val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
@@ -1132,6 +1151,123 @@ object Similarity {
       floor = 0.7)
   }
 
+  // ------------------------------------------------------------- S10
+  /** S10: IVF × PQ — the composed production shape (the FAISS IVFPQ
+    * layout): S3's trained coarse cells prune WHICH vectors are
+    * touched, S9's PQ codes compress WHAT is read per touched vector
+    * (8 bytes + a cell id), and the scoring is S9's float-free ADC
+    * lookup over the pruned candidates only. Work per query ≈
+    * (nProbe/nCells)·n candidates × an 8-entry LUT sum — against S1's
+    * full-corpus float dot. At 100 TB the cell id is the storage
+    * partition key (S7's layout) and the scan inside a probed cell
+    * reads the 8-byte codes column only; the true floats are touched
+    * for the per-query 100-row shortlist rerank alone, exactly like
+    * S6/S7. Cell assignment is the narrow codegen'd [[graft.functions.
+    * VectorFunctions.topCells]] projection (zero corpus shuffle) and
+    * the codebooks/anchors both come from their session caches —
+    * deterministic end to end, recall-gated vs exact S1 like every
+    * approximate family member. */
+  def s10AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = prepared(s, d).cache()
+    val nCells = ivfCells(e.count())
+    val nProbe = math.max(4, nCells / 4)
+    val anchors = trainedAnchors(s, d, e)
+    val books = pqBooks(s, d, e)
+    val bB = s.sparkContext.broadcast(books)
+    val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
+      var acc = 0.0; var i = 0
+      while (i < PqSub) { acc += books(m)(c)(i) * books(m)(c)(i); i += 1 }
+      acc
+    }
+    val cn2B = s.sparkContext.broadcast(cn2)
+
+    // one narrow pass: coarse cell (codegen'd argmax) + PQ encode
+    val coded = e.withColumn("cell",
+        graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+      .select(col("vec_id"), col("cell"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val b = bB.value
+        it.map { case (id, cell, v) =>
+          val code = new Array[Byte](PqM)
+          var m = 0
+          while (m < PqM) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < PqK) {
+              var dist = 0.0; var i = 0
+              while (i < PqSub) {
+                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            code(m) = best.toByte
+            m += 1
+          }
+          (id, cell, code)
+        }
+      }.toDF("vec_id", "cell", "code")
+
+    // query side: probed cells (rank-over-cells window on the
+    // query-bounded side only) + per-query LUTs, broadcast together
+    val probes = queryProbes(e, anchors, nProbe, "vec_id", "v", "nrm")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect()
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val luts = queries.map { case (qid, qv, qn) =>
+      val lut = Array.tabulate(PqM, PqK) { (m, c) =>
+        var acc = 0.0; var i = 0
+        while (i < PqSub) { acc += qv(m * PqSub + i) * books(m)(c)(i); i += 1 }
+        acc
+      }
+      (qid, lut, qn)
+    }
+    // (cell → queries probing it): ≤ NQueries·nProbe entries
+    val cellQ = probes.groupBy(_._2).map { case (cell, qs) =>
+      (cell, qs.map(_._1).sorted)
+    }
+    val cellQB = s.sparkContext.broadcast(cellQ)
+    val lutB = s.sparkContext.broadcast(luts.map(l => (l._1, l)).toMap)
+
+    // pruned ADC scan: candidates = rows of probed cells only; each
+    // scores against exactly the queries that probed its cell
+    val scored = coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
+      val cq = cellQB.value; val ls = lutB.value; val n2 = cn2B.value
+      it.flatMap { case (id, cell, code) =>
+        cq.getOrElse(cell, Array.empty[Long]).iterator
+          .filter(_ != id).map { qid =>
+            val (_, lut, qn) = ls(qid)
+            var dot = 0.0; var rn2 = 0.0
+            var m = 0
+            while (m < PqM) {
+              val c = code(m) & 0xff
+              dot += lut(m)(c); rn2 += n2(m)(c)
+              m += 1
+            }
+            val denom = qn * math.sqrt(rn2)
+            (qid, id, if (denom > 0) math.round(dot / denom * 1e4) / 1e4 else 0.0)
+          }
+      }
+    }.toDF("query_id", "neighbor_id", "cosq4")
+    val short = scored.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq4").desc, col("neighbor_id"))))
+      .filter(col("qrn") <= 20 * K)
+
+    val exact = e.as("e").join(broadcast(short), col("e.vec_id") === col("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4).as("cos4"))
+    withRecallGate(s, d,
+      rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.7)
+  }
+
   // ------------------------------------------------------------- X10
   /** Sign-matrix (Achlioptas) random projection 64 → 16 dims — the
     * cheap dimensionality cut in front of clustering / coarse ANN
@@ -1199,6 +1335,7 @@ object Similarity {
     "s7_ann_index_probe" -> (s7AnnIndexProbe _),
     "s8_ann_index_append" -> (s8AnnIndexAppend _),
     "s9_ann_pq" -> (s9AnnPq _),
+    "s10_ann_ivfpq" -> (s10AnnIvfPq _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),

@@ -162,6 +162,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.sameElements(f2), "PQ codebooks are not run-deterministic")
   }
 
+  test("s10 IVFPQ recall vs exact s1") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val comp = topk(Similarity.s10AnnIvfPq(spark, sf01))
+    val r = recallVs(exact, comp)
+    info(f"s10 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"IVFPQ recall $r%.3f — cell pruning x PQ composition broken")
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

@@ -800,8 +800,14 @@ object Dedup {
     * protection as X11 (no ranking window anywhere). */
   private val BoilerMinDocs = 2
 
-  def x18BoilerplateStrip(s: SparkSession, d: String): DataFrame = {
-    val pass = documents(s, d)
+  def x18BoilerplateStrip(s: SparkSession, d: String): DataFrame =
+    boilerplateStripOf(documents(s, d))
+
+  /** The operator body over any (doc_id, source, text) frame — split
+    * out so the adversarial-scale spec can feed a synthetic corpus
+    * with one passage duplicated across 10⁵ documents of one source. */
+  private[graft] def boilerplateStripOf(docs: DataFrame): DataFrame = {
+    val pass = docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(w) / ${PassageW}.0) AS int) - 1),

@@ -326,6 +326,78 @@ class PipelineSpec extends AnyFunSuite {
       s"x18 must not rank within passage keys (mega-bucket skew):\n$plan")
   }
 
+  test("s9/s10 PQ codebooks are durable: a fresh session scores bit-identically, no retrain") {
+    import org.apache.spark.sql.functions.col
+    val r1 = Similarity.s9AnnPq(spark, sf01)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val f = Similarity.pqBooksPath(sf01)
+    assert(f.isFile, "codebook sidecar missing — a fresh session would retrain")
+    val stamp = (f.length, f.lastModified)
+    val fresh = spark.newSession()
+    val r2 = Similarity.s9AnnPq(fresh, sf01)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(r2.sameElements(r1), "fresh-session PQ answers diverged — sidecar not bit-exact")
+    assert((f.length, f.lastModified) == stamp, "fresh session rewrote the codebooks")
+  }
+
+  test("x17 sequence spans are mutually consistent with x14's packing metadata") {
+    import graft.operators.Corpus
+    val x14 = Corpus.x14SequencePack(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val spans = Corpus.x17SequenceTable(spark, sf01).collect()
+    val byDoc = spans.groupBy(_.getLong(1))
+    assert(byDoc.keySet == x14.keySet, "every doc must appear in the sequence table")
+    byDoc.foreach { case (doc, ss) =>
+      val m = x14(doc)
+      val seqs = ss.map(_.getLong(0)).sorted
+      assert(seqs.head == m.getAs[Long]("seq_first") && seqs.last == m.getAs[Long]("seq_last"),
+        s"doc $doc seq range drifted from x14")
+      assert(seqs.distinct.length == seqs.length, s"doc $doc duplicated in a sequence")
+      assert(ss.map(_.getAs[Long]("n_tok")).sum == m.getAs[Long]("tok"),
+        s"doc $doc span tokens do not total its token count")
+    }
+    // within a sequence, non-empty spans tile [0, 2048) contiguously;
+    // every sequence but the last is exactly full
+    val bySeq = spans.groupBy(_.getLong(0))
+    val maxSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      var cursor = 0L
+      ss.filter(_.getAs[Long]("n_tok") > 0)
+        .sortBy(_.getAs[Long]("span_start")).foreach { r =>
+          assert(r.getAs[Long]("span_start") == cursor,
+            s"seq $seq has a gap/overlap at ${r.getAs[Long]("span_start")} vs $cursor")
+          cursor += r.getAs[Long]("n_tok")
+        }
+      if (seq < maxSeq) assert(cursor == 2048L, s"seq $seq not full: $cursor tokens")
+    }
+  }
+
+  test("x18 mega-boilerplate: 1e5 carriers collapse map-side, all occurrences dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 100000
+    val shared = (1 to 16).map(i => s"boiler$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"), lit("srcA").as("source"),
+      concat(lit(shared + " "),
+        array_join(transform(sequence(lit(1), lit(16)),
+          j => concat(lit("u"), col("id"), lit("w"), j)), " ")).as("text"))
+    val res = Dedup.boilerplateStripOf(docs)
+    val rows = res.collect()
+    assert(rows.length == n)
+    // the shared passage is boilerplate (1e5 distinct carriers in one
+    // source): EVERY doc loses it — including doc 0 — and keeps its
+    // unique passage (x11's keep-first would have kept doc 0's copy)
+    assert(rows.forall(r => r.getAs[Long]("n_pass") == 2L && r.getAs[Long]("n_kept") == 1L),
+      "boilerplate must be dropped from every carrier, first included")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"x18 must not rank within passage keys (mega-bucket skew):\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"boilerplate verdict is not a map-side-combinable aggregate:\n$plan")
+  }
+
   test("p1 mega-bucket: 1k identical docs cost one representative, output semantics exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -784,9 +784,15 @@ object Similarity {
     indexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft-ivf-${corpusFingerprint(d)}")
-      if (new java.io.File(dir, "_SUCCESS").isFile &&
-          new java.io.File(dir, "_anchors.txt").isFile) {
-        val (anchors, nCells) = readAnchors(dir)
+      // a malformed/stale-geometry sidecar (e.g. written by an older
+      // build) must degrade to a REBUILD, never a crash
+      val reusable =
+        if (new java.io.File(dir, "_SUCCESS").isFile &&
+            new java.io.File(dir, "_anchors.txt").isFile)
+          try Some(readAnchors(dir)) catch { case _: Exception => None }
+        else None
+      if (reusable.isDefined) {
+        val (anchors, nCells) = reusable.get
         (dir.getAbsolutePath, anchors, nCells)
       } else {
         val e = prepared(s, d)
@@ -907,8 +913,12 @@ object Similarity {
         s"graft-ivf-incr-${corpusFingerprint(d)}" +
           (if (fromScratch) "-scratch" else ""))
       val done = new java.io.File(dir, "_graft_complete")
-      if (done.isFile && new java.io.File(dir, "_anchors.txt").isFile) {
-        val (anchors, nCells) = readAnchors(dir)
+      val reusable =
+        if (done.isFile && new java.io.File(dir, "_anchors.txt").isFile)
+          try Some(readAnchors(dir)) catch { case _: Exception => None }
+        else None
+      if (reusable.isDefined) {
+        val (anchors, nCells) = reusable.get
         (dir.getAbsolutePath, anchors, math.max(4, nCells / 4))
       } else {
         val raw = embeddings(s, d)
@@ -1053,13 +1063,22 @@ object Similarity {
       pqBookCache.remove(pqBookCache.head._1)
     pqBookCache.getOrElseUpdate((s, d), {
       val f = pqBooksPath(d)
-      if (f.isFile) {
-        val lines = java.nio.file.Files.readAllLines(f.toPath)
-        Array.tabulate(PqM, PqK) { (m, c) =>
-          lines.get(m * PqK + c).trim.split(" ")
-            .map(t => java.lang.Double.longBitsToDouble(t.toLong))
-        }
-      } else {
+      // malformed or stale-geometry sidecar → retrain, never crash
+      val loaded: Option[Array[Array[Array[Double]]]] =
+        if (f.isFile)
+          try {
+            val lines = java.nio.file.Files.readAllLines(f.toPath)
+            if (lines.size != PqM * PqK) None
+            else Some(Array.tabulate(PqM, PqK) { (m, c) =>
+              val coords = lines.get(m * PqK + c).trim.split(" ")
+                .map(t => java.lang.Double.longBitsToDouble(t.toLong))
+              require(coords.length == PqSub)
+              coords
+            })
+          } catch { case _: Exception => None }
+        else None
+      if (loaded.isDefined) loaded.get
+      else {
         val books = trainPqCodebooks(e)
         f.getParentFile.mkdirs()
         val sb = new StringBuilder

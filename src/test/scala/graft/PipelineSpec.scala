@@ -342,6 +342,16 @@ class PipelineSpec extends AnyFunSuite {
     assert((f.length, f.lastModified) == stamp, "fresh session rewrote the codebooks")
   }
 
+  test("corrupt PQ sidecar degrades to retrain-and-rewrite, not a crash") {
+    val f = Similarity.pqBooksPath(sf001)
+    Similarity.s9AnnPq(spark, sf001).collect() // sidecar now exists
+    java.nio.file.Files.writeString(f.toPath, "garbage\n")
+    val fresh = spark.newSession()
+    val out = Similarity.s9AnnPq(fresh, sf001).collect()
+    assert(out.nonEmpty)
+    assert(f.length > 20, "retrain did not rewrite the corrupted sidecar")
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()

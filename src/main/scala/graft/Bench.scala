@@ -11,7 +11,12 @@ object Bench {
     // points this at executor-local NVMe instead.
     val localDir = {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
+      // tmpfs is RAM-backed: require generous headroom for shuffle/
+      // spill (8 GiB covers the bench sweep many times over) or stay on
+      // disk-backed tmpdir — running tmpfs out of space fails queries
+      // where slower disk spill would have survived
+      val shmBudget = 8L << 30
+      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace >= shmBudget) {
         val d = new java.io.File(shm, s"graft-local-${ProcessHandle.current().pid()}")
         d.mkdirs()
         Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -41,6 +46,10 @@ object Bench {
     // path on first use, so the warmup exercises one of each on the
     // tiny sf. The timed loop then measures per-query work, not
     // first-of-its-kind initialization.
+    // warmup failures are LOGGED, never swallowed: a failed index
+    // warmup means s7–s10 silently pay the full build inside their
+    // timed queries — exactly the shape that made two rounds of bench
+    // anomalies, so the run artifact must say what the warmup did
     try {
       val warm = "/root/testdata/sf0.001"
       graft.streaming.Streaming.st1StreamWindow(spark, warm).count()
@@ -48,11 +57,19 @@ object Bench {
       graft.streaming.Streaming.st4StreamDedup(spark, warm).count()
       graft.streaming.Streaming.st5StreamStreamJoin(spark, warm).count()
       graft.operators.Relational.r02(spark, warm).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] steady-state warmup FAILED: $e")
+    }
+    try {
       // persisted-ANN-index builds are ingest-time work (write-once,
       // fingerprint-keyed, reused across sessions): build them here so
-      // s7/s8 measure the serving path, as a production probe would
+      // s7-s10 measure the serving path, as a production probe would;
+      // ensureIndexes prints found-vs-built per artifact
       graft.operators.Similarity.ensureIndexes(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      System.err.println(
+        s"[bench] index warmup FAILED - s7-s10 will pay build cost in-query: $e")
+    }
     // A crashed query must not report its time-to-failure as a normal
     // timing: failures record -1 and are listed by name, so the JSON
     // can't silently present an errored run as a healthy one.

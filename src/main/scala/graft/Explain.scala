@@ -15,7 +15,9 @@ object Explain {
         // round-5 flagships: bloom pushdown, heap top-k, pruned probe
         "x13_decontaminate_bloom", "t11_bm25_search", "s7_ann_index_probe",
         // round-6 flagships: sequence-side packing, boilerplate verdict
-        "x17_sequence_table", "x18_boilerplate_strip")
+        "x17_sequence_table", "x18_boilerplate_strip",
+        // round-7 flagships: stored-code ADC scan, pruned IVFPQ probe
+        "s9_ann_pq", "s10_ann_ivfpq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -695,43 +695,93 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       (String, Array[(Int, Array[Double])], Int)]
 
+  /** On-disk layout version, folded into every index fingerprint: a
+    * layout change (new stored column, new sidecar format) must never
+    * let a new build read an old dir or vice versa — bumping this
+    * string retires every older artifact to the rebuild path. v2 added
+    * the stored `pq8` PQ-codes column and the trailer-terminated
+    * anchor sidecar. */
+  private val IndexFormatVersion = "graft-index-v2"
+
+  /** Root directory for the durable index artifacts (s7/s8 parquet
+    * indexes, s9/s10 PQ codebooks). Production contract: the index
+    * lives BESIDE the corpus on the shared filesystem and survives
+    * host restarts — `SPARK_GRAFT_INDEX_ROOT` (or the in-JVM
+    * `graft.index.root` system property, which specs use) points there;
+    * the sandbox default is java.io.tmpdir. */
+  private[graft] def indexRoot: java.io.File = {
+    val root = sys.env.get("SPARK_GRAFT_INDEX_ROOT")
+      .orElse(sys.props.get("graft.index.root"))
+      .map(new java.io.File(_))
+      .getOrElse(new java.io.File(sys.props("java.io.tmpdir")))
+    root.mkdirs()
+    root
+  }
+
   /** Content-version fingerprint of the corpus: MD5 over the embeddings
-    * table's file (name, length, mtime) triples — O(#files) at any
-    * corpus size, never scans data. Metadata drift causes a FALSE
-    * REBUILD (safe), never a stale read. */
+    * table's file (relative path, length, mtime) triples — the walk is
+    * RECURSIVE so nested/partitioned parquet layouts fingerprint their
+    * leaf files, not just the top-level directory entries — plus the
+    * [[IndexFormatVersion]] string. O(#files) at any corpus size, never
+    * scans data. Metadata drift causes a FALSE REBUILD (safe), never a
+    * stale read. */
   private def corpusFingerprint(d: String): String = {
     val root = new java.io.File(d, "embeddings.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) root.listFiles().toSeq.sortBy(_.getName) else Seq(root)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil).flatMap(walk)
+      else Seq(f)
     val md = java.security.MessageDigest.getInstance("MD5")
-    files.foreach { x =>
-      md.update(s"${x.getName}:${x.length}:${x.lastModified}\n".getBytes)
+    md.update(s"$IndexFormatVersion\n".getBytes)
+    val rootPath = root.getAbsolutePath
+    walk(root).foreach { x =>
+      val rel = x.getAbsolutePath.stripPrefix(rootPath)
+      md.update(s"$rel:${x.length}:${x.lastModified}\n".getBytes)
     }
     md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
   }
 
-  /** Sidecar format: line 0 = trained nCells; each further line =
-    * cellId then the anchor coords as raw long bits (bit-exact
-    * round trip — loaded anchors assign identically to trained ones). */
+  /** Sidecar format: line 0 = "nCells nAnchors dim"; each further line =
+    * cellId then the anchor coords as raw long bits (bit-exact round
+    * trip — loaded anchors assign identically to trained ones); final
+    * line = "#end". The write goes to a temp file and renames into
+    * place, and the read validates the declared counts and the trailer,
+    * so a crash mid-write (or a truncation at a line boundary, which
+    * still parses line-by-line) can never hand a later session a
+    * partial anchor set — anything short or torn falls into the
+    * existing degrade-to-rebuild path. */
   private def writeAnchors(dir: java.io.File,
                            anchors: Array[(Int, Array[Double])], nCells: Int): Unit = {
+    val dim = if (anchors.isEmpty) 0 else anchors(0)._2.length
     val sb = new StringBuilder
-    sb.append(nCells).append('\n')
+    sb.append(nCells).append(' ').append(anchors.length).append(' ').append(dim).append('\n')
     anchors.foreach { case (c, v) =>
       sb.append(c)
       v.foreach(x => sb.append(' ').append(java.lang.Double.doubleToLongBits(x)))
       sb.append('\n')
     }
-    java.nio.file.Files.writeString(
-      new java.io.File(dir, "_anchors.txt").toPath, sb.toString)
+    sb.append("#end\n")
+    val tmp = java.io.File.createTempFile("_anchors", ".tmp", dir)
+    java.nio.file.Files.writeString(tmp.toPath, sb.toString)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_anchors.txt").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   private def readAnchors(dir: java.io.File): (Array[(Int, Array[Double])], Int) = {
     val lines = java.nio.file.Files
       .readAllLines(new java.io.File(dir, "_anchors.txt").toPath)
-    val nCells = lines.get(0).trim.toInt
-    val anchors = (1 until lines.size).map { i =>
+    val header = lines.get(0).trim.split(" ")
+    require(header.length == 3, "anchor sidecar header malformed")
+    val nCells = header(0).toInt
+    val nAnchors = header(1).toInt
+    val dim = header(2).toInt
+    require(lines.size == nAnchors + 2 && lines.get(nAnchors + 1).trim == "#end",
+      "anchor sidecar truncated")
+    val anchors = (1 to nAnchors).map { i =>
       val parts = lines.get(i).trim.split(" ")
+      require(parts.length == dim + 1, "anchor sidecar coord count drifted")
       (parts(0).toInt,
         parts.drop(1).map(t => java.lang.Double.longBitsToDouble(t.toLong)))
     }.toArray
@@ -745,17 +795,49 @@ object Similarity {
     *  - `vec_id`, `embedding` (original float32 — the rerank source),
     *  - `qv8` array<tinyint> int8 codes (4× less scan IO than float32;
     *    values are in [−127,127] so the tinyint round trip is exact),
+    *  - `pq8` binary — the 8-byte PQ codes (encoded at ingest against
+    *    the durable [[pqBooks]]; s9/s10 serve from this column),
     *  - `nq2` Σq² (bigint), `cell` (partition key).
     * The narrow [[graft.functions.VectorFunctions.topCells]] assignment
     * keeps the build a scan + write — its only shuffle-like cost is the
     * partitioned-write fan-out. */
+  /** Nearest-centroid PQ encode of one vector: 8 one-byte codes.
+    * Strict `<` on distance ⇒ the lowest centroid id wins ties — the
+    * same tie-break the trainer uses, so encode is bit-deterministic
+    * for given codebooks. Shared by the ingest-time index build (the
+    * stored `pq8` column) and [[trainPqCodebooks]]' assignment step. */
+  private[graft] def pqEncode(v: Array[Double],
+                       books: Array[Array[Array[Double]]]): Array[Byte] = {
+    val code = new Array[Byte](PqM)
+    var m = 0
+    while (m < PqM) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < PqK) {
+        var dist = 0.0; var i = 0
+        while (i < PqSub) {
+          val t = v(m * PqSub + i) - books(m)(c)(i); dist += t * t; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      code(m) = best.toByte
+      m += 1
+    }
+    code
+  }
+
   /** The index build/append kernel: assign + int8-quantize a raw
     * embeddings frame against FROZEN anchors — one narrow projection
     * (shuffle-free at any corpus size), shared by the initial build
-    * (S7) and incremental appends (S8). */
-  private def assignQuantize(raw: DataFrame,
-                             anchors: Array[(Int, Array[Double])]): DataFrame =
-    raw
+    * (S7) and incremental appends (S8). When PQ `books` are given, the
+    * same pass also PQ-encodes each vector into a stored 8-byte `pq8`
+    * binary column — encode is INGEST work, done once per corpus
+    * version; the s9/s10 serving paths then scan stored codes instead
+    * of re-encoding per query (the s7 treatment applied to PQ). */
+  private def assignQuantize(raw: DataFrame, anchors: Array[(Int, Array[Double])],
+                             books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val base = raw
       .select(col("vec_id"), col("embedding"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
@@ -769,6 +851,26 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
         col("nq2"), col("cell"))
+    books match {
+      case None => base
+      case Some(b) =>
+        // still one narrow pass: append the 8-byte code per row, no join
+        val s = raw.sparkSession
+        val bB = s.sparkContext.broadcast(b)
+        val outSchema = base.schema.add("pq8", org.apache.spark.sql.types.BinaryType)
+        val embIdx = base.schema.fieldIndex("embedding")
+        base.mapPartitions { rows =>
+          val bk = bB.value
+          rows.map { r =>
+            val emb = r.getSeq[Float](embIdx)
+            val v = new Array[Double](emb.length)
+            var i = 0
+            while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pqEncode(v, bk))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+  }
 
   /** The durable index handle: (path, frozen anchors, trained nCells).
     * Reuses the fingerprint-keyed on-disk index when present (no scan,
@@ -782,26 +884,43 @@ object Similarity {
     if (indexCache.size >= 8 && !indexCache.contains((s, d)))
       indexCache.remove(indexCache.head._1)
     indexCache.getOrElseUpdate((s, d), {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivf-${corpusFingerprint(d)}")
+      val dir = new java.io.File(indexRoot, s"graft-ivf-${corpusFingerprint(d)}")
       // a malformed/stale-geometry sidecar (e.g. written by an older
       // build) must degrade to a REBUILD, never a crash
-      val reusable =
+      def reuse(): Option[(Array[(Int, Array[Double])], Int)] =
         if (new java.io.File(dir, "_SUCCESS").isFile &&
             new java.io.File(dir, "_anchors.txt").isFile)
           try Some(readAnchors(dir)) catch { case _: Exception => None }
         else None
-      if (reusable.isDefined) {
-        val (anchors, nCells) = reusable.get
-        (dir.getAbsolutePath, anchors, nCells)
-      } else {
-        val e = prepared(s, d)
-        val nCells = ivfCells(e.count())
-        val anchors = trainedAnchors(s, d, e)
-        assignQuantize(embeddings(s, d), anchors)
-          .write.mode("overwrite").partitionBy("cell").parquet(dir.getAbsolutePath)
-        writeAnchors(dir, anchors, nCells)
-        (dir.getAbsolutePath, anchors, nCells)
+      reuse() match {
+        case Some((anchors, nCells)) => (dir.getAbsolutePath, anchors, nCells)
+        case None =>
+          val e = prepared(s, d)
+          val nCells = ivfCells(e.count())
+          val anchors = trainedAnchors(s, d, e)
+          val books = pqBooks(s, d, e)
+          // cross-process guard: build into a unique temp dir, then one
+          // atomic directory rename publishes it — a concurrent reader
+          // either sees the complete index or none (Spark's in-place
+          // overwrite would delete files under a live reader's scan)
+          val tmp = new java.io.File(indexRoot,
+            dir.getName + s".build-${ProcessHandle.current().pid()}")
+          assignQuantize(embeddings(s, d), anchors, Some(books))
+            .write.mode("overwrite").partitionBy("cell").parquet(tmp.getAbsolutePath)
+          writeAnchors(tmp, anchors, nCells)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          val path =
+            if (tmp.renameTo(dir)) dir.getAbsolutePath
+            // a concurrent builder won the rename: use its (validated)
+            // index and discard ours; if the destination is junk,
+            // replace it; last resort = serve from our temp dir
+            else if (reuse().isDefined) { rm(tmp); dir.getAbsolutePath }
+            else { rm(dir)
+              if (tmp.renameTo(dir)) dir.getAbsolutePath else tmp.getAbsolutePath }
+          (path, anchors, nCells)
       }
     })
   }
@@ -909,7 +1028,7 @@ object Similarity {
     if (incrIndexCache.size >= 8 && !incrIndexCache.contains(key))
       incrIndexCache.remove(incrIndexCache.head._1)
     incrIndexCache.getOrElseUpdate(key, {
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      val dir = new java.io.File(indexRoot,
         s"graft-ivf-incr-${corpusFingerprint(d)}" +
           (if (fromScratch) "-scratch" else ""))
       val done = new java.io.File(dir, "_graft_complete")
@@ -952,10 +1071,24 @@ object Similarity {
     * measure the SERVING path. No-op when the fingerprint-keyed
     * artifacts already exist. */
   def ensureIndexes(s: SparkSession, d: String): Unit = {
-    ivfIndex(s, d)
-    incrIndexPath(s, d)
+    // each artifact reports found-vs-built: a bench run whose warmup
+    // did NOT find/build an index is self-diagnosing from its stderr —
+    // the serving queries would otherwise silently pay the build cost
+    def report(name: String, preExisting: Boolean, path: String): Unit =
+      System.err.println(
+        s"[bench] $name: ${if (preExisting) "found" else "built"} at $path")
+    val fp = corpusFingerprint(d)
+    val ivfDir = new java.io.File(indexRoot, s"graft-ivf-$fp")
+    val ivfFound = new java.io.File(ivfDir, "_SUCCESS").isFile &&
+      new java.io.File(ivfDir, "_anchors.txt").isFile
+    report("ivf index", ivfFound, ivfIndex(s, d)._1)
+    val incrFound =
+      new java.io.File(new java.io.File(indexRoot, s"graft-ivf-incr-$fp"),
+        "_graft_complete").isFile
+    report("incr index", incrFound, incrIndexPath(s, d)._1)
+    val pqFound = pqBooksPath(d).isFile
     pqBooks(s, d, prepared(s, d))
-    ()
+    report("pq codebooks", pqFound, pqBooksPath(d).getParent)
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -1051,11 +1184,10 @@ object Similarity {
       Array[Array[Array[Double]]]]
 
   private[graft] def pqBooksPath(d: String): java.io.File =
-    new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-pq-${corpusFingerprint(d)}/_books.txt")
+    new java.io.File(indexRoot, s"graft-pq-${corpusFingerprint(d)}/_books.txt")
 
-  private def pqBooks(s: SparkSession, d: String,
-                      e: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] def pqBooks(s: SparkSession, d: String,
+                             e: DataFrame): Array[Array[Array[Double]]] = {
     pqBookCache.keys.foreach { case k @ (sess, _) =>
       if (sess.sparkContext.isStopped) pqBookCache.remove(k)
     }
@@ -1118,7 +1250,11 @@ object Similarity {
     import s.implicits._
     val e = prepared(s, d).cache()
     val books = pqBooks(s, d, e)
-    val bB = s.sparkContext.broadcast(books)
+    // serving reads the STORED `pq8` column of the durable index —
+    // encode is ingest work, done once inside [[ivfIndex]]'s build
+    // (same [[pqEncode]] kernel, same durable books ⇒ identical codes);
+    // at 100 TB this scan reads 8 bytes/vector off disk, period
+    val (idxPath, _, _) = ivfIndex(s, d)
     // centroid self-dots for the reconstruction norm ‖x̂‖² = Σ_m ‖c_m‖²
     val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
       var acc = 0.0; var i = 0
@@ -1127,30 +1263,9 @@ object Similarity {
     }
     val cn2B = s.sparkContext.broadcast(cn2)
 
-    // encode: one narrow typed pass — 8 half-byte codes per vector
-    val codes = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val b = bB.value
-        it.map { case (id, v) =>
-          val code = new Array[Byte](PqM)
-          var m = 0
-          while (m < PqM) {
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < PqK) {
-              var dist = 0.0; var i = 0
-              while (i < PqSub) {
-                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            code(m) = best.toByte
-            m += 1
-          }
-          (id, code)
-        }
-      }.toDF("vec_id", "code")
+    // codes-only column scan of the persisted index (no cell filter:
+    // s9 is the scan-COMPRESSION story; s10 adds the cell pruning)
+    val codes = s.read.parquet(idxPath).select(col("vec_id"), col("pq8"))
 
     // query side: LUT[m][c] = <q_m, c_mc>, one row per query, broadcast
     val queries = e.filter(col("vec_id") < NQueries)
@@ -1222,45 +1337,19 @@ object Similarity {
   def s10AnnIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = prepared(s, d).cache()
-    val nCells = ivfCells(e.count())
-    val nProbe = math.max(4, nCells / 4)
-    val anchors = trainedAnchors(s, d, e)
     val books = pqBooks(s, d, e)
-    val bB = s.sparkContext.broadcast(books)
+    // both halves of the layout come off the DURABLE index: the cell
+    // ids were assigned and the PQ codes encoded once at ingest
+    // ([[ivfIndex]]'s build — same anchors via the sidecar, same
+    // [[pqEncode]] kernel ⇒ bit-identical to the former in-query pass)
+    val (idxPath, anchors, nCells) = ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
     val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
       var acc = 0.0; var i = 0
       while (i < PqSub) { acc += books(m)(c)(i) * books(m)(c)(i); i += 1 }
       acc
     }
     val cn2B = s.sparkContext.broadcast(cn2)
-
-    // one narrow pass: coarse cell (codegen'd argmax) + PQ encode
-    val coded = e.withColumn("cell",
-        graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
-      .select(col("vec_id"), col("cell"), col("v"))
-      .as[(Long, Int, Array[Double])]
-      .mapPartitions { it =>
-        val b = bB.value
-        it.map { case (id, cell, v) =>
-          val code = new Array[Byte](PqM)
-          var m = 0
-          while (m < PqM) {
-            var best = 0; var bestD = Double.MaxValue
-            var c = 0
-            while (c < PqK) {
-              var dist = 0.0; var i = 0
-              while (i < PqSub) {
-                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
-              }
-              if (dist < bestD) { bestD = dist; best = c }
-              c += 1
-            }
-            code(m) = best.toByte
-            m += 1
-          }
-          (id, cell, code)
-        }
-      }.toDF("vec_id", "cell", "code")
 
     // query side: probed cells (rank-over-cells window on the
     // query-bounded side only) + per-query LUTs, broadcast together
@@ -1284,8 +1373,15 @@ object Similarity {
     val cellQB = s.sparkContext.broadcast(cellQ)
     val lutB = s.sparkContext.broadcast(luts.map(l => (l._1, l)).toMap)
 
-    // pruned ADC scan: candidates = rows of probed cells only; each
-    // scores against exactly the queries that probed its cell
+    // pruned ADC scan: partition pruning selects WHICH cell
+    // directories are read (the probed ones), column pruning selects
+    // WHAT is read per row (vec_id, cell, the 8-byte codes — never the
+    // floats); each candidate scores against exactly the queries that
+    // probed its cell
+    val probeCells = probes.map(_._2).distinct.sorted
+    val coded = s.read.parquet(idxPath)
+      .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id"), col("cell"), col("pq8"))
     val scored = coded.as[(Long, Int, Array[Byte])].mapPartitions { it =>
       val cq = cellQB.value; val ls = lutB.value; val n2 = cn2B.value
       it.flatMap { case (id, cell, code) =>

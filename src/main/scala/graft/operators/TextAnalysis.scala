@@ -595,7 +595,11 @@ object TextAnalysis {
     // driver job) — one long decides how the model tables move, and the
     // collected stats fold back in as literals (no crossJoin recompute)
     val statsRow = stats.collect()(0)
-    val vocab = statsRow.getLong(0); val cmax = statsRow.getLong(1)
+    // an empty unigram table (no doc with >=2 tokens) yields a null
+    // max(c1) — treat it as 0 rather than crash the driver; the scored
+    // frame below is empty anyway in that case
+    val vocab = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val cmax = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
     def sized(df: DataFrame): DataFrame =
       if (vocab <= broadcastMaxVocab) broadcast(df) else df
 

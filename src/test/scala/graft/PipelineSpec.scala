@@ -170,6 +170,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.7, f"IVFPQ recall $r%.3f — cell pruning x PQ composition broken")
   }
 
+  test("s9/s10 serve from STORED codes: pq8 column matches an independent re-encode") {
+    import org.apache.spark.sql.functions.col
+    Similarity.s9AnnPq(spark, sf01).collect() // ensures the index exists
+    val idx = spark.read.parquet(Similarity.ivfIndexPath(spark, sf01))
+    assert(idx.schema.fieldNames.contains("pq8"),
+      "durable index lost the stored PQ-codes column")
+    val e = Similarity.prepared(spark, sf01)
+    val books = Similarity.pqBooks(spark, sf01, e)
+    val stored = idx.select(col("vec_id"), col("pq8")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    assert(vecs.length == stored.size, "index row count drifted from the corpus")
+    vecs.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(stored(id), Similarity.pqEncode(v, books)),
+        s"stored pq8 code for vec $id diverged from a fresh encode with the durable books")
+    }
+  }
+
+  test("s9/s10 ADC shortlist plans as WindowGroupLimit (map-side rank pushdown)") {
+    for ((name, df) <- Seq("s9" -> Similarity.s9AnnPq(spark, sf01),
+                           "s10" -> Similarity.s10AnnIvfPq(spark, sf01))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name shortlist is a full sort-window, not a group-limit pushdown:\n$plan")
+    }
+  }
+
+  test("torn anchor sidecar degrades to rebuild, never a partial probe") {
+    val r1 = Similarity.s7AnnIndexProbe(spark, sf001)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val dir = new java.io.File(Similarity.ivfIndexPath(spark, sf001))
+    val f = new java.io.File(dir, "_anchors.txt")
+    val lines = java.nio.file.Files.readAllLines(f.toPath)
+    // drop the trailer and the last anchor: the file still parses
+    // line-by-line, which is exactly the failure the trailer catches
+    val torn = (0 until lines.size - 2).map(lines.get).mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(f.toPath, torn)
+    val fresh = spark.newSession()
+    val r2 = Similarity.s7AnnIndexProbe(fresh, sf001)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(r2.sameElements(r1), "rebuild after a torn sidecar diverged")
+    val repaired = java.nio.file.Files.readAllLines(f.toPath)
+    assert(repaired.get(repaired.size - 1).trim == "#end",
+      "torn sidecar was not rewritten by the rebuild")
+  }
+
+  test("index root is configurable: durability holds under a non-tmp root") {
+    def snapshot(root: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+        else Seq(f)
+      walk(root).map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val root = new java.io.File("target", "graft-index-root-spec")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(root)
+    sys.props("graft.index.root") = root.getAbsolutePath
+    try {
+      val fresh = spark.newSession()
+      val r1 = Similarity.s7AnnIndexProbe(fresh, sf001)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(r1.nonEmpty)
+      assert(root.listFiles().exists(_.getName.startsWith("graft-ivf-")),
+        "index was not written under the configured root")
+      val before = snapshot(root)
+      // a second fresh session must reuse the artifacts byte-for-byte
+      val fresh2 = spark.newSession()
+      val r2 = Similarity.s7AnnIndexProbe(fresh2, sf001)
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(r2.sameElements(r1), "probe answers diverged under the configured root")
+      assert(snapshot(root) == before,
+        "second session rewrote artifacts under the configured root")
+    } finally {
+      sys.props.remove("graft.index.root")
+      rm(root)
+    }
+  }
+
   test("s5 quantized-ANN recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val quant = topk(Similarity.s5AnnQuantized(spark, sf01))

@@ -297,13 +297,116 @@ object Multimodal {
       |       md5(string_agg(r || ',' || g || ',' || b, ',' ORDER BY y, x)) AS resized_md5
       |FROM v GROUP BY doc_id, h ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- MM4
+  /** mm4 output: mm1's decoded features plus the format that was
+    * dispatched on — the oracle checks BOTH the routing and the decode. */
+  case class MixedFeatures(doc_id: Long, format: String, width: Int, height: Int,
+                           px_sum: Long, wsum: Long)
+
+  /** Encode `data` as a PNG whose DECODED image is pixel-identical to
+    * [[encodeBmp]]'s (payload byte k → pixel k/3, channel k%3 as B,G,R,
+    * payload row k/48 shown as image row h−1−k/48). PNG is lossless, so
+    * whatever the encoder's compression choices, the decode returns
+    * these exact pixels — which is what lets the replay-from-text
+    * oracle verify a second real codec with the same SQL shape. */
+  private[graft] def encodePng(data: Array[Byte]): Array[Byte] = {
+    val h = math.max(1, (data.length + RowBytes - 1) / RowBytes)
+    val img = new java.awt.image.BufferedImage(
+      ImgW, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val base = RowBytes * (h - 1 - y)
+      var x = 0
+      while (x < ImgW) {
+        def at(k: Int): Int = if (k < data.length) data(k) & 0xff else 0
+        val k = base + 3 * x
+        img.setRGB(x, y, (at(k + 2) << 16) | (at(k + 1) << 8) | at(k))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** mm4: MIXED-codec decode — the batch carries PNG payloads for even
+    * doc_ids and BMP for odd ones, and each row dispatches on its
+    * `format` column to the right JDK reader (both readers resolved
+    * once per partition). This is the shape a real corpus has — one
+    * binary column, many container formats — and the oracle pins both
+    * halves: the emitted `format` must match the doc_id parity (the
+    * routing) and the pixel sums must match the text replay (the
+    * decode, per codec). */
+  def mm4MixedDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val png = id % 2 == 0
+        val p = if (png) encodePng(bytes) else encodeBmp(bytes)
+        MediaRecord(id, p, if (png) "png" else "bmp", p.length)
+      }
+      .mapPartitions { it =>
+        val readers = Map(
+          "png" -> javax.imageio.ImageIO.getImageReadersByFormatName("png").next(),
+          "bmp" -> javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next())
+        it.map { r =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val reader = readers(r.format)
+          reader.setInput(iis)
+          val img = reader.read(0)
+          var pxSum = 0L; var wSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val bb = rgb & 0xff
+              pxSum += rr + gg + bb
+              wSum += (y + 1).toLong * (3 * bb + 2 * gg + rr)
+              x += 1
+            }
+            y += 1
+          }
+          iis.close()
+          MixedFeatures(r.doc_id, r.format, img.getWidth, img.getHeight, pxSum, wSum)
+        }
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** mm1's replay plus the routing column: both codecs must land on the
+    * same decoded image, so the pixel-sum SQL is shared; the `format`
+    * value is recomputed from the parity rule and must match what the
+    * Spark side actually dispatched on. */
+  val mm4Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i - 1 AS k, ord(substr(text, i, 1)) AS byte, h
+      |  FROM d, unnest(generate_series(1, len)) AS u(i))
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+      |  16 AS width, CAST(d.h AS INT) AS height,
+      |  CAST(COALESCE(SUM(b.byte), 0) AS BIGINT) AS px_sum,
+      |  CAST(COALESCE(SUM(b.byte * (3 - (b.k % 3)) * (b.h - b.k // 48)), 0) AS BIGINT) AS wsum
+      |FROM d LEFT JOIN b ON b.doc_id = d.doc_id
+      |GROUP BY d.doc_id, d.h ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample"   -> (mm2FrameSample _),
-    "mm3_resize"         -> (mm3Resize _))
+    "mm3_resize"         -> (mm3Resize _),
+    "mm4_mixed_decode"   -> (mm4MixedDecode _))
 
   val oracles: Map[String, String] = Map(
     "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample"   -> mm2Sql,
-    "mm3_resize"         -> mm3Sql)
+    "mm3_resize"         -> mm3Sql,
+    "mm4_mixed_decode"   -> mm4Sql)
 }

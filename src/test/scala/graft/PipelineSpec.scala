@@ -387,6 +387,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm4 mixed decode: PNG payloads are real PNGs, routing follows parity, " +
+       "features match mm1's BMP decode") {
+    val feats = Multimodal.mm4MixedDecode(spark, sf001).collect()
+    val mm1 = Multimodal.mm1MediaFeatures(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Long]("px_sum"), r.getAs[Long]("wsum"))).toMap
+    assert(feats.length == mm1.size)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(1)
+      assert(fmt == (if (id % 2 == 0) "png" else "bmp"),
+        s"doc $id routed to $fmt — format dispatch broke the parity rule")
+      // both codecs must decode to the SAME image mm1's BMP path saw —
+      // a PNG-side layout mistake (row order, channel order, padding)
+      // shows up as a feature mismatch here and an oracle miss in Verify
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Long]("px_sum"), r.getAs[Long]("wsum")) == mm1(id),
+        s"doc $id ($fmt): mixed-decode features diverged from mm1")
+    }
+    // the even docs really carry PNG containers (magic bytes), so the
+    // dispatch is exercising two genuinely different codecs
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    texts.filter(_._1 % 2 == 0).take(5).foreach { case (_, t) =>
+      val p = Multimodal.encodePng(t.getBytes("US-ASCII"))
+      assert(p.take(4).sameElements(pngMagic), "encodePng did not emit a PNG container")
+    }
+  }
+
   test("x18 boilerplate strip drops EVERY occurrence (vs x11's keep-first), no rank window") {
     import org.apache.spark.sql.functions._
     val df = Dedup.x18BoilerplateStrip(spark, sf01)

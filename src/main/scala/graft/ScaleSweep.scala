@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend harness: times the flagship 100 TB-path queries on
+  * synthesized N× blow-ups of the sf0.1 corpus (1×, 3×, 10× by
+  * default) so BASELINE.md can show a measured growth curve instead of
+  * a plan-shape argument — the B1c treatment applied to the pipeline
+  * flagships.
+  *
+  * The blow-up is content-aware, not a naive copy: a duplicated corpus
+  * would plant every document next to 9 exact clones, turning LSH
+  * buckets 10× deeper and the verified pair set ~100× bigger — a
+  * quadratic artifact of the fixture, not of the operator. Instead
+  * each copy k > 0:
+  *  - documents: every word is remapped through a copy-keyed digest
+  *    (`md5(word ‖ k)` → base36), which keeps word counts, passage
+  *    boundaries and within-copy duplicate structure EXACTLY (two
+  *    within-copy identical passages stay identical) while making
+  *    cross-copy text disjoint — near-dup pairs, passage dups,
+  *    boilerplate groups and decontamination hits all scale ~linearly
+  *    with N, as a real 10× corpus would;
+  *  - embeddings: dimensions rotate left by k (norms and pairwise
+  *    geometry within a copy preserved, cross-copy vectors distinct),
+  *    vec_ids shift — the ANN query set (vec_id < NQueries) stays
+  *    fixed while the served corpus grows N×;
+  *  - events: event/user ids shift (N× users ⇒ N× aggregation state),
+  *    timestamps unchanged (N× traffic in the same windows).
+  */
+object ScaleSweep {
+
+  private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int): Unit = {
+    val marker = new java.io.File(dir, "_SCALE_OK")
+    if (marker.isFile) return
+    // documents: copy 0 verbatim; copies 1..n-1 word-remapped
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val dOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val docCopies = (0 until n).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * dOff)).as("doc_id"),
+        // length-preserving remap: word → same-length prefix of a
+        // copy-keyed digest (capped at 10 chars). Keeping the word
+        // LENGTH distribution keeps the char-shingle statistics of the
+        // original corpus — a uniform-length vocabulary makes every
+        // word-aligned shingle a shared vocabulary token, which
+        // inflates LSH band collisions ~100× and turns p1's verify
+        // into a false-candidate flood (measured: 21 s vs 6 s at 3×)
+        expr(s"""array_join(transform(split(text, ' '),
+                |  w -> substr(rpad(lower(conv(substr(md5(concat(w, '#', '$k')), 1, 12), 16, 36)),
+                |              10, 'x'), 1, greatest(least(length(w), 10), 1))), ' ')"""
+          .stripMargin).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: copy 0 verbatim; copies rotate dims by k
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
+    val embCopies = (0 until n).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * eOff)).as("vec_id"),
+        expr(s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
+          s"slice(embedding, 1, $k))").as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: raw read (TIMESTAMP(NANOS) → long via nanosAsLong; the
+    // scaled table stores plain int64 nanos, which Tables.events'
+    // `ts DIV 1000` rebuild reads identically)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$base/events.parquet")
+    val evOff = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val uOff = ev.agg(max(col("user_id"))).head.getLong(0) + 1
+    val evCopies = (0 until n).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * evOff)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * uOff)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    evCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    java.nio.file.Files.writeString(marker.toPath, s"copies=$n of $base\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val scales = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+                 else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val flagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "p1_minhash_lsh"   -> (graft.operators.Dedup.p1MinHashLsh _),
+      "x11_passage_dedup" -> (graft.operators.Dedup.x11PassageDedup _),
+      "x13_decontaminate_bloom" -> (graft.operators.Dedup.x13DecontaminateBloom _),
+      "x14_sequence_pack" -> (graft.operators.Corpus.x14SequencePack _),
+      "x18_boilerplate_strip" -> (graft.operators.Dedup.x18BoilerplateStrip _),
+      "s7_ann_index_probe" -> (graft.operators.Similarity.s7AnnIndexProbe _),
+      "st1_stream_window" -> (graft.streaming.Streaming.st1StreamWindow _))
+
+    // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
+    flagships.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => System.err.println(s"[scale] warmup: $e") }
+    }
+
+    scales.foreach { n =>
+      val dir = if (n == 1) base else s"$outRoot/x$n"
+      if (n > 1) ensureScaled(spark, base, dir, n)
+      // index builds are ingest work at every scale — serving is timed
+      try graft.operators.Similarity.ensureIndexes(spark, dir)
+      catch { case e: Throwable => System.err.println(s"[scale] ensureIndexes($dir): $e") }
+      val times = flagships.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, dir).count(); true } catch {
+          case e: Throwable => System.err.println(s"[scale] $name@x$n failed: $e"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        spark.catalog.clearCache()
+        name -> dt
+      }
+      val qs = times.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
+      println(f"""[scale] {"scale":$n,"queries":$qs,"total":${times.map(_._2).filter(_ >= 0).sum}%.2f}""")
+    }
+    spark.stop()
+  }
+}

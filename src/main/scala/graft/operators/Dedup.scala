@@ -963,8 +963,57 @@ object Dedup {
        |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- X19
+  /** End-to-end decontamination PURGE — X12/X13 report which training
+    * documents share eval n-grams; X19 executes the removal and emits
+    * the post-purge corpus accounting a pipeline operator actually
+    * hands downstream: per source, how many training documents and
+    * tokens survive. The contamination rule is exactly X12's (any
+    * shared [[DecontamGram]]-gram with the eval slice).
+    *
+    * Scale shape: the gram side reuses X12's broadcast of the
+    * (deduplicated) eval grams against the training gram stream — zero
+    * training-corpus shuffle; the contaminated-id set (≪ corpus) joins
+    * back as a left join on doc_id, and the per-source accounting is
+    * two map-side-combinable aggregates. Nothing here touches floats
+    * or windows; a 100 TB corpus pays one gram scan + one id join. */
+  def x19DecontaminatePurge(s: SparkSession, d: String): DataFrame = {
+    val grams = decontamGrams(s, d)
+    val evalG = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalG), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("bad", lit(1))
+    documents(s, d).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(when(col("bad").isNull, 1L).otherwise(0L)).as("n_docs_kept"),
+        coalesce(sum(when(col("bad").isNull, col("ntok"))), lit(0L)).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
+  val x19Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |             array_to_string(list_slice(ws, i, i + ${DecontamGram - 1}), ' ') AS g
+       |      FROM w, unnest(generate_series(1, len(ws) - ${DecontamGram - 1})) AS u(i)
+       |      WHERE len(ws) >= $DecontamGram),
+       |bad AS (SELECT DISTINCT t.doc_id FROM g t JOIN g e ON t.g = e.g
+       |        WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0),
+       |d AS (SELECT doc_id, source, len(string_split(text, ' ')) AS ntok
+       |      FROM documents WHERE doc_id % 50 <> 0)
+       |SELECT d.source, count(*) AS n_docs_total,
+       |       count(*) FILTER (bad.doc_id IS NULL) AS n_docs_kept,
+       |       CAST(COALESCE(sum(d.ntok) FILTER (bad.doc_id IS NULL), 0) AS BIGINT) AS n_tokens_kept
+       |FROM d LEFT JOIN bad ON bad.doc_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_decontaminate_purge" -> (x19DecontaminatePurge _),
     "p7_semantic_dedup" -> (p7SemanticDedup _),
     "p1_minhash_lsh"   -> (p1MinHashLsh _),
     "p2_simhash"       -> (p2SimHash _),
@@ -978,6 +1027,7 @@ object Dedup {
     "x13_decontaminate_bloom" -> (x13DecontaminateBloom _))
 
   val oracles: Map[String, String] = Map(
+    "x19_decontaminate_purge" -> x19Sql,
     "x11_passage_dedup" -> x11Sql,
     "x18_boilerplate_strip" -> x18Sql,
     "x12_decontaminate" -> x12Sql,

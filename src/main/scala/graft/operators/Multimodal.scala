@@ -398,13 +398,121 @@ object Multimodal {
       |FROM d LEFT JOIN b ON b.doc_id = d.doc_id
       |GROUP BY d.doc_id, d.h ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- MM5
+  /** mm5 output: mm2's decoded audio features plus the container format
+    * the row dispatched on. */
+  case class MixedAudioFeatures(doc_id: Long, format: String, sample_rate: Int,
+                                n_samples: Long, n_windows: Int,
+                                peak_window: Long, peak_energy: Long)
+
+  /** Encode `data` as an AIFF payload carrying the SAME samples as
+    * [[encodeWav]] (PCM mono 16-bit, one sample per byte) — but
+    * big-endian, inside the FORM/AIFF container, written by the JDK's
+    * own AIFF writer (header layout, 80-bit extended sample rate and
+    * chunk bookkeeping all come from `javax.sound`, not from us). */
+  private[graft] def encodeAiff(data: Array[Byte]): Array[Byte] = {
+    val n = data.length
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      // big-endian 16-bit: high byte first (values are 0–127 ASCII)
+      pcm(2 * i) = 0; pcm(2 * i + 1) = data(i)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      SampleRate, 16, 1, 2, SampleRate, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    bos.toByteArray
+  }
+
+  /** mm5: MIXED-container audio decode — AIFF payloads (big-endian) for
+    * even doc_ids, RIFF/WAVE (little-endian) for odd, each row parsed
+    * by the JDK codec and its samples extracted honoring the format's
+    * declared endianness. Both containers carry the same planted
+    * samples, so mm2's replay-from-text oracle verifies the decode of
+    * BOTH codecs with one SQL body — an endianness mix-up flips every
+    * energy sum — while the emitted `format` column pins the routing. */
+  def mm5AudioMixed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val aiff = id % 2 == 0
+        val p = if (aiff) encodeAiff(bytes) else encodeWav(bytes)
+        MediaRecord(id, p, if (aiff) "aiff" else "wav", p.length)
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.payload)))
+          val fmt = ais.getFormat
+          val rate = fmt.getSampleRate.toInt
+          val big = fmt.isBigEndian
+          val raw = ais.readAllBytes()
+          ais.close()
+          val n = raw.length / 2
+          val nWin = math.max(1, (n + WinSamples - 1) / WinSamples)
+          var peakW = 0L; var peakE = -1L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L; var i = w * WinSamples
+            val end = math.min(n, (w + 1) * WinSamples)
+            while (i < end) {
+              val v =
+                if (big) ((raw(2 * i) << 8) | (raw(2 * i + 1) & 0xff)).toLong
+                else ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toLong
+              e += v * v; i += 1
+            }
+            if (e > peakE) { peakE = e; peakW = w }
+            w += 1
+          }
+          MixedAudioFeatures(r.doc_id, r.format, rate, n, nWin, peakW,
+            math.max(peakE, 0L))
+        }
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** mm2's replay plus the routing column (aiff for even, wav for odd). */
+  val mm5Sql: String =
+    s"""WITH b AS (
+      |  SELECT doc_id, i, ord(substr(text, i, 1)) AS v
+      |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+      |w AS (
+      |  SELECT doc_id, CAST(floor((i - 1) / $WinSamples.0) AS BIGINT) AS win,
+      |         SUM(v * v) AS energy
+      |  FROM b GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, win, energy,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS n_windows,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY energy DESC, win) AS rn
+      |  FROM w)
+      |SELECT d.doc_id,
+      |       CASE WHEN d.doc_id % 2 = 0 THEN 'aiff' ELSE 'wav' END AS format,
+      |       $SampleRate AS sample_rate,
+      |       CAST(length(d.text) AS BIGINT) AS n_samples,
+      |       CAST(COALESCE(r.n_windows, 1) AS INT) AS n_windows,
+      |       COALESCE(r.win, 0) AS peak_window,
+      |       CAST(COALESCE(r.energy, 0) AS BIGINT) AS peak_energy
+      |FROM documents d
+      |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_audio_mixed"    -> (mm5AudioMixed _),
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample"   -> (mm2FrameSample _),
     "mm3_resize"         -> (mm3Resize _),
     "mm4_mixed_decode"   -> (mm4MixedDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm5_audio_mixed"    -> mm5Sql,
     "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample"   -> mm2Sql,
     "mm3_resize"         -> mm3Sql,

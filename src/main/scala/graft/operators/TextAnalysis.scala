@@ -622,7 +622,58 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- T13
+  /** Gopher-style rule filter (Rae et al. 2021's document-quality
+    * heuristics, adapted to this corpus's vocabulary): per document —
+    * word count bounds, mean-word-length band, minimum stopword
+    * fraction, maximum top-word (repetition) fraction — emitted as
+    * INTEGER evidence columns plus the composed `keep` verdict. Every
+    * rule compares integers (3·n ≤ totlen, 50·stops ≥ n, 5·top ≤ n …)
+    * so Spark and the oracle agree bit-for-bit with no float boundary.
+    *
+    * Scale shape: one narrow projection — the per-document counts are
+    * higher-order array folds (aggregate/filter/transform over the
+    * split words), no explode, no shuffle, no UDF; at 100 TB this is
+    * a single pass over the text column, the same cost class as T2. */
+  /** The T13 rule columns over any frame carrying a `w` words column —
+    * stateless, so the streaming quality monitor (ST9) applies the SAME
+    * expressions unchanged. */
+  private[graft] def gopherRules(df: DataFrame): DataFrame =
+    df.withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("tot_wlen", expr("aggregate(w, 0L, (acc, x) -> acc + length(x))"))
+      .withColumn("stop_cnt", expr("CAST(size(filter(w, x -> x IN " +
+        "('the','a','of','to','in','is','that','for','and'))) AS LONG)"))
+      .withColumn("top_cnt", expr("CAST(array_max(transform(array_distinct(w), " +
+        "x -> size(filter(w, y -> y = x)))) AS LONG)"))
+      .withColumn("keep",
+        col("n_words").between(30, 100000) &&
+          col("tot_wlen") >= col("n_words") * 3 &&
+          col("tot_wlen") <= col("n_words") * 10 &&
+          col("stop_cnt") * 50 >= col("n_words") &&
+          col("top_cnt") * 5 <= col("n_words"))
+
+  def t13GopherQuality(s: SparkSession, d: String): DataFrame =
+    gopherRules(documents(s, d).select(col("doc_id"), split(norm, " ").as("w")))
+      .drop("w")
+      .orderBy(col("doc_id"))
+
+  val t13Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, x FROM w, unnest(ws) AS u(x)),
+      |s AS (SELECT doc_id, count(*) AS n_words,
+      |             CAST(sum(length(x)) AS BIGINT) AS tot_wlen,
+      |             count(*) FILTER (x IN ('the','a','of','to','in','is','that','for','and')) AS stop_cnt
+      |      FROM t GROUP BY doc_id),
+      |m AS (SELECT doc_id, max(c) AS top_cnt
+      |      FROM (SELECT doc_id, x, count(*) AS c FROM t GROUP BY doc_id, x) GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_words, s.tot_wlen, s.stop_cnt, m.top_cnt,
+      |  (s.n_words BETWEEN 30 AND 100000
+      |   AND s.tot_wlen >= 3 * s.n_words AND s.tot_wlen <= 10 * s.n_words
+      |   AND 50 * s.stop_cnt >= s.n_words AND 5 * m.top_cnt <= s.n_words) AS keep
+      |FROM s JOIN m USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_gopher_quality" -> (t13GopherQuality _),
     "t12_lm_perplexity" -> (t12LmPerplexity _),
     "t11_bm25_search" -> (t11Bm25Search _),
     "t10_pii_redact" -> (t10PiiRedact _),
@@ -638,6 +689,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t13_gopher_quality" -> t13Sql,
     "t11_bm25_search" -> t11Sql,
     "t10_pii_redact" -> t10Sql,
     "t9_vocab"       -> t9Sql,

@@ -468,8 +468,57 @@ object Streaming {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ ST9
+  /** ST9: continuous corpus-quality monitoring — T13's Gopher rule set
+    * applied to the ingest stream (the SAME stateless rule expressions,
+    * [[graft.operators.TextAnalysis.gopherRules]]), aggregated into
+    * per-hour per-language keep rates. This is the live dashboard a
+    * training-data pipeline runs in front of its filter stage: a
+    * crawler regression (spam burst, encoding break) shows up as a
+    * keep-rate cliff in the affected window rather than a post-hoc
+    * batch audit. Event time is doc_id-derived like ST7 (1 doc/sec
+    * from a fixed epoch). State is one row per (hour, lang) — bounded
+    * by wall-clock·|langs| at any corpus size; the rule evaluation
+    * itself is stateless and map-side combinable. Window starts are
+    * emitted as epoch SECONDS so the batch oracle compares integers,
+    * not timestamp encodings. */
+  def st9StreamQuality(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    val scored = graft.operators.TextAnalysis.gopherRules(
+        docStream(s, d).select(col("doc_id"), col("lang"),
+          split(lower(trim(col("text"))), " ").as("w")))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      .withWatermark("ts", "1 hour")
+    val agg = scored.groupBy(window(col("ts"), "1 hour"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("lang"), col("n_docs"), col("n_keep"))
+    runToMemory(s, agg, "graft_st9", OutputMode.Complete())
+      .orderBy(col("win_start_s"), col("lang"))
+  }
+
+  val st9Sql: String =
+    """WITH w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, x FROM w, unnest(ws) AS u(x)),
+      |s AS (SELECT doc_id, count(*) AS n_words,
+      |             CAST(sum(length(x)) AS BIGINT) AS tot_wlen,
+      |             count(*) FILTER (x IN ('the','a','of','to','in','is','that','for','and')) AS stop_cnt
+      |      FROM t GROUP BY doc_id),
+      |m AS (SELECT doc_id, max(c) AS top_cnt
+      |      FROM (SELECT doc_id, x, count(*) AS c FROM t GROUP BY doc_id, x) GROUP BY doc_id),
+      |v AS (SELECT w.doc_id, w.lang,
+      |        (s.n_words BETWEEN 30 AND 100000
+      |         AND s.tot_wlen >= 3 * s.n_words AND s.tot_wlen <= 10 * s.n_words
+      |         AND 50 * s.stop_cnt >= s.n_words AND 5 * m.top_cnt <= s.n_words) AS keep
+      |      FROM w JOIN s ON s.doc_id = w.doc_id JOIN m ON m.doc_id = w.doc_id)
+      |SELECT ((1700000000 + doc_id) // 3600) * 3600 AS win_start_s, lang,
+      |       count(*) AS n_docs, CAST(count(*) FILTER (keep) AS BIGINT) AS n_keep
+      |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_stream_quality" -> (st9StreamQuality _),
     "st8_stream_decontam" -> (st8StreamDecontam _),
     "st7_stream_simhash" -> (st7StreamSimhashDedup _),
     "st1_stream_window"  -> (st1StreamWindow _),
@@ -480,6 +529,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st9_stream_quality" -> st9Sql,
     // st8 is batch x12's exact answer computed continuously — same oracle
     "st8_stream_decontam" -> graft.operators.Dedup.x12Sql,
     "st7_stream_simhash" -> st7Sql,

@@ -418,6 +418,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
+       "features match mm2's WAV decode") {
+    val feats = Multimodal.mm5AudioMixed(spark, sf001).collect()
+    val mm2 = Multimodal.mm2FrameSample(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Int]("sample_rate"), r.getAs[Long]("n_samples"),
+        r.getAs[Int]("n_windows"), r.getAs[Long]("peak_window"),
+        r.getAs[Long]("peak_energy"))).toMap
+    assert(feats.length == mm2.size)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(1)
+      assert(fmt == (if (id % 2 == 0) "aiff" else "wav"),
+        s"doc $id routed to $fmt — format dispatch broke the parity rule")
+      // both containers carry the same planted samples: a big-endian
+      // mis-parse flips every energy sum against mm2's answer
+      assert((r.getAs[Int]("sample_rate"), r.getAs[Long]("n_samples"),
+        r.getAs[Int]("n_windows"), r.getAs[Long]("peak_window"),
+        r.getAs[Long]("peak_energy")) == mm2(id),
+        s"doc $id ($fmt): mixed-audio features diverged from mm2")
+    }
+    // even docs really carry FORM/AIFF containers, so the dispatch is
+    // exercising two genuinely different codecs and byte orders
+    val texts = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    texts.filter(_._1 % 2 == 0).take(5).foreach { case (_, t) =>
+      val p = Multimodal.encodeAiff(t.getBytes("US-ASCII"))
+      assert(new String(p.take(4), "US-ASCII") == "FORM" &&
+        new String(p.slice(8, 12), "US-ASCII") == "AIFF",
+        "encodeAiff did not emit a FORM/AIFF container")
+    }
+  }
+
   test("x18 boilerplate strip drops EVERY occurrence (vs x11's keep-first), no rank window") {
     import org.apache.spark.sql.functions._
     val df = Dedup.x18BoilerplateStrip(spark, sf01)

@@ -963,6 +963,61 @@ object Dedup {
        |WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- P8
+  /** P8: PageRank over the near-dup graph — the iterative-graph member
+    * of the dedup family (P5 gives the connected components; P8 ranks
+    * WITHIN the duplication structure: a document tied to many
+    * near-dups concentrates rank, the canonical-representative signal
+    * a curation pipeline uses to pick which copy to keep). Standard
+    * damped formulation (d = 0.85, 10 fixed iterations) with dangling
+    * mass — here every isolated document — redistributed uniformly, so
+    * Σ rank = n is an exact invariant of the recurrence and its drift
+    * measures numerical health: the in-query `pass` gate asserts
+    * |Σr − n| ≤ 1e-6·n after the final iteration.
+    *
+    * Scale shape: edges come from P1's session-cached verified pair
+    * set (2·|pairs| rows — dup-graph-bounded, ≪ corpus); per iteration
+    * the rank frame is localCheckpoint-materialized (lineage stays
+    * flat, exactly M15's iterative-solver hygiene), contributions are
+    * one join + one map-side-combinable sum on uniform doc-id keys,
+    * and TWO scalars reach the driver (dangling mass, then the final
+    * invariant sum). Join strategy is left to the optimizer: at gate
+    * scale the degree table broadcasts; at 100 TB it shuffles — the
+    * textbook distributed-PR shape either way. */
+  def p8DupPagerank(s: SparkSession, d: String): DataFrame = {
+    val nodes = documents(s, d).select(col("doc_id")).localCheckpoint(true)
+    val n = nodes.count()
+    val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val dmp = 0.85
+    var ranks = nodes.select(col("doc_id"), lit(1.0).as("r"))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < 10) {
+      val withDeg = ranks.join(deg, ranks("doc_id") === deg("src"), "left")
+      val dangling = withDeg
+        .agg(coalesce(sum(when(col("deg").isNull, col("r"))), lit(0.0)))
+        .head.getDouble(0)
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .select(col("doc_id").as("u"), (col("r") / col("deg")).as("w"))
+        .join(edges, col("u") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("w")).as("c"))
+      ranks = nodes.join(contribs, nodes("doc_id") === contribs("dst"), "left")
+        .select(nodes("doc_id"),
+          (lit(1 - dmp) +
+            lit(dmp) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
+        .localCheckpoint(true)
+      iter += 1
+    }
+    val total = ranks.agg(sum(col("r"))).head.getDouble(0)
+    ranks.select(col("doc_id"), round(col("r"), 4).as("rank4"))
+      .withColumn("pass", lit(math.abs(total - n) <= 1e-6 * n))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- X19
   /** End-to-end decontamination PURGE — X12/X13 report which training
     * documents share eval n-grams; X19 executes the removal and emits
@@ -1013,6 +1068,7 @@ object Dedup {
 
   // -------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_dup_pagerank" -> (p8DupPagerank _),
     "x19_decontaminate_purge" -> (x19DecontaminatePurge _),
     "p7_semantic_dedup" -> (p7SemanticDedup _),
     "p1_minhash_lsh"   -> (p1MinHashLsh _),

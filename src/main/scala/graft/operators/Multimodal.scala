@@ -504,7 +504,128 @@ object Multimodal {
       |LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- MM6
+  /** mm6 output: container metadata + feature sums over the SAMPLED
+    * frames. */
+  case class VideoFeatures(doc_id: Long, n_frames: Int, n_sampled: Int,
+                           px_total: Long, w_total: Long)
+
+  /** Frames sampled per container: every [[FrameStep]]-th frame,
+    * starting at 0 — the strided frame-sampling a video feature
+    * pipeline runs instead of decoding every frame. */
+  private val FrameStep = 2
+
+  /** Encode `data` as a tiny multi-frame video container: magic "GV01",
+    * int32 frame count, int32 per-frame byte size, then `n` complete
+    * BMP frames back-to-back — frame f's pixel data is the text bytes
+    * brightness-shifted by +f (zero padding unshifted), so consecutive
+    * frames differ the way consecutive video frames do and every
+    * frame's expected sums are replayable from the text. */
+  private[graft] def encodeVideo(data: Array[Byte], nFrames: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val shifted = new Array[Byte](data.length)
+      var i = 0
+      while (i < data.length) { shifted(i) = (data(i) + f).toByte; i += 1 }
+      encodeBmp(shifted)
+    }
+    val fb = frames.headOption.map(_.length).getOrElse(0)
+    val buf = java.nio.ByteBuffer.allocate(12 + nFrames * fb)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GV01".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(nFrames).putInt(fb)
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** mm6: strided frame sampling over a multi-frame container — the
+    * video member of the decode family (images mm1/mm3/mm4, audio
+    * mm2/mm5). The container parse (magic, frame count, frame size,
+    * offsets) is the operator's own; each SAMPLED frame then goes
+    * through the real JDK BMP codec, and the per-frame pixel features
+    * (mm1's px/weighted sums) accumulate across sampled frames. Frame
+    * counts vary per document (2 + doc_id % 3), so the sampler's
+    * stride logic is exercised at every count. Decoding only sampled
+    * frames is the point: at 100 TB the decode cost is
+    * |sampled|/|frames| of the naive pipeline, and the container
+    * slicing never copies unsampled bytes. */
+  def mm6VideoFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val n = 2 + (id % 3).toInt
+        val p = encodeVideo(bytes, n)
+        MediaRecord(id, p, "gv01", p.length)
+      }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        it.map { r =>
+          val bb = java.nio.ByteBuffer.wrap(r.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GV01", "bad container magic")
+          val nFrames = bb.getInt; val fb = bb.getInt
+          var pxT = 0L; var wT = 0L; var sampled = 0
+          var f = 0
+          while (f < nFrames) {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload, 12 + f * fb, fb))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val bb2 = rgb & 0xff
+                pxT += rr + gg + bb2
+                wT += (y + 1).toLong * (3 * bb2 + 2 * gg + rr)
+                x += 1
+              }
+              y += 1
+            }
+            iis.close()
+            sampled += 1
+            f += FrameStep
+          }
+          VideoFeatures(r.doc_id, nFrames, sampled, pxT, wT)
+        }
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Replay: sampled frames are {0} for 2-frame containers and {0, 2}
+    * for 3/4-frame ones; frame f adds +f to every DATA byte (padding
+    * stays zero), so px over sampled frames = n_sampled·px_sum +
+    * len·Σf, and the weighted sum adds Σf times the unweighted-byte
+    * weight mass C = Σ_k (3−k%3)(h−k/48). */
+  val mm6Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         greatest(1, CAST(ceil(length(text) / 48.0) AS BIGINT)) AS h,
+      |         CAST(2 + doc_id % 3 AS INT) AS n_frames,
+      |         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS n_sampled,
+      |         CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 2 END AS sum_f
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i - 1 AS k, ord(substr(text, i, 1)) AS byte, h
+      |  FROM d, unnest(generate_series(1, len)) AS u(i)),
+      |agg AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(SUM(b.byte), 0) AS px,
+      |    COALESCE(SUM(b.byte * (3 - (b.k % 3)) * (b.h - b.k // 48)), 0) AS ws,
+      |    COALESCE(SUM((3 - (b.k % 3)) * (b.h - b.k // 48)), 0) AS c
+      |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id
+      |  GROUP BY d.doc_id)
+      |SELECT d.doc_id, d.n_frames, d.n_sampled,
+      |  CAST(d.n_sampled * a.px + d.len * d.sum_f AS BIGINT) AS px_total,
+      |  CAST(d.n_sampled * a.ws + a.c * d.sum_f AS BIGINT) AS w_total
+      |FROM d JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm6_video_frames"   -> (mm6VideoFrames _),
     "mm5_audio_mixed"    -> (mm5AudioMixed _),
     "mm1_media_features" -> (mm1MediaFeatures _),
     "mm2_frame_sample"   -> (mm2FrameSample _),
@@ -512,6 +633,7 @@ object Multimodal {
     "mm4_mixed_decode"   -> (mm4MixedDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm6_video_frames"   -> mm6Sql,
     "mm5_audio_mixed"    -> mm5Sql,
     "mm1_media_features" -> mm1Sql,
     "mm2_frame_sample"   -> mm2Sql,

@@ -1476,7 +1476,69 @@ object Similarity {
   }
 
   // -------------------------------------------------------------
+  // ------------------------------------------------------------- S11
+  /** S11: metadata-FILTERED similarity search — top-K among the vectors
+    * whose `label` matches the query's (the "search within my tenant /
+    * language / modality" shape every production vector store serves).
+    * The filter composes into the join predicate, so only same-label
+    * rows are ever scored, and the answer is EXACT — which is what
+    * makes this the one ANN-family member with a full SQL oracle
+    * beyond the unfiltered baselines.
+    *
+    * At 100 TB the label becomes a second partition key of the durable
+    * index (S7's cell layout under label dirs): the predicate prunes
+    * whole partitions BEFORE any vector is read, and the per-label
+    * residual search is exactly the existing IVF/PQ serving path. At
+    * gate scale the filter is a codegen'd predicate inside the
+    * broadcast nested-loop join — zero shuffle either way. */
+  def s11AnnFiltered(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val pairs = q.as("q")
+      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id") &&
+        col("q.label") === col("e.label"))
+      .select(col("q.vec_id").as("query_id"), col("q.label").as("label"),
+        col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
+    rerank(pairs)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("cos4"), col("rn"))
+  }
+
+  val s11Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         SUM(q.x * e.x ORDER BY q.i) AS dot
+       |  FROM ex q JOIN lab lq ON lq.vec_id = q.vec_id
+       |       JOIN lab le ON le.label = lq.label
+       |       JOIN ex e ON e.vec_id = le.vec_id
+       |                AND q.i = e.i AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT query_id, lq.label AS label, neighbor_id,
+       |         ROUND(dot / (nq.nrm * ne.nrm), 4) AS cos4
+       |  FROM dots JOIN nrm nq ON nq.vec_id = query_id
+       |            JOIN nrm ne ON ne.vec_id = neighbor_id
+       |            JOIN lab lq ON lq.vec_id = query_id)
+       |SELECT query_id, label, neighbor_id, cos4, rn FROM (
+       |  SELECT query_id, label, neighbor_id, cos4,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos4 DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ann_filtered"  -> (s11AnnFiltered _),
     "s1_ann_bruteforce" -> (s1BruteForce _),
     "s2_ann_lsh"        -> (s2AnnLsh _),
     "s3_ann_ivf"        -> (s3AnnIvf _),
@@ -1498,6 +1560,7 @@ object Similarity {
     * and floor-asserted in PipelineSpec. X2 must equal S1 exactly
     * (asserted in PipelineSpec); it shares S1's oracle. */
   val oracles: Map[String, String] = Map(
+    "s11_ann_filtered"  -> s11Sql,
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,
     "s5_ann_quantized"  -> s5Sql,

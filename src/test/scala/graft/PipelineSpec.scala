@@ -451,6 +451,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p8 pagerank: mass invariant holds, rank concentrates on the dup graph, deterministic") {
+    val a = Dedup.p8DupPagerank(spark, sf01).collect()
+    assert(a.forall(_.getAs[Boolean]("pass")), "sum-of-ranks invariant drifted")
+    val ranks = a.map(r => r.getLong(0) -> r.getAs[Double]("rank4")).toMap
+    val inGraph = Dedup.p1MinHashLsh(spark, sf01).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(inGraph.nonEmpty)
+    val conn = ranks.filter(kv => inGraph(kv._1)).values
+    val isol = ranks.filterNot(kv => inGraph(kv._1)).values
+    // connected docs receive their neighbors' rank; isolated docs hold
+    // the uniform floor — the canonical-representative signal
+    assert(conn.sum / conn.size > isol.sum / isol.size,
+      "rank did not concentrate on near-dup-connected documents")
+    val b = Dedup.p8DupPagerank(spark, sf01).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rank4")).toMap
+    assert(b == ranks, "pagerank not deterministic at 4 decimals across runs")
+  }
+
   test("x18 boilerplate strip drops EVERY occurrence (vs x11's keep-first), no rank window") {
     import org.apache.spark.sql.functions._
     val df = Dedup.x18BoilerplateStrip(spark, sf01)

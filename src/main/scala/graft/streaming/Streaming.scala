@@ -484,18 +484,26 @@ object Streaming {
     * not timestamp encodings. */
   def st9StreamQuality(s0: SparkSession, d: String): DataFrame = {
     val s = scoped(s0)
+    runToMemory(s, st9Aggregate(docStream(s, d)), "graft_st9", OutputMode.Complete())
+      .orderBy(col("win_start_s"), col("lang"))
+  }
+
+  /** The st9 transform from a raw documents (micro-batch) stream to the
+    * per-hour per-lang keep-rate aggregate (split out so specs can
+    * drive it with their own source options, e.g. multi-batch replay —
+    * the rule pass is stateless and the aggregate commutative, so the
+    * result must be batch-arrival-order independent). */
+  private[graft] def st9Aggregate(docs: DataFrame): DataFrame = {
     val scored = graft.operators.TextAnalysis.gopherRules(
-        docStream(s, d).select(col("doc_id"), col("lang"),
+        docs.select(col("doc_id"), col("lang"),
           split(lower(trim(col("text"))), " ").as("w")))
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
       .withWatermark("ts", "1 hour")
-    val agg = scored.groupBy(window(col("ts"), "1 hour"), col("lang"))
+    scored.groupBy(window(col("ts"), "1 hour"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("lang"), col("n_docs"), col("n_keep"))
-    runToMemory(s, agg, "graft_st9", OutputMode.Complete())
-      .orderBy(col("win_start_s"), col("lang"))
   }
 
   val st9Sql: String =

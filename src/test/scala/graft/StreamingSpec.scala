@@ -279,6 +279,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st9 keep-rate aggregate is batch-arrival-order independent") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.OutputMode
+    // Interleave the corpus across three micro-batches: the stateless
+    // rule pass plus a commutative windowed aggregate must land on the
+    // same per-(hour, lang) keep rates as a single-batch replay.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val in = Files.createTempDirectory("graft_st9_in").toString
+    for (b <- 0 until 3) {
+      val tmp = Files.createTempDirectory("graft_st9_b").toString
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/b$b.parquet"))
+    }
+    val stream = spark.readStream.schema(graft.streaming.Streaming.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    spark.catalog.dropTempView("graft_st9mb")
+    val q = graft.streaming.Streaming.st9Aggregate(stream)
+      .writeStream.format("memory").queryName("graft_st9mb")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "replay must actually span multiple micro-batches")
+      val streamed = spark.table("graft_st9mb")
+        .orderBy("win_start_s", "lang").collect().map(_.toSeq)
+      val single = graft.streaming.Streaming.st9StreamQuality(spark, sf)
+        .collect().map(_.toSeq)
+      assert(streamed.sameElements(single),
+        "multi-batch st9 keep rates diverged from the single-batch replay")
+    } finally q.stop()
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

@@ -975,45 +975,69 @@ object Dedup {
     * measures numerical health: the in-query `pass` gate asserts
     * |Σr − n| ≤ 1e-6·n after the final iteration.
     *
-    * Scale shape: edges come from P1's session-cached verified pair
-    * set (2·|pairs| rows — dup-graph-bounded, ≪ corpus); per iteration
-    * the rank frame is localCheckpoint-materialized (lineage stays
-    * flat, exactly M15's iterative-solver hygiene), contributions are
-    * one join + one map-side-combinable sum on uniform doc-id keys,
-    * and TWO scalars reach the driver (dangling mass, then the final
-    * invariant sum). Join strategy is left to the optimizer: at gate
-    * scale the degree table broadcasts; at 100 TB it shuffles — the
-    * textbook distributed-PR shape either way. */
-  def p8DupPagerank(s: SparkSession, d: String): DataFrame = {
-    val nodes = documents(s, d).select(col("doc_id")).localCheckpoint(true)
-    val n = nodes.count()
+    * Scale shape — the iteration is GRAPH-bounded, not corpus-bounded:
+    * edges come from P1's session-cached verified pair set (2·|pairs|
+    * rows, ≪ corpus), and only the g nodes that appear in an edge ever
+    * receive a contribution. Every ISOLATED node (n − g of them — the
+    * overwhelming mass of a real corpus) is analytically identical:
+    * r_iso(t+1) = (1−d) + d·dangling(t)/n with dangling(t) =
+    * (n−g)·r_iso(t) — a closed-form SCALAR recurrence carried on the
+    * driver, zero jobs. Per iteration the distributed work is one
+    * graph-bounded join + one map-side-combinable sum + one g-row
+    * localCheckpoint (M15's lineage hygiene at dup-graph size); the
+    * corpus is touched exactly twice — the node count up front and ONE
+    * final projection that unions the per-node graph ranks with the
+    * shared isolated-rank constant. At 100 TB that turns 10 full-corpus
+    * materializations into 10 tiny-graph jobs + 1 projection.
+    * [[dupGraphRanks]] is the iteration kernel; PipelineSpec asserts
+    * its rank frame has exactly g rows (graph-boundedness is tested,
+    * not asserted in prose). */
+  private[graft] def dupGraphRanks(s: SparkSession, d: String)
+      : (DataFrame, Double, Long, Long) = {
+    val n = documents(s, d).select(col("doc_id")).count()
     val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
+    // the symmetric union puts every endpoint in `src`, so the graph
+    // node set AND the degree table are one aggregate of `edges`; every
+    // graph node has deg ≥ 1 ⇒ dangling mass is exactly the isolated set
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    val gNodes = deg.select(col("src").as("doc_id")).localCheckpoint(true)
+    val g = gNodes.count()
     val dmp = 0.85
-    var ranks = nodes.select(col("doc_id"), lit(1.0).as("r"))
+    var rIso = 1.0
+    var ranks = gNodes.select(col("doc_id"), lit(1.0).as("r"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < 10) {
-      val withDeg = ranks.join(deg, ranks("doc_id") === deg("src"), "left")
-      val dangling = withDeg
-        .agg(coalesce(sum(when(col("deg").isNull, col("r"))), lit(0.0)))
-        .head.getDouble(0)
-      val contribs = withDeg.filter(col("deg").isNotNull)
-        .select(col("doc_id").as("u"), (col("r") / col("deg")).as("w"))
+      // closed-form dangling mass: (n−g) isolated nodes share rIso
+      val dangling = (n - g) * rIso
+      val contribs = ranks.join(deg, ranks("doc_id") === deg("src"))
+        .select(ranks("doc_id").as("u"), (col("r") / col("deg")).as("w"))
         .join(edges, col("u") === col("src"))
         .groupBy(col("dst")).agg(sum(col("w")).as("c"))
-      ranks = nodes.join(contribs, nodes("doc_id") === contribs("dst"), "left")
-        .select(nodes("doc_id"),
+      ranks = gNodes.join(contribs, gNodes("doc_id") === contribs("dst"), "left")
+        .select(gNodes("doc_id"),
           (lit(1 - dmp) +
             lit(dmp) * (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("r"))
         .localCheckpoint(true)
+      rIso = (1 - dmp) + dmp * (0.0 + dangling / n)
       iter += 1
     }
-    val total = ranks.agg(sum(col("r"))).head.getDouble(0)
-    ranks.select(col("doc_id"), round(col("r"), 4).as("rank4"))
+    (ranks, rIso, n, g)
+  }
+
+  def p8DupPagerank(s: SparkSession, d: String): DataFrame = {
+    val (ranks, rIso, n, g) = dupGraphRanks(s, d)
+    val gSum = ranks.agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
+    val total = gSum + (n - g) * rIso
+    // the single corpus-sized job: project the shared isolated-node
+    // constant over every doc_id not in the graph
+    documents(s, d).select(col("doc_id"))
+      .join(ranks.withColumnRenamed("doc_id", "gid"),
+        col("doc_id") === col("gid"), "left")
+      .select(col("doc_id"), round(coalesce(col("r"), lit(rIso)), 4).as("rank4"))
       .withColumn("pass", lit(math.abs(total - n) <= 1e-6 * n))
       .orderBy(col("doc_id"))
   }

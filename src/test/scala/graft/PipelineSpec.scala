@@ -452,6 +452,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("p8 pagerank: mass invariant holds, rank concentrates on the dup graph, deterministic") {
+    // graph-boundedness: the iteration kernel's rank frame holds exactly
+    // the dup-graph node set (g rows), strictly smaller than the corpus —
+    // the per-iteration jobs never materialize a corpus-sized frame
+    val (gRanks, _, nDocs, g) = Dedup.dupGraphRanks(spark, sf01)
+    assert(gRanks.count() == g, "iteration rank frame is not the graph node set")
+    assert(g > 0 && g < nDocs,
+      s"dup graph ($g nodes) should be a strict subset of the corpus ($nDocs)")
     val a = Dedup.p8DupPagerank(spark, sf01).collect()
     assert(a.forall(_.getAs[Boolean]("pass")), "sum-of-ranks invariant drifted")
     val ranks = a.map(r => r.getLong(0) -> r.getAs[Double]("rank4")).toMap

@@ -695,13 +695,23 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       (String, Array[(Int, Array[Double])], Int)]
 
+  /** What the LAST reuse/build decision for each durable artifact
+    * (keyed by its published path) actually did — "found" or "built",
+    * recorded at the decision point inside ivfIndex/incrIndexPath/
+    * pqBooks. [[ensureIndexes]] reports from this instead of a
+    * filesystem pre-check, which could race a concurrent builder or
+    * mislabel an in-memory-cache hit. */
+  private val artifactStatus =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** On-disk layout version, folded into every index fingerprint: a
     * layout change (new stored column, new sidecar format) must never
     * let a new build read an old dir or vice versa — bumping this
     * string retires every older artifact to the rebuild path. v2 added
     * the stored `pq8` PQ-codes column and the trailer-terminated
-    * anchor sidecar. */
-  private val IndexFormatVersion = "graft-index-v2"
+    * anchor sidecar; v3 made `label` the first partition key (s11's
+    * metadata-pruned serving path) and stores it in the incr index. */
+  private val IndexFormatVersion = "graft-index-v3"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -838,7 +848,7 @@ object Similarity {
   private def assignQuantize(raw: DataFrame, anchors: Array[(Int, Array[Double])],
                              books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val base = raw
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
       .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
@@ -848,7 +858,7 @@ object Similarity {
       .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
       .withColumn("cell",
         graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
         col("nq2"), col("cell"))
     books match {
@@ -893,7 +903,9 @@ object Similarity {
           try Some(readAnchors(dir)) catch { case _: Exception => None }
         else None
       reuse() match {
-        case Some((anchors, nCells)) => (dir.getAbsolutePath, anchors, nCells)
+        case Some((anchors, nCells)) =>
+          artifactStatus(dir.getAbsolutePath) = "found"
+          (dir.getAbsolutePath, anchors, nCells)
         case None =>
           val e = prepared(s, d)
           val nCells = ivfCells(e.count())
@@ -905,22 +917,47 @@ object Similarity {
           // overwrite would delete files under a live reader's scan)
           val tmp = new java.io.File(indexRoot,
             dir.getName + s".build-${ProcessHandle.current().pid()}")
+          // label is the FIRST partition key: a metadata-filtered search
+          // (s11) prunes whole label directories before any vector is
+          // read; the cell level below it keeps s7's probe pruning
           assignQuantize(embeddings(s, d), anchors, Some(books))
-            .write.mode("overwrite").partitionBy("cell").parquet(tmp.getAbsolutePath)
+            .write.mode("overwrite").partitionBy("label", "cell")
+            .parquet(tmp.getAbsolutePath)
           writeAnchors(tmp, anchors, nCells)
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
             f.delete()
           }
-          val path =
+          // Publish via one atomic rename. If it fails, a concurrent
+          // builder may be mid-publish: re-check reuse() with a short
+          // backoff (their rename lands between our check and any
+          // destructive move — the TOCTOU window). A junk destination is
+          // moved ASIDE via an atomic rename (never recursively deleted
+          // in place — a concurrent reader mid-scan of a valid index
+          // must not hit vanishing files), then our build renames in.
+          // Any remaining doubt serves from the temp dir: always valid.
+          def publish(): String =
             if (tmp.renameTo(dir)) dir.getAbsolutePath
-            // a concurrent builder won the rename: use its (validated)
-            // index and discard ours; if the destination is junk,
-            // replace it; last resort = serve from our temp dir
-            else if (reuse().isDefined) { rm(tmp); dir.getAbsolutePath }
-            else { rm(dir)
-              if (tmp.renameTo(dir)) dir.getAbsolutePath else tmp.getAbsolutePath }
-          (path, anchors, nCells)
+            else {
+              var attempts = 0
+              var reused = reuse().isDefined
+              while (!reused && attempts < 3) {
+                Thread.sleep(100L << attempts)
+                reused = reuse().isDefined
+                attempts += 1
+              }
+              if (reused) { rm(tmp); dir.getAbsolutePath }
+              else {
+                val aside = new java.io.File(indexRoot,
+                  dir.getName + s".stale-${ProcessHandle.current().pid()}")
+                if (dir.exists() && dir.renameTo(aside)) rm(aside)
+                if (tmp.renameTo(dir)) dir.getAbsolutePath
+                else tmp.getAbsolutePath
+              }
+            }
+          val published = publish()
+          artifactStatus(published) = "built"
+          (published, anchors, nCells)
       }
     })
   }
@@ -1037,6 +1074,7 @@ object Similarity {
           try Some(readAnchors(dir)) catch { case _: Exception => None }
         else None
       if (reusable.isDefined) {
+        artifactStatus(dir.getAbsolutePath) = "found"
         val (anchors, nCells) = reusable.get
         (dir.getAbsolutePath, anchors, math.max(4, nCells / 4))
       } else {
@@ -1060,6 +1098,7 @@ object Similarity {
         }
         writeAnchors(dir, anchors, nCells)
         java.nio.file.Files.writeString(done.toPath, "ok\n")
+        artifactStatus(path) = "built"
         (path, anchors, math.max(4, nCells / 4))
       }
     })
@@ -1071,24 +1110,20 @@ object Similarity {
     * measure the SERVING path. No-op when the fingerprint-keyed
     * artifacts already exist. */
   def ensureIndexes(s: SparkSession, d: String): Unit = {
-    // each artifact reports found-vs-built: a bench run whose warmup
-    // did NOT find/build an index is self-diagnosing from its stderr —
-    // the serving queries would otherwise silently pay the build cost
-    def report(name: String, preExisting: Boolean, path: String): Unit =
+    // each artifact reports found-vs-built FROM THE BUILD PATH ITSELF
+    // ([[artifactStatus]], recorded at the reuse/build decision point,
+    // not from a separate filesystem pre-check that can race a
+    // concurrent builder or miss an in-memory cache hit): a bench run
+    // whose warmup did NOT find/build an index is self-diagnosing from
+    // its stderr — the serving queries would otherwise silently pay
+    // the build cost
+    def report(name: String, path: String): Unit =
       System.err.println(
-        s"[bench] $name: ${if (preExisting) "found" else "built"} at $path")
-    val fp = corpusFingerprint(d)
-    val ivfDir = new java.io.File(indexRoot, s"graft-ivf-$fp")
-    val ivfFound = new java.io.File(ivfDir, "_SUCCESS").isFile &&
-      new java.io.File(ivfDir, "_anchors.txt").isFile
-    report("ivf index", ivfFound, ivfIndex(s, d)._1)
-    val incrFound =
-      new java.io.File(new java.io.File(indexRoot, s"graft-ivf-incr-$fp"),
-        "_graft_complete").isFile
-    report("incr index", incrFound, incrIndexPath(s, d)._1)
-    val pqFound = pqBooksPath(d).isFile
+        s"[bench] $name: ${artifactStatus.getOrElse(path, "cached")} at $path")
+    report("ivf index", ivfIndex(s, d)._1)
+    report("incr index", incrIndexPath(s, d)._1)
     pqBooks(s, d, prepared(s, d))
-    report("pq codebooks", pqFound, pqBooksPath(d).getParent)
+    report("pq codebooks", pqBooksPath(d).getParent)
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -1209,8 +1244,11 @@ object Similarity {
             })
           } catch { case _: Exception => None }
         else None
-      if (loaded.isDefined) loaded.get
-      else {
+      if (loaded.isDefined) {
+        artifactStatus(f.getParent) = "found"
+        loaded.get
+      } else {
+        artifactStatus(f.getParent) = "built"
         val books = trainPqCodebooks(e)
         f.getParentFile.mkdirs()
         val sb = new StringBuilder
@@ -1218,10 +1256,20 @@ object Similarity {
           sb.append(cvec.map(x =>
             java.lang.Double.doubleToLongBits(x).toString).mkString(" ")).append('\n')
         })
-        // write-then-rename so a concurrent reader never sees a torn file
-        val tmp = new java.io.File(f.getParentFile, "_books.tmp")
+        // UNIQUE temp + atomic move (the writeAnchors contract): a fixed
+        // shared tmp name would let two concurrent trainers interleave
+        // (A renames while B is mid-write to the same path) and publish
+        // a torn file. A failed move is logged, not swallowed — the
+        // loader's validation would degrade it to a silent retrain.
+        val tmp = java.io.File.createTempFile("_books", ".tmp", f.getParentFile)
         java.nio.file.Files.writeString(tmp.toPath, sb.toString)
-        tmp.renameTo(f)
+        try java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: Exception =>
+          System.err.println(s"[graft] pq codebook publish failed (will retrain next session): $e")
+          tmp.delete()
+        }
         books
       }
     })
@@ -1229,7 +1277,7 @@ object Similarity {
 
   /** S9: product-quantization ANN with ADC scoring — the third
     * compressed-domain representation in the family (S5 = scalar int8,
-    * 4×; S6/S7 = IVF pruning; S9 = 4-byte PQ codes, 128×): each vector
+    * 4×; S6/S7 = IVF pruning; S9 = 8-byte PQ codes, 32×): each vector
     * is its 8 per-subspace nearest-centroid ids, and a query scores a
     * candidate WITHOUT touching its floats by summing a per-query
     * lookup table (LUT[m][c] = ⟨q_m, centroid_mc⟩ — M·K dot products
@@ -1238,9 +1286,9 @@ object Similarity {
     * same way. The per-query 2K shortlist is exactly rerank'd against
     * the true floats (S6's pattern — the floats are touched for
     * |queries|·2K rows, never per candidate). At 100 TB the scan reads
-    * 4 bytes/vector where S1 reads 256: PQ is the scan-compression
-    * path and composes with the IVF cell layout (S7's partition
-    * pruning) orthogonally.
+    * 8 bytes/vector (the stored PqM = 8 one-byte codes) where S1 reads
+    * 256: PQ is the scan-compression path and composes with the IVF
+    * cell layout (S7's partition pruning) orthogonally.
     *
     * Everything is deterministic (integer-exact codebooks, strict-<
     * tie-breaks, fixed-order m-ascending LUT sums, round(cos,4) + id
@@ -1485,24 +1533,40 @@ object Similarity {
     * makes this the one ANN-family member with a full SQL oracle
     * beyond the unfiltered baselines.
     *
-    * At 100 TB the label becomes a second partition key of the durable
-    * index (S7's cell layout under label dirs): the predicate prunes
-    * whole partitions BEFORE any vector is read, and the per-label
-    * residual search is exactly the existing IVF/PQ serving path. At
-    * gate scale the filter is a codegen'd predicate inside the
-    * broadcast nested-loop join — zero shuffle either way. */
+    * Serving path: `label` is the FIRST partition key of the durable
+    * [[ivfIndex]], so the query labels prune whole label directories
+    * BEFORE any vector is read (PipelineSpec asserts the scan's
+    * PartitionFilters + selected-partition count). Scoring inside the
+    * surviving labels uses the index's stored float embeddings — exact
+    * by construction, so the full SQL oracle (the pre-index broadcast-
+    * NLJ formulation, kept verbatim as [[s11Sql]]) stays hash-green.
+    * At 100 TB a label predicate that matches 1% of the corpus reads
+    * 1% of the index; the per-label residual search composes with the
+    * cell layout (s7) and stored PQ codes (s9) orthogonally. */
   def s11AnnFiltered(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).select(
-        col("vec_id"), col("label"),
+    val raw = embeddings(s, d)
+    val labelType = raw.schema("label").dataType
+    val (path, _, _) = ivfIndex(s, d)
+    // query side: tiny, broadcast — carries label, floats, norm
+    val q = raw.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-    val q = broadcast(e.filter(col("vec_id") < NQueries))
-    val pairs = q.as("q")
-      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id") &&
-        col("q.label") === col("e.label"))
-      .select(col("q.vec_id").as("query_id"), col("q.label").as("label"),
-        col("e.vec_id").as("neighbor_id"),
-        cos4(col("q.nrm"), col("e.nrm")).as("cos4"))
+    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0))
+    // literal IN over the first partition key → directory-level pruning
+    val idx = s.read.parquet(path)
+      .filter(col("label").isin(qLabels: _*))
+      .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
+        expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+      .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
+    val pairs = broadcast(q).as("q")
+      .join(idx, col("q.vec_id") =!= col("neighbor_id") &&
+        col("q.label") === col("elabel"))
+      .select(col("q.vec_id").as("query_id"),
+        col("q.label").cast(labelType).as("label"),
+        col("neighbor_id"),
+        round(vecDot(col("q.v"), col("ev")) / (col("q.nrm") * col("enrm")), 4)
+          .as("cos4"))
     rerank(pairs)
       .select(col("query_id"), col("label"), col("neighbor_id"),
         col("cos4"), col("rn"))

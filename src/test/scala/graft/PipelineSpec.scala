@@ -88,6 +88,50 @@ class PipelineSpec extends AnyFunSuite {
       "scoring scan reads the float embeddings — column pruning lost")
   }
 
+  test("s11 serves through the label-partitioned index: pruning reaches the scan, answers exact") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val df = Similarity.s11AnnFiltered(spark, sf01)
+    val out = df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(out.nonEmpty)
+    // the label predicate must reach the index scan as a PARTITION
+    // filter (directory pruning), not a post-scan data filter; the
+    // traversal must descend through AQE's stage wrappers
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+    val scans = allScans(df.queryExecution.executedPlan)
+    val idxScans = scans.filter(_.partitionFilters.exists(_.toString.contains("label")))
+    assert(idxScans.nonEmpty,
+      s"label predicate did not reach any scan as a partition filter:\n${df.queryExecution.executedPlan}")
+    // exactness guard: bit-identical to the broadcast-NLJ reference
+    // formulation (the SQL oracle's shape) over the raw embeddings
+    val e = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val q = broadcast(e.filter(col("vec_id") < 10))
+    val ref = q.as("q")
+      .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id") &&
+        col("q.label") === col("e.label"))
+      .select(col("q.vec_id").as("query_id"), col("q.label").as("label"),
+        col("e.vec_id").as("neighbor_id"),
+        round(vecDot(col("q.v"), col("e.v")) / (col("q.nrm") * col("e.nrm")), 4).as("cos4"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cos4").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(out.sameElements(ref),
+      "label-pruned index serving diverged from the exact NLJ reference")
+  }
+
   test("s8 appended index answers bit-identically to a from-scratch build (frozen anchors)") {
     import org.apache.spark.sql.functions.col
     // both paths freeze the SAME anchors (trained on the 90% base
@@ -416,6 +460,28 @@ class PipelineSpec extends AnyFunSuite {
       val p = Multimodal.encodePng(t.getBytes("US-ASCII"))
       assert(p.take(4).sameElements(pngMagic), "encodePng did not emit a PNG container")
     }
+  }
+
+  test("mm7 jpeg decode: lossy round trip stays within the tolerance gate, and is really lossy") {
+    val rows = Multimodal.mm7JpegDecode(spark, sf001).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.length == nDocs, "every document must produce a decoded row")
+    val maes = rows.map(_.getAs[Double]("mae4"))
+    info(f"mm7 MAE: max=${maes.max}%.2f mean=${maes.sum / maes.length}%.2f")
+    assert(rows.forall(_.getAs[Boolean]("pass")),
+      f"JPEG tolerance invariant failed — geometry drift or MAE above the gate " +
+        f"(max MAE ${maes.max}%.2f)")
+    // the gate must not be vacuous: q=0.95 DCT error on ASCII byte
+    // noise is small but strictly positive for any real document
+    val lossy = rows.filter(_.getAs[Double]("mae4") > 0.0)
+    assert(lossy.length > rows.length / 2,
+      "JPEG round trip reported zero error for most documents — the codec " +
+        "under test is not actually lossy (wrong writer or identity path)")
+    // determinism at the reported precision across runs (same JDK codec)
+    val again = Multimodal.mm7JpegDecode(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("mae4")).toMap
+    assert(rows.forall(r => again(r.getLong(0)) == r.getAs[Double]("mae4")),
+      "JPEG decode not deterministic across runs")
   }
 
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +

@@ -60,6 +60,26 @@ object Multimodal {
     buf.array()
   }
 
+  /** Wraps a partition's mapped iterator so every per-partition
+    * ImageReader is dispose()d when the iterator exhausts — closing
+    * only the per-row ImageInputStream leaks the readers' native
+    * resources, one set per partition per query. (Spark always drains
+    * task iterators, so exhaustion is the reliable hook.) */
+  private def disposing[A](it: Iterator[A],
+                           readers: javax.imageio.ImageReader*): Iterator[A] =
+    cleanup(it) { readers.foreach(_.dispose()) }
+
+  private def cleanup[A](it: Iterator[A])(f: => Unit): Iterator[A] =
+    new Iterator[A] {
+      private var done = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !done) { done = true; f }
+        h
+      }
+      def next(): A = it.next()
+    }
+
   private def mediaTable(s: SparkSession, d: String) = {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text"))
@@ -84,7 +104,7 @@ object Multimodal {
       // codec resolved once per partition — the amortized-setup slot a
       // real pipeline uses for model/codec initialization
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
-      it.map { r =>
+      disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         reader.setInput(iis)
@@ -104,7 +124,7 @@ object Multimodal {
         }
         iis.close()
         MediaFeatures(r.doc_id, img.getWidth, img.getHeight, pxSum, wSum)
-      }
+      }, reader)
     }.toDF()
       .orderBy(col("doc_id"))
   }
@@ -241,7 +261,7 @@ object Multimodal {
     mediaTable(s, d).mapPartitions { it =>
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
+      disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
         reader.setInput(iis)
@@ -265,7 +285,7 @@ object Multimodal {
           .map(b => f"${b & 0xff}%02x").mkString
         ResizedMedia(r.doc_id, img.getWidth, img.getHeight,
           (img.getWidth + 3) / 4, (img.getHeight + 3) / 4, hex)
-      }
+      }, reader)
     }.toDF()
       .orderBy(col("doc_id"))
   }
@@ -352,7 +372,7 @@ object Multimodal {
         val readers = Map(
           "png" -> javax.imageio.ImageIO.getImageReadersByFormatName("png").next(),
           "bmp" -> javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next())
-        it.map { r =>
+        disposing(it.map { r =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.payload))
           val reader = readers(r.format)
@@ -373,7 +393,7 @@ object Multimodal {
           }
           iis.close()
           MixedFeatures(r.doc_id, r.format, img.getWidth, img.getHeight, pxSum, wSum)
-        }
+        }, readers.values.toSeq: _*)
       }.toDF()
       .orderBy(col("doc_id"))
   }
@@ -560,7 +580,7 @@ object Multimodal {
       }
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
-        it.map { r =>
+        disposing(it.map { r =>
           val bb = java.nio.ByteBuffer.wrap(r.payload)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
           val magic = new Array[Byte](4); bb.get(magic)
@@ -590,7 +610,7 @@ object Multimodal {
             f += FrameStep
           }
           VideoFeatures(r.doc_id, nFrames, sampled, pxT, wT)
-        }
+        }, reader)
       }.toDF()
       .orderBy(col("doc_id"))
   }
@@ -624,7 +644,88 @@ object Multimodal {
       |FROM d JOIN agg a ON a.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- MM7
+  /** mm7 output: decoded geometry plus the mean absolute per-channel
+    * reconstruction error of the LOSSY round trip, and the tolerance
+    * verdict the driver gate enforces. */
+  case class JpegFeatures(doc_id: Long, format: String, width: Int,
+                          height: Int, mae4: Double, pass: Boolean)
+
+  /** mm7: JPEG — the LOSSY codec family real corpora are mostly made
+    * of (mm1–mm6 are all lossless, which is what made their
+    * replay-from-text oracles exact). Each document's text bytes are
+    * planted as GRAYSCALE pixels (byte k → pixel (k mod 16, k/16),
+    * r = g = b = byte; 16-wide rows, top-down), encoded with the JDK's
+    * own JPEG writer at explicit quality 0.95, then decoded back with
+    * the JDK JPEG reader. Grayscale planting is deliberate: ASCII byte
+    * noise in the CHROMA channels meets JPEG's 4:2:0 subsampling head
+    * on (measured MAE ≈ 18–22 — indistinguishable from a broken
+    * decode, which sits at ≈ 31 for byte noise), while a gray plant
+    * puts all the signal in luma, where q=0.95 DCT error stays ≈ 2.
+    *
+    * Lossy breaks hash replay BY DESIGN, so the gate is a TOLERANCE
+    * invariant instead (the `no_oracle`+`pass` pattern the matrix
+    * family uses): per document, decoded geometry must be exact and
+    * the mean absolute per-channel error vs the planted pixels must
+    * stay ≤ [[JpegMae]] — a real decode-path bug (row order, offset,
+    * partial decode) compares noise against noise and blows the MAE to
+    * ~31 levels, 5× the gate. Writer and reader are resolved once per
+    * partition and disposed on exhaustion. */
+  private val JpegMae = 6.0
+
+  def mm7JpegDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        cleanup(it.map { case (id, t) =>
+          val data = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          val h = math.max(1, (data.length + ImgW - 1) / ImgW)
+          val img = new java.awt.image.BufferedImage(
+            ImgW, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val planted = new Array[Int](ImgW * h)
+          var p = 0
+          while (p < planted.length) {
+            if (p < data.length) planted(p) = data(p) & 0xff
+            img.setRGB(p % ImgW, p / ImgW,
+              (planted(p) << 16) | (planted(p) << 8) | planted(p))
+            p += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          val wp = writer.getDefaultWriteParam
+          wp.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          wp.setCompressionQuality(0.95f)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), wp)
+          ios.close()
+          val payload = bos.toByteArray
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(iis)
+          val dec = reader.read(0)
+          var errSum = 0L
+          var q = 0
+          while (q < ImgW * h && q < dec.getWidth * dec.getHeight) {
+            val rgb = dec.getRGB(q % ImgW, q / ImgW)
+            errSum += math.abs(((rgb >> 16) & 0xff) - planted(q)) +
+              math.abs(((rgb >> 8) & 0xff) - planted(q)) +
+              math.abs((rgb & 0xff) - planted(q))
+            q += 1
+          }
+          val mae = errSum.toDouble / (3.0 * ImgW * h)
+          JpegFeatures(id, "jpeg", dec.getWidth, dec.getHeight,
+            math.round(mae * 1e4) / 1e4,
+            dec.getWidth == ImgW && dec.getHeight == h && mae <= JpegMae)
+        }) { writer.dispose(); reader.dispose() }
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_jpeg_decode"    -> (mm7JpegDecode _),
     "mm6_video_frames"   -> (mm6VideoFrames _),
     "mm5_audio_mixed"    -> (mm5AudioMixed _),
     "mm1_media_features" -> (mm1MediaFeatures _),

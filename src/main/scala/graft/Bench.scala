@@ -129,6 +129,19 @@ object Bench {
     // 2-decimal form would crowd the ~2 kB window (more queries, a
     // failure list), degrade per-query precision rather than overflow.
     println("[bench-full] " + line(6))
+    // Self-auditing artifact: the round driver keeps only a ~2 kB
+    // stdout tail, which truncates the full per-query map at the
+    // current query count (round 7: ~68 of 116 rows recoverable).
+    // Persist the full-precision line in the repo so every per-query
+    // comparison is reconstructable without the recorded-medians
+    // fallback, whatever the tail window does.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_FULL.json"),
+      line(6) + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e")
+    }
     val compact = line(2)
     // Degradation ladder: 2-decimal → 1-decimal → per-FAMILY subtotals
     // (metric/value/failed/sf still parse) — an oversized line that

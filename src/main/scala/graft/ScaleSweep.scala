@@ -110,7 +110,8 @@ object ScaleSweep {
       "x14_sequence_pack" -> (graft.operators.Corpus.x14SequencePack _),
       "x18_boilerplate_strip" -> (graft.operators.Dedup.x18BoilerplateStrip _),
       "s7_ann_index_probe" -> (graft.operators.Similarity.s7AnnIndexProbe _),
-      "st1_stream_window" -> (graft.streaming.Streaming.st1StreamWindow _))
+      "st1_stream_window" -> (graft.streaming.Streaming.st1StreamWindow _),
+      "st5_stream_join" -> (graft.streaming.Streaming.st5StreamStreamJoin _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>
@@ -135,6 +136,21 @@ object ScaleSweep {
       }
       val qs = times.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
       println(f"""[scale] {"scale":$n,"queries":$qs,"total":${times.map(_._2).filter(_ >= 0).sum}%.2f}""")
+    }
+    // iterative-family trend point: the m15 CG solve at 1×/2×/4× its
+    // gate problem size (matrix scale is the n axis here, not corpus
+    // rows — the per-iteration matvec is O(n²) dense-block work and
+    // the iteration count grows with √κ, both visible in the curve)
+    try graft.matrix.MatrixQueries.m15At(spark, 256, 128).count()
+    catch { case e: Throwable => System.err.println(s"[scale] m15 warmup: $e") }
+    Seq(512, 1024, 2048).foreach { n =>
+      val t0 = System.nanoTime()
+      val ok = try { graft.matrix.MatrixQueries.m15At(spark, n, 128).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] m15@n=$n failed: $e"); false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      println(f"""[scale] {"m15_n":$n,"sec":$dt%.2f}""")
     }
     spark.stop()
   }

@@ -263,70 +263,63 @@ object MatrixQueries {
     * round is TWO distributed matvecs y = A·(Aᵀ·x) (the Gram matrix is
     * never materialized: at 100 TB A·Aᵀ is a dense n×n product you
     * cannot afford, but a matvec is one pass over the blocks). The
-    * iterate is an O(n) vector broadcast per round (8 MB at n = 10⁶ —
-    * the textbook distributed power-iteration shape); each block
-    * contributes a blk-long partial, reduced per block row/column, so
-    * the shuffle carries q vectors of blk doubles, never matrix data.
-    * No per-round RDD lineage accumulates — the only RDD is the cached
-    * block matrix itself. A·Aᵀ is symmetric PSD, so convergence is
-    * monotone — no complex-eigenpair oscillation risk on the
-    * nonsymmetric A itself. Checked against the same iteration run
-    * driver-locally, plus the ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞) and ≥ ‖A‖F/√n
-    * norm-equivalence bounds. */
+    * iterate lives as a DISTRIBUTED block vector co-partitioned with
+    * the matrix layout ([[bvMatvec]] — m15/m16's machinery): each
+    * round is two narrow join+GEMV+reduce matvecs whose shuffle
+    * carries ≤ q² partials of blk doubles, one scalar dot product to
+    * the driver, and a narrow per-block rescale. Nothing O(n) ever
+    * reaches the driver (the round-7 form collected and re-broadcast
+    * the full iterate every round — documented and priced then,
+    * retired now that the block-vector machinery exists; the iterative
+    * family is uniformly collect-free). A is nonsymmetric, so TWO
+    * column-keyed layouts are laid out once: A by column (for A·z) and
+    * Aᵀ by ITS column = A's row (for Aᵀ·x). A·Aᵀ is symmetric PSD, so
+    * convergence is monotone — no complex-eigenpair oscillation risk
+    * on the nonsymmetric A itself. Lineage is localCheckpoint-
+    * truncated every 8 rounds (m15's hygiene). Checked against the
+    * same iteration run driver-locally, plus the
+    * ‖A‖₂ ≤ √(‖A‖₁·‖A‖∞) and ≥ ‖A‖F/√n norm-equivalence bounds. */
   def m9SpectralNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sc = s.sparkContext
     val n = 256; val blk = 64; val iters = 15
-    val a = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
-      .mapValues(m => LocalLA.fromDM(toDense(m))).cache()
+    val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    val blocks = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
+      .mapValues(m => LocalLA.fromDM(toDense(m)))
+    // two SpMV layouts, built in one pass each and cached: A keyed by
+    // column block, Aᵀ keyed by Aᵀ's column block (= A's row block)
+    val aByCol = blocks.map { case ((bi, bj), d) => (bj, (bi, d)) }
+      .partitionBy(part).cache()
+    val atByCol = blocks.map { case ((bi, bj), d) =>
+      (bi, (bj, LocalLA.transpose(d)))
+    }.partitionBy(part).cache()
 
-    def addInPlace(u: Array[Double], v: Array[Double]): Array[Double] = {
-      val w = u.clone(); var i = 0
-      while (i < w.length) { w(i) += v(i); i += 1 }
-      w
-    }
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
 
     val x0 = 1.0 / math.sqrt(n.toDouble)
-    var x = Array.fill(n)(x0)
+    var x: BlockVec = sc.parallelize(0 until q, q)
+      .map(b => (b, Array.fill(blk)(x0))).partitionBy(part).cache()
     var sigma2 = 0.0
-    for (_ <- 0 until iters) {
-      val xB = sc.broadcast(x)
-      // z = Aᵀ·x: per-block column partials
-      val z = new Array[Double](n)
-      a.map { case ((bi, bj), d) =>
-        val xv = xB.value
-        val part = new Array[Double](d(0).length)
-        var i = 0
-        while (i < d.length) {
-          val xi = xv(bi * blk + i); val di = d(i)
-          var j = 0
-          while (j < part.length) { part(j) += di(j) * xi; j += 1 }
-          i += 1
-        }
-        (bj, part)
-      }.reduceByKey(addInPlace).collect()
-        .foreach { case (bj, part) => System.arraycopy(part, 0, z, bj * blk, part.length) }
-      // y = A·z: per-block row partials
-      val zB = sc.broadcast(z)
-      val y = new Array[Double](n)
-      a.map { case ((bi, bj), d) =>
-        val zv = zB.value
-        val part = new Array[Double](d.length)
-        var i = 0
-        while (i < d.length) {
-          val di = d(i); var acc = 0.0; var j = 0
-          while (j < di.length) { acc += di(j) * zv(bj * blk + j); j += 1 }
-          part(i) = acc
-          i += 1
-        }
-        (bi, part)
-      }.reduceByKey(addInPlace).collect()
-        .foreach { case (bi, part) => System.arraycopy(part, 0, y, bi * blk, part.length) }
-      var s2acc = 0.0
-      y.foreach(v => s2acc += v * v)
+    var it = 0
+    while (it < iters) {
+      val z = bvMatvec(atByCol, x, part) // Aᵀ·x
+      val y = bvMatvec(aByCol, z, part).cache() // A·(Aᵀ·x)
+      val s2acc = dot(y, y) // the ONLY driver traffic: one scalar
       val nrm = math.sqrt(s2acc)
       sigma2 = nrm // ‖AAᵀx‖ for unit x → λmax(AAᵀ) at convergence
-      x = y.map(_ / nrm)
+      x = y.mapValues { v =>
+        val w = new Array[Double](v.length); var i = 0
+        while (i < w.length) { w(i) = v(i) / nrm; i += 1 }
+        w
+      }.cache()
+      if (it % 8 == 7) { x.localCheckpoint(); x.foreachPartition(_ => ()) }
+      it += 1
     }
     val sigma = math.sqrt(sigma2)
 
@@ -796,10 +789,17 @@ object MatrixQueries {
     * matvec, so recovering x* is a real end-to-end invariant; the gate
     * checks the TRUE residual (one extra matvec), not the recurrence
     * residual. */
-  def m15ConjugateGradient(s: SparkSession, dir: String): DataFrame = {
+  def m15ConjugateGradient(s: SparkSession, dir: String): DataFrame =
+    m15At(s, 512, 128)
+
+  /** The CG solve at a caller-chosen problem size — the gate query is
+    * [[m15ConjugateGradient]] at n = 512; ScaleSweep times 2×/4× n to
+    * put a measured trend point behind the iterative family's scale
+    * claims (everything else about the loop is identical). */
+  private[graft] def m15At(s: SparkSession, n: Int, blk: Int): DataFrame = {
     import s.implicits._
     val sc = s.sparkContext
-    val n = 512; val blk = 128; val q = n / blk
+    val q = n / blk
     val part = new org.apache.spark.HashPartitioner(q)
     val aByCol = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
       .flatMap { case ((bi, bj), dm) =>

@@ -374,6 +374,12 @@ class MatrixSpec extends AnyFunSuite {
       "top-8 singular values drifted beyond the projection-residual bound")
   }
 
+  test("m9: block-vector power iteration matches the driver-local replica and norm bounds") {
+    val row = MatrixQueries.m9SpectralNorm(spark, "").collect()(0)
+    assert(row.getAs[Boolean]("pass"),
+      s"m9 invariant gate failed after the collect-free rewrite: $row")
+  }
+
   test("m15 block-vector matvec: distributed SpMV equals a local dense matvec") {
     // the CG loop's kernel: column-keyed full-symmetric layout, narrow
     // join against the block iterate, q²·blk-double partial reduce —

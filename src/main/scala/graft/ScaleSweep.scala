@@ -152,6 +152,20 @@ object ScaleSweep {
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       println(f"""[scale] {"m15_n":$n,"sec":$dt%.2f}""")
     }
+    // codebook-quality probe at the LARGEST corpus: does 256-entry PQ
+    // (classic 8-bit) recover at the codebook what the 64-entry books
+    // lose at scale? Shortlist recall bounds s9's post-rerank recall.
+    val big = if (scales.max == 1) base else s"$outRoot/x${scales.max}"
+    Seq(64, 256).foreach { k =>
+      try {
+        val t0 = System.nanoTime()
+        val r = graft.operators.Similarity.pqShortlistRecall(spark, big, k)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""[scale] {"pq_k":$k,"shortlist_recall":$r%.4f,"sec":$dt%.2f}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] pq_k=$k failed: $e")
+      }
+    }
     spark.stop()
   }
 }

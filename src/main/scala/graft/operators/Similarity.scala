@@ -818,15 +818,22 @@ object Similarity {
     * stored `pq8` column) and [[trainPqCodebooks]]' assignment step. */
   private[graft] def pqEncode(v: Array[Double],
                        books: Array[Array[Array[Double]]]): Array[Byte] = {
-    val code = new Array[Byte](PqM)
+    // geometry comes from the books themselves (M subspaces × K
+    // centroids × sub dims), so the same kernel encodes against the
+    // durable 64-entry serving books and the sweep's 256-entry probe
+    // books; a 255 id wraps to a signed byte and every decode site
+    // reads it back with & 0xff
+    val bigM = books.length
+    val code = new Array[Byte](bigM)
     var m = 0
-    while (m < PqM) {
+    while (m < bigM) {
+      val bm = books(m); val bigK = bm.length; val sub = bm(0).length
       var best = 0; var bestD = Double.MaxValue
       var c = 0
-      while (c < PqK) {
+      while (c < bigK) {
         var dist = 0.0; var i = 0
-        while (i < PqSub) {
-          val t = v(m * PqSub + i) - books(m)(c)(i); dist += t * t; i += 1
+        while (i < sub) {
+          val t = v(m * sub + i) - bm(c)(i); dist += t * t; i += 1
         }
         if (dist < bestD) { bestD = dist; best = c }
         c += 1
@@ -1152,14 +1159,15 @@ object Similarity {
     * members keep their previous value. ALL subspaces train in the
     * same pass — one scan of the corpus per Lloyd round, aggregate
     * state M·K·sub longs (tiny), shuffle ≤ M·K rows per partition. */
-  private[graft] def trainPqCodebooks(e: DataFrame,
-                                      iters: Int = 2): Array[Array[Array[Double]]] = {
+  private[graft] def trainPqCodebooks(e: DataFrame, iters: Int = 2,
+                                      k: Int = PqK): Array[Array[Array[Double]]] = {
     val s = e.sparkSession
     import s.implicits._
+    val sub = 64 / PqM
     val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     var books: Array[Array[Array[Double]]] = {
-      val seeds = ds.filter(_._1 < PqK).collect().sortBy(_._1).map(_._2)
-      Array.tabulate(PqM, PqK)((m, c) => seeds(c).slice(m * PqSub, (m + 1) * PqSub))
+      val seeds = ds.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      Array.tabulate(PqM, k)((m, c) => seeds(c).slice(m * sub, (m + 1) * sub))
     }
     for (_ <- 1 to iters) {
       val bB = s.sparkContext.broadcast(books)
@@ -1171,24 +1179,24 @@ object Similarity {
           while (m < PqM) {
             var best = 0; var bestD = Double.MaxValue
             var c = 0
-            while (c < PqK) {
+            while (c < k) {
               var dist = 0.0; var i = 0
-              while (i < PqSub) {
-                val t = v(m * PqSub + i) - b(m)(c)(i); dist += t * t; i += 1
+              while (i < sub) {
+                val t = v(m * sub + i) - b(m)(c)(i); dist += t * t; i += 1
               }
               if (dist < bestD) { bestD = dist; best = c } // strict < ⇒ low id wins ties
               c += 1
             }
-            val cur = acc.getOrElseUpdate(m * PqK + best, (new Array[Long](PqSub), 0L))
+            val cur = acc.getOrElseUpdate(m * k + best, (new Array[Long](sub), 0L))
             var i = 0
-            while (i < PqSub) {
-              cur._1(i) += math.floor(v(m * PqSub + i) * 1048576).toLong; i += 1
+            while (i < sub) {
+              cur._1(i) += math.floor(v(m * sub + i) * 1048576).toLong; i += 1
             }
-            acc(m * PqK + best) = (cur._1, cur._2 + 1)
+            acc(m * k + best) = (cur._1, cur._2 + 1)
             m += 1
           }
         }
-        acc.iterator.map { case (k, (sums, n)) => (k, sums, n) }
+        acc.iterator.map { case (key, (sums, n)) => (key, sums, n) }
       }
       val agg = partials.groupByKey(_._1)
         .reduceGroups { (x, y) =>
@@ -1196,12 +1204,76 @@ object Similarity {
           while (i < z.length) { z(i) += y._2(i); i += 1 }
           (x._1, z, x._3 + y._3)
         }
-        .map { case (k, (_, sums, n)) => (k, sums.map(_.toDouble / n / 1048576.0)) }
+        .map { case (key, (_, sums, n)) => (key, sums.map(_.toDouble / n / 1048576.0)) }
         .collect().toMap
-      books = Array.tabulate(PqM, PqK)((m, c) =>
-        agg.getOrElse(m * PqK + c, books(m)(c)))
+      books = Array.tabulate(PqM, k)((m, c) =>
+        agg.getOrElse(m * k + c, books(m)(c)))
     }
     books
+  }
+
+  /** Codebook-quality probe for the scale sweep: trains THROWAWAY
+    * per-subspace codebooks with `k` centroids (the durable serving
+    * artifacts and their 64-entry geometry are untouched), encodes the
+    * corpus in-flight, ADC-scores the standard query set, and returns
+    * the SHORTLIST recall — the fraction of the exact top-K neighbors
+    * that survive into the 40·K ADC shortlist. That is the quantity
+    * that bounds s9's final (post-rerank) recall, so it isolates what
+    * codebook cardinality buys at a given corpus scale: round 6
+    * measured the 64-entry books' recall drifting 0.86 → 0.74 at 10×
+    * before the shortlist widening; this probe measures whether 256
+    * entries (classic 8-bit PQ) recovers it at the codebook instead of
+    * the shortlist. */
+  private[graft] def pqShortlistRecall(s: SparkSession, d: String, k: Int): Double = {
+    import s.implicits._
+    val e = prepared(s, d).cache()
+    val books = trainPqCodebooks(e, iters = 2, k = k)
+    val nBooks = books(0).length
+    val sub = books(0)(0).length
+    val cn2 = books.map(_.map { cvec =>
+      var a = 0.0; var i = 0
+      while (i < cvec.length) { a += cvec(i) * cvec(i); i += 1 }
+      a
+    })
+    val bB = s.sparkContext.broadcast(books)
+    val cn2B = s.sparkContext.broadcast(cn2)
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val luts = queries.map { case (qid, qv, qn) =>
+      val lut = Array.tabulate(PqM, nBooks) { (m, c) =>
+        var acc = 0.0; var i = 0
+        while (i < sub) { acc += qv(m * sub + i) * books(m)(c)(i); i += 1 }
+        acc
+      }
+      (qid, lut, qn)
+    }
+    val lutB = s.sparkContext.broadcast(luts)
+    val scored = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bk = bB.value; val ls = lutB.value; val n2 = cn2B.value
+        it.flatMap { case (id, v) =>
+          val code = pqEncode(v, bk)
+          ls.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+            var dot = 0.0; var rn2 = 0.0; var m = 0
+            while (m < code.length) {
+              val c = code(m) & 0xff
+              dot += lut(m)(c); rn2 += n2(m)(c)
+              m += 1
+            }
+            val denom = qn * math.sqrt(rn2)
+            (qid, id, if (denom > 0) dot / denom else 0.0)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cosq")
+    val short = scored.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq").desc, col("neighbor_id"))))
+      .filter(col("qrn") <= 40 * K)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactTopK(s, d)
+    val total = exact.count()
+    short.intersect(exact).count().toDouble / total
   }
 
   /** PQ codebook cache, session-scoped in memory and DURABLE on disk

@@ -56,6 +56,8 @@ object Bench {
       graft.streaming.Streaming.st2Sessionize(spark, warm).count()
       graft.streaming.Streaming.st4StreamDedup(spark, warm).count()
       graft.streaming.Streaming.st5StreamStreamJoin(spark, warm).count()
+      // transformWithState loads its own path: RocksDB store + changelog
+      graft.streaming.Streaming.st10RunningStats(spark, warm).count()
       graft.operators.Relational.r02(spark, warm).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] steady-state warmup FAILED: $e")

@@ -255,15 +255,68 @@ object Corpus {
        |SELECT doc_id, quality, tok, tok_start
        |FROM c WHERE tok_start < $TokenBudget ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- X20
+  /** Deterministic stratified train/val/test split — the assignment
+    * every training run needs before anything else touches the data.
+    * The split key is a CONTENT hash (md5 of the text), not the row id:
+    * re-ingesting, re-sharding, or re-ordering the corpus cannot move a
+    * document across the split boundary, and exact duplicates land in
+    * the same split by construction (no train/test leakage through
+    * copies — the property an id-keyed split silently loses). Bucket =
+    * first 8 md5 hex digits mod 100; train < 90 ≤ val < 95 ≤ test.
+    *
+    * Output is the per-(source, split) accounting a pipeline hands
+    * downstream: document count, token count, and an id checksum so the
+    * oracle verifies exact membership, not just sizes.
+    *
+    * Scale shape: one narrow projection (hash + bucket + token count
+    * are all codegen'd built-ins) into a map-side-combinable aggregate
+    * with |sources|·3 output rows — zero corpus shuffle at any scale;
+    * the actual split WRITE would be `partitionBy("split")` on the same
+    * projection. Same md5-bucket idiom as x5's stratified sample
+    * (`Relational.scala:652`), so Spark and DuckDB agree bit for bit. */
+  def x20StratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("ntok"),
+        bucket.as("bk"))
+      .withColumn("split",
+        when(col("bk") < 90, "train")
+          .when(col("bk") < 95, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  val x20Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+      |         CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bk
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN bk < 90 THEN 'train'
+      |            WHEN bk < 95 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x14_sequence_pack" -> (x14SequencePack _),
     "x15_mixture_sample" -> (x15MixtureSample _),
     "x16_budget_select" -> (x16BudgetSelect _),
-    "x17_sequence_table" -> (x17SequenceTable _))
+    "x17_sequence_table" -> (x17SequenceTable _),
+    "x20_stratified_split" -> (x20StratifiedSplit _))
 
   val oracles: Map[String, String] = Map(
     "x14_sequence_pack" -> x14Sql,
     "x15_mixture_sample" -> x15Sql,
     "x16_budget_select" -> x16Sql,
-    "x17_sequence_table" -> x17Sql)
+    "x17_sequence_table" -> x17Sql,
+    "x20_stratified_split" -> x20Sql)
 }

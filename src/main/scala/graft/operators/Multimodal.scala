@@ -724,7 +724,120 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- MM8
+  /** mm8 output: decoded length, the planted and detected tone, the
+    * tone-to-runner-up power ratio (rounded), and the detection verdict
+    * the driver gate enforces. */
+  case class SpectralFeatures(doc_id: Long, n_samples: Int, planted_hz: Int,
+                              detected_hz: Int, ratio4: Double, pass: Boolean)
+
+  /** mm8 analysis length (samples) and candidate tone set. 2048 points
+    * at 8 kHz puts the bin width at 8000/2048 = 3.90625 Hz; every
+    * candidate is an integer multiple (500 Hz = bin 128), so each tone
+    * sits exactly ON a DFT bin and Goertzel at the planted frequency
+    * captures the full tone power. */
+  private val SpectralN = 2048
+  private val SpectralTones = Array(500, 1000, 1500, 2000, 2500, 3000, 3500)
+  private val ToneAmp = 6000.0
+
+  /** [[encodeWav]]'s container with arbitrary 16-bit samples (that one
+    * plants one byte per sample; mm8 needs a full-range waveform). */
+  private[graft] def encodeWav16(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+    buf.putShort(1).putShort(1).putInt(SampleRate).putInt(SampleRate * 2)
+    buf.putShort(2).putShort(16)
+    buf.put("data".getBytes).putInt(2 * n)
+    var i = 0
+    while (i < n) { buf.putShort(samples(i)); i += 1 }
+    buf.array()
+  }
+
+  /** mm8: SPECTRAL feature extraction — the audio analog of mm7's
+    * tolerance gate. Each document gets a synthetic 2048-sample WAV
+    * carrying a doc-keyed pure tone (amplitude 6000, one of
+    * [[SpectralTones]]) plus text-derived byte noise (±~500), the JDK
+    * codec decodes it back, and a Goertzel filter bank over the
+    * candidate tones picks the dominant one — the
+    * language-ID/tone-ID/music-fingerprint shape of an audio pipeline
+    * (a filter bank over decoded PCM), with detection correctness as
+    * the gate instead of a hash (float spectral power has no exact SQL
+    * twin).
+    *
+    * The gate is real: a decode-path bug — endianness flip, header
+    * offset, truncated frames — destroys the sinusoid (a byte-swapped
+    * sine is not a sine), detection degenerates and `pass` fails. An
+    * honest decode keeps the tone ≥ ~40× the worst text-harmonic
+    * runner-up (noise power concentrates on the text's cycle
+    * harmonics; amplitude bounds keep that below 1/10 of the tone for
+    * any text), so the ≥10× gate has margin on both sides. Goertzel is
+    * O(n) per candidate with three registers of state — per-partition
+    * streamable at any corpus size, the reason it beats a full FFT
+    * here (7 bins wanted, not 1024). */
+  def mm8AudioSpectral(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val f = SpectralTones((id % SpectralTones.length).toInt)
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val samples = new Array[Short](SpectralN)
+        var i = 0
+        while (i < SpectralN) {
+          val tone = ToneAmp * math.sin(2 * math.Pi * f * i / SampleRate)
+          val noise =
+            if (bytes.nonEmpty) ((bytes(i % bytes.length) & 0xff) - 64) * 8
+            else 0
+          val v = math.rint(tone).toInt + noise
+          samples(i) = math.max(-32768, math.min(32767, v)).toShort
+          i += 1
+        }
+        val p = encodeWav16(samples)
+        MediaRecord(id, p, "wav", p.length)
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+          val raw = ais.readAllBytes()
+          ais.close()
+          val n = raw.length / 2
+          val power = new Array[Double](SpectralTones.length)
+          var c = 0
+          while (c < SpectralTones.length) {
+            val coeff = 2.0 * math.cos(2 * math.Pi * SpectralTones(c) / SampleRate)
+            var s1 = 0.0; var s2 = 0.0
+            var i = 0
+            while (i < n) {
+              // little-endian signed 16-bit PCM frame, as mm2
+              val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toDouble
+              val s0 = v + coeff * s1 - s2
+              s2 = s1; s1 = s0
+              i += 1
+            }
+            power(c) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+            c += 1
+          }
+          val best = power.indices.maxBy(power)
+          val runnerUp = power.indices.filter(_ != best).map(power).max
+          val ratio =
+            if (runnerUp > 0) math.min(power(best) / runnerUp, 1e6)
+            else 1e6
+          val planted = SpectralTones((r.doc_id % SpectralTones.length).toInt)
+          SpectralFeatures(r.doc_id, n, planted, SpectralTones(best),
+            math.round(ratio * 1e4) / 1e4,
+            SpectralTones(best) == planted && n == SpectralN && ratio >= 10.0)
+        }
+      }.toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_audio_spectral" -> (mm8AudioSpectral _),
     "mm7_jpeg_decode"    -> (mm7JpegDecode _),
     "mm6_video_frames"   -> (mm6VideoFrames _),
     "mm5_audio_mixed"    -> (mm5AudioMixed _),

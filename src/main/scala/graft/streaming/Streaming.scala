@@ -12,6 +12,56 @@ case class RawEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value
 case class SessionOut(user_id: Long, session_id: Int, session_start: String,
                       n_events: Int, sum_value: Double)
 
+/** ST10 per-user running state: count, the value sum as an EXACT
+  * 6-decimal scaled long (order-independent integer accumulation — the
+  * same quantization as the oracle's `CAST(value AS DECIMAL(28,6))`),
+  * and the running max. */
+case class RunningStat(n: Long, sum6: Long, maxv: Double)
+
+/** ST10 emission: the per-user running aggregate as of this batch. */
+case class RunningStatOut(user_id: Long, n_events: Long,
+                          sum_value: Double, max_value: Double)
+
+/** ST10's stateful kernel — the Spark 4.x `transformWithState`
+  * arbitrary-state API (`StatefulProcessor` + typed `ValueState`,
+  * RocksDB-backed): one `RunningStat` per user, folded over each
+  * batch's rows and re-emitted, so the sink always carries the
+  * latest running aggregate per key. State size is one fixed-width
+  * row per user at any corpus size, and the store is partitioned by
+  * the same shuffle that routes the rows — the CDC/feature-store
+  * shape (`flatMapGroupsWithState`'s successor, with explicit typed
+  * state cells and per-cell TTL). */
+class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, RawEvent, RunningStatOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[RunningStat] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RunningStat](
+      "running", Encoders.product[RunningStat], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[RawEvent],
+                               tv: TimerValues): Iterator[RunningStatOut] = {
+    var acc =
+      if (st.exists()) st.get()
+      else RunningStat(0L, 0L, Double.NegativeInfinity)
+    rows.foreach { e =>
+      // quantize exactly as the oracle's DECIMAL(28,6) cast (HALF_UP)
+      val q = new java.math.BigDecimal(e.value)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      acc = RunningStat(acc.n + 1, acc.sum6 + q, math.max(acc.maxv, e.value))
+    }
+    st.update(acc)
+    Iterator.single(RunningStatOut(key, acc.n,
+      BigDecimal(acc.sum6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble, acc.maxv))
+  }
+}
+
 /** Structured Streaming surface over the `events` table.
   *
   * The reference is batch-only (SURVEY.md §2.2 — its "streaming" is
@@ -506,6 +556,66 @@ object Streaming {
         col("lang"), col("n_docs"), col("n_keep"))
   }
 
+  // ------------------------------------------------------------ ST10
+  /** ST10: per-user running statistics via `transformWithState` — the
+    * Spark 4.x arbitrary-state API that succeeds
+    * `flatMapGroupsWithState` (ST2 carries the legacy API; this is the
+    * modern one: explicit typed state cells fetched from a
+    * `StatefulProcessorHandle`, RocksDB-backed with changelog
+    * checkpointing, per-cell TTL). The processor keeps ONE fixed-width
+    * `RunningStat` per user and re-emits the running aggregate each
+    * time the key sees rows — the continuously-maintained per-entity
+    * feature row of a CDC/feature-store pipeline.
+    *
+    * The bounded replay may deliver the input in several micro-batches
+    * (append sink keeps every emission), so the final frame takes the
+    * LATEST emission per user — `max(struct(n_events, …))` is exact
+    * because the count strictly increases across a key's emissions.
+    * The oracle is the plain batch aggregate: on a bounded input the
+    * running aggregate's final value IS the batch answer, whatever the
+    * batch boundaries were. State: one row per user (~200 here);
+    * at 100 TB the store is hash-partitioned by the stateful shuffle
+    * and bounded by |users|, not history — the sum is an exact scaled
+    * long, so no accumulation-order drift either. */
+  def st10RunningStats(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    // transformWithState requires the RocksDB provider (StreamingSpec
+    // already pins the provider-equivalence claim for the other ops)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = runToMemory(s, st10Transform(s, eventStream(s, d)),
+      "graft_st10", OutputMode.Append())
+    st10Latest(raw).orderBy(col("user_id"))
+  }
+
+  /** The st10 stateful transform from a raw events stream (split out so
+    * specs can drive it with their own source options, e.g. multi-batch
+    * replay — state must carry the running aggregate across batches). */
+  private[graft] def st10Transform(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** Latest emission per user out of the append sink — exact because a
+    * key's emitted `n_events` strictly increases batch over batch. */
+  private[graft] def st10Latest(raw: DataFrame): DataFrame =
+    raw.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"), col("max_value")))
+        .as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_value").as("sum_value"), col("m.max_value").as("max_value"))
+
+  val st10Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st9Sql: String =
     """WITH w AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS ws FROM documents),
       |t AS (SELECT doc_id, x FROM w, unnest(ws) AS u(x)),
@@ -526,6 +636,7 @@ object Streaming {
 
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_running_stats" -> (st10RunningStats _),
     "st9_stream_quality" -> (st9StreamQuality _),
     "st8_stream_decontam" -> (st8StreamDecontam _),
     "st7_stream_simhash" -> (st7StreamSimhashDedup _),
@@ -537,6 +648,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st10_running_stats" -> st10Sql,
     "st9_stream_quality" -> st9Sql,
     // st8 is batch x12's exact answer computed continuously — same oracle
     "st8_stream_decontam" -> graft.operators.Dedup.x12Sql,

@@ -316,4 +316,34 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 <= b._3 })
     assert(rows.last._3 == 10000L)
   }
+
+  test("x20 stratified split matches a driver-side md5 recompute and " +
+       "partitions the corpus; duplicate texts co-assign") {
+    val got = graft.operators.Corpus.x20StratifiedSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent recompute: JVM MessageDigest, not Spark's md5
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+    def bucket(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val exp = docs.groupBy { r =>
+      val b = bucket(r.getString(2))
+      (r.getString(1), if (b < 90) "train" else if (b < 95) "val" else "test")
+    }.map { case (k, rs) =>
+      k -> (rs.length.toLong,
+        rs.map(_.getString(2).split(" ", -1).length.toLong).sum,
+        rs.map(_.getLong(0)).sum)
+    }
+    assert(got == exp, "split accounting diverged from the JVM md5 recompute")
+    assert(got.values.map(_._1).sum == docs.length,
+      "splits must partition the corpus exactly")
+    // (content-keyed assignment — equal texts share a bucket and hence
+    // a split — holds by construction and is pinned by the recompute
+    // equality above: the per-text bucket function is the whole key)
+  }
 }

@@ -484,6 +484,46 @@ class PipelineSpec extends AnyFunSuite {
       "JPEG decode not deterministic across runs")
   }
 
+  test("mm8 spectral detection: every planted tone detected with margin; " +
+       "a byte-swapped decode fails the gate") {
+    val rows = Multimodal.mm8AudioSpectral(spark, sf001).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf001).count()
+    assert(rows.length == nDocs, "every document must produce a spectral row")
+    assert(rows.forall(_.getAs[Boolean]("pass")),
+      "tone detection failed for some documents — decode or filter bank broken")
+    val ratios = rows.map(_.getAs[Double]("ratio4"))
+    info(f"mm8 tone/runner-up ratio: min=${ratios.min}%.1f " +
+      f"median=${ratios.sorted.apply(ratios.length / 2)}%.1f")
+    // the doc-keyed rotation must exercise the whole candidate bank
+    assert(rows.map(_.getAs[Int]("planted_hz")).distinct.sorted
+      .sameElements(Array(500, 1000, 1500, 2000, 2500, 3000, 3500)))
+    // negative control: the gate is not vacuous — byte-swapping the PCM
+    // frames (the endianness bug the decode path must not have)
+    // destroys the sinusoid and the planted tone loses its margin
+    val tone = 500
+    val samples = Array.tabulate[Short](2048) { i =>
+      math.rint(6000.0 * math.sin(2 * math.Pi * tone * i / 8000)).toShort
+    }
+    def goertzel(pcm: Array[Short], hz: Int): Double = {
+      val coeff = 2.0 * math.cos(2 * math.Pi * hz / 8000)
+      var s1 = 0.0; var s2 = 0.0
+      pcm.foreach { v =>
+        val s0 = v.toDouble + coeff * s1 - s2; s2 = s1; s1 = s0
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2
+    }
+    val swapped = samples.map { v =>
+      (((v & 0xff) << 8) | ((v >> 8) & 0xff)).toShort
+    }
+    val cands = Array(500, 1000, 1500, 2000, 2500, 3000, 3500)
+    val honest = cands.map(goertzel(samples, _))
+    val broken = cands.map(goertzel(swapped, _))
+    assert(honest(0) / honest.drop(1).max >= 10.0,
+      "honest decode must pass the gate for a pure tone")
+    assert(broken(0) < 10.0 * broken.drop(1).max,
+      "byte-swapped PCM still passed the tone gate — the invariant is vacuous")
+  }
+
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
        "features match mm2's WAV decode") {
     val feats = Multimodal.mm5AudioMixed(spark, sf001).collect()

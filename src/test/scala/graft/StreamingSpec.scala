@@ -312,6 +312,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st10 transformWithState running stats equal the batch aggregate") {
+    import org.apache.spark.sql.types.DecimalType
+    val got = graft.streaming.Streaming.st10RunningStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // ts is TIMESTAMP(NANOS) — footer schema conversion needs the
+    // legacy long mapping even though the projection skips the column
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val exp = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(DecimalType(28, 6))).cast("double"), 4)
+          .as("sv"),
+        max(col("value")).as("mv"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.sameElements(exp),
+      s"st10 running stats diverged from the batch aggregate " +
+        s"(${got.length} vs ${exp.length} users)")
+  }
+
+  test("st10 state carries the running aggregate across micro-batches") {
+    import java.nio.file.Files
+    // split events into 3 files by event_id mod 3 — a user's rows land
+    // in DIFFERENT micro-batches under maxFilesPerTrigger=1, so the
+    // final answer is right only if ValueState accumulates across them
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("value"))
+    val in = Files.createTempDirectory("graft_st10_in").toString
+    for (b <- 0 until 3) {
+      val tmp = Files.createTempDirectory("graft_st10_b").toString
+      events.filter(col("event_id") % 3 === b).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/b$b.parquet"))
+    }
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val out = graft.streaming.Streaming.st10Transform(scoped, stream)
+    val ckpt = Files.createTempDirectory("graft_st10_ck").toString
+    val q = out.writeStream.format("memory").queryName("graft_st10mb")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val raw = scoped.table("graft_st10mb")
+    val users = raw.select(col("user_id")).distinct().count()
+    assert(raw.count() > users,
+      "replay produced one emission per user — input did not span batches")
+    val got = graft.streaming.Streaming.st10Latest(raw)
+      .orderBy(col("user_id")).collect().map(_.toSeq)
+    val single = graft.streaming.Streaming.st10RunningStats(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.sameElements(single),
+      "multi-batch st10 running stats diverged from the single-batch replay")
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

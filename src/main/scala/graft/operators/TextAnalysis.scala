@@ -672,7 +672,59 @@ object TextAnalysis {
       |   AND 50 * s.stop_cnt >= s.n_words AND 5 * m.top_cnt <= s.n_words) AS keep
       |FROM s JOIN m USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- T14
+  /** T14: sliding-window passage chunking — the retrieval/context-prep
+    * step that turns documents into fixed-size overlapping token
+    * windows (64-token chunks, stride 48 ⇒ 16-token overlap, last
+    * chunk partial). Emits per chunk the token count and the md5 of
+    * the re-joined chunk text, so the oracle verifies exact chunk
+    * CONTENT and boundaries, not just counts — an off-by-one in the
+    * window arithmetic flips every hash.
+    *
+    * Chunk starts are 0, 48, 96, … with ⌈max(ntok−64, 0)/48⌉ + 1
+    * chunks per document: every token is covered, every document
+    * (however short) yields at least one chunk, and consecutive chunks
+    * share exactly 16 tokens — the overlap that keeps a passage
+    * retrievable when an answer straddles a boundary.
+    *
+    * Scale shape: `posexplode(sequence(…))` over a per-row integer +
+    * codegen'd `slice`/`concat_ws`/`md5` — a narrow ~1.33× row blow-up
+    * with ZERO shuffle (the ORDER BY is oracle determinism only). At
+    * 100 TB this is the same single-pass cost class as T3; the chunk
+    * table writes straight to the training shuffle's input. */
+  def t14Chunk(s: SparkSession, d: String): DataFrame = {
+    val W = 64; val S = 48
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("ntok", size(col("w")).cast("long"))
+      .select(col("doc_id"), col("w"), col("ntok"),
+        explode(sequence(lit(0),
+          expr(s"CAST((greatest(ntok - $W, 0) + ${S - 1}) DIV $S AS INT)")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("w"), col("chunk_id") * S + 1, lit(W))).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("w"), col("chunk_id") * S + 1, lit(W)))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val t14Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws, ntok,
+      |         unnest(generate_series(0,
+      |           CAST((greatest(ntok - 64, 0) + 47) // 48 AS INT))) AS chunk_id
+      |  FROM t)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |       CAST(least(64, ntok - chunk_id * 48) AS BIGINT) AS n_tok,
+      |       md5(array_to_string(
+      |         list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_chunk" -> (t14Chunk _),
     "t13_gopher_quality" -> (t13GopherQuality _),
     "t12_lm_perplexity" -> (t12LmPerplexity _),
     "t11_bm25_search" -> (t11Bm25Search _),
@@ -689,6 +741,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t14_chunk" -> t14Sql,
     "t13_gopher_quality" -> t13Sql,
     "t11_bm25_search" -> t11Sql,
     "t10_pii_redact" -> t10Sql,

@@ -62,6 +62,97 @@ class RunningStatsProcessor
   }
 }
 
+/** ST11 per-user state: the open session (when `open`), or a tombstone
+  * carrying the NEXT session id after a timer close (when !open) — the
+  * tombstone keeps session numbering exact under any micro-batch
+  * split, because a timer-closed session followed by a late-batch
+  * event must continue the count, not restart it. `sum6` is the exact
+  * 6-decimal scaled-long sum (st10's quantization). `timerMs` is the
+  * currently registered timer expiry, so a batch that extends the
+  * session deletes exactly the stale timer it supersedes. */
+case class St11State(sessionId: Int, startUs: Long, lastUs: Long,
+                     n: Int, sum6: Long, open: Boolean, timerMs: Long)
+
+/** ST11's stateful kernel: gap-based sessionization where the trailing
+  * open session is closed by an EVENT-TIME TIMER — the
+  * `transformWithState` timer facility (`registerTimer`/
+  * `handleExpiredTimer`, TimeMode.EventTime) doing what
+  * `GroupStateTimeout.EventTimeTimeout` does for the legacy API in
+  * [[Streaming.sessionizeIncremental]]. In-stream closes (a later
+  * event with gap > G) emit immediately; the per-key timer at
+  * lastTs + G fires when the watermark passes it and emits the final
+  * session without any closing event — the shape that lets a 100 TB
+  * session store evict state the moment a session CAN no longer
+  * change. */
+class SessionTimerProcessor(gapMinutes: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, RawEvent, SessionOut] {
+  import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState, ExpiredTimerInfo}
+  import org.apache.spark.sql.Encoders
+
+  private val gapUs = gapMinutes * 60L * 1000000
+  private val gapMs = gapMinutes * 60L * 1000
+
+  @transient private var st: ValueState[St11State] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[St11State](
+      "session", Encoders.product[St11State], TTLConfig.NONE)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+
+  private def toOut(userId: Long, s: St11State): SessionOut =
+    SessionOut(userId, s.sessionId, Streaming.fmtUs(s.startUs), s.n,
+      BigDecimal(s.sum6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  override def handleInputRows(key: Long, rows: Iterator[RawEvent],
+                               tv: TimerValues): Iterator[SessionOut] = {
+    var cur =
+      if (st.exists()) st.get()
+      else St11State(0, 0L, 0L, 0, 0L, open = false, timerMs = 0L)
+    val evs = rows.toArray
+      .map(e => (micros(e.ts), e.event_id, e.value)).sorted
+    val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    for ((t, _, v) <- evs) {
+      val q = new java.math.BigDecimal(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+      if (!cur.open)
+        cur = St11State(cur.sessionId, t, t, 1, q, open = true, cur.timerMs)
+      else if (t - cur.lastUs > gapUs) {
+        closed += toOut(key, cur)
+        cur = St11State(cur.sessionId + 1, t, t, 1, q, open = true, cur.timerMs)
+      } else
+        cur = cur.copy(lastUs = math.max(cur.lastUs, t), n = cur.n + 1,
+          sum6 = cur.sum6 + q)
+    }
+    if (cur.open) {
+      // supersede the previously registered close timer, if any
+      val expiry = cur.lastUs / 1000 + gapMs
+      if (cur.timerMs != 0L && cur.timerMs != expiry)
+        getHandle.deleteTimer(cur.timerMs)
+      if (cur.timerMs != expiry) getHandle.registerTimer(expiry)
+      cur = cur.copy(timerMs = expiry)
+    }
+    st.update(cur)
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessionOut] = {
+    if (!st.exists()) return Iterator.empty
+    val cur = st.get()
+    // a stale timer (superseded in a batch that also extended the
+    // session) must not close the live session
+    if (!cur.open || info.getExpiryTimeInMs < cur.timerMs) return Iterator.empty
+    val out = toOut(key, cur)
+    st.update(St11State(cur.sessionId + 1, 0L, 0L, 0, 0L,
+      open = false, timerMs = 0L))
+    Iterator.single(out)
+  }
+}
+
 /** Structured Streaming surface over the `events` table.
   *
   * The reference is batch-only (SURVEY.md §2.2 — its "streaming" is
@@ -111,6 +202,13 @@ object Streaming {
     c.conf.set("spark.sql.shuffle.partitions", parts.toString)
     c
   }
+
+  /** Microsecond-precision UTC formatter shared by the sessionizers
+    * (matches the oracle's `strftime(…, '%Y-%m-%d %H:%M:%S.%f')`). */
+  private[streaming] def fmtUs(us: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(us / 1000000, us % 1000000 * 1000))
 
   /** Checkpoint root for the bounded replays: state-store delta files
     * and offset/commit logs are fsync-heavy small-file IO — on a loaded
@@ -294,13 +392,8 @@ object Streaming {
     def micros(t: java.sql.Timestamp): Long =
       (t.getTime / 1000) * 1000000 + t.getNanos / 1000
 
-    def fmt(us: Long): String =
-      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-        .withZone(java.time.ZoneOffset.UTC)
-        .format(java.time.Instant.ofEpochSecond(us / 1000000, us % 1000000 * 1000))
-
     def toOut(userId: Long, s: OpenSession): SessionOut =
-      SessionOut(userId, s.sessionId, fmt(s.startUs), s.n,
+      SessionOut(userId, s.sessionId, fmtUs(s.startUs), s.n,
         BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     def fn(userId: Long, it: Iterator[RawEvent],
@@ -610,6 +703,72 @@ object Streaming {
       .select(col("user_id"), col("m.n_events").as("n_events"),
         col("m.sum_value").as("sum_value"), col("m.max_value").as("max_value"))
 
+  // ------------------------------------------------------------ ST11
+  /** ST11: timer-closed sessionization — ST2's gap sessions, but the
+    * trailing open session per user is emitted by an EVENT-TIME TIMER
+    * (`transformWithState` + `registerTimer`/`handleExpiredTimer`,
+    * TimeMode.EventTime) instead of requiring a closing event. The
+    * bounded replay's output is therefore DETERMINISTIC and
+    * SQL-expressible: every in-stream-closed session (the user has a
+    * later session), plus each user's last session iff its close timer
+    * expiry (last_ts + 30 min, in ms) is at or below the final
+    * watermark (global max ts − 1 min, in ms) — whatever the batch
+    * boundaries were (the tombstone state keeps numbering exact if a
+    * timer fires between batches).
+    *
+    * At 100 TB: state is one fixed-width row + one timer per OPEN
+    * session, and the timer eviction is exactly what bounds the store
+    * — a session's state dies the moment the watermark proves it can
+    * no longer change, rather than living until some scan notices.
+    * The legacy-API twin ([[sessionizeIncremental]], asserted
+    * prefix-consistent in StreamingSpec) stays as the comparison. */
+  def st11SessionTimers(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val raw = runToMemory(s, st11Transform(s, eventStream(s, d)),
+      "graft_st11", OutputMode.Append())
+    raw.orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** The st11 stateful transform (split out for multi-batch specs). */
+  private[graft] def st11Transform(s: SparkSession, events: DataFrame): DataFrame = {
+    import s.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withWatermark("ts", "1 minute")
+      .as[RawEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(30),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  val st11Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sessioned AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, CAST(session_id AS INT) AS session_id,
+      |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |    CAST(COUNT(*) AS INT) AS n_events,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
+      |    MAX(ts) AS session_end,
+      |    MAX(session_id) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM sessioned GROUP BY user_id, session_id)
+      |SELECT user_id, session_id, session_start, n_events, sum_value
+      |FROM sess
+      |WHERE session_id < last_sid
+      |   OR epoch_us(session_end) // 1000 + 1800000
+      |      <= epoch_us((SELECT max(ts) FROM events)) // 1000 - 60000
+      |ORDER BY user_id, session_id""".stripMargin
+
   val st10Sql: String =
     """SELECT user_id, count(*) AS n_events,
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value,
@@ -636,6 +795,7 @@ object Streaming {
 
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_session_timers" -> (st11SessionTimers _),
     "st10_running_stats" -> (st10RunningStats _),
     "st9_stream_quality" -> (st9StreamQuality _),
     "st8_stream_decontam" -> (st8StreamDecontam _),
@@ -648,6 +808,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st11_session_timers" -> st11Sql,
     "st10_running_stats" -> st10Sql,
     "st9_stream_quality" -> st9Sql,
     // st8 is batch x12's exact answer computed continuously — same oracle

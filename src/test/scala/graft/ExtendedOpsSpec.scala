@@ -346,4 +346,32 @@ class ExtendedOpsSpec extends AnyFunSuite {
     // a split — holds by construction and is pinned by the recompute
     // equality above: the per-text bucket function is the whole key)
   }
+
+  test("t14 chunking matches a JVM recompute; coverage and overlap exact") {
+    val got = TextAnalysis.t14Chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    val exp = docs.flatMap { r =>
+      val id = r.getLong(0)
+      val w = r.getString(1).split(" ", -1)
+      val nChunks = (math.max(w.length - 64, 0) + 47) / 48 + 1
+      (0 until nChunks).map { c =>
+        val chunk = w.slice(c * 48, math.min(c * 48 + 64, w.length))
+        (id, c) -> (chunk.length.toLong, md5(chunk.mkString(" ")))
+      }
+    }.toMap
+    assert(got == exp, "chunk set diverged from the JVM recompute")
+    // every token covered: per doc, sum of chunk sizes == ntok + 16·(chunks−1)
+    docs.foreach { r =>
+      val id = r.getLong(0); val ntok = r.getString(1).split(" ", -1).length
+      val sizes = got.collect { case ((d, _), (n, _)) if d == id => n }
+      assert(sizes.sum == ntok + 16L * (sizes.size - 1),
+        s"doc $id: chunk sizes ${sizes.toSeq} do not tile $ntok tokens with 16-overlap")
+    }
+  }
 }

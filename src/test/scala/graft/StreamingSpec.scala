@@ -333,6 +333,80 @@ class StreamingSpec extends AnyFunSuite {
         s"(${got.length} vs ${exp.length} users)")
   }
 
+  test("st11 timer sessionization is batch-split-invariant; timers fire") {
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("value"))
+    // split into 3 files by TIME tertile (a real stream arrives in time
+    // order): sessions span file boundaries, and the watermark after an
+    // early batch fires close timers MID-RUN — a user seen again later
+    // must continue session numbering through the tombstone state
+    val byTime = events.orderBy(col("ts"), col("event_id")).collect()
+    val n = byTime.length
+    val in = Files.createTempDirectory("graft_st11_in").toString
+    Seq(byTime.slice(0, n / 3), byTime.slice(n / 3, 2 * n / 3),
+        byTime.slice(2 * n / 3, n)).zipWithIndex.foreach { case (rows, b) =>
+      val tmp = Files.createTempDirectory("graft_st11_b").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq), events.schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, java.nio.file.Paths.get(s"$in/b$b.parquet"))
+    }
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = scoped.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val out = graft.streaming.Streaming.st11Transform(scoped, stream)
+    val ckpt = Files.createTempDirectory("graft_st11_ck").toString
+    val q = out.writeStream.format("memory").queryName("graft_st11mb")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = scoped.table("graft_st11mb")
+      .orderBy(col("user_id"), col("session_id")).collect().map(_.toSeq)
+    val single = graft.streaming.Streaming.st11SessionTimers(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.sameElements(single),
+      "multi-batch st11 sessions diverged from the single-batch replay")
+    // the run exercised both close paths: some last-sessions were
+    // timer-closed (emitted without a closing event), some withheld
+    // (expiry above the final watermark)
+    events.createOrReplaceTempView("__st11_events")
+    val total = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT user_id, s FROM (
+        |    SELECT user_id, sum(new_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS s FROM (
+        |      SELECT user_id, ts, event_id, CASE WHEN unix_micros(ts) -
+        |        lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM __st11_events)) GROUP BY user_id, s)""".stripMargin)
+      .head().getLong(0)
+    assert(single.length < total, "no trailing session was withheld — the " +
+      "watermark condition is vacuous at this fixture")
+    val lastEmitted = scoped.table("graft_st11mb")
+      .groupBy(col("user_id")).agg(max(col("session_id")).as("ls")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nSessions = spark.sql(
+      """SELECT user_id, sum(new_s) + 1 AS ns FROM (
+        |  SELECT user_id, CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM __st11_events) GROUP BY user_id""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val timerClosed = lastEmitted.count { case (u, ls) =>
+      nSessions.get(u).contains(ls + 1L) }
+    assert(timerClosed > 0, "no last-session was timer-closed — the timer " +
+      "path went unexercised")
+  }
+
   test("st10 state carries the running aggregate across micro-batches") {
     import java.nio.file.Files
     // split events into 3 files by event_id mod 3 — a user's rows land

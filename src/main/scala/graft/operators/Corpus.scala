@@ -306,7 +306,84 @@ object Corpus {
       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- X21
+  /** One physical partition's zone-map row, emitted by [[x21RangeLayout]]:
+    * row count, first/last cluster key in arrival order, and whether
+    * every consecutive pair arrived non-decreasing (proves the
+    * sort-within-partitions actually held — first/last alone can't). */
+  case class ZoneRow(pid: Int, n_rows: Long,
+                     min_lang: String, min_nc: Long, min_id: Long,
+                     max_lang: String, max_nc: Long, max_id: Long,
+                     sorted_ok: Boolean)
+
+  /** X21: write-layout clustering + zone-map audit — the step that
+    * decides whether a 100 TB corpus's parquet files are SKIPPABLE.
+    * `repartitionByRange(lang, n_chars, doc_id)` + `sortWithinPartitions`
+    * is exactly the layout a `partitionBy`-free clustered write produces:
+    * each output file covers one contiguous key range, so parquet
+    * row-group min/max stats turn a `lang = 'en' AND n_chars > x`
+    * predicate into file-level skips instead of a full scan. The
+    * operator materializes the layout's own audit: one zone-map row per
+    * physical partition (count, first/last key, in-partition sortedness
+    * observed row-by-row), then checks GLOBAL disjointness — sorted by
+    * min key, every partition's max must be ≤ the next partition's min
+    * (ties allowed: equal keys may legally straddle a range boundary).
+    *
+    * `pass` gates all of it (Verify.gateInvariants): a broken range
+    * exchange, an unsorted partition, or overlapping zones all fail the
+    * query. No SQL oracle — RangePartitioner samples its boundaries, so
+    * the pid → rows assignment is an execution detail; the INVARIANT
+    * (disjoint sorted zones partitioning the corpus) is the contract.
+    *
+    * Scale shape: ONE range shuffle (the same exchange the write would
+    * need anyway), zone rows reduce to numPartitions rows, and the
+    * disjointness check is a lag window over that tiny frame. */
+  def x21RangeLayout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = Seq(col("lang"), col("n_chars"), col("doc_id"))
+    val clustered = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(8, key: _*)
+      .sortWithinPartitions(key: _*)
+    val zones = clustered.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val first = it.next()
+        def k(r: org.apache.spark.sql.Row): (String, Long, Long) =
+          (r.getString(1), r.getLong(2), r.getLong(0))
+        var last = k(first); val min = last
+        var n = 1L; var sorted = true
+        while (it.hasNext) {
+          val cur = k(it.next())
+          if (Ordering[(String, Long, Long)].lt(cur, last)) sorted = false
+          last = cur; n += 1
+        }
+        Iterator.single(ZoneRow(pid, n, min._1, min._2, min._3,
+          last._1, last._2, last._3, sorted))
+      }
+    }.toDF()
+    zoneAudit(zones)
+  }
+
+  /** The global-disjointness audit over a zone-map frame (split out so
+    * the spec can prove it FAILS on overlapping/unsorted zones). */
+  private[graft] def zoneAudit(zones: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("min_lang"), col("min_nc"), col("min_id"))
+    zones
+      .withColumn("prev_max",
+        lag(struct(col("max_lang"), col("max_nc"), col("max_id")), 1).over(w))
+      .withColumn("pass",
+        col("sorted_ok") &&
+          (col("prev_max").isNull ||
+            col("prev_max") <= struct(col("min_lang"), col("min_nc"), col("min_id"))))
+      .drop("prev_max")
+      .orderBy(col("min_lang"), col("min_nc"), col("min_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x21_range_layout" -> (x21RangeLayout _),
     "x14_sequence_pack" -> (x14SequencePack _),
     "x15_mixture_sample" -> (x15MixtureSample _),
     "x16_budget_select" -> (x16BudgetSelect _),

@@ -347,6 +347,29 @@ class ExtendedOpsSpec extends AnyFunSuite {
     // equality above: the per-text bucket function is the whole key)
   }
 
+  test("x21 range layout: zones partition the corpus, disjoint and sorted; " +
+       "the audit fails overlapping or unsorted zones") {
+    val zones = graft.operators.Corpus.x21RangeLayout(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(zones.map(_.getLong(1)).sum == nDocs,
+      "zone rows must partition the corpus exactly")
+    assert(zones.length >= 2, "need >= 2 zones for disjointness to bite")
+    assert(zones.forall(_.getBoolean(9)), "a zone failed the audit")
+    // negative controls: the audit must REJECT a broken layout
+    import spark.implicits._
+    val overlapping = Seq(
+      graft.operators.Corpus.ZoneRow(0, 5, "en", 0, 0, "en", 100, 9, true),
+      graft.operators.Corpus.ZoneRow(1, 5, "en", 50, 3, "fr", 10, 2, true))
+      .toDF()
+    assert(graft.operators.Corpus.zoneAudit(overlapping).collect()
+      .exists(!_.getBoolean(9)), "audit passed OVERLAPPING zones")
+    val unsorted = Seq(
+      graft.operators.Corpus.ZoneRow(0, 5, "en", 0, 0, "en", 100, 9, false))
+      .toDF()
+    assert(graft.operators.Corpus.zoneAudit(unsorted).collect()
+      .forall(!_.getBoolean(9)), "audit passed an UNSORTED partition")
+  }
+
   test("t14 chunking matches a JVM recompute; coverage and overlap exact") {
     val got = TextAnalysis.t14Chunk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getString(3)))

@@ -233,6 +233,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 chunking plans with zero exchanges; x21 plans exactly one range exchange") {
+    val t14 = graft.operators.TextAnalysis.t14Chunk(spark, sf001)
+    val t14Plan = t14.queryExecution.executedPlan.toString
+    // the ONLY exchange allowed is the oracle-determinism ORDER BY's
+    // range partition; any hash exchange means an accidental
+    // groupBy/join crept into what must be a pure narrow projection
+    assert(!t14Plan.toLowerCase.contains("hashpartitioning"),
+      s"t14 must be a pure narrow projection, found a hash shuffle:\n$t14Plan")
+    assert("rangepartitioning".r.findAllIn(t14Plan.toLowerCase).length <= 1,
+      s"t14 shuffles beyond the final oracle sort:\n$t14Plan")
+    val x21 = graft.operators.Corpus.x21RangeLayout(spark, sf001)
+    x21.collect()
+    // AQE prints "== Final Plan ==" then "== Initial Plan ==" — count
+    // operators in the final section only, or every exchange doubles
+    val x21Plan = x21.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val rangeEx = "rangepartitioning".r
+      .findAllIn(x21Plan.toLowerCase).length
+    assert(rangeEx >= 1, s"x21 lost its range exchange:\n$x21Plan")
+    // corpus-side: exactly the one range exchange (below mapPartitions);
+    // the other exchanges move the <= numPartitions-row zone frame
+    // (window single-partition + oracle sort) — free at any corpus size
+    val shuffles = "Exchange ".r.findAllIn(x21Plan).length
+    assert(shuffles <= 4,
+      s"x21 grew unexpected exchanges:\n$x21Plan")
+    val corpusRange = "rangepartitioning\\(lang".r
+      .findAllIn(x21Plan.toLowerCase).length
+    assert(corpusRange == 1,
+      s"x21's corpus must shuffle exactly once, by range on the cluster key:\n$x21Plan")
+  }
+
   test("s9/s10 ADC shortlist plans as WindowGroupLimit (map-side rank pushdown)") {
     for ((name, df) <- Seq("s9" -> Similarity.s9AnnPq(spark, sf01),
                            "s10" -> Similarity.s10AnnIvfPq(spark, sf01))) {

@@ -62,6 +62,20 @@ class RunningStatsProcessor
   }
 }
 
+/** Microsecond-precision UTC formatter shared by the sessionizers
+  * (matches the oracle's `strftime(…, '%Y-%m-%d %H:%M:%S.%f')`).
+  * A STANDALONE object, deliberately: calling a method of the
+  * enclosing `Streaming` object from inside a task closure compiles
+  * to an instance call that captures the whole (non-serializable)
+  * module; calls here are static `MODULE$` accesses and capture
+  * nothing. */
+private[streaming] object StreamFmt {
+  def us(v: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(v / 1000000, v % 1000000 * 1000))
+}
+
 /** ST11 per-user state: the open session (when `open`), or a tombstone
   * carrying the NEXT session id after a timer close (when !open) — the
   * tombstone keeps session numbering exact under any micro-batch
@@ -103,7 +117,7 @@ class SessionTimerProcessor(gapMinutes: Int)
     (t.getTime / 1000) * 1000000 + t.getNanos / 1000
 
   private def toOut(userId: Long, s: St11State): SessionOut =
-    SessionOut(userId, s.sessionId, Streaming.fmtUs(s.startUs), s.n,
+    SessionOut(userId, s.sessionId, StreamFmt.us(s.startUs), s.n,
       BigDecimal(s.sum6, 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   override def handleInputRows(key: Long, rows: Iterator[RawEvent],
@@ -202,13 +216,6 @@ object Streaming {
     c.conf.set("spark.sql.shuffle.partitions", parts.toString)
     c
   }
-
-  /** Microsecond-precision UTC formatter shared by the sessionizers
-    * (matches the oracle's `strftime(…, '%Y-%m-%d %H:%M:%S.%f')`). */
-  private[streaming] def fmtUs(us: Long): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.ofEpochSecond(us / 1000000, us % 1000000 * 1000))
 
   /** Checkpoint root for the bounded replays: state-store delta files
     * and offset/commit logs are fsync-heavy small-file IO — on a loaded
@@ -393,7 +400,7 @@ object Streaming {
       (t.getTime / 1000) * 1000000 + t.getNanos / 1000
 
     def toOut(userId: Long, s: OpenSession): SessionOut =
-      SessionOut(userId, s.sessionId, fmtUs(s.startUs), s.n,
+      SessionOut(userId, s.sessionId, StreamFmt.us(s.startUs), s.n,
         BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
     def fn(userId: Long, it: Iterator[RawEvent],

@@ -112,10 +112,14 @@ object Bench {
     val failed = failedJson(failedNames)
     // The last degradation rung must be GUARANTEED under the tail
     // window no matter how many queries failed: cap the embedded list
-    // at 8 names (≤ ~250 chars) and carry the true size separately.
+    // at 8 names (≤ ~250 chars) and carry the true size separately —
+    // under the name `failed_sample`, so a capped list can never read
+    // as contradicting `failed_count` (a `failed` list always has
+    // exactly failed_count entries).
     val failedCapped =
       if (failedNames.size <= 8) failed
-      else failedJson(failedNames.take(8)) + s""","failed_count":${failedNames.size}"""
+      else failedNames.take(8).mkString(",\"failed_sample\":[", ",", "]") +
+        s""","failed_count":${failedNames.size}"""
     val total = results.values.filter(_ >= 0).sum
     val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir)
       .map(_.group(1)).getOrElse("\"" + sfDir + "\"")

@@ -70,9 +70,9 @@ object ScaleSweep {
     }
     embCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    // events: raw read (TIMESTAMP(NANOS) → long via nanosAsLong; the
-    // scaled table stores plain int64 nanos, which Tables.events'
-    // `ts DIV 1000` rebuild reads identically)
+    // events: raw read, ts copied verbatim under either on-disk
+    // encoding (TIMESTAMP(NANOS) → long via nanosAsLong, or
+    // TIMESTAMP(MICROS) → timestamp); Tables.events normalizes both
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$base/events.parquet")
     val evOff = ev.agg(max(col("event_id"))).head.getLong(0) + 1

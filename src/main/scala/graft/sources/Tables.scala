@@ -23,16 +23,38 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read nanos as long and rebuild a TimestampType column. The generated
-    * values are µs-aligned (verified: epoch_ns % 1000 == 0 for all rows),
-    * so `DIV 1000` is lossless; integer division avoids the >2^53 double
-    * precision trap of `/`. */
+  /** The driver's testdata generations have shipped `events.ts` under
+    * two different parquet encodings, and a reader pinned to either one
+    * breaks when the corpus is regenerated under the other:
+    *
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright unless
+    *    `nanosAsLong` maps it to a raw long — values are µs-aligned
+    *    (verified: epoch_ns % 1000 == 0), so `DIV 1000` is a lossless
+    *    rebuild (integer division avoids the >2^53 double trap of `/`).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ, which the `java.sql.Timestamp` encoders and
+    *    TimestampType-expecting expressions downstream don't accept.
+    *
+    * Dispatch on the footer schema and normalize both to a plain
+    * TimestampType column (sessions here run UTC, so the NTZ cast is
+    * value-identity). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** Normalize an events frame's `ts` to TimestampType whatever the
+    * on-disk encoding was (shared with the streaming source, which
+    * probes the same footer schema to declare its read schema). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

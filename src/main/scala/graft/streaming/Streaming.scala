@@ -183,9 +183,12 @@ class SessionTimerProcessor(gapMinutes: Int)
   */
 object Streaming {
 
-  /** events.parquet carries TIMESTAMP(NANOS); the stream source reads
-    * nanos as long (µs-aligned, verified) and rebuilds a timestamp —
-    * same convention as [[graft.sources.Tables.events]]. */
+  /** `events.ts` encoding varies across driver testdata generations
+    * (TIMESTAMP(NANOS) readable only as raw long, vs TIMESTAMP(MICROS)
+    * inferred as NTZ) — see [[graft.sources.Tables.events]]. A stream
+    * source needs a declared schema, so probe the footer via a batch
+    * read, declare `ts` as the file's own type, and normalize with the
+    * same dispatch the batch reader uses. */
   private val rawSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -193,11 +196,14 @@ object Streaming {
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val onDiskTs = s.read.parquet(s"$d/events.parquet").schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = onDiskTs) else f))
     // "[t]" glob: the file source requires a directory or glob (a bare
     // file path fails basePath inference); the one-char class matches
     // only events.parquet and makes basePath the parent dir.
-    s.readStream.schema(rawSchema).parquet(s"$d/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.sources.Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(s"$d/events.parque[t]"))
   }
 
   /** Stateful-shuffle width is a DESIGN choice fixed at the query's

@@ -100,13 +100,11 @@ class StreamingSpec extends AnyFunSuite {
     // foreachBatch is the production escape hatch: arbitrary batch sinks
     // (JDBC, upsert, parquet compaction) from a streaming query.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(
-        org.apache.spark.sql.types.StructType(schema.fields.map {
-          case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-          case f => f
-        }))
-      .parquet(s"$sf/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // declare the file's own footer schema (ts encoding varies across
+    // testdata generations) and normalize like the engine's source does
+    val onDisk = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = graft.sources.Tables.normalizeEventTs(
+        spark.readStream.schema(onDisk).parquet(s"$sf/events.parque[t]"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
     val q = stream.writeStream
@@ -335,10 +333,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("st11 timer sessionization is batch-split-invariant; timers fire") {
     import java.nio.file.Files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("user_id"), col("value"))
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     // split into 3 files by TIME tertile (a real stream arrives in time
     // order): sessions span file boundaries, and the watermark after an
     // early batch fires close timers MID-RUN — a user seen again later
@@ -412,10 +408,8 @@ class StreamingSpec extends AnyFunSuite {
     // split events into 3 files by event_id mod 3 — a user's rows land
     // in DIFFERENT micro-batches under maxFilesPerTrigger=1, so the
     // final answer is right only if ValueState accumulates across them
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
-        col("user_id"), col("value"))
+    val events = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
     val in = Files.createTempDirectory("graft_st10_in").toString
     for (b <- 0 until 3) {
       val tmp = Files.createTempDirectory("graft_st10_b").toString

@@ -382,7 +382,84 @@ object Corpus {
       .orderBy(col("min_lang"), col("min_nc"), col("min_id"))
   }
 
+  // ------------------------------------------------------------- X22
+  /** Snapshot DIFF accounting — what changed between two corpus
+    * versions (the ingest-audit every recurring crawl/refresh pipeline
+    * runs before retraining: how many documents appeared, vanished, or
+    * were revised per source, and what that did to the token budget).
+    * The two snapshots are derived deterministically from the one
+    * documents table: the OLD snapshot lacks doc_id % 7 = 0 (those are
+    * the adds), the NEW snapshot lacks doc_id % 11 = 3 (the removes)
+    * and revises the text of doc_id % 5 = 0 (the changes, + ' rev2').
+    *
+    * Change detection is by CONTENT hash, not timestamps — the property
+    * that makes the diff correct under re-ingestion no matter what the
+    * crawler's metadata claims (same principle as x20's content-keyed
+    * split). Emits per-(source, status) doc counts, the token delta
+    * (new − old, so the budget impact of revisions is visible), and an
+    * id checksum pinning exact membership.
+    *
+    * Scale shape: each snapshot reduces to a narrow (doc_id, source,
+    * md5, ntok) projection BEFORE the join — document text never enters
+    * the exchange; the full-outer join shuffles those slim rows by
+    * doc_id (with both snapshots bucketed/clustered on doc_id — x21's
+    * layout — it plans Exchange-free); the accounting is a map-side-
+    * combinable aggregate with |sources|·4 output rows. */
+  def x22SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    def proj(df: DataFrame, revised: Boolean): DataFrame = {
+      val txt =
+        if (revised)
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))
+        else col("text")
+      df.select(col("doc_id"), col("source"), md5(txt).as("h"),
+        size(split(txt, " ")).cast("long").as("ntok"))
+    }
+    val docs = documents(s, d)
+    val old = proj(docs.filter(col("doc_id") % 7 =!= 0), revised = false)
+    val nw = proj(docs.filter(col("doc_id") % 11 =!= 3), revised = true)
+    old.as("o").join(nw.as("n"), col("o.doc_id") === col("n.doc_id"), "full_outer")
+      .select(
+        coalesce(col("n.source"), col("o.source")).as("source"),
+        when(col("o.doc_id").isNull, "added")
+          .when(col("n.doc_id").isNull, "removed")
+          .when(col("o.h") =!= col("n.h"), "changed")
+          .otherwise("unchanged").as("status"),
+        coalesce(col("n.doc_id"), col("o.doc_id")).as("id"),
+        (coalesce(col("n.ntok"), lit(0L)) - coalesce(col("o.ntok"), lit(0L)))
+          .as("dtok"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dtok")).as("tok_delta"),
+        sum(col("id")).as("id_sum"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val x22Sql: String =
+    """WITH olds AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |news AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h,
+      |         CAST(len(string_split(
+      |           CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, ' '))
+      |           AS BIGINT) AS ntok
+      |  FROM documents WHERE doc_id % 11 <> 3)
+      |SELECT coalesce(n.source, o.source) AS source,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.h <> n.h THEN 'changed'
+      |       ELSE 'unchanged' END AS status,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(coalesce(n.ntok, 0) - coalesce(o.ntok, 0)) AS BIGINT) AS tok_delta,
+      |  CAST(SUM(coalesce(n.doc_id, o.doc_id)) AS BIGINT) AS id_sum
+      |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x22_snapshot_diff" -> (x22SnapshotDiff _),
     "x21_range_layout" -> (x21RangeLayout _),
     "x14_sequence_pack" -> (x14SequencePack _),
     "x15_mixture_sample" -> (x15MixtureSample _),
@@ -391,6 +468,7 @@ object Corpus {
     "x20_stratified_split" -> (x20StratifiedSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x22_snapshot_diff" -> x22Sql,
     "x14_sequence_pack" -> x14Sql,
     "x15_mixture_sample" -> x15Sql,
     "x16_budget_select" -> x16Sql,

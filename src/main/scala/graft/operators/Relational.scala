@@ -974,8 +974,76 @@ object Relational {
       |FROM wide UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_revenue))
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  // ---------------------------------------------------------------- R34 (SCD type-2 history build)
+  /** Slowly-changing-dimension TYPE-2 build: each user's event_type
+    * change history compiled into validity intervals [valid_from,
+    * valid_to) with the open (current) interval carrying NULL valid_to
+    * — the write side of the dimension table whose read side is r19's
+    * as-of join (and whose degenerate keep-only-latest form is r24).
+    * A change point is any event whose type differs from the user's
+    * previous event (ties broken by event_id); the interval carries its
+    * event count and exact decimal value sum.
+    *
+    * Scale: every step is keyed by user_id — the change-flag window,
+    * the running interval-id sum, the (user_id, grp) interval
+    * aggregate, and the valid_to lead all reuse ONE hash exchange
+    * (HashPartitioning(user_id) satisfies each downstream clustering
+    * requirement), so the whole history build is a single shuffle of
+    * the events at any scale; the lead runs over interval rows, which
+    * are bounded by the CHANGE count, not history length. */
+  def r34(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(byTime)
+    val byInterval = Window.partitionBy(col("user_id")).orderBy(col("grp"))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    events(s, d)
+      .withColumn("chg",
+        when(prevType.isNull || prevType =!= col("event_type"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("vf"),
+        count(lit(1)).cast("int").as("n_events"),
+        r4(dsum(col("value"))).as("sum_value"))
+      .withColumn("vt", lead(col("vf"), 1).over(byInterval))
+      .select(col("user_id"), col("event_type"),
+        date_format(col("vf"), fmt).as("valid_from"),
+        date_format(col("vt"), fmt).as("valid_to"),
+        col("vt").isNull.as("is_current"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  val r34Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |grouped AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM flagged),
+      |iv AS (
+      |  SELECT user_id, grp, MIN(event_type) AS event_type, MIN(ts) AS vf,
+      |         CAST(COUNT(*) AS INT) AS n_events,
+      |         ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_value
+      |  FROM grouped GROUP BY user_id, grp)
+      |SELECT user_id, event_type,
+      |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  strftime(lead(vf) OVER iw, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+      |  lead(vf) OVER iw IS NULL AS is_current,
+      |  n_events, sum_value
+      |FROM iv
+      |WINDOW iw AS (PARTITION BY user_id ORDER BY grp)
+      |ORDER BY user_id, valid_from""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r34_scd2_history"   -> (r34 _),
     "r32_session_window" -> (r32 _),
     "r33_unpivot" -> (r33 _),
     "r01_filter_project" -> (r01 _),
@@ -1051,6 +1119,7 @@ object Relational {
     "r31_exact_percentile" -> r31Sql,
     "r32_session_window" -> r32Sql,
     "r33_unpivot" -> r33Sql,
+    "r34_scd2_history" -> r34Sql,
     "x1_exact_dedup"     -> x1Sql,
     "x3_text_stats"      -> x3Sql,
     "x5_pipeline"        -> x5Sql)

@@ -994,7 +994,8 @@ object Similarity {
     * S7 (full build) and S8 (build + incremental append). */
   private[graft] def probeIndex(s: SparkSession, path: String, e: DataFrame,
                          anchors: Array[(Int, Array[Double])],
-                         nProbe: Int): DataFrame = {
+                         nProbe: Int,
+                         mask: Option[DataFrame] = None): DataFrame = {
     val idx = s.read.parquet(path)
     // query side: same derivation as s6, restricted to the query rows
     val qSide = e.filter(col("vec_id") < NQueries)
@@ -1010,10 +1011,15 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
 
     // int8 scoring over the PRUNED scan: only probed cell directories,
-    // only (vec_id, qv8, nq2) columns — the floats stay on disk
-    val cand = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+    // only (vec_id, qv8, nq2) columns — the floats stay on disk. A
+    // tombstone mask (s12's delete log, ≪ corpus) is a broadcast
+    // left_anti on vec_id: deleted rows never enter scoring, so they
+    // can't reach the shortlist or the float rerank either.
+    val cand0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id"), expr("transform(qv8, x -> cast(x AS bigint))").as("qv"),
         col("nq2"), col("cell"))
+    val cand = mask.fold(cand0)(t =>
+      cand0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     val scoredQ = probes.as("q")
       .join(cand.as("e"),
         col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
@@ -1137,6 +1143,117 @@ object Similarity {
     val (path, anchors, nProbe) = incrIndexPath(s, d)
     withRecallGate(s, d, probeIndex(s, path, prepared(s, d), anchors, nProbe),
       floor = 0.7)
+  }
+
+  // ------------------------------------------------------------- S12
+  /** The tombstoned id set for s12: every 17th corpus vector is
+    * deleted (query vectors excluded so the probe surface is
+    * unchanged). In production this is the recent delete log — tiny
+    * relative to the index, which is exactly why the serving path can
+    * afford to mask it per query instead of rewriting the index. */
+  private[graft] def tombstones(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"))
+      .filter(col("vec_id") % 17 === 5 && col("vec_id") >= NQueries)
+
+  /** S12: DELETE serving against the durable ANN index — the missing
+    * CRUD member of the index family (S7 build/probe, S8 append). The
+    * index on disk is NOT touched: deletes are a tombstone id set
+    * masked out of the probe's int8 scoring scan by a broadcast
+    * left_anti join (the X12-decontamination move applied to the
+    * vector index), so a delete is visible to search the moment it is
+    * logged, at zero write cost. The durable artifact stays shared
+    * with s7/s9/s10/s11 — immutability is what makes their fingerprint
+    * reuse sound. Reclaiming the space is a SEPARATE maintenance pass
+    * ([[compactIndex]]): rewrite ONLY the cells that carry tombstones,
+    * copy every other cell's files byte-for-byte — cost ∝ affected
+    * cells, not corpus (PipelineSpec proves masked-probe ≡
+    * compacted-probe bit-identically and that untouched cells' files
+    * survive verbatim).
+    *
+    * Gates (both driver-enforced via Verify.gateInvariants): recall ≥
+    * 0.7 against the EXACT top-K among surviving vectors, and
+    * `no_deleted_ok` — no tombstoned id may ever surface (soundness,
+    * the guarantee a filtered-ANN user actually relies on). */
+  def s12AnnDelete(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors, nCells) = ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
+    val tomb = tombstones(s, d)
+    val res = probeIndex(s, path, prepared(s, d), anchors, nProbe,
+      mask = Some(tomb))
+    // exact baseline among SURVIVORS only (s1's plan with the same
+    // broadcast anti-mask on the corpus side)
+    val e = prepared(s, d)
+    val live = e.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val exact = rerank(q.as("q")
+      .join(live.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        cos4(col("q.nrm"), col("e.nrm")).as("cos4")))
+      .select(col("query_id"), col("neighbor_id"))
+    val total = exact.count()
+    val hits = res.select(col("query_id"), col("neighbor_id"))
+      .intersect(exact).count()
+    val recall = hits.toDouble / total
+    val deletedHits = res.join(broadcast(tomb),
+      res("neighbor_id") === tomb("vec_id")).count()
+    res
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+      .withColumn("no_deleted_ok", lit(deletedHits == 0L))
+  }
+
+  /** Targeted index compaction — the maintenance pass that makes s12's
+    * tombstones physical. Only the (label, cell) partitions that carry
+    * tombstoned rows are rewritten (minus those rows); every other
+    * partition's parquet files and the root sidecars are copied
+    * byte-for-byte, so compaction cost scales with the AFFECTED cell
+    * count, never the corpus. Writes to a fresh directory — the live
+    * index is immutable (s7/s9/s10/s11 fingerprint reuse depends on
+    * that); the caller swaps paths when it adopts the compacted
+    * generation. */
+  private[graft] def compactIndex(s: SparkSession, srcPath: String,
+                                  dstPath: String, tomb: DataFrame): Unit = {
+    val idx = s.read.parquet(srcPath)
+    val affected = idx.join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("label"), col("cell")).distinct()
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val src = java.nio.file.Paths.get(srcPath)
+    val dst = java.nio.file.Paths.get(dstPath)
+    // copy sidecars + unaffected partition files verbatim
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val rel = src.relativize(p).toString
+        def part(prefix: String): Option[String] =
+          rel.split('/').find(_.startsWith(prefix + "="))
+            .map(_.substring(prefix.length + 1))
+        val hit = (part("label"), part("cell")) match {
+          case (Some(l), Some(c)) => affected.contains((l, c))
+          case _ => false // root sidecar / non-partition file
+        }
+        if (!hit) {
+          val out = dst.resolve(rel)
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.copy(p, out,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    } finally walk.close()
+    if (affected.nonEmpty) {
+      // rewrite ONLY the affected partitions, minus the tombstoned rows
+      val aff = affected.toSeq
+      val affDf = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(aff.map(t =>
+          org.apache.spark.sql.Row(t._1.toInt, t._2.toInt)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType)))))
+      idx.join(affDf, Seq("label", "cell"))
+        .join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .write.mode("append").partitionBy("label", "cell").parquet(dstPath)
+    }
   }
 
   // ------------------------------------------------------------- S9
@@ -1674,6 +1791,7 @@ object Similarity {
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_ann_delete"    -> (s12AnnDelete _),
     "s11_ann_filtered"  -> (s11AnnFiltered _),
     "s1_ann_bruteforce" -> (s1BruteForce _),
     "s2_ann_lsh"        -> (s2AnnLsh _),

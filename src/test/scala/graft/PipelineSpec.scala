@@ -660,6 +660,73 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.length > 20, "retrain did not rewrite the corrupted sidecar")
   }
 
+  test("s12 delete: tombstones never surface; masked probe ≡ compacted probe; " +
+    "compaction rewrites only affected cells") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val d = sf01
+    val tomb = Similarity.tombstones(spark, d)
+    val tombIds = tomb.collect().map(_.getLong(0)).toSet
+    assert(tombIds.nonEmpty, "tombstone set empty — spec has no teeth")
+
+    // the query's own gates hold, and soundness re-checked directly
+    val res = Similarity.s12AnnDelete(spark, d).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getAs[Boolean]("recall_ok")), "recall gate red")
+    assert(res.forall(r => r.getAs[Boolean]("no_deleted_ok")), "in-query soundness gate red")
+    assert(res.forall(r => !tombIds.contains(r.getAs[Long]("neighbor_id"))),
+      "a tombstoned id surfaced in the top-k")
+
+    // compaction: masked probe of the live index ≡ unmasked probe of the
+    // compacted generation, bit for bit
+    val (srcPath, anchors, nCells) = Similarity.ivfIndex(spark, d)
+    val nProbe = math.max(4, nCells / 4)
+    val dst = java.nio.file.Files.createTempDirectory("graft_s12_compact").toString
+    Similarity.compactIndex(spark, srcPath, dst, tomb)
+    val masked = Similarity.probeIndex(spark, srcPath,
+        Similarity.prepared(spark, d), anchors, nProbe, Some(tomb))
+      .collect().map(_.toSeq)
+    val compacted = Similarity.probeIndex(spark, dst,
+        Similarity.prepared(spark, d), anchors, nProbe)
+      .collect().map(_.toSeq)
+    assert(masked.sameElements(compacted),
+      "compacted-index probe diverged from tombstone-masked probe")
+
+    // targeted rewrite: some cells are affected (rewritten), the rest
+    // copied byte-for-byte at their original relative paths
+    val idx = spark.read.parquet(srcPath)
+    val affected = idx.join(tomb, Seq("vec_id"))
+      .select(col("label"), col("cell")).distinct().collect()
+      .map(r => (r.get(0).toString, r.get(1).toString)).toSet
+    val allCells = idx.select(col("label"), col("cell")).distinct().count()
+    assert(affected.nonEmpty && affected.size < allCells,
+      s"compaction not targeted: ${affected.size} of $allCells cells affected")
+    val src = java.nio.file.Paths.get(srcPath)
+    def partOf(rel: String, prefix: String): Option[String] =
+      rel.split('/').find(_.startsWith(prefix + "="))
+        .map(_.substring(prefix.length + 1))
+    val walk = java.nio.file.Files.walk(src)
+    val untouched =
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => (p, src.relativize(p).toString))
+        .filter { case (_, rel) =>
+          (partOf(rel, "label"), partOf(rel, "cell")) match {
+            case (Some(l), Some(c)) => !affected.contains((l, c))
+            case _ => false
+          }
+        }.toList
+      finally walk.close()
+    assert(untouched.nonEmpty)
+    untouched.foreach { case (p, rel) =>
+      val out = java.nio.file.Paths.get(dst).resolve(rel)
+      assert(java.nio.file.Files.isRegularFile(out),
+        s"untouched cell file missing from compacted index: $rel")
+      assert(java.nio.file.Files.size(out) == java.nio.file.Files.size(p),
+        s"untouched cell file rewritten (size changed): $rel")
+    }
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()

@@ -17,7 +17,10 @@ object Explain {
         // round-6 flagships: sequence-side packing, boilerplate verdict
         "x17_sequence_table", "x18_boilerplate_strip",
         // round-7 flagships: stored-code ADC scan, pruned IVFPQ probe
-        "s9_ann_pq", "s10_ann_ivfpq")
+        "s9_ann_pq", "s10_ann_ivfpq",
+        // round-9 flagships: one-exchange SCD2 build, slim snapshot
+        // diff join, tombstone-masked pruned probe
+        "r34_scd2_history", "x22_snapshot_diff", "s12_ann_delete")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -703,12 +703,15 @@ object Dedup {
     val assigned = members.filter(col("crn") === 1)
       .select(col("vec_id"), col("cell"))
 
+    // drop-id set consumed twice (recall hits + the final anti-join);
+    // checkpointed so the cell-local pair join runs ONCE
     val dropped = members.as("a")
       .join(members.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(round(vecDot(col("a.v"), col("b.v")) /
         (col("a.nrm") * col("b.nrm")), 4) >= 0.35)
       .select(col("b.vec_id").as("drop_id")).distinct()
+      .localCheckpoint(true)
 
     // recall of the drop decision vs the brute-force P4 drop set,
     // measured on the audit subset both are defined over (cached per

@@ -121,8 +121,25 @@ object Similarity {
         .localCheckpoint(true))
   }
 
+  /** Plan-inspection hook for the plan-shape specs: the gate
+    * checkpoints the approximate answer (so the probe executes ONCE),
+    * which replaces the returned frame's plan with a LogicalRDD scan.
+    * The pre-checkpoint frame — whose queryExecution still carries the
+    * probe's physical plan (WindowGroupLimit, pruned scans) — is kept
+    * here per session for the specs to assert on. */
+  private[graft] val lastGatedApprox =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+
   private def withRecallGate(s: SparkSession, d: String,
-                             approx: DataFrame, floor: Double): DataFrame = {
+                             approx0: DataFrame, floor: Double): DataFrame = {
+    // The gate consumes the approximate answer once for the recall
+    // count and the caller consumes it again for the output — without a
+    // checkpoint the whole probe plan (scans, bucket joins, rerank)
+    // executes per consumption. The answer is K·NQueries rows:
+    // materialize it once and let every downstream read hit the blocks.
+    lastGatedApprox.keys.foreach(k => if (k.sparkContext.isStopped) lastGatedApprox.remove(k))
+    lastGatedApprox(s) = approx0
+    val approx = approx0.localCheckpoint(true)
     val exact = exactTopK(s, d)
     val total = exact.count()
     val hits = approx.select(col("query_id"), col("neighbor_id"))
@@ -1178,8 +1195,10 @@ object Similarity {
     val (path, anchors, nCells) = ivfIndex(s, d)
     val nProbe = math.max(4, nCells / 4)
     val tomb = tombstones(s, d)
+    // K·NQueries rows consumed three times (recall count, soundness
+    // count, output) — checkpoint so the masked probe runs ONCE
     val res = probeIndex(s, path, prepared(s, d), anchors, nProbe,
-      mask = Some(tomb))
+      mask = Some(tomb)).localCheckpoint(true)
     // exact baseline among SURVIVORS only (s1's plan with the same
     // broadcast anti-mask on the corpus side)
     val e = prepared(s, d)

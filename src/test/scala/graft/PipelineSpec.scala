@@ -265,10 +265,14 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("s9/s10 ADC shortlist plans as WindowGroupLimit (map-side rank pushdown)") {
-    for ((name, df) <- Seq("s9" -> Similarity.s9AnnPq(spark, sf01),
-                           "s10" -> Similarity.s10AnnIvfPq(spark, sf01))) {
-      df.collect()
-      val plan = df.queryExecution.executedPlan.toString
+    // the gate checkpoints its answer (one probe evaluation), so the
+    // probe's plan is read from the pre-checkpoint frame the gate
+    // stores for inspection
+    for ((name, run) <- Seq("s9" -> (() => Similarity.s9AnnPq(spark, sf01)),
+                            "s10" -> (() => Similarity.s10AnnIvfPq(spark, sf01)))) {
+      run().collect()
+      val raw = Similarity.lastGatedApprox(spark)
+      val plan = raw.queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name shortlist is a full sort-window, not a group-limit pushdown:\n$plan")
     }
@@ -553,6 +557,51 @@ class PipelineSpec extends AnyFunSuite {
       "honest decode must pass the gate for a pure tone")
     assert(broken(0) < 10.0 * broken.drop(1).max,
       "byte-swapped PCM still passed the tone gate — the invariant is vacuous")
+  }
+
+  test("mm9 dHash matches an independent from-text recompute; completeness gate green; " +
+    "deterministic") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.mm9PerceptualDedup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("complete_ok")),
+      "banded join missed a brute-force d<=3 pair")
+    // independent recompute: replay the BMP byte layout from the TEXT
+    // with no codec in the loop (payload byte k -> payload row k/48,
+    // image row h-1-k/48, channel k%3 = B,G,R; gray = sum of the three
+    // channel bytes; zero padding past the text contributes 0) — a
+    // codec mis-parse (row order, channel order, header offset) or a
+    // sampling/shift bug in the Spark path diverges here
+    val hexById = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("dhash_hex")).toMap
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val h = math.max(1, (bytes.length + 47) / 48)
+      def gray(x: Int, y: Int): Int = {
+        val base = (h - 1 - y) * 48 + x * 3
+        (0 until 3).map(ch =>
+          if (base + ch < bytes.length) bytes(base + ch) & 0xff else 0).sum
+      }
+      var bits = 0L
+      for (r <- 0 until 8) {
+        val y = r * h / 8
+        var prev = 0
+        for (c <- 0 to 8) {
+          val g = gray(c * 16 / 9, y)
+          if (c > 0) bits = (bits << 1) | (if (prev > g) 1L else 0L)
+          prev = g
+        }
+      }
+      assert(hexById(id) == f"$bits%016x",
+        s"doc $id: codec dHash ${hexById(id)} != from-text replay ${f"$bits%016x"}")
+    }
+    // determinism: a second run is bit-identical
+    val again = Multimodal.mm9PerceptualDedup(spark, sf001).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +

@@ -111,7 +111,12 @@ object ScaleSweep {
       "x18_boilerplate_strip" -> (graft.operators.Dedup.x18BoilerplateStrip _),
       "s7_ann_index_probe" -> (graft.operators.Similarity.s7AnnIndexProbe _),
       "st1_stream_window" -> (graft.streaming.Streaming.st1StreamWindow _),
-      "st5_stream_join" -> (graft.streaming.Streaming.st5StreamStreamJoin _))
+      "st5_stream_join" -> (graft.streaming.Streaming.st5StreamStreamJoin _),
+      // round-9 members: tombstone-masked serving, 8-byte fingerprint
+      // dedup, slim snapshot-diff join
+      "s12_ann_delete" -> (graft.operators.Similarity.s12AnnDelete _),
+      "mm9_phash_dedup" -> (graft.operators.Multimodal.mm9PerceptualDedup _),
+      "x22_snapshot_diff" -> (graft.operators.Corpus.x22SnapshotDiff _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

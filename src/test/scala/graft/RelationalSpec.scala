@@ -21,6 +21,58 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("r34 SCD2 builds through ONE hash exchange; intervals tile each user's history") {
+    val df = Relational.r34(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // AQE's toString prints the Final AND Initial plans — count
+    // exchanges in the final plan only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the change-flag window, interval-id sum, interval aggregate and
+    // valid_to lead must all reuse ONE exchange on user_id (the final
+    // presentation ORDER BY adds a range exchange, which is fine)
+    val hashEx = "exchange hashpartitioning".r
+      .findAllIn(plan.toLowerCase).length
+    assert(hashEx == 1,
+      s"r34 must shuffle exactly once, by hash on user_id:\n$plan")
+    // intervals tile: per user, exactly one open interval (NULL
+    // valid_to), and each valid_to equals the next interval's
+    // valid_from
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, ivs) =>
+      assert(ivs.count(_.isNullAt(3)) == 1, s"user $u: open intervals != 1")
+      val sorted = ivs.sortBy(_.getString(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(3) == b.getString(2),
+            s"user $u: valid_to gap between intervals")
+        case _ =>
+      }
+    }
+  }
+
+  test("x22 snapshot diff: document text never enters an exchange") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Corpus.x22SnapshotDiff(spark, sf)
+    df.collect()
+    def allEx(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allEx(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allEx(q.plan)
+        case x: ShuffleExchangeExec => x +: x.children.flatMap(allEx)
+        case other => other.children.flatMap(allEx)
+      }
+    val exchanges = allEx(df.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "expected the diff join to shuffle the slim projections")
+    exchanges.foreach { x =>
+      assert(!x.output.map(_.name).contains("text"),
+        s"document text shuffled — the slim (id, source, md5, ntok) projection was lost:\n$x")
+    }
+  }
+
   test("r02 aggregate shape") {
     val rows = Relational.r02(spark, sf).collect()
     assert(rows.length >= 4 && rows.length <= 6) // flag x status combos

@@ -723,7 +723,88 @@ object TextAnalysis {
       |         list_slice(ws, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------- T15
+  /** T15: distributed BPE tokenizer TRAINING — the canonical
+    * vocabulary-construction step of an LLM data pipeline (Sennrich et
+    * al. 2016's merge loop), run Spark-side. The corpus is touched
+    * EXACTLY ONCE (the word-count aggregate); the entire merge loop
+    * then iterates over the Heaps-bounded word-frequency frame (unique
+    * words × counts ≪ corpus — the same model-not-corpus shape as
+    * t12's LM tables), so 100 TB of text trains at vocabulary cost.
+    * Each of the 16 iterations is: adjacent-symbol-pair counts as ONE
+    * map-side-combinable aggregate over the word frame, argmax by
+    * (count desc, pair lexicographic) planned as a heap top-1
+    * (TakeOrderedAndProject), and a narrow typed map applying the merge
+    * (the pair reaches executors as two captured strings — M15's
+    * scalars-only driver-traffic discipline); lineage is
+    * localCheckpoint-truncated every 4 merges.
+    *
+    * No SQL oracle — the merge recurrence has no tractable SQL twin
+    * (t12's spec-exact pattern instead: a driver-side reference BPE
+    * must reproduce the merge TABLE exactly, spec'd). The in-query
+    * `pass` gate holds real invariants: selected counts are
+    * NON-INCREASING across ranks (any pair created by a merge occurs
+    * at most as often as that merge did — so a rising count proves a
+    * counting bug), every count ≥ 1, and vocab_size advances by
+    * exactly 1 per merge from the initial symbol alphabet.
+    *
+    * Word boundaries are merge boundaries (no cross-word pairs, no
+    * end-of-word marker — documented simplification; merges stay
+    * within words). */
+  def t15BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Merges = 16
+    // ONE corpus pass: word → count (Heaps-bounded frame)
+    var words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .as[(Array[String], Long)]
+      .toDF("syms", "cnt")
+      .localCheckpoint(true)
+    val initVocab = words
+      .select(explode(col("syms")).as("sym")).distinct().count()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Boolean)]
+    var prevCnt = Long.MaxValue
+    for (rank <- 1 to Merges) {
+      // adjacent pairs weighted by word count — vocab-bounded aggregate
+      val best = words
+        .select(col("cnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+        .groupBy(col("p.a"), col("p.b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        val ok = c >= 1 && c <= prevCnt
+        prevCnt = c
+        merges += ((rank, a, b, c, initVocab + rank, ok))
+        words = words.as[(Array[String], Long)].map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += a + b; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }.toDF("syms", "cnt")
+        if (rank % 4 == 0) words = words.localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "cnt", "vocab_size", "pass")
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_bpe_train" -> (t15BpeTrain _),
     "t14_chunk" -> (t14Chunk _),
     "t13_gopher_quality" -> (t13GopherQuality _),
     "t12_lm_perplexity" -> (t12LmPerplexity _),

@@ -964,6 +964,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t15 BPE merges match a driver-side reference trainer exactly; counts non-increasing") {
+    import org.apache.spark.sql.functions.col
+    val rows = TextAnalysis.t15BpeTrain(spark, sf001).collect()
+    assert(rows.length == 16, s"expected 16 merges, got ${rows.length}")
+    assert(rows.forall(_.getAs[Boolean]("pass")), "in-query invariant gate red")
+    val counts = rows.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => y <= x },
+      "merge counts increased across ranks")
+    // driver-side reference trainer: same greedy merge recurrence on
+    // plain collections (corpus is pure ASCII, so JVM string order ==
+    // Spark's binary string order for the tie-break)
+    var cur: Array[(Vector[String], Long)] =
+      graft.sources.Tables.documents(spark, sf001)
+        .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+        .filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) =>
+          (w.map(_.toString).toVector, g.length.toLong)
+        }.toArray
+    val initVocab = cur.flatMap(_._1).distinct.length.toLong
+    for (rank <- 1 to 16) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- cur; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      val r = rows(rank - 1)
+      assert((r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[Long]("cnt"), r.getAs[Long]("vocab_size")) ==
+        ((a, b, c, initVocab + rank)),
+        s"rank $rank: spark merge (${r.getAs[String]("left")}," +
+          s"${r.getAs[String]("right")},${r.getAs[Long]("cnt")}) != " +
+          s"reference ($a,$b,$c)")
+      cur = cur.map { case (syms, n) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.result(), n)
+      }
+    }
+  }
+
   test("t11 BM25 plans as heap top-k (TakeOrderedAndProject), stats broadcast") {
     val df = TextAnalysis.t11Bm25Search(spark, sf01)
     df.collect()

@@ -803,7 +803,54 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------------------------- T16
+  /** T16: model-based quality FILTER inference — the learned-classifier
+    * stage (fastText/DCLM-style) that sits beside the rule-based
+    * filters (t2 ratios, t13 Gopher rules): hashing-trick features
+    * (md5 of each token mod 4096 — the stable-across-engines variant
+    * of the murmur trick) scored by a linear model, keep = positive
+    * score. The weight vector is a pure integer FORMULA of the feature
+    * index (Knuth-hash spread over [−2048, 2047]) rather than a
+    * trained table, which keeps the whole query a zero-shuffle
+    * codegen'd projection AND gives the score an exact integer SQL
+    * twin; a production model swaps the formula for a broadcast
+    * weights array with the identical plan shape (t12's
+    * broadcast-below-ceiling discipline if the vocab outgrows it).
+    *
+    * Scale: one narrow pass, no explode reaching any exchange, no UDF,
+    * no float anywhere — the filter runs at scan speed on 100 TB. */
+  def t16QualityModel(s: SparkSession, d: String): DataFrame = {
+    // weight(idx) = ((idx * 2654435761) mod 4096) − 2048, idx = first 8
+    // md5 hex digits mod 4096 — both integer-exact in Spark and DuckDB
+    val scoreExpr = expr(
+      """aggregate(split(text, ' '),
+        |  0L,
+        |  (acc, w) -> acc + CASE WHEN length(w) = 0 THEN 0L
+        |    ELSE ((cast(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT) % 4096)
+        |          * 2654435761L) % 4096 - 2048 END)""".stripMargin)
+    documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        scoreExpr.as("score_int"))
+      .withColumn("keep", col("score_int") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val t16Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |    w -> CASE WHEN length(w) = 0 THEN 0
+      |      ELSE ((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096)
+      |            * 2654435761) % 4096 - 2048 END)) AS BIGINT) AS score_int,
+      |  list_sum(list_transform(string_split(text, ' '),
+      |    w -> CASE WHEN length(w) = 0 THEN 0
+      |      ELSE ((CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 4096)
+      |            * 2654435761) % 4096 - 2048 END)) > 0 AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_quality_model" -> (t16QualityModel _),
     "t15_bpe_train" -> (t15BpeTrain _),
     "t14_chunk" -> (t14Chunk _),
     "t13_gopher_quality" -> (t13GopherQuality _),
@@ -822,6 +869,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t16_quality_model" -> t16Sql,
     "t14_chunk" -> t14Sql,
     "t13_gopher_quality" -> t13Sql,
     "t11_bm25_search" -> t11Sql,

@@ -275,7 +275,7 @@ object Similarity {
   private val anchorCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[(Int, Array[Double])]]
 
-  private[operators] def ivfCells(n: Long): Int =
+  private[graft] def ivfCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   private[graft] def trainedAnchors(s: SparkSession, d: String,
@@ -869,7 +869,7 @@ object Similarity {
     * binary column — encode is INGEST work, done once per corpus
     * version; the s9/s10 serving paths then scan stored codes instead
     * of re-encoding per query (the s7 treatment applied to PQ). */
-  private def assignQuantize(raw: DataFrame, anchors: Array[(Int, Array[Double])],
+  private[graft] def assignQuantize(raw: DataFrame, anchors: Array[(Int, Array[Double])],
                              books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val base = raw
       .select(col("vec_id"), col("label"), col("embedding"),

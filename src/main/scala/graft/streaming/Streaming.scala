@@ -806,8 +806,93 @@ object Streaming {
       |       count(*) AS n_docs, CAST(count(*) FILTER (keep) AS BIGINT) AS n_keep
       |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------ ST12
+  /** ST12: STREAMING ANN index ingest — the continuous member of the
+    * durable-index family (S7 builds, S8 batch-appends, S12 deletes;
+    * ST12 is S8's append arriving as a STREAM). The base 90% slice
+    * builds the index and freezes the anchors at ingest time; the new
+    * slice (vec_id % 10 = 9, s8's fixture) then lands in THREE
+    * micro-batches (`maxFilesPerTrigger=1`), each `foreachBatch`
+    * assigning + quantizing with the frozen anchors and appending new
+    * files under its cell directories — no rewrite, no retrain, no
+    * re-assignment, exactly the production continuous-ingest loop of a
+    * vector store.
+    *
+    * The gate is bit-identity: the streamed index's probe answer must
+    * equal [[graft.operators.Similarity.s8AnnIndexAppend]]'s — the
+    * batch append over the same data with the same (deterministic)
+    * anchor training — row for row (`append_ok`, driver-enforced via
+    * Verify.gateInvariants). Micro-batch boundaries must be
+    * INVISIBLE in the served answer; a batch-dependent assignment,
+    * a double-applied batch or a dropped one all flip the gate. s8's
+    * own recall gate transfers through the identity.
+    *
+    * Scale: per-batch work is ∝ batch size (assign = narrow codegen'd
+    * projection against broadcast anchors, write = append under
+    * affected cells only); the stream never touches the existing
+    * corpus, and state is the file-source offset log alone — there is
+    * no stateful shuffle at all. */
+  def st12StreamIndexIngest(s0: SparkSession, d: String): DataFrame = {
+    import graft.operators.Similarity
+    val s = scoped(s0)
+    val raw = graft.sources.Tables.embeddings(s, d)
+    val base = raw.filter(col("vec_id") % 10 =!= 9)
+    val eBase = base.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vecNorm2(col("v"))))
+    val nCells = Similarity.ivfCells(eBase.count())
+    // frozen at ingest time — the SAME deterministic construction as
+    // s8's incrIndexPath, so the answers can be compared bit-for-bit
+    val anchors = Similarity.trainAnchors(
+      eBase.select(col("vec_id"), col("v"), col("nrm")), nCells, iters = 2)
+    val work = java.nio.file.Files.createTempDirectory("graft_st12").toString
+    val idxDir = s"$work/index"
+    Similarity.assignQuantize(base, anchors)
+      .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+    // the new slice arrives as 3 files ⇒ 3 micro-batches
+    val inDir = s"$work/in"
+    raw.filter(col("vec_id") % 10 === 9).repartition(3).write.parquet(inDir)
+    val ckpt = ckptDir("st12")
+    try {
+      val q = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.assignQuantize(batch, anchors)
+            .write.mode("append").partitionBy("cell").parquet(idxDir)
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+    }
+    val nProbe = math.max(4, nCells / 4)
+    val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+    val mine = Similarity.probeIndex(s, idxDir, Similarity.prepared(s, d),
+      anchors, nProbe).select(cols: _*).localCheckpoint(true)
+    val ref = Similarity.s8AnnIndexAppend(s, d).select(cols: _*)
+      .localCheckpoint(true)
+    val mismatch = mine.exceptAll(ref).count() + ref.exceptAll(mine).count()
+    // both sides are checkpointed — the streamed workspace can go
+    locally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(work))
+    }
+    mine.withColumn("append_ok", lit(mismatch == 0L))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st12_stream_index_ingest" -> (st12StreamIndexIngest _),
     "st11_session_timers" -> (st11SessionTimers _),
     "st10_running_stats" -> (st10RunningStats _),
     "st9_stream_quality" -> (st9StreamQuality _),

@@ -453,6 +453,21 @@ class StreamingSpec extends AnyFunSuite {
       "multi-batch st10 running stats diverged from the single-batch replay")
   }
 
+  test("st12 streamed index ingest serves bit-identically to the batch append") {
+    val rows = graft.streaming.Streaming.st12StreamIndexIngest(spark, sf).collect()
+    assert(rows.length == 50, s"expected 50 probe rows, got ${rows.length}")
+    assert(rows.forall(_.getAs[Boolean]("append_ok")),
+      "streamed micro-batch append diverged from s8's batch append")
+    // the comparison has teeth: the reference side really is s8's own
+    // serving answer (same rows modulo the gate columns)
+    val ref = graft.operators.Similarity.s8AnnIndexAppend(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+    assert(rows.map(key).sorted.sameElements(ref.map(key).sorted))
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

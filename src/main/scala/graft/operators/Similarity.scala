@@ -1012,7 +1012,8 @@ object Similarity {
   private[graft] def probeIndex(s: SparkSession, path: String, e: DataFrame,
                          anchors: Array[(Int, Array[Double])],
                          nProbe: Int,
-                         mask: Option[DataFrame] = None): DataFrame = {
+                         mask: Option[DataFrame] = None,
+                         delta: Option[DataFrame] = None): DataFrame = {
     val idx = s.read.parquet(path)
     // query side: same derivation as s6, restricted to the query rows
     val qSide = e.filter(col("vec_id") < NQueries)
@@ -1035,8 +1036,17 @@ object Similarity {
     val cand0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id"), expr("transform(qv8, x -> cast(x AS bigint))").as("qv"),
         col("nq2"), col("cell"))
-    val cand = mask.fold(cand0)(t =>
+    val candMasked = mask.fold(cand0)(t =>
       cand0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    // a delta memtable (s13's re-embedded rows in assignQuantize form,
+    // ≪ corpus) joins the scoring scan after the mask: the LSM shape —
+    // immutable base + tombstones + small live delta
+    val cand = delta.fold(candMasked)(dl =>
+      candMasked.unionByName(dl
+        .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+        .select(col("vec_id"),
+          expr("transform(qv8, x -> cast(x AS bigint))").as("qv"),
+          col("nq2"), col("cell"))))
     val scoredQ = probes.as("q")
       .join(cand.as("e"),
         col("q.cell") === col("e.cell") && col("q.vec_id") =!= col("e.vec_id"))
@@ -1053,10 +1063,21 @@ object Similarity {
       .filter(col("qrn") <= 2 * K)
 
     // float fetch for the shortlist only: second pruned scan reading
-    // (vec_id, embedding), broadcast-joined to the tiny shortlist
-    val floats = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
-      .select(col("vec_id").as("fvec_id"),
+    // (vec_id, embedding), broadcast-joined to the tiny shortlist.
+    // With a mask the base floats are anti-joined too (an updated id
+    // in the shortlist must take its floats from the DELTA, never the
+    // stale base row), and the delta's floats union in after.
+    val fBase0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x AS double))").as("fv"))
+    val fBase = mask.fold(fBase0)(t =>
+      fBase0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
+    val fAll = delta.fold(fBase)(dl =>
+      fBase.unionByName(dl
+        .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("fv"))))
+    val floats = fAll.select(col("vec_id").as("fvec_id"), col("fv"))
       .withColumn("fnrm", sqrt(vecNorm2(col("fv"))))
     val exact = floats.join(broadcast(short), col("fvec_id") === col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1273,6 +1294,83 @@ object Similarity {
         .join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"), "left_anti")
         .write.mode("append").partitionBy("label", "cell").parquet(dstPath)
     }
+  }
+
+  // ------------------------------------------------------------- S13
+  /** The re-embedded id set for s13 (every 13th corpus vector, queries
+    * excluded) — in production, the docs whose content changed since
+    * the last index build. */
+  private[graft] def updatedIds(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"))
+      .filter(col("vec_id") % 13 === 7 && col("vec_id") >= NQueries)
+
+  /** The corpus as it stands AFTER the update: updated ids carry a new
+    * embedding (dimensions rotated left by one — deterministic, norm-
+    * preserving, decisively different from the old vector). */
+  private[graft] def updatedCorpus(s: SparkSession, d: String): DataFrame = {
+    val upd = col("vec_id") % 13 === 7 && col("vec_id") >= NQueries
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      when(upd, expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"))
+        .otherwise(col("embedding")).as("embedding"))
+  }
+
+  /** S13: index UPDATE serving — the last CRUD member (S7 probes, S8
+    * appends, S12 deletes, S13 re-embeds): documents whose content
+    * changed get new vectors, and search must serve the NEW vector
+    * without rebuilding the index. The serving shape is the LSM one —
+    * the immutable base index, a tombstone set over the updated ids
+    * (S12's broadcast anti-join), and a small quantized DELTA memtable
+    * (the re-embedded rows assigned with the FROZEN anchors) unioned
+    * into both the int8 scoring scan and the shortlist float fetch.
+    * An updated id that reaches the shortlist takes its floats from
+    * the delta — the stale base row is masked out of the float scan
+    * too, so a stale score cannot be served.
+    *
+    * Gates (driver-enforced): recall ≥ 0.7 vs the exact top-K over the
+    * UPDATED corpus, and `fresh_ok` — every returned (query, neighbor,
+    * cos4) row must equal the exact recompute against the updated
+    * corpus (a single stale float flips it). PipelineSpec adds the
+    * from-scratch identity: masked+delta serving ≡ a full rebuild over
+    * the updated corpus with the same anchors, bit for bit.
+    *
+    * Scale: the delta is |changed docs| rows — broadcast-sized by the
+    * same argument as the delete log; base scan, pruning and plan
+    * shape are S7's unchanged; a periodic compaction (S12's
+    * [[compactIndex]] + an append) folds the delta in. */
+  def s13AnnUpdate(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors, nCells) = ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
+    val upd = updatedIds(s, d)
+    val delta = assignQuantize(
+      updatedCorpus(s, d).join(broadcast(upd), Seq("vec_id")), anchors)
+    val res = probeIndex(s, path, prepared(s, d), anchors, nProbe,
+      mask = Some(upd), delta = Some(delta)).localCheckpoint(true)
+    // exact baseline + freshness recompute, both over the UPDATED corpus
+    val uc = updatedCorpus(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val q = broadcast(uc.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+    val exact = rerank(q
+      .join(uc.as("e"), col("qid") =!= col("e.vec_id"))
+      .select(col("qid").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4)
+          .as("cos4")))
+      .select(col("query_id"), col("neighbor_id"))
+    val total = exact.count()
+    val hits = res.select(col("query_id"), col("neighbor_id"))
+      .intersect(exact).count()
+    val recall = hits.toDouble / total
+    val stale = res
+      .join(uc.as("n"), res("neighbor_id") === col("n.vec_id"))
+      .join(q, res("query_id") === col("qid"))
+      .filter(round(vecDot(col("qv"), col("n.v")) / (col("qn") * col("n.nrm")), 4)
+        =!= res("cos4")).count()
+    res
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+      .withColumn("fresh_ok", lit(stale == 0L))
   }
 
   // ------------------------------------------------------------- S9
@@ -1810,6 +1908,7 @@ object Similarity {
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_ann_update"    -> (s13AnnUpdate _),
     "s12_ann_delete"    -> (s12AnnDelete _),
     "s11_ann_filtered"  -> (s11AnnFiltered _),
     "s1_ann_bruteforce" -> (s1BruteForce _),

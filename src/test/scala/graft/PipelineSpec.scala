@@ -776,6 +776,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 update: masked+delta serving ≡ full rebuild over the updated corpus; " +
+    "stale scores impossible") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val d = sf01
+    val rows = Similarity.s13AnnUpdate(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")), "recall gate red")
+    assert(rows.forall(_.getAs[Boolean]("fresh_ok")),
+      "a served score disagrees with the updated corpus — stale floats leaked")
+    // from-scratch identity: serving through base+tombstones+delta must
+    // equal a full rebuild over the updated corpus with the same anchors
+    val (srcPath, anchors, nCells) = Similarity.ivfIndex(spark, d)
+    val nProbe = math.max(4, nCells / 4)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_s13").toString
+    Similarity.assignQuantize(Similarity.updatedCorpus(spark, d), anchors)
+      .write.mode("overwrite").partitionBy("cell").parquet(scratch)
+    val upd = Similarity.updatedIds(spark, d)
+    val delta = Similarity.assignQuantize(
+      Similarity.updatedCorpus(spark, d).join(broadcast(upd), Seq("vec_id")), anchors)
+    val served = Similarity.probeIndex(spark, srcPath,
+        Similarity.prepared(spark, d), anchors, nProbe, Some(upd), Some(delta))
+      .collect().map(_.toSeq)
+    val rebuilt = Similarity.probeIndex(spark, scratch,
+        Similarity.prepared(spark, d), anchors, nProbe)
+      .collect().map(_.toSeq)
+    assert(served.sameElements(rebuilt),
+      "LSM serving (base + tombstones + delta) diverged from the full rebuild")
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()

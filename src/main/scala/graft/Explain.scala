@@ -20,7 +20,10 @@ object Explain {
         "s9_ann_pq", "s10_ann_ivfpq",
         // round-9 flagships: one-exchange SCD2 build, slim snapshot
         // diff join, tombstone-masked pruned probe
-        "r34_scd2_history", "x22_snapshot_diff", "s12_ann_delete")
+        "r34_scd2_history", "x22_snapshot_diff", "s12_ann_delete",
+        // round-10 flagship: folded-generation plain probe (the gated
+        // plans print from the registered pre-checkpoint frames now)
+        "s14_ann_lifecycle")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -29,7 +32,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // Recall-gated queries return a localCheckpoint'd frame (the gate
+      // evaluates the probe once), which explains as a bare LogicalRDD
+      // scan. Constructing the query registered its pre-checkpoint
+      // probe frame under (session, tag) — print THAT plan: the pruned
+      // scans / masked joins are what the audit is for.
+      val tag = n.takeWhile(_ != '_')
+      graft.operators.Similarity.lastGatedApprox.get((spark, tag)) match {
+        case Some(probe) => probe.explain("formatted")
+        case None => df.explain("formatted")
+      }
     }
     spark.stop()
   }

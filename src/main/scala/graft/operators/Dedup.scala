@@ -93,7 +93,7 @@ object Dedup {
     * Mersenne 2³¹−1 shift-add mod — no division); gram hashes come
     * from a rolling polynomial over the chars (one update per char,
     * no per-gram String allocation). */
-  private def bandBuckets(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bandBuckets(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.MinHash
     val P = MinHash.P
@@ -254,12 +254,7 @@ object Dedup {
       // the signature scan doesn't run twice
       .transform(graft.Lineage.truncate)
 
-    val cands = buckets.as("x")
-      .join(buckets.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cands = bucketCandidates(buckets)
 
     // Exact verify on candidates only (representatives, so each
     // distinct-text pair is verified exactly once), computed
@@ -311,6 +306,46 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("gramsz").as("inter"), col("gramsz").as("uni"), lit(1.0).as("jacc"))
     cross.union(intra)
+  }
+
+  /** Hot-bucket bound for the LSH candidate join. A (band, sig) bucket
+    * of m members generates m(m−1)/2 candidates — quadratic, and an
+    * adversarial corpus (one viral passage with per-copy noise, so the
+    * X1 exact-collapse doesn't absorb it) can concentrate the corpus
+    * into ONE bucket. Above [[HotBucketCap]] members, a bucket switches
+    * to SORTED-NEIGHBOR pairing: members are ranked by doc_id within
+    * the bucket and each pairs only with the next [[HotBucketWindow]]
+    * ranks — cost m·W instead of m², the classic sorted-neighborhood
+    * bound from record-linkage practice. Recall story: a true near-dup
+    * pair suppressed in one hot bucket still surfaces through any of
+    * its other B−1 shared bands (high-Jaccard pairs agree on most
+    * bands, and a bucket is hot in ONE band's signature space, not all
+    * of them); the exact-verify stage keeps precision exact regardless.
+    * Gate innocence: the cap must never fire at oracle scale —
+    * PipelineSpec asserts the sf0.01 max bucket sits far below the cap
+    * (so the DuckDB hash-match proves the capped plan ≡ the exhaustive
+    * one) and separately proves the m·W bound on a synthetic hot
+    * bucket. */
+  private[graft] val HotBucketCap = 512L
+  private[graft] val HotBucketWindow = 64L
+
+  /** Candidate pairs from band buckets, hot buckets bounded (see
+    * [[HotBucketCap]]). The size/rank window shuffles on the SAME
+    * (band, sig) key the self-join hashes on — one partitioning, no
+    * extra exchange shape at scale. */
+  private[graft] def bucketCandidates(buckets: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("sig"))
+    val ranked = buckets
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("brn", row_number().over(w.orderBy(col("doc_id"))))
+    ranked.as("x")
+      .join(ranked.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.bsz") <= HotBucketCap ||
+            col("y.brn") - col("x.brn") <= HotBucketWindow))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** Scala twin of the `shingles` SQL expression (sliding k-gram set;

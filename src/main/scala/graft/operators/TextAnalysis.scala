@@ -750,12 +750,47 @@ object TextAnalysis {
     *
     * Word boundaries are merge boundaries (no cross-word pairs, no
     * end-of-word marker — documented simplification; merges stay
-    * within words). */
-  def t15BpeTrain(s: SparkSession, d: String): DataFrame = {
+    * within words).
+    *
+    * REGIME SWITCH (t12's broadcast-ceiling discipline applied to the
+    * merge loop): a production tokenizer needs 30k-50k merges, and the
+    * distributed loop costs ~3 Spark jobs per merge — ~100k sequential
+    * scheduler round-trips that no cluster amortizes. But the merge
+    * loop's working set is the WORD FRAME, not the corpus, and Heaps'
+    * law keeps unique-words ≪ corpus — usually driver-sized. So: after
+    * the one corpus-wide word-count aggregate, if the word frame has
+    * ≤ [[t15DriverLocalMaxWords]] rows it is collected ONCE and the
+    * whole merge loop runs driver-local with incremental pair-count
+    * maintenance (a lazy-deletion heap for the argmax; only words
+    * containing the merged pair are touched per merge — the
+    * HuggingFace-trainer shape, O(affected words) per merge instead of
+    * O(word frame)). Above the ceiling the distributed loop takes over
+    * unchanged. Both regimes compute the IDENTICAL merge table
+    * (PipelineSpec forces the ceiling to 0 and asserts equality). */
+  private[graft] val t15DriverLocalMaxWords = 8000000L
+  /** Which regime the LAST t15 invocation ran ("driver-local" or
+    * "distributed") — observability hook for the plan-switch spec,
+    * like t12's broadcast-vs-shuffle plan assertion. */
+  @volatile private[graft] var t15LastRegime: String = ""
+
+  /** 256 merges REQUESTED — production-shaped relative to round 9's 16,
+    * and free in the driver-local regime (per-merge cost ∝ affected
+    * words). The synthetic gate corpus has only 31 unique words /
+    * 138 chars, so training runs DRY (every word a single token, no
+    * adjacent pair left) before the request is met — the trained table
+    * is the complete exhaustion prefix, byte-equal to the reference
+    * trainer's (PipelineSpec), and a 1000-merge run on a richer
+    * synthetic vocabulary is spec'd separately against the naive
+    * reference to pin the incremental trainer at real merge counts. */
+  def t15BpeTrain(s: SparkSession, d: String): DataFrame =
+    t15BpeTrainImpl(s, d, merges = 256, t15DriverLocalMaxWords)
+
+  private[graft] def t15BpeTrainImpl(s: SparkSession, d: String,
+                                     merges: Int,
+                                     driverLocalMaxWords: Long): DataFrame = {
     import s.implicits._
-    val Merges = 16
     // ONE corpus pass: word → count (Heaps-bounded frame)
-    var words = documents(s, d)
+    val wordFrame = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -763,12 +798,135 @@ object TextAnalysis {
       .as[(Array[String], Long)]
       .toDF("syms", "cnt")
       .localCheckpoint(true)
+    val nWords = wordFrame.count()
+    val out =
+      if (nWords <= driverLocalMaxWords) {
+        t15LastRegime = "driver-local"
+        val collected = wordFrame.as[(Array[String], Long)].collect()
+        t15MergeLoopLocal(collected, merges)
+      } else {
+        t15LastRegime = "distributed"
+        t15MergeLoopDistributed(s, wordFrame, merges)
+      }
+    out.toDF("rank", "left", "right", "cnt", "vocab_size", "pass")
+      .orderBy(col("rank"))
+  }
+
+  /** Driver-local merge loop with incremental pair-count maintenance:
+    * pair counts live in a hash map, the argmax comes off a
+    * lazy-deletion heap (stale entries popped until the top matches
+    * the live count), and each merge rewrites ONLY the words that
+    * contain the pair (tracked per pair), subtracting their old
+    * adjacent-pair contributions and adding the new ones. Per-merge
+    * cost ∝ affected words, so 50k merges are milliseconds each once
+    * the first pass has built the tables. */
+  private[graft] def t15MergeLoopLocal(
+      wordsIn: Array[(Array[String], Long)], merges: Int)
+    : Seq[(Int, String, String, Long, Long, Boolean)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = wordsIn.map(_._1)
+    val cnts: Array[Long] = wordsIn.map(_._2)
+    val initVocab = words.iterator.flatten.toSet.size.toLong
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def addWordPairs(wid: Int, sign: Long): Unit = {
+      val syms = words(wid); val c = cnts(wid)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val nv = pairCnt.getOrElse(p, 0L) + sign * c
+        if (nv == 0L) { pairCnt.remove(p); pairWords.get(p).foreach(_.remove(wid)) }
+        else {
+          pairCnt(p) = nv
+          if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wid
+        }
+        i += 1
+      }
+      // a negative pass can leave wid in sets for pairs still held by
+      // OTHER words; stale membership is re-filtered at merge time
+    }
+    var wid = 0
+    while (wid < words.length) { addWordPairs(wid, +1L); wid += 1 }
+    // heap of (count, a, b) snapshots; "max" = highest count, ties by
+    // lexicographically SMALLEST pair (matches the distributed
+    // orderBy(pc desc, a, b) — corpus is ASCII, so JVM order == Spark
+    // binary order)
+    val heapOrd: Ordering[(Long, String, String)] =
+      Ordering.fromLessThan[(Long, String, String)] { case ((c1, a1, b1), (c2, a2, b2)) =>
+        if (c1 != c2) c1 < c2
+        else if (a1 != a2) a1 > a2
+        else b1 > b2
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    pairCnt.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, Long, Long, Boolean)]
+    var prevCnt = Long.MaxValue
+    var rank = 1
+    while (rank <= merges && heap.nonEmpty) {
+      // lazy deletion: pop until the snapshot matches the live count
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        if (pairCnt.get((t._2, t._3)).contains(t._1)) top = t
+      }
+      if (top != null) {
+        val (c, a, b) = top
+        val ok = c >= 1 && c <= prevCnt
+        prevCnt = c
+        out += ((rank, a, b, c, initVocab + rank, ok))
+        val affected = pairWords.getOrElse((a, b), mutable.HashSet.empty)
+          .toArray.filter { w =>
+            val syms = words(w)
+            var i = 0; var found = false
+            while (!found && i + 1 < syms.length) {
+              if (syms(i) == a && syms(i + 1) == b) found = true; i += 1
+            }
+            found
+          }
+        val touched = mutable.HashSet.empty[(String, String)]
+        affected.foreach { w =>
+          val syms = words(w)
+          var i = 0
+          while (i + 1 < syms.length) { touched += ((syms(i), syms(i + 1))); i += 1 }
+          addWordPairs(w, -1L)
+          val nb = mutable.ArrayBuffer.empty[String]
+          i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              nb += a + b; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          words(w) = nb.toArray
+          i = 0
+          while (i + 1 < words(w).length) { touched += ((words(w)(i), words(w)(i + 1))); i += 1 }
+          addWordPairs(w, +1L)
+        }
+        touched.foreach { p =>
+          pairCnt.get(p).foreach(c2 => heap.enqueue((c2, p._1, p._2)))
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Distributed merge loop — the above-ceiling regime: each merge is
+    * one map-side-combinable pair-count aggregate over the word frame,
+    * a heap top-1 (TakeOrderedAndProject), and a narrow typed map
+    * applying the merge; lineage localCheckpoint-truncated every 4
+    * merges. Correct at any word-frame size; ~3 Spark jobs per merge,
+    * so the driver-local regime is preferred whenever the frame fits. */
+  private def t15MergeLoopDistributed(s: SparkSession, wordsIn: DataFrame,
+                                      merges: Int)
+    : Seq[(Int, String, String, Long, Long, Boolean)] = {
+    import s.implicits._
+    var words = wordsIn
     val initVocab = words
       .select(explode(col("syms")).as("sym")).distinct().count()
-    val merges = scala.collection.mutable.ArrayBuffer
+    val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long, Boolean)]
     var prevCnt = Long.MaxValue
-    for (rank <- 1 to Merges) {
+    for (rank <- 1 to merges) {
       // adjacent pairs weighted by word count — vocab-bounded aggregate
       val best = words
         .select(col("cnt"), explode(expr(
@@ -784,23 +942,21 @@ object TextAnalysis {
           best(0).getLong(2))
         val ok = c >= 1 && c <= prevCnt
         prevCnt = c
-        merges += ((rank, a, b, c, initVocab + rank, ok))
+        out += ((rank, a, b, c, initVocab + rank, ok))
         words = words.as[(Array[String], Long)].map { case (syms, n) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val w = scala.collection.mutable.ArrayBuffer.empty[String]
           var i = 0
           while (i < syms.length) {
             if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += syms(i); i += 1 }
+              w += a + b; i += 2
+            } else { w += syms(i); i += 1 }
           }
-          (out.toArray, n)
+          (w.toArray, n)
         }.toDF("syms", "cnt")
         if (rank % 4 == 0) words = words.localCheckpoint(true)
       }
     }
-    merges.toSeq
-      .toDF("rank", "left", "right", "cnt", "vocab_size", "pass")
-      .orderBy(col("rank"))
+    out.toSeq
   }
 
   // ------------------------------------------------------------- T16

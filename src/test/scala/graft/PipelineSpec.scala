@@ -271,10 +271,13 @@ class PipelineSpec extends AnyFunSuite {
     for ((name, run) <- Seq("s9" -> (() => Similarity.s9AnnPq(spark, sf01)),
                             "s10" -> (() => Similarity.s10AnnIvfPq(spark, sf01)))) {
       run().collect()
-      val raw = Similarity.lastGatedApprox(spark)
+      // hook is keyed by (session, query tag) — interleaved gated
+      // queries can't misattribute the assertion; clear after asserting
+      val raw = Similarity.lastGatedApprox((spark, name))
       val plan = raw.queryExecution.executedPlan.toString
       assert(plan.contains("WindowGroupLimit"),
         s"$name shortlist is a full sort-window, not a group-limit pushdown:\n$plan")
+      Similarity.lastGatedApprox.remove((spark, name))
     }
   }
 
@@ -805,6 +808,29 @@ class PipelineSpec extends AnyFunSuite {
       "LSM serving (base + tombstones + delta) diverged from the full rebuild")
   }
 
+  test("s14 lifecycle: compact+append fold serves plain; probe ≡ fresh rebuild; " +
+    "label-filtered serving survives the fold") {
+    val rows = Similarity.s14AnnLifecycle(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("recall_ok")), "recall gate red")
+    assert(rows.forall(_.getAs[Boolean]("fold_ok")),
+      "folded-generation probe diverged from the fresh rebuild — the fold lost or resurrected rows")
+    assert(rows.forall(_.getAs[Boolean]("filtered_ok")),
+      "label-filtered serving through the folded generation diverged from the exact recompute")
+    // the folded generation serves through the PLAIN pruned probe: the
+    // registered plan must show cell partition pruning and must NOT
+    // carry the tombstone anti-join or delta union (they were folded in)
+    val probe = Similarity.lastGatedApprox((spark, "s14"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"gen1 probe scan is not cell-pruned:\n$plan")
+    assert(!plan.toLowerCase.contains("leftanti"),
+      s"gen1 serving still carries a tombstone mask — the fold did not absorb it:\n$plan")
+    assert(!plan.contains("Union"),
+      s"gen1 serving still unions a delta memtable — the fold did not absorb it:\n$plan")
+    Similarity.lastGatedApprox.remove((spark, "s14"))
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()
@@ -884,6 +910,44 @@ class PipelineSpec extends AnyFunSuite {
     // intra inter==uni == the group's gram-set size
     val r01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
     assert(r01.getLong(2) == r01.getLong(3) && r01.getLong(2) == (200 - 8 + 1))
+  }
+
+  test("p1 hot buckets pair sorted-neighbor (m·W, not m²); the cap never fires at oracle scale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 1) gate innocence: at the driver's oracle scale the largest
+    //    (band, sig) bucket over distinct texts sits FAR below the cap,
+    //    so the DuckDB hash-match proves capped ≡ exhaustive there
+    val reps01 = graft.sources.Tables.documents(spark, sf01)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("t"))
+    val maxBucket = Dedup.bandBuckets(spark, reps01)
+      .groupBy(col("band"), col("sig")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxBucket * 4 <= Dedup.HotBucketCap,
+      s"oracle-scale max bucket $maxBucket is within 4x of the cap ${Dedup.HotBucketCap} — " +
+        "the cap could fire at gate scale and silently change the oracle answer")
+    // 2) adversarial corpus the exact-collapse CANNOT absorb: one viral
+    //    400-char passage + a distinct tail per copy (Jaccard ≈ 0.97
+    //    pairwise, all texts distinct) — every band bucket goes hot
+    val rnd = new scala.util.Random(17)
+    val viral = (0 until 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val n = 1500
+    val docs = (0 until n).map(i => (i.toLong, s"$viral tail$i")).toDF("doc_id", "text")
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val buckets = Dedup.bandBuckets(spark, docs)
+    val hot = buckets.groupBy(col("band"), col("sig")).count()
+      .filter(col("count") > Dedup.HotBucketCap).count()
+    assert(hot > 0, "synthetic corpus produced no hot bucket — spec has no teeth")
+    val cands = Dedup.bucketCandidates(buckets).count()
+    // sorted-neighbor bound: ranks align across bands (ranking is by
+    // doc_id), so distinct pairs ≈ n·W; allow 2x for uneven buckets —
+    // versus the unbounded n(n−1)/2 ≈ 1.12M
+    assert(cands <= 2L * n * Dedup.HotBucketWindow,
+      s"hot-bucket candidates not bounded: $cands > ${2L * n * Dedup.HotBucketWindow}")
+    assert(cands < n.toLong * (n - 1) / 4,
+      s"hot bucket still quadratic: $cands")
   }
 
   test("x11 keep-first collapses a 10^5-fold duplicated passage map-side (no rank window)") {
@@ -993,47 +1057,122 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("t15 BPE merges match a driver-side reference trainer exactly; counts non-increasing") {
+  /** Naive from-scratch reference trainer: recounts every adjacent
+    * pair over the full word frame at every merge — O(frame) per merge,
+    * deliberately nothing like the incremental production loop, which
+    * is what makes it a real cross-check. Stops when the pair pool is
+    * dry (every word a single token), like the production trainer. */
+  private def referenceBpe(wordsIn: Array[(Vector[String], Long)], merges: Int)
+    : Seq[(Int, String, String, Long, Long)] = {
+    var cur = wordsIn
+    val initVocab = cur.flatMap(_._1).distinct.length.toLong
+    val out = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (rank <- 1 to merges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- cur; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (pc.nonEmpty) {
+        val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((rank, a, b, c, initVocab + rank))
+        cur = cur.map { case (syms, n) =>
+          val w = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              w += a + b; i += 2
+            } else { w += syms(i); i += 1 }
+          }
+          (w.result(), n)
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def corpusWordFrame(dir: String): Array[(Vector[String], Long)] = {
     import org.apache.spark.sql.functions.col
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector, g.length.toLong)
+      }.toArray
+  }
+
+  test("t15 BPE: 256-merge request trains to exhaustion, matching the reference trainer exactly") {
     val rows = TextAnalysis.t15BpeTrain(spark, sf001).collect()
-    assert(rows.length == 16, s"expected 16 merges, got ${rows.length}")
+    assert(TextAnalysis.t15LastRegime == "driver-local",
+      s"gate-scale word frame must take the driver-local regime, got ${TextAnalysis.t15LastRegime}")
     assert(rows.forall(_.getAs[Boolean]("pass")), "in-query invariant gate red")
     val counts = rows.map(_.getAs[Long]("cnt"))
     assert(counts.zip(counts.tail).forall { case (x, y) => y <= x },
       "merge counts increased across ranks")
-    // driver-side reference trainer: same greedy merge recurrence on
-    // plain collections (corpus is pure ASCII, so JVM string order ==
-    // Spark's binary string order for the tie-break)
-    var cur: Array[(Vector[String], Long)] =
-      graft.sources.Tables.documents(spark, sf001)
-        .select(col("text")).collect().flatMap(_.getString(0).split(" "))
-        .filter(_.nonEmpty)
-        .groupBy(identity).map { case (w, g) =>
-          (w.map(_.toString).toVector, g.length.toLong)
-        }.toArray
-    val initVocab = cur.flatMap(_._1).distinct.length.toLong
-    for (rank <- 1 to 16) {
-      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-      for ((syms, c) <- cur; i <- 0 until syms.length - 1)
-        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
-      val ((a, b), c) = pc.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
-      val r = rows(rank - 1)
+    // reference: same greedy recurrence on plain collections (corpus is
+    // pure ASCII, so JVM string order == Spark binary order for ties).
+    // The 31-unique-word gate corpus runs DRY before 256 merges — the
+    // trained table must be the COMPLETE exhaustion prefix (well past
+    // round 9's fixed 16), identical to the reference's.
+    val ref = referenceBpe(corpusWordFrame(sf001), 256)
+    assert(ref.length == rows.length,
+      s"spark trained ${rows.length} merges, reference ${ref.length}")
+    assert(rows.length > 16 && rows.length < 256,
+      s"expected corpus exhaustion between 16 and 256 merges, got ${rows.length}")
+    ref.zip(rows).foreach { case ((rank, a, b, c, v), r) =>
       assert((r.getAs[String]("left"), r.getAs[String]("right"),
-        r.getAs[Long]("cnt"), r.getAs[Long]("vocab_size")) ==
-        ((a, b, c, initVocab + rank)),
+        r.getAs[Long]("cnt"), r.getAs[Long]("vocab_size")) == ((a, b, c, v)),
         s"rank $rank: spark merge (${r.getAs[String]("left")}," +
           s"${r.getAs[String]("right")},${r.getAs[Long]("cnt")}) != " +
           s"reference ($a,$b,$c)")
-      cur = cur.map { case (syms, n) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-            out += a + b; i += 2
-          } else { out += syms(i); i += 1 }
-        }
-        (out.result(), n)
-      }
+    }
+  }
+
+  test("t15 incremental trainer sustains 1000 merges on a rich vocabulary, equal to the naive reference") {
+    // production-shaped merge count, decoupled from the gate corpus's
+    // tiny vocabulary: 1500 synthetic multi-syllable words, Zipf-ish
+    // counts. The naive reference recounts from scratch per merge; the
+    // incremental trainer must produce the IDENTICAL merge table.
+    val rnd = new scala.util.Random(7)
+    val sylls = Array("ba","be","bi","bo","bu","da","de","di","do","du",
+      "ka","ke","ki","ko","ku","la","le","li","lo","lu",
+      "ma","me","mi","mo","mu","na","ne","ni","no","nu",
+      "ra","re","ri","ro","ru","sa","se","si","so","su",
+      "ta","te","ti","to","tu","za","ze","zi","zo","zu")
+    val words = (0 until 1500).map { i =>
+      val w = (0 until 2 + rnd.nextInt(4)).map(_ => sylls(rnd.nextInt(sylls.length))).mkString
+      (w, 1L + 10000L / (i + 1))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    val frame = words.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.t15MergeLoopLocal(frame, 1000)
+    val dtMs = (System.nanoTime() - t0) / 1e6
+    val ref = referenceBpe(
+      words.map { case (w, c) => (w.map(_.toString).toVector, c) }, 1000)
+    assert(got.length == ref.length,
+      s"incremental trained ${got.length}, reference ${ref.length}")
+    assert(got.length >= 1000, s"rich vocabulary exhausted early: ${got.length}")
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g._6, s"invariant gate red at rank ${g._1}")
+      assert((g._1, g._2, g._3, g._4, g._5) == r,
+        s"divergence at rank ${g._1}: $g vs $r")
+    }
+    // scheduler-cost point: 1000 merges driver-local in well under a
+    // minute (vs ~3 Spark jobs/merge distributed)
+    assert(dtMs < 60000, s"incremental trainer too slow: $dtMs ms")
+  }
+
+  test("t15 regime switch: forced-zero ceiling runs the distributed loop; merge tables identical") {
+    // ceiling forced to 0 → the word frame can never "fit the driver"
+    // → distributed regime (t12's ceiling-forced plan-switch pattern)
+    val dist = TextAnalysis.t15BpeTrainImpl(spark, sf001, 12, 0L).collect()
+    assert(TextAnalysis.t15LastRegime == "distributed",
+      s"forced ceiling must switch regimes, got ${TextAnalysis.t15LastRegime}")
+    val local = TextAnalysis.t15BpeTrainImpl(spark, sf001, 12,
+      TextAnalysis.t15DriverLocalMaxWords).collect()
+    assert(TextAnalysis.t15LastRegime == "driver-local")
+    assert(dist.length == 12 && local.length == 12)
+    dist.zip(local).foreach { case (d, l) =>
+      assert(d.toSeq == l.toSeq,
+        s"regime divergence at rank ${d.getAs[Int]("rank")}: $d vs $l")
     }
   }
 

@@ -116,7 +116,14 @@ object ScaleSweep {
       // dedup, slim snapshot-diff join
       "s12_ann_delete" -> (graft.operators.Similarity.s12AnnDelete _),
       "mm9_phash_dedup" -> (graft.operators.Multimodal.mm9PerceptualDedup _),
-      "x22_snapshot_diff" -> (graft.operators.Corpus.x22SnapshotDiff _))
+      "x22_snapshot_diff" -> (graft.operators.Corpus.x22SnapshotDiff _),
+      // round-10 members: the round-9 operators with scale claims but
+      // no measured 1×/3×/10× row yet, plus the composed lifecycle fold
+      "t15_bpe_train" -> (graft.operators.TextAnalysis.t15BpeTrain _),
+      "t16_quality_model" -> (graft.operators.TextAnalysis.t16QualityModel _),
+      "st12_stream_index_ingest" -> (graft.streaming.Streaming.st12StreamIndexIngest _),
+      "s13_ann_update" -> (graft.operators.Similarity.s13AnnUpdate _),
+      "s14_ann_lifecycle" -> (graft.operators.Similarity.s14AnnLifecycle _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>
@@ -161,14 +168,17 @@ object ScaleSweep {
     // (classic 8-bit) recover at the codebook what the 64-entry books
     // lose at scale? Shortlist recall bounds s9's post-rerank recall.
     val big = if (scales.max == 1) base else s"$outRoot/x${scales.max}"
-    Seq(64, 256).foreach { k =>
+    // paired basis probe: does the OPQ rotation move shortlist recall
+    // where codebook cardinality (round-9: flat at 0.88) did not?
+    Seq((64, false), (256, false), (64, true), (256, true)).foreach { case (k, opq) =>
       try {
         val t0 = System.nanoTime()
-        val r = graft.operators.Similarity.pqShortlistRecall(spark, big, k)
+        val r = graft.operators.Similarity.pqShortlistRecall(spark, big, k, opq)
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"""[scale] {"pq_k":$k,"shortlist_recall":$r%.4f,"sec":$dt%.2f}""")
+        val tag = if (opq) "opq_k" else "pq_k"
+        println(f"""[scale] {"$tag":$k,"shortlist_recall":$r%.4f,"sec":$dt%.2f}""")
       } catch { case e: Throwable =>
-        System.err.println(s"[scale] pq_k=$k failed: $e")
+        System.err.println(s"[scale] pq_k=$k opq=$opq failed: $e")
       }
     }
     spark.stop()

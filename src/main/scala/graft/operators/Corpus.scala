@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
 
@@ -458,7 +458,71 @@ object Corpus {
       |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- X24
+  /** X24: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): rank
+    * the raw pool (lang ≠ en) by how target-like (lang = en) each
+    * document's hashed-unigram distribution is, and keep the top 100.
+    * Per-token importance term over B = 1024 hash buckets (t16's
+    * engine-stable md5 trick):
+    *   term(h) = ln((ct(h)+1)/(Nt+B)) − ln((cr(h)+1)/(Nr+B))
+    * (add-one-smoothed log-likelihood ratio of target vs raw bucket
+    * models); a document scores the MEAN term over its tokens, so
+    * length doesn't dominate.
+    *
+    * Scale shape: ONE map-side-combined aggregate over tokens grouped
+    * by (is_target, bucket) — output ≤ 2·B rows, collapsed on the
+    * driver into a 1024-entry literal TERM array; scoring is then a
+    * single narrow codegen'd `aggregate` fold per document (zero
+    * joins, zero corpus shuffle — the model rides the plan as
+    * literals, t16's discipline), and the top-100 is a heap
+    * (TakeOrderedAndProject), never a full sort. At 100 TB: two
+    * corpus passes total, 2048 rows of driver traffic.
+    *
+    * Correctness: `ln` is transcendental (t12's argument), so no
+    * cross-engine hash — invariant-gated: the mean of per-token terms
+    * must lie in [min term, max term] (driver scalars; a mis-bucketed
+    * hash, dropped smoothing or inverted ratio lands outside on real
+    * data), and the spec recomputes every selected score exactly
+    * driver-side (|Δ| < 1e-9) plus the selection set itself. */
+  def x24DsirSample(s: SparkSession, d: String): DataFrame = {
+    val B = 1024
+    def bucket(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % B
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+        bucket(col("w")).as("h"))
+    val counts = toks.groupBy(col("tgt"), col("h")).agg(count(lit(1)).as("c"))
+      .collect()
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    counts.foreach { r =>
+      val arr = if (r.getBoolean(0)) ct else cr
+      arr(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val nt = ct.sum.toDouble; val nr = cr.sum.toDouble
+    val term = Array.tabulate(B)(h =>
+      math.log((ct(h) + 1.0) / (nt + B)) - math.log((cr(h) + 1.0) / (nr + B)))
+    val lo = term.min; val hi = term.max
+    val termArr = array(term.map(lit(_)): _*)
+    documents(s, d).filter(col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), col("lang"), size(col("ws")).cast("long").as("n_tok"),
+        (aggregate(
+          transform(col("ws"), w => bucket(w).cast("int")),
+          lit(0.0), (acc, h) => acc + element_at(termArr, h + 1))
+          / size(col("ws"))).as("wt"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        round(col("wt"), 4).as("w4"),
+        (col("wt") >= lo - 1e-9 && col("wt") <= hi + 1e-9).as("pass"))
+      .orderBy(col("w4").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x24_dsir_sample" -> (x24DsirSample _),
     "x22_snapshot_diff" -> (x22SnapshotDiff _),
     "x21_range_layout" -> (x21RangeLayout _),
     "x14_sequence_pack" -> (x14SequencePack _),

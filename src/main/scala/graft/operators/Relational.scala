@@ -1041,8 +1041,60 @@ object Relational {
       |WINDOW iw AS (PARTITION BY user_id ORDER BY grp)
       |ORDER BY user_id, valid_from""".stripMargin
 
+  // ---------------------------------------------------------------- R35 (incremental aggregate maintenance)
+  /** Incremental MATERIALIZED-VIEW maintenance — the delta-refresh that
+    * keeps an aggregate table current without rescanning the fact
+    * table: a monthly-revenue view over orders is refreshed with a
+    * late-arriving batch (orderkey ≡ 3 mod 17 — the stand-in for the
+    * changelog a CDC feed would deliver) by aggregating ONLY the delta
+    * and merging partial states into the stored view — count merges by
+    * +, the revenue sum merges as EXACT decimals (rounding happens
+    * once, after the merge, so refresh order can never leak into the
+    * stored value).
+    *
+    * Scale: refresh cost ∝ |delta| (one map-side-combined aggregate
+    * over the batch) + a join on the VIEW keyspace (months ×
+    * statuses — broadcast-sized forever), never the base facts; the
+    * base aggregate here is computed from the retained split because
+    * the gate is stateless, but in production it IS the stored table —
+    * the merge expression is the whole operator. The full_outer USING
+    * join makes delta-only groups (a month's first-ever orders) appear
+    * and base-only groups survive untouched.
+    *
+    * Oracle: the merged view must equal the from-scratch aggregate
+    * over ALL orders, hash-exact — associativity of the partial states
+    * is the thing being proved. */
+  def r35(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val isLate = col("o_orderkey") % 17 === 3
+    def part(src: DataFrame): DataFrame =
+      src.groupBy(col("o_orderstatus"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(28, 6))).as("rev"))
+    val base = part(o.filter(!isLate))       // stands in for the stored view
+    val delta = part(o.filter(isLate))       // the refresh batch's aggregate
+    base.as("b")
+      .join(delta.as("dl"), Seq("o_orderstatus", "month"), "full_outer")
+      .select(col("o_orderstatus"), col("month"),
+        (coalesce(col("b.cnt"), lit(0L)) + coalesce(col("dl.cnt"), lit(0L)))
+          .as("n_orders"),
+        r4((coalesce(col("b.rev"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 6))) +
+          coalesce(col("dl.rev"), lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 6))))
+          .cast("double")).as("revenue"))
+      .orderBy(col("o_orderstatus"), col("month"))
+  }
+
+  val r35Sql: String =
+    """SELECT o_orderstatus,
+      |  STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS month,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r35_incremental_agg" -> (r35 _),
     "r34_scd2_history"   -> (r34 _),
     "r32_session_window" -> (r32 _),
     "r33_unpivot" -> (r33 _),
@@ -1084,6 +1136,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r35_incremental_agg" -> r35Sql,
     "r01_filter_project" -> r01Sql,
     "r02_agg"            -> r02Sql,
     "r03_join_agg"       -> r03Sql,

@@ -1648,10 +1648,16 @@ object Similarity {
     * measured the 64-entry books' recall drifting 0.86 → 0.74 at 10×
     * before the shortlist widening; this probe measures whether 256
     * entries (classic 8-bit PQ) recovers it at the codebook instead of
-    * the shortlist. */
-  private[graft] def pqShortlistRecall(s: SparkSession, d: String, k: Int): Double = {
+    * the shortlist. With `opq=true` the corpus is first rotated into
+    * the [[opqRotation]] basis (codebooks trained AND encoded there;
+    * the exact reference set is basis-independent), isolating what the
+    * rotation buys at the same codebook budget — the round-9 question
+    * "shortlist, codebook, or basis?" answered by measurement. */
+  private[graft] def pqShortlistRecall(s: SparkSession, d: String, k: Int,
+                                       opq: Boolean = false): Double = {
     import s.implicits._
-    val e = prepared(s, d).cache()
+    val base = prepared(s, d).cache()
+    val e = if (opq) rotated(base, opqRot(s, d, base)).cache() else base
     val books = trainPqCodebooks(e, iters = 2, k = k)
     val nBooks = books(0).length
     val sub = books(0)(0).length
@@ -1699,6 +1705,118 @@ object Similarity {
     val exact = exactTopK(s, d)
     val total = exact.count()
     short.intersect(exact).count().toDouble / total
+  }
+
+  // ------------------------------------------------------------- OPQ
+  /** Deterministic second-moment matrix Σ·xxᵀ of the corpus: every
+    * product contributes as ⌊x_i·x_j·2²⁰⌋ longs, so partial sums
+    * commute (integer addition) and the matrix is bit-identical at any
+    * parallelism — [[trainAnchors]]'s fixed-point discipline applied
+    * to a 64×64 aggregate. Exactly symmetric by construction
+    * (x_i·x_j is the same float both ways), which Jacobi requires.
+    * One narrow corpus scan; driver state 4096 longs. */
+  private[graft] def secondMoment(e: DataFrame): Array[Array[Double]] = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val n = 64
+    val sums = e.select(col("v")).as[Array[Double]].rdd.mapPartitions { it =>
+      val acc = new Array[Long](n * n)
+      it.foreach { v =>
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            acc(i * n + j) += math.floor(v(i) * v(j) * 1048576).toLong; j += 1
+          }
+          i += 1
+        }
+      }
+      Iterator.single(acc)
+    }.reduce { (a, b) =>
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    Array.tabulate(n, n)((i, j) => sums(i * n + j).toDouble / 1048576.0)
+  }
+
+  /** OPQ-parametric rotation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013, §4 — the closed-form solution for the
+    * Gaussian model): PQ's distortion bound is minimized by encoding
+    * in a PCA basis whose eigenvalues are allocated to the M subspaces
+    * so the per-subspace eigenvalue PRODUCTS balance (independence via
+    * PCA + balanced variance via allocation). Greedy allocation in
+    * descending-eigenvalue order to the non-full bucket with the
+    * smallest running log-product — the paper's Eigenvalue Allocation.
+    *
+    * Everything is deterministic: integer-exact covariance
+    * ([[secondMoment]]), sequential Jacobi with a fixed sweep order
+    * ([[graft.matrix.LocalLA.symEig]]), strict-< greedy with
+    * low-bucket-index tie-break. Returns R (64×64, rows orthonormal):
+    * the encoder reads subspace m from (R·x)[m·sub, (m+1)·sub).
+    * Training cost: ONE corpus scan + a driver-side 64×64
+    * eigendecomposition — independent of corpus size beyond the scan,
+    * so at 100 TB it prices like one extra Lloyd round. */
+  private[graft] def opqRotation(e: DataFrame): Array[Array[Double]] = {
+    val (vals, vecs) = graft.matrix.LocalLA.symEig(secondMoment(e))
+    val bucketOf = new Array[Int](64)
+    val logProd = new Array[Double](PqM)
+    val fill = new Array[Int](PqM)
+    for (i <- 0 until 64) {
+      val lv = math.log(math.max(vals(i), 1e-12))
+      var best = -1; var bestLp = Double.MaxValue
+      var b = 0
+      while (b < PqM) {
+        if (fill(b) < PqSub && logProd(b) < bestLp) { bestLp = logProd(b); best = b }
+        b += 1
+      }
+      bucketOf(i) = best; logProd(best) += lv; fill(best) += 1
+    }
+    // rows of R bucket-major; within a bucket, descending eigenvalue
+    val order = (0 until 64).sortBy(i => (bucketOf(i), i))
+    Array.tabulate(64, 64)((r, c) => vecs(c)(order(r)))
+  }
+
+  /** Session-scoped OPQ rotation cache (same hygiene as
+    * [[exactCache]]); no disk sidecar — the rotation is bit-
+    * deterministic from the corpus alone, and retraining is one scan. */
+  private val opqRotCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Array[Array[Double]]]
+
+  private[graft] def opqRot(s: SparkSession, d: String,
+                            e: DataFrame): Array[Array[Double]] = {
+    opqRotCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) opqRotCache.remove(k)
+    }
+    if (opqRotCache.size >= 8 && !opqRotCache.contains((s, d)))
+      opqRotCache.remove(opqRotCache.head._1)
+    opqRotCache.getOrElseUpdate((s, d), opqRotation(e))
+  }
+
+  /** Rotate the working frame into the OPQ basis: one narrow
+    * mapPartitions (no shuffle), broadcast 64×64 matrix, fixed-order
+    * inner loops ⇒ bit-deterministic. Orthogonality preserves norms
+    * and dot products, so downstream ADC scores approximate the SAME
+    * cosine and shortlists rerank against the ORIGINAL floats. */
+  private[graft] def rotated(e: DataFrame,
+                             r: Array[Array[Double]]): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val rB = sess.sparkContext.broadcast(r)
+    e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val m = rB.value
+        it.map { case (id, v) =>
+          val y = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            var acc = 0.0; var j = 0
+            while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
+            y(i) = acc; i += 1
+          }
+          (id, y)
+        }
+      }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
   }
 
   /** PQ codebook cache, session-scoped in memory and DURABLE on disk
@@ -1964,6 +2082,90 @@ object Similarity {
       floor = 0.7)
   }
 
+  // ------------------------------------------------------------- S15
+  /** S15: OPQ — optimized product quantization. S9's PQ codes, but
+    * trained and encoded in the [[opqRotation]] basis: a PCA rotation
+    * with eigenvalue-balanced subspace allocation (Ge et al., CVPR
+    * 2013) decorrelates the subspaces and equalizes their variance, so
+    * the same 8-byte code budget wastes less of it on correlated /
+    * unbalanced directions. This is the measured answer to the round-9
+    * finding that the ANN recall lever at scale is NOT codebook
+    * cardinality (0.88 shortlist recall at 10× for both 64- and
+    * 256-entry books): the basis is the remaining training-side knob,
+    * and ScaleSweep's paired pq/opq probes quantify it at 10×.
+    *
+    * Plan shape is exactly S9's: one narrow rotation projection (no
+    * shuffle), ADC scoring against broadcast per-query LUTs computed
+    * in the SAME basis (orthogonality preserves dots and norms, so the
+    * scores approximate the same cosine), 40·K shortlist via the
+    * rank-pushdown window, exact rerank against the ORIGINAL floats.
+    * At 100 TB the rotation happens once at ingest (the stored `pq8`
+    * bytes simply hold rotated-basis codes — same 8 bytes/vector
+    * scanned, same LUT-sum serving cost) and R rides the codebook
+    * sidecar; here the encode runs in-flight because the durable
+    * index's codes are frozen in the identity basis. Recall-gated vs
+    * exact S1 (floor 0.7) like every approximate family member. */
+  def s15AnnOpq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = prepared(s, d).cache()
+    val rot = rotated(e, opqRot(s, d, e)).cache()
+    val books = trainPqCodebooks(rot, iters = 2)
+    val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
+      var acc = 0.0; var i = 0
+      while (i < PqSub) { acc += books(m)(c)(i) * books(m)(c)(i); i += 1 }
+      acc
+    }
+    val bB = s.sparkContext.broadcast(books)
+    val cn2B = s.sparkContext.broadcast(cn2)
+    // query LUTs in the rotated basis — the rotated norm IS the
+    // original norm (orthogonality), recomputed here from the rotated
+    // coords so LUT and codes share one arithmetic path
+    val queries = rot.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+      .collect().sortBy(_._1)
+    val luts = queries.map { case (qid, qv, qn) =>
+      val lut = Array.tabulate(PqM, PqK) { (m, c) =>
+        var acc = 0.0; var i = 0
+        while (i < PqSub) { acc += qv(m * PqSub + i) * books(m)(c)(i); i += 1 }
+        acc
+      }
+      (qid, lut, qn)
+    }
+    val lutB = s.sparkContext.broadcast(luts)
+    val scored = rot.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val bk = bB.value; val ls = lutB.value; val n2 = cn2B.value
+        it.flatMap { case (id, v) =>
+          val code = pqEncode(v, bk)
+          ls.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+            var dot = 0.0; var rn2 = 0.0; var m = 0
+            while (m < PqM) {
+              val c = code(m) & 0xff
+              dot += lut(m)(c); rn2 += n2(m)(c)
+              m += 1
+            }
+            val denom = qn * math.sqrt(rn2)
+            val cosq = if (denom > 0) dot / denom else 0.0
+            (qid, id, math.round(cosq * 1e4) / 1e4)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cosq4")
+    val short = scored.withColumn("qrn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosq4").desc, col("neighbor_id"))))
+      .filter(col("qrn") <= 40 * K)
+    // exact rerank against the true (identity-basis) floats
+    val exact = e.as("e").join(broadcast(short), col("e.vec_id") === col("neighbor_id"))
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("query_id") === col("qid"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4).as("cos4"))
+    withRecallGate(s, d, "s15",
+      rerank(exact).select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn")),
+      floor = 0.7)
+  }
+
   // ------------------------------------------------------------- X10
   /** Sign-matrix (Achlioptas) random projection 64 → 16 dims — the
     * cheap dimensionality cut in front of clustering / coarse ANN
@@ -2113,6 +2315,7 @@ object Similarity {
     "s8_ann_index_append" -> (s8AnnIndexAppend _),
     "s9_ann_pq" -> (s9AnnPq _),
     "s10_ann_ivfpq" -> (s10AnnIvfPq _),
+    "s15_ann_opq" -> (s15AnnOpq _),
     "x2_topk_cosine"    -> (x2TopkCosineGram _),
     "x4_centroids"      -> (x4Centroids _),
     "x6_dim_stats"      -> (x6DimStats _),

@@ -959,6 +959,107 @@ object TextAnalysis {
     out.toSeq
   }
 
+  // ------------------------------------------------------------- T17
+  /** T17: BPE tokenizer APPLICATION — the other half of t15: the
+    * trained merge table, frozen as a rank map, encodes every document
+    * (the "tokenize the corpus" pass that feeds sequence packing /
+    * training shuffles). Standard encoder semantics: per word, the
+    * LOWEST-RANK adjacent pair present is merged (all its occurrences,
+    * left-to-right) until no ranked pair remains — the
+    * merges-in-training-order equivalence is asserted in spec by an
+    * independent sequential-application reference encoder.
+    *
+    * Scale: the rank map is vocabulary-bounded (t15's Heaps argument)
+    * and BROADCAST; encoding is one narrow mapPartitions — zero
+    * shuffle, corpus touched once. A per-partition word→tokens MEMO
+    * makes the per-row cost ∝ unique words seen, not tokens (Heaps
+    * again: on 100 TB the memo hit-rate approaches 1, so encode runs
+    * at scan speed). No SQL oracle (the merge recurrence, like t15) —
+    * instead the in-query `pass` gate holds per-document invariants an
+    * encoder bug cannot survive: `roundtrip_ok` (the word's tokens
+    * concatenate back to the word, char-exact — a dropped/duplicated
+    * symbol flips it), `vocab_ok` (every multi-char token is a product
+    * of some trained merge — an unranked merge flips it), and
+    * n_tok ≤ n_chars. PipelineSpec adds reference-encoder equality. */
+  def t17BpeEncode(s: SparkSession, d: String): DataFrame =
+    t17BpeEncodeImpl(s, d, merges = 256)
+
+  /** The per-word encode kernel, pure and standalone so the spec can
+    * drive it against rich synthetic merge tables: merge the
+    * LOWEST-RANK adjacent pair present (all occurrences, left-to-right
+    * non-overlapping) until no ranked pair remains. */
+  private[graft] def bpeEncodeWord(rk: Map[(String, String), Int],
+                                   w: String): Array[String] = {
+    var syms: Array[String] = w.split("").filter(_.nonEmpty)
+    var done = syms.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue; var bestA = ""; var bestB = ""
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = rk.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestA = syms(i); bestB = syms(i + 1) }
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val nb = scala.collection.mutable.ArrayBuffer.empty[String]
+        i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == bestA && syms(i + 1) == bestB) {
+            nb += bestA + bestB; i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.toArray
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  private[graft] def t17BpeEncodeImpl(s: SparkSession, d: String,
+                                      merges: Int): DataFrame = {
+    import s.implicits._
+    val mergeTable = t15BpeTrainImpl(s, d, merges, t15DriverLocalMaxWords)
+      .select(col("rank"), col("left"), col("right"))
+      .as[(Int, String, String)].collect()
+    val ranks: Map[(String, String), Int] =
+      mergeTable.map(t => ((t._2, t._3), t._1)).toMap
+    val merged: Set[String] = mergeTable.map(t => t._2 + t._3).toSet
+    val ranksB = s.sparkContext.broadcast(ranks)
+    val mergedB = s.sparkContext.broadcast(merged)
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val rk = ranksB.value; val vocabProducts = mergedB.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def encodeWord(w: String): Array[String] =
+          memo.getOrElseUpdate(w, bpeEncodeWord(rk, w))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nChars = 0L; var nTok = 0L
+          var roundtripOk = true; var vocabOk = true
+          md.reset()
+          words.foreach { w =>
+            val toks = encodeWord(w)
+            nChars += w.length; nTok += toks.length
+            if (toks.mkString != w) roundtripOk = false
+            toks.foreach { t =>
+              if (t.length > 1 && !vocabProducts.contains(t)) vocabOk = false
+              md.update(t.getBytes("UTF-8")); md.update(1.toByte)
+            }
+            md.update(2.toByte)   // word boundary
+          }
+          val hash = md.digest().map("%02x".format(_)).mkString
+          (id, words.length.toLong, nChars, nTok, hash,
+            roundtripOk, vocabOk,
+            roundtripOk && vocabOk && nTok <= nChars && nTok >= words.length)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_tok", "tok_hash",
+        "roundtrip_ok", "vocab_ok", "pass")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- T16
   /** T16: model-based quality FILTER inference — the learned-classifier
     * stage (fastText/DCLM-style) that sits beside the rule-based
@@ -1006,6 +1107,7 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_encode" -> (t17BpeEncode _),
     "t16_quality_model" -> (t16QualityModel _),
     "t15_bpe_train" -> (t15BpeTrain _),
     "t14_chunk" -> (t14Chunk _),

@@ -214,6 +214,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.7, f"IVFPQ recall $r%.3f — cell pruning x PQ composition broken")
   }
 
+  test("s15 OPQ: rotation orthonormal + deterministic, geometry preserved, recall floor") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.prepared(spark, sf01)
+    val r1 = Similarity.opqRotation(e)
+    val r2 = Similarity.opqRotation(e)
+    assert(r1.flatMap(_.toSeq).sameElements(r2.flatMap(_.toSeq)),
+      "OPQ rotation is not run-deterministic")
+    // R·Rᵀ = I (rows orthonormal): eigenvector basis survived allocation
+    val n = r1.length
+    var maxOff = 0.0
+    for (i <- 0 until n; j <- 0 until n) {
+      var acc = 0.0; var k = 0
+      while (k < n) { acc += r1(i)(k) * r1(j)(k); k += 1 }
+      maxOff = math.max(maxOff, math.abs(acc - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(maxOff < 1e-9, f"R·Rᵀ deviates from I by $maxOff%.2e — not orthonormal")
+    // rotation preserves norms (the invariant the ADC cosine relies on)
+    val both = Similarity.rotated(e, r1).select(col("vec_id"), col("nrm"))
+      .withColumnRenamed("nrm", "rnrm")
+      .join(e.select(col("vec_id"), col("nrm")), "vec_id")
+      .collect()
+    both.foreach { row =>
+      assert(math.abs(row.getAs[Double]("rnrm") - row.getAs[Double]("nrm")) < 1e-6,
+        s"rotation changed a norm: $row")
+    }
+    // end-to-end: rotated-basis PQ still clears the family recall floor
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val opq = topk(Similarity.s15AnnOpq(spark, sf01))
+    val r = recallVs(exact, opq)
+    info(f"s15 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"OPQ recall $r%.3f — rotation or rotated-basis ADC broken")
+    // same shortlist plan contract as s9/s10
+    val raw = Similarity.lastGatedApprox((spark, "s15"))
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"s15 shortlist is a full sort-window, not a group-limit pushdown:\n$plan")
+    Similarity.lastGatedApprox.remove((spark, "s15"))
+  }
+
   test("s9/s10 serve from STORED codes: pq8 column matches an independent re-encode") {
     import org.apache.spark.sql.functions.col
     Similarity.s9AnnPq(spark, sf01).collect() // ensures the index exists
@@ -1173,6 +1212,90 @@ class PipelineSpec extends AnyFunSuite {
     dist.zip(local).foreach { case (d, l) =>
       assert(d.toSeq == l.toSeq,
         s"regime divergence at rank ${d.getAs[Int]("rank")}: $d vs $l")
+    }
+  }
+
+  test("t17 BPE encode: invariants corpus-wide; lowest-rank-first ≡ merges-in-training-order") {
+    // corpus-level gates at sf0.001: every invariant column true
+    val rows = TextAnalysis.t17BpeEncode(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("pass")), "t17 in-query gate red")
+    // rich merge table (the t15 syllable corpus): encoding each word
+    // with the frozen ranks via the operator's lowest-rank-first kernel
+    // must equal an INDEPENDENT reference that applies the merges
+    // sequentially in training order — the classic Sennrich-vs-HF
+    // encoder equivalence, plus char-exact round-trip
+    val rnd = new scala.util.Random(7)
+    val sylls = Array("ba","be","bi","bo","bu","da","de","di","do","du",
+      "ka","ke","ki","ko","ku","la","le","li","lo","lu",
+      "ma","me","mi","mo","mu","na","ne","ni","no","nu",
+      "ra","re","ri","ro","ru","sa","se","si","so","su",
+      "ta","te","ti","to","tu","za","ze","zi","zo","zu")
+    val words = (0 until 1500).map { i =>
+      val w = (0 until 2 + rnd.nextInt(4)).map(_ => sylls(rnd.nextInt(sylls.length))).mkString
+      (w, 1L + 10000L / (i + 1))
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    val table = TextAnalysis.t15MergeLoopLocal(
+      words.map { case (w, c) => (w.map(_.toString).toArray, c) }, 600)
+    val rk = table.map(t => ((t._2, t._3), t._1)).toMap
+    def referenceEncode(w: String): Array[String] = {
+      var syms: Vector[String] = w.map(_.toString).toVector
+      table.sortBy(_._1).foreach { case (_, a, b, _, _, _) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            nb += a + b; i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        syms = nb.result()
+      }
+      syms.toArray
+    }
+    words.foreach { case (w, _) =>
+      val got = TextAnalysis.bpeEncodeWord(rk, w)
+      assert(got.mkString == w, s"round-trip broke for '$w': ${got.toSeq}")
+      val ref = referenceEncode(w)
+      assert(got.sameElements(ref),
+        s"encoder divergence on '$w': ${got.toSeq} vs ${ref.toSeq}")
+    }
+  }
+
+  test("x24 DSIR: scores equal an exact driver recompute; selection is the reference top-100") {
+    import graft.operators.Corpus
+    val out = graft.Verify.gateInvariants(Corpus.x24DsirSample(spark, sf01)).collect()
+    assert(out.length == 100)
+    // independent driver model: hashed-unigram counts, add-one terms,
+    // per-doc mean in document token order (the operator's fold order)
+    val docs = graft.sources.Tables.documents(spark, sf01)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 1024
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      md.reset()
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % B).toInt
+    }
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    docs.foreach { case (_, lang, text) =>
+      val arr = if (lang == "en") ct else cr
+      text.split(" ").filter(_.nonEmpty).foreach(w => arr(bucket(w)) += 1)
+    }
+    val nt = ct.sum.toDouble; val nr = cr.sum.toDouble
+    val term = Array.tabulate(B)(h =>
+      math.log((ct(h) + 1.0) / (nt + B)) - math.log((cr(h) + 1.0) / (nr + B)))
+    val ref = docs.filter(_._2 != "en").map { case (id, lang, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val wt = ws.foldLeft(0.0)((acc, w) => acc + term(bucket(w))) / ws.length
+      val w4 = java.math.BigDecimal.valueOf(wt)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      (id, lang, ws.length.toLong, w4)
+    }.sortBy { case (id, _, _, w4) => (-w4, id) }.take(100)
+    out.zip(ref).foreach { case (row, (id, lang, ntok, w4)) =>
+      assert((row.getLong(0), row.getString(1), row.getLong(2),
+        row.getDouble(3)) == ((id, lang, ntok, w4)),
+        s"x24 divergence: $row vs ($id,$lang,$ntok,$w4)")
     }
   }
 

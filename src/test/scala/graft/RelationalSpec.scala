@@ -52,6 +52,33 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("r35 incremental refresh ≡ from-scratch aggregate, groups merge exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val inc = Relational.r35(spark, sf).collect()
+    assert(inc.nonEmpty)
+    // from-scratch reference: ONE aggregate over all orders — the
+    // associativity of the partial states is what r35 must preserve
+    val full = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(28, 6))).cast("double"), 4)
+          .as("revenue"))
+      .orderBy(col("o_orderstatus"), col("month"))
+      .collect()
+    assert(inc.length == full.length,
+      s"group count drifted: incremental ${inc.length} vs full ${full.length}")
+    inc.zip(full).foreach { case (i, f) =>
+      assert(i.toSeq == f.toSeq, s"merge divergence: $i vs $f")
+    }
+    // the refresh batch must be non-trivial at this sf (else the merge
+    // path isn't exercised) and some groups must exist in both splits
+    val late = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 17 === 3).count()
+    assert(late > 0, "empty delta — the refresh path is untested")
+  }
+
   test("x22 snapshot diff: document text never enters an exchange") {
     import graft.operators.Corpus
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

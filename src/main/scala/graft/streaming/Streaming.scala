@@ -896,8 +896,184 @@ object Streaming {
     }
   }
 
+  // ------------------------------------------------------------ ST13
+  /** ST13: streaming CDC APPLY — the change-data-capture loop that
+    * keeps a keyed snapshot table current from an event stream (the
+    * continuous member of the warehouse-maintenance family: r24 is the
+    * batch latest-per-key, r27 the batch MERGE, r34 the batch SCD2;
+    * st13 applies the changes as they arrive). The events stream lands
+    * in THREE micro-batches (`maxFilesPerTrigger=1`); each
+    * `foreachBatch` MERGEs the batch's latest-per-key rows into a
+    * BUCKET-PARTITIONED snapshot (bucket = user_id mod 16): newer
+    * (ts, event_id) wins, per-key update counts accumulate, and ONLY
+    * the buckets containing batch keys are rewritten — every other
+    * bucket's files are copied byte-for-byte into the new generation
+    * (s12's targeted-compaction discipline applied to a dimension
+    * snapshot). Generations are immutable; the pointer swap is the
+    * only mutation, so readers mid-scan are undisturbed.
+    *
+    * Scale: per-batch cost ∝ |batch| + the affected buckets' rows,
+    * never the snapshot (at 100 TB the bucket count rises with key
+    * cardinality and a batch touches the few buckets its keys hash
+    * to); state is the file-source offset log alone — the snapshot
+    * itself is the state, exactly how a production CDC apply job
+    * works against a lake table.
+    *
+    * Correctness: **full SQL oracle** — the final snapshot must equal
+    * the batch latest-per-key over ALL events (with per-key change
+    * counts), hash-exact: a dropped batch, a double-applied batch, a
+    * stale row surviving a merge, or a lost bucket copy all flip it.
+    * Batch boundaries must be invisible (the merge is associative by
+    * construction — max by (ts, event_id) and + both are). */
+  /** Per-batch (affected, copied) bucket counts of the LAST st13 run —
+    * observability hook for the targeted-rewrite spec (t15LastRegime's
+    * pattern): from batch 2 on, affected + copied must tile the bucket
+    * space and copied > 0 proves the delta-shaped rewrite actually
+    * exercised (a full-snapshot rewrite would show copied = 0). */
+  @volatile private[graft] var st13LastBatches: List[(Int, Int)] = Nil
+
+  def st13StreamCdcApply(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    val nBuckets = 64
+    st13LastBatches = Nil
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val work = java.nio.file.Files.createTempDirectory("graft_st13").toString
+    val ckpt = ckptDir("st13")
+    try {
+      // The change feed arrives as 3 files ⇒ 3 micro-batches, split the
+      // way a key-partitioned CDC topic drains: the first two batches
+      // carry DISJOINT key ranges (even/odd users' earlier events — so
+      // batch 2 must preserve batch 1's buckets by copy, not rewrite),
+      // the third carries every key's later events (so every key
+      // exercises the cross-batch latest-wins merge). mtimes pin the
+      // file-source order; the RESULT is split-invariant either way
+      // (the merge is associative — the oracle proves it).
+      val inDir = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val t0 = System.currentTimeMillis() - 60000
+      Seq(col("event_id") % 2 === 0 && col("user_id") % 2 === 0,
+          col("event_id") % 2 === 0 && col("user_id") % 2 === 1,
+          col("event_id") % 2 === 1).zipWithIndex.foreach { case (pred, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st13_split").toString
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 10000)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(tmp))
+      }
+      val genPtr = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val genCnt = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val byKey = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          // batch-local CDC rows: latest per key + how many changes
+          val delta = batch
+            .withColumn("rn", row_number().over(byKey))
+            .withColumn("cnt", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+            .filter(col("rn") === 1).drop("rn")
+            .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+            .localCheckpoint(true)
+          val affected = delta.select(col("bucket")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val old = genPtr.get()
+          val newGen = s"$work/gen${genCnt.incrementAndGet()}"
+          // MERGE as union + latest-wins: snapshot rows and batch rows
+          // are both "candidates"; per key the newest (ts, event_id)
+          // survives and the change counts ADD — associative by
+          // construction, so micro-batch boundaries cannot show
+          val deltaCand = delta.select(col("bucket"), col("user_id"),
+            col("ts"), col("event_id"), col("event_type"), col("value"),
+            col("cnt").as("n_updates"))
+          val merged =
+            if (old == null) deltaCand
+            else {
+              val cur = s.read.parquet(old)
+                .filter(col("bucket").isin(affected.toSeq.map(_.asInstanceOf[Any]): _*))
+              val byKeyDesc = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("ts").desc, col("event_id").desc)
+              val perKey = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+              cur.unionByName(deltaCand)
+                .withColumn("tot", sum(col("n_updates")).over(perKey))
+                .withColumn("mrn", row_number().over(byKeyDesc))
+                .filter(col("mrn") === 1)
+                .select(col("bucket"), col("user_id"), col("ts"),
+                  col("event_id"), col("event_type"), col("value"),
+                  col("tot").as("n_updates"))
+            }
+          merged.write.mode("overwrite").partitionBy("bucket").parquet(newGen)
+          // untouched buckets survive byte-for-byte: file-level copy
+          var copied = 0
+          if (old != null) {
+            val src = java.nio.file.Paths.get(old)
+            val dst = java.nio.file.Paths.get(newGen)
+            (0 until nBuckets).filterNot(affected).foreach { b =>
+              val bd = src.resolve(s"bucket=$b")
+              if (java.nio.file.Files.isDirectory(bd)) {
+                copied += 1
+                val walk = java.nio.file.Files.walk(bd)
+                try walk.forEach { p =>
+                  if (java.nio.file.Files.isRegularFile(p)) {
+                    val out = dst.resolve(src.relativize(p).toString)
+                    java.nio.file.Files.createDirectories(out.getParent)
+                    java.nio.file.Files.copy(p, out)
+                  }
+                } finally walk.close()
+              }
+            }
+          }
+          st13LastBatches = st13LastBatches :+ ((affected.size, copied))
+          genPtr.set(newGen)
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      s.read.parquet(genPtr.get())
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), fmt).as("last_ts"),
+          col("value").as("last_value"), col("n_updates"))
+        .orderBy(col("user_id"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+      rm(new java.io.File(work))
+    }
+  }
+
+  val st13Sql: String =
+    """WITH latest AS (
+      |  SELECT user_id, event_type, ts, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n_updates
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+      |       value AS last_value, n_updates
+      |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_cdc_apply" -> (st13StreamCdcApply _),
     "st12_stream_index_ingest" -> (st12StreamIndexIngest _),
     "st11_session_timers" -> (st11SessionTimers _),
     "st10_running_stats" -> (st10RunningStats _),
@@ -912,6 +1088,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st13_stream_cdc_apply" -> st13Sql,
     "st11_session_timers" -> st11Sql,
     "st10_running_stats" -> st10Sql,
     "st9_stream_quality" -> st9Sql,

@@ -468,6 +468,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(key).sorted.sameElements(ref.map(key).sorted))
   }
 
+  test("st13 CDC apply equals the batch latest-per-key; bucket rewrites are targeted") {
+    val got = graft.streaming.Streaming.st13StreamCdcApply(spark, sf).collect()
+    assert(got.nonEmpty)
+    // batch reference computed in-engine: latest event per user + count
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ref = graft.sources.Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("n_updates", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("value").as("last_value"), col("n_updates"))
+      .orderBy(col("user_id"))
+      .collect()
+    assert(got.length == ref.length,
+      s"snapshot key count ${got.length} != reference ${ref.length}")
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g.toSeq == r.toSeq, s"CDC divergence: $g vs $r")
+    }
+    // targeted rewrite exercised: 3 batches recorded; batch 2 carries
+    // a key range DISJOINT from batch 1, so batch 1's buckets must
+    // survive by byte-copy, never rewrite
+    val batches = graft.streaming.Streaming.st13LastBatches
+    assert(batches.length == 3, s"expected 3 micro-batches, got $batches")
+    val (affected2, copied2) = batches(1)
+    assert(copied2 > 0,
+      s"no bucket survived by copy — rewrite is not delta-shaped: $batches")
+    assert(affected2 < 64, s"batch touched the whole bucket space: $batches")
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

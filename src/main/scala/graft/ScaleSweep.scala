@@ -169,7 +169,16 @@ object ScaleSweep {
     // lose at scale? Shortlist recall bounds s9's post-rerank recall.
     val big = if (scales.max == 1) base else s"$outRoot/x${scales.max}"
     // paired basis probe: does the OPQ rotation move shortlist recall
-    // where codebook cardinality (round-9: flat at 0.88) did not?
+    // where codebook cardinality (round-9: flat at 0.88) did not? The
+    // eigenvalue spread is printed first — it BOUNDS what any rotation
+    // can buy (flat spectrum = isotropic data = nothing to rebalance)
+    try {
+      val ev = graft.operators.Similarity.opqEigenvalues(
+        graft.operators.Similarity.prepared(spark, big))
+      println(f"""[scale] {"opq_eig_max":${ev.head}%.4f,"opq_eig_min":${ev.last}%.4f,"ratio":${ev.head / ev.last}%.2f}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[scale] eigen probe failed: $e")
+    }
     Seq((64, false), (256, false), (64, true), (256, true)).foreach { case (k, opq) =>
       try {
         val t0 = System.nanoTime()

@@ -1239,7 +1239,8 @@ object Similarity {
       report("ivf_index", ivfIndex(s, d)._1),
       report("incr_index", incrIndexPath(s, d)._1),
       report("base_index", baseIndexPath(s, d)._1),
-      { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) })
+      { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
+      report("s14_final_index", s14RebuildPath(s, d)))
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -1349,7 +1350,13 @@ object Similarity {
       }
     } finally walk.close()
     if (affected.nonEmpty) {
-      // rewrite ONLY the affected partitions, minus the tombstoned rows
+      // rewrite ONLY the affected partitions, minus the tombstoned rows.
+      // The pre-write repartition clusters each (label, cell) into one
+      // task ⇒ ONE file per rewritten partition dir — the small-file
+      // compaction a production rewrite wants at any scale (without it,
+      // every scan task that holds a few surviving rows of a partition
+      // emits its own tiny file); the shuffle moves affected-partition
+      // rows only, which is the pass's whole working set.
       val aff = affected.toSeq
       val affDf = broadcast(s.createDataFrame(
         s.sparkContext.parallelize(aff.map(t =>
@@ -1361,6 +1368,7 @@ object Similarity {
             org.apache.spark.sql.types.IntegerType)))))
       idx.join(affDf, Seq("label", "cell"))
         .join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+        .repartition(col("label"), col("cell"))
         .write.mode("append").partitionBy("label", "cell").parquet(dstPath)
     }
   }
@@ -1464,7 +1472,10 @@ object Similarity {
     * Gates (driver-enforced via `*_ok`): `fold_ok` — gen1's probe
     * answers BIT-IDENTICALLY to a from-scratch rebuild over the final
     * corpus (updated vectors, deletes applied) with the same anchors
-    * and books, proving the fold lost and resurrected nothing;
+    * and books, proving the fold lost and resurrected nothing (the
+    * rebuild witness is itself a durable fingerprint-keyed artifact,
+    * [[s14RebuildPath]], built once per corpus — the st12 base-reuse
+    * lesson);
     * `filtered_ok` — S11's label-filtered serving through gen1 equals
     * the exact label-filtered recompute over the final corpus (the
     * label partition layer survived compaction + append); `recall_ok`
@@ -1473,6 +1484,43 @@ object Similarity {
     * are immutable — readers mid-probe on gen0 are undisturbed, the
     * path swap is the only mutation, exactly [[ivfIndex]]'s
     * atomic-publish discipline. */
+  /** The s14 identity WITNESS: a from-scratch encode of the FINAL
+    * corpus (updates applied, deletes removed) with gen0's frozen
+    * anchors + books. Bit-deterministic from the corpus alone, so it
+    * is a DURABLE fingerprint-keyed artifact like the indexes it
+    * witnesses — built once, reused by every later s14 invocation
+    * (the st12 base-rebuild lesson: never re-pay ingest for a frame
+    * that cannot change). Same build/publish discipline as
+    * [[ivfIndex]]: unique temp + atomic rename, torn dir degrades to
+    * rebuild. */
+  private[graft] def s14RebuildPath(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(indexRoot, s"graft-s14-final-${corpusFingerprint(d)}")
+    if (new java.io.File(dir, "_SUCCESS").isFile) {
+      artifactStatus(dir.getAbsolutePath) = "found"
+      return dir.getAbsolutePath
+    }
+    val (_, anchors, _) = ivfIndex(s, d)
+    val books = pqBooks(s, d, prepared(s, d))
+    val finalCorpus = updatedCorpus(s, d)
+      .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+    val tmp = new java.io.File(indexRoot,
+      dir.getName + s".build-${ProcessHandle.current().pid()}")
+    assignQuantize(finalCorpus, anchors, Some(books))
+      .repartition(col("label"), col("cell"))
+      .write.mode("overwrite").partitionBy("label", "cell")
+      .parquet(tmp.getAbsolutePath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val path =
+      if (tmp.renameTo(dir)) dir.getAbsolutePath
+      else if (new java.io.File(dir, "_SUCCESS").isFile) { rm(tmp); dir.getAbsolutePath }
+      else tmp.getAbsolutePath
+    artifactStatus(path) = "built"
+    path
+  }
+
   def s14AnnLifecycle(s: SparkSession, d: String): DataFrame = {
     val (gen0, anchors, nCells) = ivfIndex(s, d)
     val nProbe = math.max(4, nCells / 4)
@@ -1488,29 +1536,28 @@ object Similarity {
       anchors, Some(books))
     val pid = ProcessHandle.current().pid()
     val gen1 = new java.io.File(indexRoot, s"graft-s14-gen1-$pid")
-    val rebuilt = new java.io.File(indexRoot, s"graft-s14-rebuild-$pid")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(gen1); rm(rebuilt)
+    rm(gen1)
     try {
-      // FOLD: targeted compaction, then the append — S12 + S8 composed
+      // FOLD: targeted compaction, then the append — S12 + S8 composed.
+      // The delta is the LSM memtable: broadcast-sized by construction,
+      // so it lands as one file per touched partition (coalesce(1) is
+      // the scale-honest write shape for a frame that small)
       compactIndex(s, gen0, gen1.getAbsolutePath, stale)
-      delta.write.mode("append").partitionBy("label", "cell")
+      delta.coalesce(1).write.mode("append").partitionBy("label", "cell")
         .parquet(gen1.getAbsolutePath)
       // serve gen1 plain (the whole point: no mask, no delta)
       val probe = probeIndex(s, gen1.getAbsolutePath, prepared(s, d),
         anchors, nProbe)
       registerGatedPlan(s, "s14", probe)
       val res = probe.localCheckpoint(true)
-      // identity witness: from-scratch encode of the final corpus with
-      // the SAME frozen anchors + books
+      // identity witness: the durable from-scratch final-corpus index
       val finalCorpus = updatedCorpus(s, d)
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-      assignQuantize(finalCorpus, anchors, Some(books))
-        .write.mode("overwrite").partitionBy("label", "cell")
-        .parquet(rebuilt.getAbsolutePath)
+      val rebuilt = new java.io.File(s14RebuildPath(s, d))
       val ref = probeIndex(s, rebuilt.getAbsolutePath, prepared(s, d),
         anchors, nProbe)
       val foldOk = res.collect().map(_.toSeq).toSet ==
@@ -1561,7 +1608,7 @@ object Similarity {
         .withColumn("recall_ok", lit(recall >= 0.7))
         .withColumn("fold_ok", lit(foldOk))
         .withColumn("filtered_ok", lit(filteredOk))
-    } finally { rm(gen1); rm(rebuilt) }
+    } finally rm(gen1) // the rebuild witness is durable; only gen1 is scratch
   }
 
   // ------------------------------------------------------------- S9
@@ -1774,6 +1821,15 @@ object Similarity {
     val order = (0 until 64).sortBy(i => (bucketOf(i), i))
     Array.tabulate(64, 64)((r, c) => vecs(c)(order(r)))
   }
+
+  /** Eigenvalue spectrum of the corpus second-moment matrix
+    * (descending) — the evidence behind any OPQ verdict: a flat
+    * spectrum means the data is already isotropic and NO rotation can
+    * rebalance subspace variance (the parametric-OPQ gain is bounded
+    * by the spread), so a measured "rotation buys nothing" needs this
+    * printed next to it. ScaleSweep reports max/min/ratio. */
+  private[graft] def opqEigenvalues(e: DataFrame): Array[Double] =
+    graft.matrix.LocalLA.symEig(secondMoment(e))._1
 
   /** Session-scoped OPQ rotation cache (same hygiene as
     * [[exactCache]]); no disk sidecar — the rotation is bit-

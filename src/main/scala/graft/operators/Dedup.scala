@@ -598,6 +598,88 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------------------- P9
+  /** Iteration count of the last [[p9DupComponents]] / star-contraction
+    * call — observability hook for the convergence spec (t15LastRegime's
+    * pattern). */
+  @volatile private[graft] var p9LastRounds: Int = -1
+
+  /** The alternating large-star / small-star contraction over an edge
+    * frame — Kiveris et al. 2014 ("Connected Components in MapReduce
+    * and Beyond"): large-star points every strictly-LARGER neighbor of
+    * u at min(Γ(u) ∪ u); small-star points every smaller-or-equal
+    * neighbor there. Alternating the two contracts every component to
+    * a star rooted at its minimum in O(log n) rounds REGARDLESS of
+    * diameter — the property p5's min-label propagation lacks (its
+    * round count is the component diameter). Each round is two
+    * broadcast-free self-aggregates over the EDGE frame (never the
+    * corpus); convergence is detected on the checkpointed edge set.
+    * Returns (node, root) for every node in the edge frame. */
+  private[graft] def starContract(edgesIn: DataFrame): DataFrame = {
+    // canonical undirected form (a < b) between rounds; symmetric
+    // directed form inside each star step
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // m(u) = min(Γ(u) ∪ {u}) over a symmetric edge frame
+    def mins(e: DataFrame): DataFrame = e
+      .union(e.select(col("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(min(col("dst")).as("m"))
+    var edges = graft.Lineage.truncate(canon(edgesIn))
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < 30) {
+      // large-star: every strictly-larger neighbor of u attaches to m(u)
+      val e1 = sym(edges)
+      val ls = canon(e1.join(mins(e1), "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+      // small-star: every smaller-or-equal neighbor of u, and u itself,
+      // attaches to m(u)
+      val e2 = sym(graft.Lineage.truncate(ls))
+      val sm = mins(e2)
+      val ss = canon(e2.join(sm, "src")
+        .filter(col("dst") <= col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(sm.select(col("src"), col("m").as("dst"))))
+      val next = graft.Lineage.truncate(ss)
+      converged =
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    p9LastRounds = rounds
+    // fixed point is a star per component: min(Γ(u) ∪ {u}) IS the root
+    // for members and root alike
+    mins(sym(edges)).select(col("src").as("node"), col("m").as("root"))
+  }
+
+  /** P9: duplicate components via STAR CONTRACTION — the same answer
+    * as [[p5DupClusters]] (identical output schema, identical SQL
+    * oracle), computed with the O(log n)-round algorithm instead of
+    * O(diameter) label propagation. On dedup graphs (near-cliques,
+    * diameter 2-3) both are fast; the star contraction is the one that
+    * survives a pathological 100 TB graph with million-hop chains
+    * (e.g. boilerplate rings across crawl snapshots), where
+    * propagation would schedule a million rounds. PipelineSpec pins
+    * the algorithmic claim by building a 4096-node path graph:
+    * contraction resolves it in ≤ ~2·log₂ rounds (measured via
+    * [[p9LastRounds]]) where propagation needs the full 4096. */
+  def p9DupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = nearDupPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val labels = starContract(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    documents(s, d)
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- P6
   /** Incremental dedup: screen a NEW ingest batch (here doc_id ≡ 4
     * mod 5 — a deterministic ~20% slice standing in for "today's
@@ -1138,6 +1220,7 @@ object Dedup {
     "p3_ngram_jaccard" -> (p3NgramJaccardDedup _),
     "p4_embedding_dup" -> (p4EmbeddingNearDup _),
     "p5_dup_clusters"  -> (p5DupClusters _),
+    "p9_dup_components" -> (p9DupComponents _),
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
     "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
@@ -1156,5 +1239,7 @@ object Dedup {
     "p3_ngram_jaccard" -> p3Sql,
     "p4_embedding_dup" -> p4Sql,
     "p5_dup_clusters"  -> p5Sql,
+    // p9 computes p5's exact answer via star contraction — same oracle
+    "p9_dup_components" -> p5Sql,
     "p6_incremental_dedup" -> p6Sql)
 }

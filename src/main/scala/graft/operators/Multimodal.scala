@@ -908,45 +908,61 @@ object Multimodal {
       // audit, and the output join (M15's iterative hygiene)
       .localCheckpoint(true)
 
+    val (verified, missed) = bandedVerify(hashes, "dhash")
+    mateSummary(hashes, "dhash", "dhash_hex", verified, missed)
+  }
+
+  /** The banded pairing + completeness audit over any 64-bit
+    * fingerprint frame — shared by mm9 (image dHash) and mm10 (audio
+    * energy-delta fingerprint): 4×16-bit bands, candidates share any
+    * band, exact Hamming verify ≤ 6 on candidates only; pigeonhole
+    * makes banding COMPLETE for d ≤ 3, and the capped brute-force
+    * audit counts any d≤3 pair the banded join missed (a miss is an
+    * implementation bug — the caller turns it into the driver-enforced
+    * `complete_ok` gate). Returns (verified pairs, missed count). */
+  private def bandedVerify(hashes: DataFrame, fp: String): (DataFrame, Long) = {
     val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-      shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
-    val bands = hashes.select(col("doc_id"), col("dhash"),
+      shiftrightunsigned(col(fp), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
+    val bands = hashes.select(col("doc_id"), col(fp),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.sig"))
+      .select(col("doc_id"), col(fp), col("bk.band"), col("bk.sig"))
     val verified = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+        col(s"a.$fp").as("ha"), col(s"b.$fp").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 6)
       .select(col("ida"), col("idb"), col("hamming"))
       .localCheckpoint(true)
-
-    // completeness audit on the capped prefix: every brute-force d≤3
-    // pair must have been found by the banded join (pigeonhole says it
-    // must — so a miss is an implementation bug, and the gate is red)
     val audited = hashes.filter(col("doc_id") < PHashAuditCap)
     val brute = audited.as("a")
       .join(audited.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
+      .withColumn("hamming", bit_count(col(s"a.$fp").bitwiseXOR(col(s"b.$fp"))))
       .filter(col("hamming") <= 3)
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
     val missed = brute.join(verified, Seq("ida", "idb"), "left_anti").count()
+    (verified, missed)
+  }
 
+  /** One row per document (p6's always-emitting shape): fingerprint
+    * hex, mate count, best mate and distance (−1 when novel), plus the
+    * `complete_ok` audit verdict. */
+  private def mateSummary(hashes: DataFrame, fp: String, hexName: String,
+                          verified: DataFrame, missed: Long): DataFrame = {
     val sym = verified
       .select(col("ida").as("doc_id"), col("idb").as("mate"), col("hamming"))
       .unionByName(verified
         .select(col("idb").as("doc_id"), col("ida").as("mate"), col("hamming")))
     // hex() drops leading zeros — lpad to the full 16 nibbles
     hashes.select(col("doc_id"),
-        lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))
+        lpad(lower(hex(col(fp))), 16, "0").as(hexName))
       .join(sym.groupBy(col("doc_id")).agg(
           count(lit(1)).cast("int").as("n_mates"),
           min(struct(col("hamming"), col("mate"))).as("best")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dhash_hex"),
+      .select(col("doc_id"), col(hexName),
         coalesce(col("n_mates"), lit(0)).as("n_mates"),
         coalesce(col("best.mate"), lit(-1L)).as("best_mate"),
         coalesce(col("best.hamming"), lit(-1)).as("best_hamming"))
@@ -954,7 +970,102 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- MM10
+  /** One audio clip's 64-bit energy-delta fingerprint. */
+  case class AudioHash(doc_id: Long, afp: Long)
+
+  /** mm10: acoustic near-duplicate detection over DECODED audio — the
+    * audio member of the perceptual-dedup family (p1 shingles text, p2
+    * SimHashes words, mm9 dHashes pixels, mm10 fingerprints PCM). Each
+    * document's synthetic WAV carries a TEXT-derived waveform (content
+    * decides the audio — two docs with the same text are the same
+    * recording), decoded through the real JDK audio codec; the
+    * fingerprint is the chromaprint shape scaled to 64 bits: 17 frames
+    * × 4 Goertzel band energies, each bit the SIGN of the energy DELTA
+    * between consecutive frames in a band (16 deltas × 4 bands) —
+    * robust to global gain and DC the way dHash is to brightness.
+    *
+    * Pairing, verification and the completeness audit are
+    * [[bandedVerify]] verbatim (the mm9 machinery over a different
+    * modality's 8 bytes), with the same driver-enforced `complete_ok`
+    * pigeonhole gate.
+    *
+    * Scale: 100 TB of audio → 8 bytes/doc in one codec-per-partition
+    * pass with no shuffle; everything downstream runs on the 8-byte
+    * frame; the O(n²) audit stays pinned to the capped prefix. */
+  def mm10AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = 17
+    val frameLen = SpectralN / frames // 120 samples per frame
+    val bandsHz = Array(500, 1500, 2500, 3500)
+    val hashes = documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        // content-keyed waveform: the text bytes ARE the signal
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val samples = new Array[Short](SpectralN)
+        var i = 0
+        while (i < SpectralN) {
+          val v =
+            if (bytes.nonEmpty) (((bytes(i % bytes.length) & 0xff) - 64) * 48
+              + ((bytes((i / 3) % bytes.length) & 0xff) - 64) * 16)
+            else 0
+          samples(i) = math.max(-32768, math.min(32767, v)).toShort
+          i += 1
+        }
+        val p = encodeWav16(samples)
+        MediaRecord(id, p, "wav", p.length)
+      }
+      .mapPartitions { it =>
+        it.map { r =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(
+              new java.io.ByteArrayInputStream(r.payload)))
+          val raw = ais.readAllBytes()
+          ais.close()
+          val n = raw.length / 2
+          // per-frame Goertzel energy over the 4 bands
+          val energy = Array.ofDim[Double](frames, bandsHz.length)
+          var f = 0
+          while (f < frames) {
+            var b = 0
+            while (b < bandsHz.length) {
+              val coeff = 2.0 * math.cos(2 * math.Pi * bandsHz(b) / SampleRate)
+              var s1 = 0.0; var s2 = 0.0
+              var i = f * frameLen
+              val end = math.min((f + 1) * frameLen, n)
+              while (i < end) {
+                val v = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toDouble
+                val s0 = v + coeff * s1 - s2
+                s2 = s1; s1 = s0
+                i += 1
+              }
+              energy(f)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+              b += 1
+            }
+            f += 1
+          }
+          var bits = 0L
+          var ff = 1
+          while (ff < frames) {
+            var b = 0
+            while (b < bandsHz.length) {
+              bits = (bits << 1) |
+                (if (energy(ff)(b) > energy(ff - 1)(b)) 1L else 0L)
+              b += 1
+            }
+            ff += 1
+          }
+          AudioHash(r.doc_id, bits)
+        }
+      }.toDF()
+      .localCheckpoint(true)
+    val (verified, missed) = bandedVerify(hashes, "afp")
+    mateSummary(hashes, "afp", "afp_hex", verified, missed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_audio_fingerprint" -> (mm10AudioFingerprint _),
     "mm9_phash_dedup"    -> (mm9PerceptualDedup _),
     "mm8_audio_spectral" -> (mm8AudioSpectral _),
     "mm7_jpeg_decode"    -> (mm7JpegDecode _),

@@ -646,6 +646,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("mm10 audio fingerprint matches a codec-free from-text replay; completeness gate green") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.mm10AudioFingerprint(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("complete_ok")),
+      "banded join missed a brute-force d<=3 audio pair")
+    // independent replay from the TEXT with no codec in the loop: the
+    // synthetic waveform is a pure function of the bytes, so the frame
+    // energies and delta signs recompute exactly — a decode-path bug
+    // (endianness, header offset, truncated frames) diverges here
+    val hexById = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("afp_hex")).toMap
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val frames = 17; val frameLen = 2048 / frames
+    val bandsHz = Array(500, 1500, 2500, 3500)
+    for ((id, text) <- docs) {
+      val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val samples = Array.tabulate(2048) { i =>
+        val v =
+          if (bytes.nonEmpty) (((bytes(i % bytes.length) & 0xff) - 64) * 48
+            + ((bytes((i / 3) % bytes.length) & 0xff) - 64) * 16)
+          else 0
+        math.max(-32768, math.min(32767, v)).toDouble
+      }
+      val energy = Array.tabulate(frames, bandsHz.length) { (f, b) =>
+        val coeff = 2.0 * math.cos(2 * math.Pi * bandsHz(b) / 8000)
+        var s1 = 0.0; var s2 = 0.0
+        for (i <- f * frameLen until math.min((f + 1) * frameLen, 2048)) {
+          val s0 = samples(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+        }
+        s1 * s1 + s2 * s2 - coeff * s1 * s2
+      }
+      var bits = 0L
+      for (f <- 1 until frames; b <- bandsHz.indices)
+        bits = (bits << 1) | (if (energy(f)(b) > energy(f - 1)(b)) 1L else 0L)
+      assert(hexById(id) == f"$bits%016x",
+        s"doc $id: codec fingerprint ${hexById(id)} != from-text replay ${f"$bits%016x"}")
+    }
+  }
+
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
        "features match mm2's WAV decode") {
     val feats = Multimodal.mm5AudioMixed(spark, sf001).collect()
@@ -1213,6 +1256,29 @@ class PipelineSpec extends AnyFunSuite {
       assert(d.toSeq == l.toSeq,
         s"regime divergence at rank ${d.getAs[Int]("rank")}: $d vs $l")
     }
+  }
+
+  test("p9 star contraction ≡ p5 label propagation; O(log n) rounds on a path graph") {
+    // same answer as p5 on the real pair graph
+    val p5 = Dedup.p5DupClusters(spark, sf01).collect().map(_.toSeq)
+    val p9 = Dedup.p9DupComponents(spark, sf01).collect().map(_.toSeq)
+    assert(p5.length == p9.length && p5.length > 0)
+    p5.zip(p9).foreach { case (a, b) => assert(a == b, s"CC divergence: $a vs $b") }
+    // the algorithmic claim: a 4096-node PATH (diameter 4095) — label
+    // propagation would need ~4095 rounds; star contraction must
+    // resolve it in O(log n) (bound generously at 24; log2(4096)=12)
+    import spark.implicits._
+    val n = 4096
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val roots = Dedup.starContract(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(roots.length == n, s"lost nodes: ${roots.length} of $n")
+    assert(roots.forall(_._2 == 0L),
+      s"path must contract to root 0, got roots ${roots.map(_._2).distinct.take(5).toSeq}")
+    val rounds = Dedup.p9LastRounds
+    info(s"p9 contracted a $n-node path in $rounds rounds")
+    assert(rounds <= 24,
+      s"star contraction took $rounds rounds on a ${n}-node path — not O(log n)")
   }
 
   test("t17 BPE encode: invariants corpus-wide; lowest-rank-first ≡ merges-in-training-order") {

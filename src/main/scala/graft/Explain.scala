@@ -21,9 +21,10 @@ object Explain {
         // round-9 flagships: one-exchange SCD2 build, slim snapshot
         // diff join, tombstone-masked pruned probe
         "r34_scd2_history", "x22_snapshot_diff", "s12_ann_delete",
-        // round-10 flagship: folded-generation plain probe (the gated
-        // plans print from the registered pre-checkpoint frames now)
-        "s14_ann_lifecycle")
+        // round-10 flagships: folded-generation plain probe (the gated
+        // plans print from the registered pre-checkpoint frames now),
+        // delta-merged view refresh, zero-join DSIR scoring pass
+        "s14_ann_lifecycle", "r35_incremental_agg", "x24_dsir_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

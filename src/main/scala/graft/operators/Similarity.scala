@@ -2356,7 +2356,85 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
+  // ------------------------------------------------------------- S16
+  /** S16: HYBRID retrieval with reciprocal-rank fusion — the modern
+    * RAG-stack serving shape: a keyword ranking (t11's BM25 over the
+    * fixed query terms) and a vector ranking (exact cosine against
+    * query vector 0 — doc_id and vec_id share the id domain) fused as
+    *   rrf = Σ_lists 1/(60 + rank)    (Cormack et al. 2009's k=60),
+    * top-20 fused. RRF needs no score calibration between the two
+    * systems — only ranks — which is why production stacks prefer it
+    * over weighted score sums.
+    *
+    * Scale shape: each side is its family's own serving plan — the
+    * BM25 scan is t11's narrow projection + heap top-k, the cosine
+    * side one broadcast query row against the corpus + heap top-k —
+    * and the FUSION runs on two 50-row rank lists (driver-sized by
+    * construction, as in any production fusion layer); no new corpus
+    * pass, no new shuffle. Deterministic end to end (both ranks
+    * tiebreak on doc_id; 1/(rank+60) is a single IEEE division
+    * mirrored in the oracle), so the whole query carries a **full SQL
+    * oracle** — rare for a retrieval stack. */
+  def s16HybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kr = 60
+    val topN = 50
+    val tTop = TextAnalysis.bm25Scored(s, d)
+      .orderBy(col("score4").desc, col("doc_id")).limit(topN)
+      .select(col("doc_id")).as[Long].collect()
+    val e = prepared(s, d)
+    val q = broadcast(e.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn")))
+    val vTop = e.filter(col("vec_id") =!= 0).crossJoin(q)
+      .select(col("vec_id"),
+        round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos4"))
+      .orderBy(col("cos4").desc, col("vec_id")).limit(topN)
+      .select(col("vec_id")).as[Long].collect()
+    val tr = tTop.zipWithIndex.map { case (id, i) => (id, i + 1) }.toSeq
+      .toDF("doc_id", "tr")
+    val vr = vTop.zipWithIndex.map { case (id, i) => (id, i + 1) }.toSeq
+      .toDF("doc_id", "vr")
+    tr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("tr"), lit(-1)).as("text_rank"),
+        coalesce(col("vr"), lit(-1)).as("vec_rank"),
+        round(
+          when(col("tr").isNotNull, lit(1.0) / (col("tr") + kr)).otherwise(lit(0.0)) +
+            when(col("vr").isNotNull, lit(1.0) / (col("vr") + kr)).otherwise(lit(0.0)),
+          4).as("rrf4"))
+      .orderBy(col("rrf4").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val s16Sql: String =
+    s"""${TextAnalysis.bm25SqlCte},
+       |tt AS (SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY score4 DESC, doc_id) AS INT) AS tr
+       |       FROM scored WHERE score4 > 0
+       |       QUALIFY tr <= 50),
+       |ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |              CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+       |cosr AS (
+       |  SELECT e.vec_id AS doc_id,
+       |         ROUND(SUM(q.x * e.x ORDER BY q.i) / (nq.nrm * ne.nrm), 4) AS cos4
+       |  FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id = 0 AND e.vec_id <> 0
+       |       JOIN nrm nq ON nq.vec_id = 0 JOIN nrm ne ON ne.vec_id = e.vec_id
+       |  GROUP BY e.vec_id, nq.nrm, ne.nrm),
+       |vt AS (SELECT doc_id,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY cos4 DESC, doc_id) AS INT) AS vr
+       |       FROM cosr QUALIFY vr <= 50)
+       |SELECT doc_id,
+       |  COALESCE(tr, -1) AS text_rank,
+       |  COALESCE(vr, -1) AS vec_rank,
+       |  ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (tr + 60), 0)
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (vr + 60), 0), 4) AS rrf4
+       |FROM tt FULL OUTER JOIN vt USING (doc_id)
+       |ORDER BY rrf4 DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_hybrid_rrf" -> (s16HybridRrf _),
     "s14_ann_lifecycle" -> (s14AnnLifecycle _),
     "s13_ann_update"    -> (s13AnnUpdate _),
     "s12_ann_delete"    -> (s12AnnDelete _),
@@ -2383,6 +2461,7 @@ object Similarity {
     * and floor-asserted in PipelineSpec. X2 must equal S1 exactly
     * (asserted in PipelineSpec); it shares S1's oracle. */
   val oracles: Map[String, String] = Map(
+    "s16_hybrid_rrf"    -> s16Sql,
     "s11_ann_filtered"  -> s11Sql,
     "s1_ann_bruteforce" -> s1Sql,
     "s4_ann_topk_agg"   -> s1Sql,

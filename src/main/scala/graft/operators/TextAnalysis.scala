@@ -478,7 +478,10 @@ object TextAnalysis {
     * idf; ln would differ in the last ulp across libm builds). */
   private val Bm25Terms = Seq("spark", "table", "window")
 
-  def t11Bm25Search(s: SparkSession, d: String): DataFrame = {
+  /** The scored-but-unranked BM25 frame (doc_id, tf_*, score4 > 0) —
+    * t11's body up to its top-k, shared with the hybrid fusion s16
+    * (which needs the same scores under a different rank cut). */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val tfCols = Bm25Terms.map(t =>
       regexp_count(norm, lit(s"\\b$t\\b")).cast("long").as(s"tf_$t"))
     val base = documents(s, d).select(
@@ -499,12 +502,17 @@ object TextAnalysis {
     base.crossJoin(broadcast(stats))
       .withColumn("score4", round(score, 4))
       .filter(col("score4") > 0)
+  }
+
+  def t11Bm25Search(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
       .select(col("doc_id") +: Bm25Terms.map(t => col(s"tf_$t")) :+ col("score4"): _*)
       .orderBy(col("score4").desc, col("doc_id"))
       .limit(20)
-  }
 
-  val t11Sql: String = {
+  /** The WITH-clauses producing `scored(doc_id, tf_*, score4)` —
+    * t11's oracle body, shared with s16's fusion oracle. */
+  private[operators] val bm25SqlCte: String = {
     val tfDefs = Bm25Terms.map(t =>
       s"CAST(length(regexp_extract_all(lower(trim(text)), '\\b$t\\b')) AS BIGINT) AS tf_$t")
       .mkString(",\n      |  ")
@@ -527,10 +535,13 @@ object TextAnalysis {
        |  FROM base),
        |scored AS (SELECT doc_id, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
        |  ROUND($scoreExpr, 4) AS score4
-       |FROM base CROSS JOIN st)
+       |FROM base CROSS JOIN st)""".stripMargin
+  }
+
+  val t11Sql: String =
+    s"""$bm25SqlCte
        |SELECT * FROM scored WHERE score4 > 0
        |ORDER BY score4 DESC, doc_id LIMIT 20""".stripMargin
-  }
 
   // ---------------------------------------------------------------- T12
   /** LM-perplexity quality scoring (the CCNet/Gopher signal: score each

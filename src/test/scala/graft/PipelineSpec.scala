@@ -1258,6 +1258,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s16 hybrid RRF: fusion arithmetic recomputes from the ranks; both systems contribute") {
+    val rows = Similarity.s16HybridRrf(spark, sf01).collect()
+    assert(rows.length == 20)
+    var sawTextOnly = false; var sawVecOnly = false; var sawBoth = false
+    rows.foreach { r =>
+      val (t, v, rrf) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(t != -1 || v != -1, s"row in neither list: $r")
+      if (t != -1 && v == -1) sawTextOnly = true
+      if (t == -1 && v != -1) sawVecOnly = true
+      if (t != -1 && v != -1) sawBoth = true
+      val expect = (if (t != -1) 1.0 / (t + 60) else 0.0) +
+        (if (v != -1) 1.0 / (v + 60) else 0.0)
+      val e4 = java.math.BigDecimal.valueOf(expect)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(rrf == e4, s"rrf4 $rrf != recompute $e4 for $r")
+      assert(t >= -1 && t <= 50 && v >= -1 && v <= 50)
+    }
+    // the fused list must actually mix systems (a top-20 that is one
+    // list verbatim means the other ranking never made it in)
+    assert(sawBoth || (sawTextOnly && sawVecOnly),
+      s"fusion degenerated to a single system: textOnly=$sawTextOnly vecOnly=$sawVecOnly both=$sawBoth")
+    // descending rrf with doc_id tiebreak
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(3) > b.getDouble(3) ||
+          (a.getDouble(3) == b.getDouble(3) && a.getLong(0) < b.getLong(0)))
+      case _ =>
+    }
+  }
+
   test("p9 star contraction ≡ p5 label propagation; O(log n) rounds on a path graph") {
     // same answer as p5 on the real pair graph
     val p5 = Dedup.p5DupClusters(spark, sf01).collect().map(_.toSeq)

@@ -683,6 +683,71 @@ object TextAnalysis {
       |   AND 50 * s.stop_cnt >= s.n_words AND 5 * m.top_cnt <= s.n_words) AS keep
       |FROM s JOIN m USING (doc_id) ORDER BY s.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- X25
+  /** X25: the DATA CARD rollup — per-source corpus governance
+    * statistics (the "datasheet for datasets" table every curated
+    * corpus ships with): document and token volume, language spread,
+    * the t13 Gopher-rule pass rate, and compositional shares, all as
+    * INTEGERS or basis points (shares ×10⁴ via integer division) so
+    * the whole card is hash-exact cross-engine — no float, no
+    * transcendental.
+    *
+    * Scale shape: ONE pass over the corpus (the [[gopherRules]]
+    * columns are narrow array folds, no explode), one map-side-
+    * combined aggregate keyed by source (output = |sources| rows), a
+    * broadcast 1-row total for the share denominators. At 100 TB this
+    * is the same cost class as t13 plus a tiny aggregate. */
+  def x25DataCard(s: SparkSession, d: String): DataFrame = {
+    val perDoc = gopherRules(
+      documents(s, d).select(col("doc_id"), col("source"), col("lang"),
+        split(norm, " ").as("w")))
+      .drop("w")
+    val bySource = perDoc.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      max(col("n_words")).as("max_doc_tokens"))
+    val total = bySource.agg(sum(col("n_tokens")).as("tot_tokens"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_keep"),
+        expr("n_keep * 10000L div n_docs").as("keep_bp"),
+        expr("n_tokens * 10000L div tot_tokens").as("share_bp"),
+        expr("n_tokens div n_docs").as("mean_doc_tokens"),
+        col("max_doc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val x25Sql: String =
+    """WITH w AS (SELECT doc_id, source, lang,
+      |             string_split(lower(trim(text)), ' ') AS ws FROM documents),
+      |t AS (SELECT doc_id, x FROM w, unnest(ws) AS u(x)),
+      |s AS (SELECT doc_id, count(*) AS n_words,
+      |             CAST(sum(length(x)) AS BIGINT) AS tot_wlen,
+      |             count(*) FILTER (x IN ('the','a','of','to','in','is','that','for','and')) AS stop_cnt
+      |      FROM t GROUP BY doc_id),
+      |m AS (SELECT doc_id, max(c) AS top_cnt
+      |      FROM (SELECT doc_id, x, count(*) AS c FROM t GROUP BY doc_id, x) GROUP BY doc_id),
+      |v AS (SELECT w.doc_id, w.source, w.lang, s.n_words,
+      |        (s.n_words BETWEEN 30 AND 100000
+      |         AND s.tot_wlen >= 3 * s.n_words AND s.tot_wlen <= 10 * s.n_words
+      |         AND 50 * s.stop_cnt >= s.n_words AND 5 * m.top_cnt <= s.n_words) AS keep
+      |      FROM w JOIN s ON s.doc_id = w.doc_id JOIN m ON m.doc_id = w.doc_id),
+      |bysrc AS (SELECT source, COUNT(*) AS n_docs,
+      |            CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+      |            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |            CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_keep,
+      |            CAST(MAX(n_words) AS BIGINT) AS max_doc_tokens
+      |          FROM v GROUP BY source),
+      |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM bysrc)
+      |SELECT source, n_docs, n_tokens, n_langs, n_keep,
+      |  n_keep * 10000 // n_docs AS keep_bp,
+      |  n_tokens * 10000 // tot_tokens AS share_bp,
+      |  n_tokens // n_docs AS mean_doc_tokens,
+      |  max_doc_tokens
+      |FROM bysrc CROSS JOIN tot ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- T14
   /** T14: sliding-window passage chunking — the retrieval/context-prep
     * step that turns documents into fixed-size overlapping token
@@ -1118,6 +1183,7 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x25_data_card" -> (x25DataCard _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "t16_quality_model" -> (t16QualityModel _),
     "t15_bpe_train" -> (t15BpeTrain _),
@@ -1138,6 +1204,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "x25_data_card" -> x25Sql,
     "t16_quality_model" -> t16Sql,
     "t14_chunk" -> t14Sql,
     "t13_gopher_quality" -> t13Sql,

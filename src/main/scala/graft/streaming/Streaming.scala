@@ -1071,8 +1071,61 @@ object Streaming {
       |       value AS last_value, n_updates
       |FROM latest WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------------------------ ST14
+  /** ST14: streaming TRENDING TERMS — the windowed heavy-hitters view
+    * of a live corpus feed (batch x7 is the sketch form; this is the
+    * exact windowed form a crawl-monitoring dashboard serves): arriving
+    * documents tokenize in-stream (stateless narrow pass, stopwords
+    * dropped so "the" doesn't trend), counts accumulate per (1-minute
+    * event-time window, term) in the stateful aggregate, and the top-5
+    * per window by (count desc, term) are read off the result table.
+    * The RANKING is a view over the aggregate's output — Structured
+    * Streaming forbids a rank inside the stream (correctly: it's not
+    * incrementally maintainable), so the stateful half is the count
+    * and the top-k is the serving-side query, exactly how a production
+    * dashboard reads a continuously-maintained count table.
+    *
+    * Scale: state = in-horizon (window, term) counts — Heaps-bounded
+    * per window, watermark-evicted; the token explode is stateless and
+    * shuffles once into the aggregate. Full SQL oracle (exact counts,
+    * integer-deterministic ranking). */
+  def st14TrendingTerms(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    val stop = Seq("the", "a", "of", "to", "in", "is", "that", "for", "and")
+    val toks = docStream(s, d)
+      .select((col("doc_id") + 1700000000L).cast("timestamp").as("ts"),
+        explode(split(lower(trim(col("text"))), " ")).as("term"))
+      .filter(length(col("term")) > 0 && !col("term").isin(stop: _*))
+      .withWatermark("ts", "1 hour")
+    val agg = toks.groupBy(window(col("ts"), "1 minute"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val sunk = runToMemory(s, agg, "graft_st14", OutputMode.Complete())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start_s")).orderBy(col("cnt").desc, col("term"))
+    sunk.select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("term"), col("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("win_start_s"), col("rnk"))
+  }
+
+  val st14Sql: String =
+    """WITH t AS (
+      |  SELECT ((1700000000 + doc_id) // 60) * 60 AS win_start_s, x AS term
+      |  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS u(x)
+      |  WHERE length(x) > 0
+      |    AND x NOT IN ('the','a','of','to','in','is','that','for','and')),
+      |c AS (SELECT win_start_s, term, COUNT(*) AS cnt FROM t GROUP BY 1, 2)
+      |SELECT win_start_s, term, cnt, rnk FROM (
+      |  SELECT win_start_s, term, cnt,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY win_start_s
+      |                                 ORDER BY cnt DESC, term) AS INT) AS rnk
+      |  FROM c) r
+      |WHERE rnk <= 5 ORDER BY win_start_s, rnk""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_trending_terms" -> (st14TrendingTerms _),
     "st13_stream_cdc_apply" -> (st13StreamCdcApply _),
     "st12_stream_index_ingest" -> (st12StreamIndexIngest _),
     "st11_session_timers" -> (st11SessionTimers _),
@@ -1088,6 +1141,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st14_trending_terms" -> st14Sql,
     "st13_stream_cdc_apply" -> st13Sql,
     "st11_session_timers" -> st11Sql,
     "st10_running_stats" -> st10Sql,

@@ -500,6 +500,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(affected2 < 64, s"batch touched the whole bucket space: $batches")
   }
 
+  test("st14 trending terms: multiple event-time windows, dense ranks, exact counts") {
+    val rows = graft.streaming.Streaming.st14TrendingTerms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byWin = rows.groupBy(_.getLong(0))
+    assert(byWin.size > 1, "only one window — the windowed dimension is untested")
+    byWin.foreach { case (w, rs) =>
+      val ranks = rs.map(_.getInt(3)).sorted
+      assert(ranks.sameElements(1 to ranks.length) && ranks.length <= 5,
+        s"window $w ranks not dense 1..k<=5: ${ranks.toSeq}")
+      // counts non-increasing down the ranks
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"window $w counts rise with rank")
+        case _ =>
+      }
+    }
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

@@ -1092,8 +1092,72 @@ object Relational {
       |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 4) AS revenue
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- R36 (funnel analysis)
+  /** Ordered-funnel analysis — the product-analytics staple: how many
+    * users progressed view → click → purchase IN ORDER and WITHIN the
+    * conversion window (a click counts in [first view, +1 day]; a
+    * purchase in [that click, +1 day] — the windowed form every
+    * funnel product uses, which also keeps the stages discriminating
+    * on long-lived users), with per-stage conversion in basis points
+    * of the stage-1 population. Ties on ts are admitted (≥).
+    *
+    * Scale: three per-user MIN aggregates chained by user_id-keyed
+    * joins — every step clusters on user_id, so the whole funnel is
+    * hash-exchange-reused on one key (r34's discipline); stage frames
+    * shrink monotonically (stage k joins only stage k−1 survivors);
+    * the 3-row result folds from \|users\|-sized frames by one
+    * map-side-combined count each. Integer output ⇒ hash-exact. */
+  def r36(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL 1 DAY"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = v.count(); val n2 = c.count(); val n3 = p.count()
+    import s.implicits._
+    Seq((1, "view", n1, 10000L),
+        (2, "click", n2, if (n1 == 0) 0L else n2 * 10000L / n1),
+        (3, "purchase", n3, if (n1 == 0) 0L else n3 * 10000L / n1))
+      .toDF("stage", "event_type", "n_users", "conv_bp")
+      .orderBy(col("stage"))
+  }
+
+  val r36Sql: String =
+    """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+      |      FROM events e JOIN v ON v.user_id = e.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 1 DAY GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+      |      FROM events e JOIN c ON c.user_id = e.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      |        AND e.ts <= c.t2 + INTERVAL 1 DAY GROUP BY 1),
+      |n AS (SELECT (SELECT COUNT(*) FROM v) AS n1,
+      |             (SELECT COUNT(*) FROM c) AS n2,
+      |             (SELECT COUNT(*) FROM p) AS n3)
+      |SELECT stage, event_type, n_users, conv_bp FROM (
+      |  SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users,
+      |         CAST(10000 AS BIGINT) AS conv_bp FROM n
+      |  UNION ALL
+      |  SELECT 2, 'click', n2,
+      |         CASE WHEN n1 = 0 THEN 0 ELSE n2 * 10000 // n1 END FROM n
+      |  UNION ALL
+      |  SELECT 3, 'purchase', n3,
+      |         CASE WHEN n1 = 0 THEN 0 ELSE n3 * 10000 // n1 END FROM n) t
+      |ORDER BY stage""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r36_funnel" -> (r36 _),
     "r35_incremental_agg" -> (r35 _),
     "r34_scd2_history"   -> (r34 _),
     "r32_session_window" -> (r32 _),
@@ -1136,6 +1200,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r36_funnel" -> r36Sql,
     "r35_incremental_agg" -> r35Sql,
     "r01_filter_project" -> r01Sql,
     "r02_agg"            -> r02Sql,

@@ -52,6 +52,45 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"UDF/native mismatch on vec ${r.getLong(0)}"))
   }
 
+  test("optimizer rule rewrites vec_dot(x, x) to vec_norm2(x), bit-identically") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.{VecDot, VecNorm2}
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    val e = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // Column API: same attribute on both sides → rule must fire
+    val selfDot = e.select(col("vec_id"), vecDot(col("v"), col("v")).as("n2"))
+    def exprs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      plan.collect { case n => n.expressions }.flatten
+    val optimized = selfDot.queryExecution.optimizedPlan
+    assert(exprs(optimized).flatMap(_.collect { case v: VecNorm2 => v }).nonEmpty,
+      s"vec_dot(x, x) did not rewrite to vec_norm2:\n$optimized")
+    assert(exprs(optimized).flatMap(_.collect { case v: VecDot => v }).isEmpty,
+      s"vec_dot survived the self-dot rewrite:\n$optimized")
+    // bit-identity with the explicit norm form
+    val viaNorm = e.select(col("vec_id"), vecNorm2(col("v")).as("n2"))
+      .collect().map(_.toSeq)
+    assert(selfDot.collect().map(_.toSeq).sameElements(viaNorm))
+    // raw-SQL surface: the aliased-subquery form fires too
+    val sqlForm = Graft.sql(spark, sf,
+      """WITH t AS (SELECT vec_id,
+        |             transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec_id, vec_dot(v, v) AS n2 FROM t ORDER BY vec_id""".stripMargin)
+    assert(exprs(sqlForm.queryExecution.optimizedPlan)
+      .flatMap(_.collect { case v: VecNorm2 => v }).nonEmpty,
+      "SQL-surface self-dot did not rewrite")
+    assert(sqlForm.collect().map(_.toSeq)
+      .sameElements(viaNorm.sortBy(_.head.asInstanceOf[Long])))
+    // distinct arguments must NOT rewrite
+    val cross = e.as("a").join(e.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .select(vecDot(col("a.v"), col("b.v")).as("d"))
+    assert(exprs(cross.queryExecution.optimizedPlan)
+      .flatMap(_.collect { case v: VecDot => v }).nonEmpty,
+      "rule over-fired on genuinely distinct arguments")
+  }
+
   test("GraftExtensions exposes vec_dot/vec_norm2 as raw-SQL functions") {
     // spark.sql.extensions=graft.GraftExtensions (set by SparkTest):
     // pure-SQL users call the same codegen'd Catalyst expressions the

@@ -521,7 +521,59 @@ object Corpus {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- X26
+  /** X26: training-shard MANIFEST — the writer's last mile: a
+    * deterministic pseudo-random global order (key = md5-keyed, the
+    * "shuffle once at write time so training never pays a shuffle"
+    * move), hash-balanced shard assignment, and per-shard accounting
+    * (doc/token volume plus an ORDER-SENSITIVE checksum Σ rank·doc_id
+    * that flips if any writer reorders, drops or duplicates a row).
+    *
+    * The plan IS the writer's plan: one hash exchange on shard + a
+    * sort-within-partition by key (exactly what
+    * `repartition(shard).sortWithinPartitions(key).write` executes),
+    * then a map-side-combined per-shard fold. At 100 TB shard count
+    * scales with output file budget and the manifest stays \|shards\|
+    * rows; everything is integer/string-deterministic ⇒ hash-exact. */
+  def x26ShardManifest(s: SparkSession, d: String): DataFrame = {
+    val nShards = 8
+    val keyed = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        md5(concat(lit("shuf"), col("doc_id"))).as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"),
+        sum(col("rn") * col("doc_id")).as("order_check"))
+      .orderBy(col("shard"))
+  }
+
+  val x26Sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    md5('shuf' || CAST(doc_id AS VARCHAR)) AS k
+      |  FROM documents),
+      |sh AS (SELECT doc_id, n_tok, k,
+      |         CAST(CAST(concat('0x', substr(k, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+      |       FROM keyed),
+      |rn AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard
+      |                                         ORDER BY k, doc_id) AS BIGINT) AS rn
+      |       FROM sh)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  MIN(k) AS min_key, MAX(k) AS max_key,
+      |  CAST(SUM(rn * doc_id) AS BIGINT) AS order_check
+      |FROM rn GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x26_shard_manifest" -> (x26ShardManifest _),
     "x24_dsir_sample" -> (x24DsirSample _),
     "x22_snapshot_diff" -> (x22SnapshotDiff _),
     "x21_range_layout" -> (x21RangeLayout _),
@@ -532,6 +584,7 @@ object Corpus {
     "x20_stratified_split" -> (x20StratifiedSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x26_shard_manifest" -> x26Sql,
     "x22_snapshot_diff" -> x22Sql,
     "x14_sequence_pack" -> x14Sql,
     "x15_mixture_sample" -> x15Sql,

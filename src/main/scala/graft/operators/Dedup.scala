@@ -598,6 +598,49 @@ object Dedup {
        |FROM reach GROUP BY node ORDER BY node""".stripMargin
   }
 
+  // ------------------------------------------------------------- P10
+  /** P10: SOFT dedup — reweighting instead of removal: every document
+    * keeps its data, weighted 1/cluster-size (in ×10⁴ basis points,
+    * integer division) over [[p5DupClusters]]'s components, so a
+    * near-dup cluster contributes ONE document's worth of gradient in
+    * aggregate while unique documents keep full weight. The
+    * soft alternative pipelines use when hard dedup would throw away
+    * high-quality duplicated text (canonical docs, licenses, famous
+    * passages) — down-weight, don't drop.
+    *
+    * Scale: p5's clustering (edge-frame work) + one map-side-combined
+    * cluster-size aggregate (≤ \|clusters\| rows, broadcast back).
+    * Integer output ⇒ hash-exact oracle (p5's recursive closure CTE
+    * extended with the size/weight arithmetic). */
+  def p10SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val clusters = p5DupClusters(s, d)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("10000L div cluster_size").as("weight_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p10Sql: String = {
+    val cte = sharedPairCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE 5 * inter >= 3 * uni
+       |      UNION ALL
+       |      SELECT doc_b, doc_a FROM pairs WHERE 5 * inter >= 3 * uni),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+       |       FROM reach GROUP BY node),
+       |csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT doc_id, cl.cluster_id, csz.cluster_size,
+       |       10000 // csz.cluster_size AS weight_bp
+       |FROM cl JOIN csz ON csz.cluster_id = cl.cluster_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- P9
   /** Iteration count of the last [[p9DupComponents]] / star-contraction
     * call — observability hook for the convergence spec (t15LastRegime's
@@ -1221,6 +1264,7 @@ object Dedup {
     "p4_embedding_dup" -> (p4EmbeddingNearDup _),
     "p5_dup_clusters"  -> (p5DupClusters _),
     "p9_dup_components" -> (p9DupComponents _),
+    "p10_soft_dedup"   -> (p10SoftDedup _),
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
     "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
@@ -1241,5 +1285,6 @@ object Dedup {
     "p5_dup_clusters"  -> p5Sql,
     // p9 computes p5's exact answer via star contraction — same oracle
     "p9_dup_components" -> p5Sql,
+    "p10_soft_dedup"   -> p10Sql,
     "p6_incremental_dedup" -> p6Sql)
 }

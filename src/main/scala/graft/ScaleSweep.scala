@@ -123,7 +123,16 @@ object ScaleSweep {
       "t16_quality_model" -> (graft.operators.TextAnalysis.t16QualityModel _),
       "st12_stream_index_ingest" -> (graft.streaming.Streaming.st12StreamIndexIngest _),
       "s13_ann_update" -> (graft.operators.Similarity.s13AnnUpdate _),
-      "s14_ann_lifecycle" -> (graft.operators.Similarity.s14AnnLifecycle _))
+      "s14_ann_lifecycle" -> (graft.operators.Similarity.s14AnnLifecycle _),
+      // round-10 additions with scale claims: 3-generation CDC merge,
+      // edge-frame star contraction, memoized BPE encode, two-pass DSIR,
+      // decode-bounded audio fingerprints, rank-list fusion
+      "st13_stream_cdc_apply" -> (graft.streaming.Streaming.st13StreamCdcApply _),
+      "p9_dup_components" -> (graft.operators.Dedup.p9DupComponents _),
+      "t17_bpe_encode" -> (graft.operators.TextAnalysis.t17BpeEncode _),
+      "x24_dsir_sample" -> (graft.operators.Corpus.x24DsirSample _),
+      "mm10_audio_fingerprint" -> (graft.operators.Multimodal.mm10AudioFingerprint _),
+      "s16_hybrid_rrf" -> (graft.operators.Similarity.s16HybridRrf _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

@@ -1311,6 +1311,43 @@ class PipelineSpec extends AnyFunSuite {
       s"star contraction took $rounds rounds on a ${n}-node path — not O(log n)")
   }
 
+  test("p9 star contraction ≡ union-find on seeded random graphs (sparse, dense, multi-component)") {
+    import spark.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(180)
+      // densities from near-forest to dense; node ids sparse on purpose
+      val m = 1 + rnd.nextInt(3 * n)
+      val ids = Array.fill(n)(rnd.nextLong().abs % 100000)
+      val edges = (0 until m).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver union-find reference
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        // min-root canonicalization: union-find roots are already the
+        // component minimum because we always attach max under min
+        val got = Dedup.starContract(edges.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.keySet == want.keySet,
+          s"seed $seed: node set drift (${got.size} vs ${want.size})")
+        got.foreach { case (node, root) =>
+          assert(root == want(node),
+            s"seed $seed: node $node root $root != union-find ${want(node)}")
+        }
+      }
+    }
+  }
+
   test("t17 BPE encode: invariants corpus-wide; lowest-rank-first ≡ merges-in-training-order") {
     // corpus-level gates at sf0.001: every invariant column true
     val rows = TextAnalysis.t17BpeEncode(spark, sf001).collect()

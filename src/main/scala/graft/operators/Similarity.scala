@@ -1344,8 +1344,14 @@ object Similarity {
         if (!hit) {
           val out = dst.resolve(rel)
           java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.copy(p, out,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // source generation is immutable ⇒ hardlink (metadata cost)
+          // with byte-copy fallback; REPLACE semantics preserved
+          java.nio.file.Files.deleteIfExists(out)
+          try java.nio.file.Files.createLink(out, p)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(p, out,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
         }
       }
     } finally walk.close()

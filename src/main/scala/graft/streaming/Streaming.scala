@@ -854,11 +854,18 @@ object Streaming {
       val src = java.nio.file.Paths.get(basePath)
       val dst = java.nio.file.Paths.get(idxDir)
       val walk = java.nio.file.Files.walk(src)
+      // HARDLINK the base generation instead of copying bytes: the
+      // durable artifact is immutable by contract (appends only ever
+      // ADD files), so links give the same workspace isolation at
+      // metadata cost — deleting the workspace unlinks, the shared
+      // artifact is untouched. Cross-filesystem (or no-link-support)
+      // falls back to a byte copy.
       try walk.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p)) {
           val out = dst.resolve(src.relativize(p).toString)
           java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.copy(p, out)
+          try java.nio.file.Files.createLink(out, p)
+          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
         }
       } finally walk.close()
       // the new slice arrives as 3 files ⇒ 3 micro-batches
@@ -878,8 +885,15 @@ object Streaming {
       val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
       val mine = Similarity.probeIndex(s, idxDir, Similarity.prepared(s, d),
         anchors, nProbe).select(cols: _*).localCheckpoint(true)
-      val ref = Similarity.s8AnnIndexAppend(s, d).select(cols: _*)
-        .localCheckpoint(true)
+      // reference = the DURABLE batch-append generation probed directly
+      // (bit-identical to s8AnnIndexAppend's serving rows — same index,
+      // same anchors, same probe; s8's recall gate runs where s8 runs,
+      // so re-executing it here only re-bought known information at
+      // ~2 s/query)
+      val (incrPath, incrAnchors, incrNProbe) = Similarity.incrIndexPath(s, d)
+      val ref = Similarity.probeIndex(s, incrPath,
+          Similarity.prepared(s, d), incrAnchors, incrNProbe)
+        .select(cols: _*).localCheckpoint(true)
       val mismatch = mine.exceptAll(ref).count() + ref.exceptAll(mine).count()
       mine.withColumn("append_ok", lit(mismatch == 0L))
         .orderBy(col("query_id"), col("rn"))
@@ -1030,7 +1044,9 @@ object Streaming {
                   if (java.nio.file.Files.isRegularFile(p)) {
                     val out = dst.resolve(src.relativize(p).toString)
                     java.nio.file.Files.createDirectories(out.getParent)
-                    java.nio.file.Files.copy(p, out)
+                    // generations are immutable ⇒ hardlink, copy fallback
+                    try java.nio.file.Files.createLink(out, p)
+                    catch { case _: Exception => java.nio.file.Files.copy(p, out) }
                   }
                 } finally walk.close()
               }

@@ -1155,8 +1155,73 @@ object Relational {
       |         CASE WHEN n1 = 0 THEN 0 ELSE n3 * 10000 // n1 END FROM n) t
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- R37 (RFM segmentation)
+  /** RFM (recency / frequency / monetary) quartile segmentation — the
+    * warehouse CRM staple: per user, last-event time, event count and
+    * exact decimal spend; each metric ranked over ALL users (best
+    * first, user_id tie-break) and cut into quartiles; output is the
+    * segment lattice (r_q, f_q, m_q) with user counts, event counts
+    * and revenue.
+    *
+    * The global rank is the one shape a `Window.orderBy` must never
+    * take at scale (single-reducer sort of the user frame) — so the
+    * rank comes from [[Corpus.prefixSum]]'s two-phase distributed
+    * scan (range-partition + per-partition counts scanned on the
+    * driver), three passes over the \|users\| frame, each ONE range
+    * shuffle, driver state = numPartitions longs. NTILE itself is
+    * deliberately NOT used: its first-buckets-get-the-remainder fill
+    * rule would have to be reproduced bit-for-bit in both engines, so
+    * instead the rank→quartile rule is written out explicitly in BOTH
+    * engines (r31's discipline): q = rank0 * 4 DIV n + 1 — bucket
+    * sizes still differ by at most one, and the rule is one integer
+    * expression. Ties are impossible by construction (user_id breaks
+    * every ordering), spend is an exact decimal sum (order-
+    * independent), so the ranks — and the integer segment counts —
+    * are hash-exact across engines. */
+  def r37(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast(DecimalType(28, 6))).as("mon"))
+      .withColumn("one", lit(1L))
+    val n = u.count()
+    def quart(df: DataFrame, ord: Seq[Column], name: String): DataFrame =
+      Corpus.prefixSum(df, ord, "one")
+        .withColumn(name, expr(s"CAST(prefix * 4 DIV $n AS BIGINT) + 1"))
+        .drop("prefix")
+    val q = quart(quart(quart(u,
+      Seq(col("last_ts").desc, col("user_id")), "r_q"),
+      Seq(col("freq").desc, col("user_id")), "f_q"),
+      Seq(col("mon").desc, col("user_id")), "m_q")
+    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("freq")).as("n_events"),
+        r4(sum(col("mon")).cast("double")).as("revenue"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val r37Sql: String =
+    """WITH u AS (SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+      |                  SUM(CAST(value AS DECIMAL(28,6))) AS mon
+      |           FROM events GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM u),
+      |q AS (SELECT freq, mon,
+      |        (ROW_NUMBER() OVER (ORDER BY last_ts DESC, user_id) - 1) * 4
+      |          // (SELECT n FROM n) + 1 AS r_q,
+      |        (ROW_NUMBER() OVER (ORDER BY freq DESC, user_id) - 1) * 4
+      |          // (SELECT n FROM n) + 1 AS f_q,
+      |        (ROW_NUMBER() OVER (ORDER BY mon DESC, user_id) - 1) * 4
+      |          // (SELECT n FROM n) + 1 AS m_q
+      |      FROM u)
+      |SELECT r_q, f_q, m_q, COUNT(*) AS n_users,
+      |       CAST(SUM(freq) AS BIGINT) AS n_events,
+      |       ROUND(CAST(SUM(mon) AS DOUBLE), 4) AS revenue
+      |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r37_rfm_segment" -> (r37 _),
     "r36_funnel" -> (r36 _),
     "r35_incremental_agg" -> (r35 _),
     "r34_scd2_history"   -> (r34 _),
@@ -1200,6 +1265,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r37_rfm_segment" -> r37Sql,
     "r36_funnel" -> r36Sql,
     "r35_incremental_agg" -> r35Sql,
     "r01_filter_project" -> r01Sql,

@@ -79,6 +79,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(late > 0, "empty delta — the refresh path is untested")
   }
 
+  test("r37 RFM: segments partition the user base; quartiles balanced within 1") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.r37(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.sources.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    // the segment lattice partitions the user base exactly
+    assert(rows.map(_.getLong(3)).sum == nUsers)
+    // every quartile label is in 1..4 and each metric's marginal is
+    // balanced within 1 user (the rank0 * 4 DIV n rule's guarantee)
+    for (qIdx <- 0 to 2) {
+      val marginal = rows.groupBy(_.getLong(qIdx))
+        .map { case (q, rs) => (q, rs.map(_.getLong(3)).sum) }
+      assert(marginal.keySet.subsetOf(Set(1L, 2L, 3L, 4L)), s"col $qIdx: ${marginal.keySet}")
+      val sizes = marginal.values
+      assert(sizes.max - sizes.min <= 1,
+        s"metric $qIdx quartiles unbalanced: $marginal")
+    }
+    // distributed rank ≡ a driver-side sort: recompute the recency
+    // quartile marginal from the collected user frame
+    val lastTs = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(max(col("ts")).as("last_ts"))
+      .collect().map(r => (r.getTimestamp(1).getTime, r.getLong(0)))
+    val refRq = lastTs.sortBy { case (t, u) => (-t, u) }.zipWithIndex
+      .map { case (_, r) => r.toLong * 4 / nUsers + 1 }
+      .groupBy(identity).map { case (q, xs) => (q, xs.length.toLong) }
+    val gotRq = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => (q, rs.map(_.getLong(3)).sum) }
+    assert(gotRq == refRq, s"recency marginal drift: $gotRq vs $refRq")
+  }
+
   test("x22 snapshot diff: document text never enters an exchange") {
     import graft.operators.Corpus
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

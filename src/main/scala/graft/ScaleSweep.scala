@@ -132,7 +132,10 @@ object ScaleSweep {
       "t17_bpe_encode" -> (graft.operators.TextAnalysis.t17BpeEncode _),
       "x24_dsir_sample" -> (graft.operators.Corpus.x24DsirSample _),
       "mm10_audio_fingerprint" -> (graft.operators.Multimodal.mm10AudioFingerprint _),
-      "s16_hybrid_rrf" -> (graft.operators.Similarity.s16HybridRrf _))
+      "s16_hybrid_rrf" -> (graft.operators.Similarity.s16HybridRrf _),
+      // r37: the global user rank must stay a two-phase prefix scan as
+      // the user base grows N× (the blow-up multiplies users)
+      "r37_rfm_segment" -> (graft.operators.Relational.r37 _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

@@ -1240,7 +1240,11 @@ object Similarity {
       report("incr_index", incrIndexPath(s, d)._1),
       report("base_index", baseIndexPath(s, d)._1),
       { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
-      report("s14_final_index", s14RebuildPath(s, d)))
+      report("s14_final_index", s14RebuildPath(s, d)),
+      { s14ExactWitness(s, d); report("s14_exact_witness", witnessPath("s14-exact", d)) },
+      { s14FilteredWitness(s, d)
+        report("s14_filtered_witness", witnessPath("s14-filtered", d)) },
+      { s14FoldRef(s, d); report("s14_foldref_witness", witnessPath("s14-foldref", d)) })
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -1527,6 +1531,117 @@ object Similarity {
     path
   }
 
+  /** Durable, fingerprint-keyed parquet materialization of a
+    * bit-deterministic witness frame — [[s14RebuildPath]]'s discipline
+    * generalized to reference ANSWERS: built once per corpus
+    * content-version, atomically published (unique temp + rename,
+    * torn dir degrades to rebuild), reused by every later invocation.
+    * The frames cached here are exact brute-force top-K references —
+    * tiny (≤ \|queries\|·K rows) but each costing a full corpus scan
+    * to recompute, which steady-state gate runs must not re-pay (the
+    * st12 base-reuse lesson applied to the gate's own baselines). The
+    * reuse/build decision is recorded in [[artifactStatus]] under the
+    * canonical dir path so the bench warmup report stays
+    * self-evidencing. */
+  private def durableWitness(s: SparkSession, name: String, d: String)
+                            (build: => DataFrame): DataFrame = {
+    val dir = new java.io.File(indexRoot, s"graft-$name-${corpusFingerprint(d)}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val path =
+      if (new java.io.File(dir, "_SUCCESS").isFile) {
+        artifactStatus(dir.getAbsolutePath) = "found"
+        dir.getAbsolutePath
+      } else {
+        val tmp = new java.io.File(indexRoot,
+          dir.getName + s".build-${ProcessHandle.current().pid()}")
+        build.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val p =
+          if (tmp.renameTo(dir)) dir.getAbsolutePath
+          else if (new java.io.File(dir, "_SUCCESS").isFile) { rm(tmp); dir.getAbsolutePath }
+          else tmp.getAbsolutePath
+        artifactStatus(dir.getAbsolutePath) = "built"
+        p
+      }
+    s.read.parquet(path)
+  }
+
+  private[graft] def witnessPath(name: String, d: String): String =
+    new java.io.File(indexRoot, s"graft-$name-${corpusFingerprint(d)}")
+      .getAbsolutePath
+
+  /** The live computation behind [[s14ExactWitness]] — exact top-K
+    * (query_id, neighbor_id) over the FINAL corpus (updates applied,
+    * deletes removed). Exposed separately so the spec can assert the
+    * stored witness ≡ a fresh recompute. */
+  private[graft] def s14ExactLive(s: SparkSession, d: String): DataFrame = {
+    val finalCorpus = updatedCorpus(s, d)
+      .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+    val uc = finalCorpus.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val q = broadcast(uc.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+    rerank(q.join(uc.as("e"), col("qid") =!= col("e.vec_id"))
+      .select(col("qid").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4)
+          .as("cos4")))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** s14's recall baseline, durable. */
+  private[graft] def s14ExactWitness(s: SparkSession, d: String): DataFrame =
+    durableWitness(s, "s14-exact", d)(s14ExactLive(s, d))
+
+  /** s14's fold-identity reference: the probe answer over the durable
+    * from-scratch final-corpus index ([[s14RebuildPath]]) — both the
+    * index and the probe are bit-deterministic, so the answer is a
+    * durable frame too. */
+  private[graft] def s14FoldRef(s: SparkSession, d: String): DataFrame = {
+    val (_, anchors, nCells) = ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
+    durableWitness(s, "s14-foldref", d)(
+      probeIndex(s, s14RebuildPath(s, d), prepared(s, d), anchors, nProbe))
+  }
+
+  /** Label-filtered exact top-K of the s14 query surface against
+    * `src` (gen1's parquet, or the final corpus itself): S11's serving
+    * semantics evaluated brute-force inside the query labels. The
+    * query side is always the final corpus; only the searched side
+    * varies. */
+  private def s14FilteredTopK(s: SparkSession, d: String,
+                              src: DataFrame): DataFrame = {
+    val finalCorpus = updatedCorpus(s, d)
+      .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+    val labelType = embeddings(s, d).schema("label").dataType
+    val q = finalCorpus.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0))
+    val e = src.filter(col("label").isin(qLabels: _*))
+      .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
+        expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+      .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
+    rerank(broadcast(q).as("q")
+      .join(e, col("q.vec_id") =!= col("neighbor_id") &&
+        col("q.label") === col("elabel"))
+      .select(col("q.vec_id").as("query_id"),
+        col("q.label").cast(labelType).as("label"), col("neighbor_id"),
+        round(vecDot(col("q.v"), col("ev")) / (col("q.nrm") * col("enrm")), 4)
+          .as("cos4")))
+  }
+
+  /** The finalCorpus side of s14's `filtered_ok`, durable. */
+  private[graft] def s14FilteredWitness(s: SparkSession, d: String): DataFrame =
+    durableWitness(s, "s14-filtered", d) {
+      val finalCorpus = updatedCorpus(s, d)
+        .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+      s14FilteredTopK(s, d, finalCorpus)
+    }
+
   def s14AnnLifecycle(s: SparkSession, d: String): DataFrame = {
     val (gen0, anchors, nCells) = ivfIndex(s, d)
     val nProbe = math.max(4, nCells / 4)
@@ -1560,50 +1675,23 @@ object Similarity {
         anchors, nProbe)
       registerGatedPlan(s, "s14", probe)
       val res = probe.localCheckpoint(true)
-      // identity witness: the durable from-scratch final-corpus index
-      val finalCorpus = updatedCorpus(s, d)
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-      val rebuilt = new java.io.File(s14RebuildPath(s, d))
-      val ref = probeIndex(s, rebuilt.getAbsolutePath, prepared(s, d),
-        anchors, nProbe)
+      // identity witness: the probe ANSWER over the durable from-scratch
+      // final-corpus index — index static, probe deterministic, so the
+      // answer itself is a durable frame; only the gen1 side (folded
+      // this run) is probed live
+      val ref = s14FoldRef(s, d)
       val foldOk = res.collect().map(_.toSeq).toSet ==
         ref.collect().map(_.toSeq).toSet
-      // S11 through gen1: label dirs pruned first, exact inside labels
-      val filteredOk = {
-        val labelType = embeddings(s, d).schema("label").dataType
-        val q = finalCorpus.filter(col("vec_id") < NQueries)
-          .select(col("vec_id"), col("label"),
-            expr("transform(embedding, x -> cast(x AS double))").as("v"))
-          .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-        val qLabels = q.select(col("label")).distinct().collect().map(_.get(0))
-        def filteredTopK(src: DataFrame): Set[Seq[Any]] = {
-          val e = src.filter(col("label").isin(qLabels: _*))
-            .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
-              expr("transform(embedding, x -> cast(x AS double))").as("ev"))
-            .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
-          rerank(broadcast(q).as("q")
-            .join(e, col("q.vec_id") =!= col("neighbor_id") &&
-              col("q.label") === col("elabel"))
-            .select(col("q.vec_id").as("query_id"),
-              col("q.label").cast(labelType).as("label"), col("neighbor_id"),
-              round(vecDot(col("q.v"), col("ev")) / (col("q.nrm") * col("enrm")), 4)
-                .as("cos4")))
-            .collect().map(_.toSeq).toSet
-        }
-        filteredTopK(s.read.parquet(gen1.getAbsolutePath)) ==
-          filteredTopK(finalCorpus)
-      }
-      // recall vs exact over the final corpus
-      val uc = finalCorpus.select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-      val q = broadcast(uc.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
-      val exact = rerank(q
-        .join(uc.as("e"), col("qid") =!= col("e.vec_id"))
-        .select(col("qid").as("query_id"), col("e.vec_id").as("neighbor_id"),
-          round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4)
-            .as("cos4")))
+      // S11 through gen1: label dirs pruned first, exact inside labels.
+      // The finalCorpus reference side is bit-deterministic from the
+      // corpus alone, so it is a durable witness — only the gen1 side
+      // (which this run just folded) is recomputed live.
+      val filteredOk =
+        s14FilteredTopK(s, d, s.read.parquet(gen1.getAbsolutePath))
+          .collect().map(_.toSeq).toSet ==
+          s14FilteredWitness(s, d).collect().map(_.toSeq).toSet
+      // recall vs the durable exact-top-K witness over the final corpus
+      val exact = s14ExactWitness(s, d)
         .select(col("query_id"), col("neighbor_id"))
       val total = exact.count()
       val hits = res.select(col("query_id"), col("neighbor_id"))

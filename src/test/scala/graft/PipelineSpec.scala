@@ -913,6 +913,19 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.lastGatedApprox.remove((spark, "s14"))
   }
 
+  test("s14 durable exact witness ≡ a live brute-force recompute over the final corpus") {
+    // the stored fingerprint-keyed witness (built by the s14 run above
+    // or here) must be bit-identical to recomputing the exact top-K
+    // from the corpus — a stale or torn witness would silently turn
+    // the recall/filtered gates into comparisons against garbage
+    val stored = Similarity.s14ExactWitness(spark, sf01)
+      .collect().map(_.toSeq).toSet
+    val live = Similarity.s14ExactLive(spark, sf01)
+      .collect().map(_.toSeq).toSet
+    assert(stored == live,
+      "durable s14 exact witness diverged from a live recompute")
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()

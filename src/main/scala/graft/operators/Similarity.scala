@@ -2527,7 +2527,112 @@ object Similarity {
        |FROM tt FULL OUTER JOIN vt USING (doc_id)
        |ORDER BY rrf4 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- S17
+  /** MMR — maximal-marginal-relevance diversified re-ranking of the
+    * exact ANN shortlist (Carbonell & Goldstein, SIGIR 1998), λ = 0.5:
+    * greedily pick the candidate maximizing
+    * λ·rel(q,c) − (1−λ)·max_{s∈selected} cos(c,s), so results trade
+    * redundancy for coverage — the classic retrieval post-processing
+    * step beside s16's rank fusion.
+    *
+    * Scale shape: the distributed part is the shortlist — ONE corpus
+    * pass capped to `MmrShortlist` per query by WindowGroupLimit
+    * (s9's plan discipline). The greedy loop is NOT a corpus
+    * operation: it runs inside `flatMapGroups` per query over its own
+    * L-candidate group (O(K·L·\|selected\|) dot products on L=20
+    * rows), so a billion queries parallelize across executors with no
+    * additional shuffle beyond the group-by-query exchange, and the
+    * corpus is never touched again. Ties break toward the smaller
+    * neighbor_id; floats are rounded only at the output edge, so the
+    * result is run-deterministic.
+    *
+    * Gates (driver-enforced via Verify.gateInvariants): `first_ok` —
+    * MMR's first pick must be the max-relevance candidate (the λ-
+    * independent property of the greedy); `monotone_ok` — the selected
+    * marginal-score sequence is non-increasing (each round maximizes
+    * over a shrinking candidate set against a growing penalty set —
+    * a true invariant of greedy MMR). `avg_pair_mmr4` /
+    * `avg_pair_topk4` (mean pairwise cosine among the MMR picks vs
+    * the plain top-K) are observability columns: diversity gain is
+    * data-dependent, so it is reported, not gated. */
+  private val MmrShortlist = 20
+
+  def s17MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = prepared(s, d)
+    val q = broadcast(e.filter(col("vec_id") < NQueries))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val short = q.as("q").join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        (vecDot(col("q.v"), col("e.v")) / (col("q.nrm") * col("e.nrm"))).as("rel"),
+        col("e.v").as("nv"), col("e.nrm").as("nnrm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrShortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("nv"), col("nnrm"))
+      .as[(Long, Long, Double, Seq[Double], Double)]
+    def r4d(x: Double): Double = math.rint(x * 1e4) / 1e4
+    val out = short.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      // (id, rel, v, nrm) sorted by relevance desc, id — the plain top
+      val cands = it.map(t => (t._2, t._3, t._4.toArray, t._5)).toArray
+        .sortBy(t => (-t._2, t._1))
+      val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Double, Array[Double], Double)]
+      while (sel.length < K && remaining.nonEmpty) {
+        var bestI = -1; var bestScore = Double.NegativeInfinity
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < remaining.length) {
+          val c = remaining(i)
+          // redundancy penalty, clamped at 0: a NEGATIVELY similar
+          // candidate is merely non-redundant, not better-than-
+          // relevant — and the clamp is what makes the greedy's
+          // marginal-score sequence a true non-increasing invariant
+          // (an unclamped negative max-sim can RAISE later scores
+          // above round 1's λ·rel)
+          val pen =
+            if (sel.isEmpty) 0.0
+            else math.max(0.0,
+              sel.iterator.map(p => dot(c._3, p._4) / (c._4 * p._5)).max)
+          val score = 0.5 * c._2 - 0.5 * pen
+          if (score > bestScore ||
+            (score == bestScore && c._1 < bestId)) {
+            bestScore = score; bestI = i; bestId = c._1
+          }
+          i += 1
+        }
+        val p = remaining.remove(bestI)
+        sel += ((p._1, p._2, bestScore, p._3, p._4))
+      }
+      val firstOk = sel.nonEmpty && sel.head._1 == cands.head._1
+      val monotoneOk = sel.iterator.map(_._3).sliding(2)
+        .forall(p => p.length < 2 || p(0) >= p(1) - 1e-9)
+      def avgPair(xs: Seq[(Array[Double], Double)]): Double = {
+        val ps = for {
+          i <- xs.indices; j <- (i + 1) until xs.length
+        } yield dot(xs(i)._1, xs(j)._1) / (xs(i)._2 * xs(j)._2)
+        if (ps.isEmpty) 0.0 else ps.sum / ps.length
+      }
+      val avgMmr = r4d(avgPair(sel.map(t => (t._4, t._5)).toSeq))
+      val avgTop = r4d(avgPair(cands.take(K).map(t => (t._3, t._4)).toSeq))
+      sel.iterator.zipWithIndex.map { case ((nid, rel, mmr, _, _), i) =>
+        (qid, i + 1, nid, r4d(rel), r4d(mmr), firstOk, monotoneOk,
+          avgMmr, avgTop)
+      }
+    }.toDF("query_id", "rank", "neighbor_id", "cos4", "mmr4",
+      "first_ok", "monotone_ok", "avg_pair_mmr4", "avg_pair_topk4")
+    out.orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_hybrid_rrf" -> (s16HybridRrf _),
     "s14_ann_lifecycle" -> (s14AnnLifecycle _),
     "s13_ann_update"    -> (s13AnnUpdate _),

@@ -926,6 +926,31 @@ class PipelineSpec extends AnyFunSuite {
       "durable s14 exact witness diverged from a live recompute")
   }
 
+  test("s17 MMR: first pick = top relevance; marginal scores non-increasing; " +
+    "diversity no worse than plain top-K on redundant shortlists; deterministic") {
+    val a = Similarity.s17MmrRerank(spark, sf01).collect()
+    assert(a.length == 50, s"expected 10 queries x 5 picks, got ${a.length}")
+    assert(a.forall(_.getAs[Boolean]("first_ok")),
+      "MMR's first pick must be the max-relevance candidate")
+    assert(a.forall(_.getAs[Boolean]("monotone_ok")),
+      "greedy MMR marginal scores must be non-increasing")
+    // rank-1 marginal score is exactly lambda*rel (empty penalty set)
+    a.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(math.abs(r.getAs[Double]("mmr4") - r.getAs[Double]("cos4") / 2) <= 1e-4,
+        s"rank-1 mmr must be rel/2: $r")
+    }
+    // deterministic end to end
+    val b = Similarity.s17MmrRerank(spark, sf01).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)), "s17 not run-deterministic")
+    // observability: the diversity metrics exist and MMR never INCREASES
+    // mean pairwise similarity vs the plain top-K (equality when the
+    // greedy keeps the same set)
+    a.foreach { r =>
+      assert(r.getAs[Double]("avg_pair_mmr4") <= r.getAs[Double]("avg_pair_topk4") + 1e-4,
+        s"MMR selected a MORE redundant set than plain top-K: $r")
+    }
+  }
+
   test("x17 sequence spans are mutually consistent with x14's packing metadata") {
     import graft.operators.Corpus
     val x14 = Corpus.x14SequencePack(spark, sf01).collect()

@@ -24,7 +24,10 @@ object Explain {
         // round-10 flagships: folded-generation plain probe (the gated
         // plans print from the registered pre-checkpoint frames now),
         // delta-merged view refresh, zero-join DSIR scoring pass
-        "s14_ann_lifecycle", "r35_incremental_agg", "x24_dsir_sample")
+        "s14_ann_lifecycle", "r35_incremental_agg", "x24_dsir_sample",
+        // late round-10 flagships: range-partitioned rank scans (the
+        // prefix-sum RFM build), WindowGroupLimit-capped MMR shortlist
+        "r37_rfm_segment", "s17_mmr_rerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -458,6 +458,113 @@ object Corpus {
       |FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- X23
+  /** X23: token-DISTRIBUTION DRIFT between corpus snapshots — the
+    * governance twin of [[x22SnapshotDiff]] (identical old/new
+    * snapshot definitions): x22 accounts for which DOCUMENTS changed,
+    * x23 measures how much the per-source token DISTRIBUTION moved —
+    * the "did this refresh shift what the model will read?" check a
+    * training-data pipeline runs before promoting a snapshot. Per
+    * source: total-variation distance between the old and new unigram
+    * distributions in basis points, vocabulary sizes, and the single
+    * most-drifted term.
+    *
+    * All drift arithmetic is INTEGER-exact so the result hash-matches
+    * any engine: TV = ½·Σ_w |c_o(w)/N_o − c_n(w)/N_n| is computed as
+    * Σ_w |c_o(w)·N_n − c_n(w)·N_o| · 10⁴ DIV (2·N_o·N_n) — one
+    * cross-multiplied long per word, no float division until never.
+    * (At 100 TB per-source token counts overflow a long product; the
+    * production form casts the same expressions to DECIMAL(38,0) with
+    * an identical plan — the gate keeps longs because they are
+    * hash-exact in both engines.)
+    *
+    * Scale shape: the two token histograms are the ONLY corpus passes
+    * (explode → map-side-combined (source, word) counts); everything
+    * after lives on the Heaps-bounded (source, vocab) frame — the
+    * full_outer word join, the per-source totals (broadcast-sized),
+    * the TV aggregate, and the top-drift `row_number` window (keyed by
+    * source over vocab rows, never documents). */
+  def x23DistributionDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    def hist(df: DataFrame, revised: Boolean): DataFrame = {
+      val txt =
+        if (revised)
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))
+        else col("text")
+      df.select(col("source"), explode(split(txt, " ")).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    }
+    val o = hist(docs.filter(col("doc_id") % 7 =!= 0), revised = false)
+    val n = hist(docs.filter(col("doc_id") % 11 =!= 3), revised = true)
+    val joined = o.as("o")
+      .join(n.as("n"), Seq("source", "word"), "full_outer")
+      .select(col("source"), col("word"),
+        coalesce(col("o.c"), lit(0L)).as("co"),
+        coalesce(col("n.c"), lit(0L)).as("cn"))
+    val tot = joined.groupBy(col("source"))
+      .agg(sum(col("co")).as("no"), sum(col("cn")).as("nn"))
+    val crossed = joined.join(broadcast(tot), Seq("source"))
+      .withColumn("cross", abs(col("co") * col("nn") - col("cn") * col("no")))
+    val byScore = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("cross").desc, col("word"))
+    val top = crossed.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("word").as("top_word"),
+        expr("CAST(cross * 10000 DIV (2 * no * nn) AS BIGINT)").as("top_word_bp"))
+    crossed.groupBy(col("source"))
+      .agg(first(col("no")).as("n_tok_old"), first(col("nn")).as("n_tok_new"),
+        sum(when(col("co") > 0, 1L).otherwise(0L)).as("vocab_old"),
+        sum(when(col("cn") > 0, 1L).otherwise(0L)).as("vocab_new"),
+        sum(col("cross")).as("sum_cross"))
+      .join(top, Seq("source"))
+      .select(col("source"), col("n_tok_old"), col("n_tok_new"),
+        col("vocab_old"), col("vocab_new"),
+        expr("CAST(sum_cross * 10000 DIV (2 * n_tok_old * n_tok_new) AS BIGINT)")
+          .as("tv_bp"),
+        col("top_word"), col("top_word_bp"))
+      .orderBy(col("source"))
+  }
+
+  val x23Sql: String =
+    """WITH olds AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |news AS (
+      |  SELECT source, unnest(string_split(
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, ' ')) AS word
+      |  FROM documents WHERE doc_id % 11 <> 3),
+      |ho AS (SELECT source, word, COUNT(*) AS co FROM olds GROUP BY 1, 2),
+      |hn AS (SELECT source, word, COUNT(*) AS cn FROM news GROUP BY 1, 2),
+      |j AS (SELECT COALESCE(ho.source, hn.source) AS source,
+      |             COALESCE(ho.word, hn.word) AS word,
+      |             COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+      |      FROM ho FULL OUTER JOIN hn ON ho.source = hn.source AND ho.word = hn.word),
+      |t AS (SELECT source, SUM(co) AS no, SUM(cn) AS nn FROM j GROUP BY 1),
+      |x AS (SELECT j.source, j.word, co, cn, no, nn,
+      |             ABS(co * nn - cn * no) AS crossv
+      |      FROM j JOIN t ON j.source = t.source),
+      |top AS (SELECT source, word AS top_word,
+      |               CAST(crossv * 10000 // (2 * no * nn) AS BIGINT) AS top_word_bp,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                                  ORDER BY crossv DESC, word) AS rn
+      |        FROM x),
+      |agg AS (SELECT source, MIN(no) AS n_tok_old, MIN(nn) AS n_tok_new,
+      |               SUM(CASE WHEN co > 0 THEN 1 ELSE 0 END) AS vocab_old,
+      |               SUM(CASE WHEN cn > 0 THEN 1 ELSE 0 END) AS vocab_new,
+      |               SUM(crossv) AS sum_cross
+      |        FROM x GROUP BY 1)
+      |SELECT agg.source,
+      |  CAST(n_tok_old AS BIGINT) AS n_tok_old,
+      |  CAST(n_tok_new AS BIGINT) AS n_tok_new,
+      |  CAST(vocab_old AS BIGINT) AS vocab_old,
+      |  CAST(vocab_new AS BIGINT) AS vocab_new,
+      |  CAST(sum_cross * 10000 // (2 * n_tok_old * n_tok_new) AS BIGINT) AS tv_bp,
+      |  top_word, top_word_bp
+      |FROM agg JOIN top ON agg.source = top.source AND top.rn = 1
+      |ORDER BY agg.source""".stripMargin
+
   // ---------------------------------------------------------------- X24
   /** X24: DSIR-style importance resampling (Xie et al. 2023, "Data
     * Selection for Language Models via Importance Resampling"): rank
@@ -573,6 +680,7 @@ object Corpus {
       |FROM rn GROUP BY shard ORDER BY shard""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x23_distribution_drift" -> (x23DistributionDrift _),
     "x26_shard_manifest" -> (x26ShardManifest _),
     "x24_dsir_sample" -> (x24DsirSample _),
     "x22_snapshot_diff" -> (x22SnapshotDiff _),
@@ -584,6 +692,7 @@ object Corpus {
     "x20_stratified_split" -> (x20StratifiedSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x23_distribution_drift" -> x23Sql,
     "x26_shard_manifest" -> x26Sql,
     "x22_snapshot_diff" -> x22Sql,
     "x14_sequence_pack" -> x14Sql,

@@ -131,6 +131,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("x23 drift: tv in [0,10000] bp, top term bounded by total, vocab ≤ tokens") {
+    import graft.operators.Corpus
+    val rows = Corpus.x23DistributionDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ntO, ntN) = (r.getAs[Long]("n_tok_old"), r.getAs[Long]("n_tok_new"))
+      val (vO, vN) = (r.getAs[Long]("vocab_old"), r.getAs[Long]("vocab_new"))
+      val tv = r.getAs[Long]("tv_bp"); val top = r.getAs[Long]("top_word_bp")
+      assert(tv >= 0 && tv <= 10000, s"tv_bp out of range: $r")
+      // the top term's contribution can never exceed the whole distance
+      assert(top >= 0 && top <= tv, s"top_word_bp > tv_bp: $r")
+      assert(vO <= ntO && vN <= ntN && vO > 0 && vN > 0, s"vocab/token inversion: $r")
+      // the revision injects ' rev2' into every doc_id % 5 == 0 doc, so
+      // every source must show SOME drift at this sf
+      assert(tv > 0, s"zero drift despite the rev2 injection: $r")
+    }
+  }
+
   test("r02 aggregate shape") {
     val rows = Relational.r02(spark, sf).collect()
     assert(rows.length >= 4 && rows.length <= 6) // flag x status combos

@@ -1139,8 +1139,89 @@ object Streaming {
       |  FROM c) r
       |WHERE rnk <= 5 ORDER BY win_start_s, rnk""".stripMargin
 
+  // ------------------------------------------------------------ ST15
+  /** ST15: streaming DISTRIBUTION-DRIFT monitor — x23's continuous
+    * twin (batch x23 compares two snapshots at promotion time; st15
+    * watches the live feed): each 1-minute window's token distribution
+    * is scored against the STATIC full-corpus reference distribution
+    * as an integer-exact total-variation distance in basis points —
+    * the "is this hour of crawl suddenly different?" alarm in front
+    * of a training-data pipeline.
+    *
+    * The stateful half is exactly st14's state shape — in-horizon
+    * (window, word) counts, Heaps-bounded per window, watermark-
+    * evicted; the drift fold is a SERVING-SIDE view over the result
+    * table (st14's rank discipline: a distance over a completed
+    * window is not incrementally maintainable, a count table is).
+    * The absent-words term folds algebraically to n·(N − Σ_{w∈win}Cw),
+    * so the view joins ONLY the window's own words against the
+    * reference histogram — never the full vocabulary per window.
+    * Same long-arithmetic TV as x23 (Σ|c·N − Cw·n|·10⁴ DIV 2·n·N),
+    * so the result hash-matches the batch oracle exactly. */
+  def st15StreamDrift(s0: SparkSession, d: String): DataFrame =
+    st15DriftImpl(s0, d, "1 minute", "graft_st15")
+
+  /** Window duration parameterized for the degenerate-replay spec: a
+    * window covering the whole doc span makes the window distribution
+    * THE corpus distribution, so tv_bp must be exactly 0 — which
+    * exercises the folded absent-words algebra end to end. */
+  private[graft] def st15DriftImpl(s0: SparkSession, d: String,
+                                   windowDur: String, sink: String): DataFrame = {
+    val s = scoped(s0)
+    val toks = docStream(s, d)
+      .select((col("doc_id") + 1700000000L).cast("timestamp").as("ts"),
+        explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withWatermark("ts", "1 hour")
+    val agg = toks.groupBy(window(col("ts"), windowDur), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val sunk = runToMemory(s, agg, sink, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("word"), col("c"))
+    val ref = graft.sources.Tables.documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cr"))
+    val bigN = ref.agg(sum(col("cr"))).head.getLong(0)
+    val winTot = sunk.groupBy(col("win_start_s"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab_win"))
+    sunk.join(ref, Seq("word")) // window vocab ⊆ corpus vocab by construction
+      .join(winTot, Seq("win_start_s"))
+      .groupBy(col("win_start_s"))
+      .agg(first(col("n")).as("n_tok"),
+        first(col("vocab_win")).as("vocab_win"),
+        sum(abs(col("c") * lit(bigN) - col("cr") * col("n"))).as("sin"),
+        sum(col("cr")).as("crin"))
+      .select(col("win_start_s"), col("n_tok"), col("vocab_win"),
+        expr(s"CAST((sin + n_tok * ($bigN - crin)) * 10000 DIV " +
+          s"(2 * n_tok * $bigN) AS BIGINT)").as("tv_bp"))
+      .orderBy(col("win_start_s"))
+  }
+
+  val st15Sql: String =
+    """WITH toks AS (
+      |  SELECT ((1700000000 + doc_id) // 60) * 60 AS win_start_s, x AS word
+      |  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS u(x)
+      |  WHERE length(x) > 0),
+      |ref AS (SELECT word, COUNT(*) AS cr FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS N FROM ref),
+      |wt AS (SELECT win_start_s, word, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |wn AS (SELECT win_start_s, CAST(SUM(c) AS BIGINT) AS n_tok,
+      |              CAST(COUNT(*) AS BIGINT) AS vocab_win FROM wt GROUP BY 1),
+      |x AS (SELECT wt.win_start_s,
+      |             SUM(ABS(c * N - cr * n_tok)) AS sin, SUM(cr) AS crin
+      |      FROM wt JOIN ref USING (word) JOIN wn USING (win_start_s)
+      |           CROSS JOIN tot
+      |      GROUP BY 1)
+      |SELECT x.win_start_s, n_tok, vocab_win,
+      |  CAST((sin + n_tok * (N - crin)) * 10000 // (2 * n_tok * N) AS BIGINT)
+      |    AS tv_bp
+      |FROM x JOIN wn USING (win_start_s) CROSS JOIN tot
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_drift" -> (st15StreamDrift _),
     "st14_trending_terms" -> (st14TrendingTerms _),
     "st13_stream_cdc_apply" -> (st13StreamCdcApply _),
     "st12_stream_index_ingest" -> (st12StreamIndexIngest _),
@@ -1157,6 +1238,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st15_stream_drift" -> st15Sql,
     "st14_trending_terms" -> st14Sql,
     "st13_stream_cdc_apply" -> st13Sql,
     "st11_session_timers" -> st11Sql,

@@ -518,6 +518,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st15 drift: windows track the doc span, tv bounded; " +
+    "a whole-span window degenerates to tv = 0 against its own corpus") {
+    val rows = graft.streaming.Streaming.st15StreamDrift(spark, sf).collect()
+    assert(rows.length > 1, "only one window — the windowed dimension is untested")
+    rows.foreach { r =>
+      val tv = r.getAs[Long]("tv_bp")
+      assert(tv >= 0 && tv <= 10000, s"tv_bp out of range: $r")
+      assert(r.getAs[Long]("vocab_win") <= r.getAs[Long]("n_tok"), s"vocab > tokens: $r")
+    }
+    // degenerate replay: one window covering every document makes the
+    // window distribution THE corpus distribution — the TV identity
+    // (incl. the folded absent-words term) must collapse to exactly 0
+    val one = graft.streaming.Streaming
+      .st15DriftImpl(spark, sf, "3650 days", "graft_st15_spec").collect()
+    assert(one.length == 1, s"expected a single whole-span window, got ${one.length}")
+    assert(one.head.getAs[Long]("tv_bp") == 0L,
+      s"self-drift must be exactly zero: ${one.head}")
+  }
+
   test("RocksDB state store provider: identical results to the default provider") {
     // At 100 TB the stateful operators' state (windows, join buffers)
     // outgrows executor heaps; RocksDB spills it to local disk. Same

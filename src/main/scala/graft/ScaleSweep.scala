@@ -135,7 +135,12 @@ object ScaleSweep {
       "s16_hybrid_rrf" -> (graft.operators.Similarity.s16HybridRrf _),
       // r37: the global user rank must stay a two-phase prefix scan as
       // the user base grows N× (the blow-up multiplies users)
-      "r37_rfm_segment" -> (graft.operators.Relational.r37 _))
+      "r37_rfm_segment" -> (graft.operators.Relational.r37 _),
+      // x23/st15: drift cost must track the (source, vocab) /
+      // (window, word) frames, not the corpus — the histograms are the
+      // only corpus passes
+      "x23_distribution_drift" -> (graft.operators.Corpus.x23DistributionDrift _),
+      "st15_stream_drift" -> (graft.streaming.Streaming.st15StreamDrift _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

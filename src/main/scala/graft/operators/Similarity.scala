@@ -1244,7 +1244,11 @@ object Similarity {
       { s14ExactWitness(s, d); report("s14_exact_witness", witnessPath("s14-exact", d)) },
       { s14FilteredWitness(s, d)
         report("s14_filtered_witness", witnessPath("s14-filtered", d)) },
-      { s14FoldRef(s, d); report("s14_foldref_witness", witnessPath("s14-foldref", d)) })
+      { s14FoldRef(s, d); report("s14_foldref_witness", witnessPath("s14-foldref", d)) },
+      { s12ExactWitness(s, d)
+        report("s12_exact_witness", witnessPath("s12-exact", d)) },
+      { s13ExactWitness(s, d)
+        report("s13_exact_witness", witnessPath("s13-exact", d)) })
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -1294,16 +1298,9 @@ object Similarity {
       mask = Some(tomb))
     registerGatedPlan(s, "s12", probe)
     val res = probe.localCheckpoint(true)
-    // exact baseline among SURVIVORS only (s1's plan with the same
-    // broadcast anti-mask on the corpus side)
-    val e = prepared(s, d)
-    val live = e.join(broadcast(tomb), Seq("vec_id"), "left_anti")
-    val q = broadcast(e.filter(col("vec_id") < NQueries))
-    val exact = rerank(q.as("q")
-      .join(live.as("e"), col("q.vec_id") =!= col("e.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        cos4(col("q.nrm"), col("e.nrm")).as("cos4")))
-      .select(col("query_id"), col("neighbor_id"))
+    // exact baseline among SURVIVORS only — bit-deterministic from the
+    // corpus, so a durable witness (s14's discipline)
+    val exact = s12ExactWitness(s, d)
     val total = exact.count()
     val hits = res.select(col("query_id"), col("neighbor_id"))
       .intersect(exact).count()
@@ -1441,12 +1438,10 @@ object Similarity {
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val q = broadcast(uc.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
-    val exact = rerank(q
-      .join(uc.as("e"), col("qid") =!= col("e.vec_id"))
-      .select(col("qid").as("query_id"), col("e.vec_id").as("neighbor_id"),
-        round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4)
-          .as("cos4")))
-      .select(col("query_id"), col("neighbor_id"))
+    // the brute-force recall baseline is bit-deterministic from the
+    // corpus — durable witness (s14's discipline); the freshness audit
+    // below stays LIVE because it checks the scores this run served
+    val exact = s13ExactWitness(s, d)
     val total = exact.count()
     val hits = res.select(col("query_id"), col("neighbor_id"))
       .intersect(exact).count()
@@ -1594,6 +1589,38 @@ object Similarity {
   /** s14's recall baseline, durable. */
   private[graft] def s14ExactWitness(s: SparkSession, d: String): DataFrame =
     durableWitness(s, "s14-exact", d)(s14ExactLive(s, d))
+
+  /** s12's recall baseline: exact top-K among tombstone SURVIVORS
+    * (s1's plan with the broadcast anti-mask on the corpus side) —
+    * deterministic from the corpus, durable. */
+  private[graft] def s12ExactWitness(s: SparkSession, d: String): DataFrame =
+    durableWitness(s, "s12-exact", d) {
+      val e = prepared(s, d)
+      val live = e.join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
+      val q = broadcast(e.filter(col("vec_id") < NQueries))
+      rerank(q.as("q")
+        .join(live.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+          cos4(col("q.nrm"), col("e.nrm")).as("cos4")))
+        .select(col("query_id"), col("neighbor_id"))
+    }
+
+  /** s13's recall baseline: exact top-K over the UPDATED corpus (no
+    * deletes) — deterministic from the corpus, durable. */
+  private[graft] def s13ExactWitness(s: SparkSession, d: String): DataFrame =
+    durableWitness(s, "s13-exact", d) {
+      val uc = updatedCorpus(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+      val q = broadcast(uc.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
+      rerank(q
+        .join(uc.as("e"), col("qid") =!= col("e.vec_id"))
+        .select(col("qid").as("query_id"), col("e.vec_id").as("neighbor_id"),
+          round(vecDot(col("qv"), col("e.v")) / (col("qn") * col("e.nrm")), 4)
+            .as("cos4")))
+        .select(col("query_id"), col("neighbor_id"))
+    }
 
   /** s14's fold-identity reference: the probe answer over the durable
     * from-scratch final-corpus index ([[s14RebuildPath]]) — both the

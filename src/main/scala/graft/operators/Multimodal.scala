@@ -993,12 +993,21 @@ object Multimodal {
     * Scale: 100 TB of audio → 8 bytes/doc in one codec-per-partition
     * pass with no shuffle; everything downstream runs on the 8-byte
     * frame; the O(n²) audit stays pinned to the capped prefix. */
-  def mm10AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+  /** The mm10 fingerprint pass over a (doc_id, text) frame: synthetic
+    * WAV → JDK codec decode → 17-frame × 4-band Goertzel energies →
+    * 64-bit energy-delta-sign fingerprint. `gain` scales the synthetic
+    * samples (×2 stays inside 16-bit range): the fingerprint is
+    * EXACTLY gain-invariant — Goertzel is linear so energies scale by
+    * gain² (power-of-2 scaling is exact in IEEE arithmetic), and the
+    * delta SIGNS don't move — which is what mm11's probe gate
+    * exercises. */
+  private def audioHashes(docs: DataFrame, gain: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val frames = 17
     val frameLen = SpectralN / frames // 120 samples per frame
     val bandsHz = Array(500, 1500, 2500, 3500)
-    val hashes = documents(s, d).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) =>
         // content-keyed waveform: the text bytes ARE the signal
@@ -1007,9 +1016,9 @@ object Multimodal {
         var i = 0
         while (i < SpectralN) {
           val v =
-            if (bytes.nonEmpty) (((bytes(i % bytes.length) & 0xff) - 64) * 48
+            (if (bytes.nonEmpty) (((bytes(i % bytes.length) & 0xff) - 64) * 48
               + ((bytes((i / 3) % bytes.length) & 0xff) - 64) * 16)
-            else 0
+            else 0) * gain
           samples(i) = math.max(-32768, math.min(32767, v)).toShort
           i += 1
         }
@@ -1059,12 +1068,75 @@ object Multimodal {
           AudioHash(r.doc_id, bits)
         }
       }.toDF()
-      .localCheckpoint(true)
+  }
+
+  def mm10AudioFingerprint(s: SparkSession, d: String): DataFrame = {
+    val hashes = audioHashes(documents(s, d), gain = 1).localCheckpoint(true)
     val (verified, missed) = bandedVerify(hashes, "afp")
     mateSummary(hashes, "afp", "afp_hex", verified, missed)
   }
 
+  // ------------------------------------------------------------- MM11
+  /** mm11: QUERY-BY-FINGERPRINT audio retrieval — the probe side of
+    * the perceptual family (mm10 builds/dedups the fingerprint frame;
+    * mm11 serves "which recording is this clip?" lookups against it,
+    * the Shazam-shaped operation): each query is the first
+    * `MmNQueries` documents' audio RE-RECORDED AT 2× GAIN, and must
+    * come back as its source document via the banded (band, sig)
+    * lookup — never a corpus-wide Hamming scan.
+    *
+    * The 2× gain is the acoustically-honest perturbation the
+    * fingerprint is DESIGNED to survive: Goertzel energies scale by
+    * gain² (linear filter; power-of-2 scaling is exact in IEEE), so
+    * every energy-delta sign — hence the fingerprint — is bit-equal,
+    * and the probe must land hamming = 0 on its source. Gates
+    * (driver-enforced): `match_ok` — the best hit has hamming 0;
+    * `self_ok` — the source doc itself is among the hamming-0 hits.
+    *
+    * Scale: the index side is mm10's one codec pass → 8 bytes/doc; the
+    * probe joins \|queries\|·4 band keys against the banded index —
+    * candidate-proportional work, the corpus is never Hamming-scanned. */
+  private val MmNQueries = 10
+
+  def mm11AudioProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val index = audioHashes(docs, gain = 1).localCheckpoint(true)
+    val queries = audioHashes(
+      docs.filter(col("doc_id") < MmNQueries), gain = 2)
+      .withColumnRenamed("doc_id", "query_id")
+      .withColumnRenamed("afp", "qfp")
+    def bandFrame(df: DataFrame, idCol: String, fp: String): DataFrame = {
+      val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col(fp), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
+      df.select(col(idCol), col(fp), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idCol), col(fp), col("bk.band"), col("bk.sig"))
+    }
+    val qb = broadcast(bandFrame(queries, "query_id", "qfp"))
+    val ib = bandFrame(index, "doc_id", "afp")
+    val cands = qb.join(ib, Seq("band", "sig"))
+      .select(col("query_id"), col("doc_id"), col("qfp"), col("afp"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("qfp").bitwiseXOR(col("afp"))))
+      .filter(col("hamming") <= 6)
+    val agg = cands.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct(col("hamming"), col("doc_id"))).as("best"),
+        max(col("doc_id") === col("query_id") && col("hamming") === 0)
+          .as("found_self"))
+    // left from the query frame: a query with ZERO candidates must
+    // surface as a false gate row, not silently vanish from the output
+    queries.select(col("query_id")).join(agg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best.doc_id"), lit(-1L)).as("best_mate"),
+        coalesce(col("best.hamming"), lit(-1)).as("best_hamming"),
+        coalesce(col("best.hamming") === 0, lit(false)).as("match_ok"),
+        coalesce(col("found_self"), lit(false)).as("self_ok"))
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_audio_probe" -> (mm11AudioProbe _),
     "mm10_audio_fingerprint" -> (mm10AudioFingerprint _),
     "mm9_phash_dedup"    -> (mm9PerceptualDedup _),
     "mm8_audio_spectral" -> (mm8AudioSpectral _),

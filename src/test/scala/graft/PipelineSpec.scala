@@ -689,6 +689,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm11 audio probe: every 2x-gain query resolves to its source at hamming 0, " +
+    "deterministically, via the banded lookup") {
+    val rows = Multimodal.mm11AudioProbe(spark, sf001).collect()
+    assert(rows.length == 10, s"expected one row per query, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("match_ok"), s"best hit not hamming-0: $r")
+      assert(r.getAs[Boolean]("self_ok"), s"source doc not among hamming-0 hits: $r")
+      // gain invariance is EXACT (power-of-2 scaling commutes with IEEE
+      // rounding), so the best mate is the source itself by id tie-break
+      assert(r.getAs[Long]("best_mate") == r.getAs[Long]("query_id"),
+        s"best mate is not the source: $r")
+    }
+    // determinism
+    val again = Multimodal.mm11AudioProbe(spark, sf001).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
        "features match mm2's WAV decode") {
     val feats = Multimodal.mm5AudioMixed(spark, sf001).collect()

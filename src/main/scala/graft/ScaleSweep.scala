@@ -140,7 +140,11 @@ object ScaleSweep {
       // (window, word) frames, not the corpus — the histograms are the
       // only corpus passes
       "x23_distribution_drift" -> (graft.operators.Corpus.x23DistributionDrift _),
-      "st15_stream_drift" -> (graft.streaming.Streaming.st15StreamDrift _))
+      "st15_stream_drift" -> (graft.streaming.Streaming.st15StreamDrift _),
+      // s17: the MMR shortlist is the corpus-pass half; the greedy is
+      // per-query-bounded. mm11: codec-bounded like mm10, probe banded.
+      "s17_mmr_rerank" -> (graft.operators.Similarity.s17MmrRerank _),
+      "mm11_audio_probe" -> (graft.operators.Multimodal.mm11AudioProbe _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

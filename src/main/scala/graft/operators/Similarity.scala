@@ -2562,10 +2562,14 @@ object Similarity {
     * redundancy for coverage — the classic retrieval post-processing
     * step beside s16's rank fusion.
     *
-    * Scale shape: the distributed part is the shortlist — ONE corpus
-    * pass capped to `MmrShortlist` per query by WindowGroupLimit
-    * (s9's plan discipline). The greedy loop is NOT a corpus
-    * operation: it runs inside `flatMapGroups` per query over its own
+    * Scale shape: the distributed part is the shortlist — here ONE
+    * exact corpus pass capped to `MmrShortlist` per query by
+    * WindowGroupLimit (s9's plan discipline); at index scale the
+    * shortlist source swaps for the s7/s10 pruned probe (widened to L
+    * candidates) with the SAME downstream — MMR only needs
+    * (query_id, neighbor_id, rel, vector) rows and is agnostic to how
+    * they were retrieved. The greedy loop is NOT a corpus operation:
+    * it runs inside `flatMapGroups` per query over its own
     * L-candidate group (O(K·L·\|selected\|) dot products on L=20
     * rows), so a billion queries parallelize across executors with no
     * additional shuffle beyond the group-by-query exchange, and the

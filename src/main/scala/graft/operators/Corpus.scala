@@ -629,6 +629,75 @@ object Corpus {
   }
 
   // ---------------------------------------------------------------- X26
+  // ---------------------------------------------------------------- X27
+  /** X27: LENGTH-BUCKETED token-budget batching — the padding
+    * minimizer between cleaning and training: batching random-length
+    * documents together wastes compute as pad tokens (a 5-token doc
+    * in a batch with a 2000-token doc pads 1995), so every serious
+    * trainer buckets by length first and fills batches inside a
+    * bucket. Bucket = ntok DIV 16 (pure integer — no log2 float
+    * boundary to disagree across engines); inside a bucket, docs in
+    * doc_id order fill a 512-token budget by the prefix-DIV rule
+    * (batch_id = exclusive-prefix DIV budget — the SQL-exact batching
+    * form: a doc belongs to the batch its prefix starts in). Output is
+    * the per-batch accounting: doc/token counts, doc_id span, and the
+    * padding waste in basis points against the batch's padded cost
+    * n_docs·max_ntok (what the GPU actually pays).
+    *
+    * The within-bucket prefix sum is the one shape that must not be a
+    * corpus-wide `Window.orderBy`: it reuses [[prefixSum]]'s two-phase
+    * scan over the global (bucket, doc_id) order — ONE range shuffle —
+    * and subtracts each bucket's start offset (a \|buckets\|-row
+    * broadcast join), so the global scan yields every bucket's local
+    * prefix without a per-bucket sort. All outputs integer ⇒
+    * hash-exact. */
+  private val BatchBudget = 512L
+
+  def x27LengthBatching(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .withColumn("bucket", expr("ntok DIV 16"))
+    val pref = prefixSum(docs, Seq(col("bucket"), col("doc_id")), "ntok")
+    val bucketStart = pref.groupBy(col("bucket"))
+      .agg(min(col("prefix")).as("bstart"))
+    pref.join(broadcast(bucketStart), Seq("bucket"))
+      .withColumn("batch_id", expr(s"(prefix - bstart) DIV $BatchBudget"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        max(col("ntok")).as("max_ntok"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"), col("n_tokens"),
+        col("first_doc"), col("last_doc"),
+        expr("CAST((n_docs * max_ntok - n_tokens) * 10000 DIV (n_docs * max_ntok) AS BIGINT)")
+          .as("pad_waste_bp"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  val x27Sql: String =
+    s"""WITH dtok AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) // 16 AS bucket
+       |  FROM documents),
+       |pref AS (
+       |  SELECT doc_id, ntok, bucket,
+       |         COALESCE(SUM(ntok) OVER (PARTITION BY bucket ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lpref
+       |  FROM dtok),
+       |b AS (SELECT bucket, CAST(lpref // ${BatchBudget} AS BIGINT) AS batch_id,
+       |             doc_id, ntok
+       |      FROM pref)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, batch_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       |  CAST((COUNT(*) * MAX(ntok) - SUM(ntok)) * 10000
+       |    // (COUNT(*) * MAX(ntok)) AS BIGINT) AS pad_waste_bp
+       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** X26: training-shard MANIFEST — the writer's last mile: a
     * deterministic pseudo-random global order (key = md5-keyed, the
     * "shuffle once at write time so training never pays a shuffle"
@@ -681,6 +750,7 @@ object Corpus {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x23_distribution_drift" -> (x23DistributionDrift _),
+    "x27_length_batching" -> (x27LengthBatching _),
     "x26_shard_manifest" -> (x26ShardManifest _),
     "x24_dsir_sample" -> (x24DsirSample _),
     "x22_snapshot_diff" -> (x22SnapshotDiff _),
@@ -693,6 +763,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "x23_distribution_drift" -> x23Sql,
+    "x27_length_batching" -> x27Sql,
     "x26_shard_manifest" -> x26Sql,
     "x22_snapshot_diff" -> x22Sql,
     "x14_sequence_pack" -> x14Sql,

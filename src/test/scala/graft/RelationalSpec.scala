@@ -149,6 +149,44 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("x27 batching: conserves docs and tokens; batch spans ordered within a bucket; " +
+    "waste bounded") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Corpus
+    val rows = Corpus.x27LengthBatching(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.sources.Tables.documents(spark, sf)
+      .select(count(lit(1)), sum(size(split(col("text"), " ")).cast("long"))).head
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpus.getLong(0),
+      "batching lost or duplicated documents")
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == corpus.getLong(1),
+      "batching lost or duplicated tokens")
+    rows.foreach { r =>
+      val w = r.getAs[Long]("pad_waste_bp")
+      assert(w >= 0 && w < 10000, s"pad waste out of range: $r")
+      assert(r.getAs[Long]("first_doc") <= r.getAs[Long]("last_doc"), s"span inverted: $r")
+    }
+    // within a bucket, batches fill in doc_id order: batch k's span ends
+    // before batch k+1's begins, and batch ids are dense from 0
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (bkt, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("batch_id"))
+      // batch 0 always exists (first doc's exclusive prefix is 0) and
+      // ids strictly increase; ids may legitimately skip when a single
+      // doc exceeds the budget, so density is not asserted
+      assert(sorted.head.getAs[Long]("batch_id") == 0L, s"bucket $bkt has no batch 0")
+      sorted.map(_.getAs[Long]("batch_id")).sliding(2).foreach {
+        case Array(a, b) => assert(a < b, s"bucket $bkt duplicate batch id")
+        case _ =>
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"),
+            s"bucket $bkt: batch spans overlap or disorder")
+        case _ =>
+      }
+    }
+  }
+
   test("r02 aggregate shape") {
     val rows = Relational.r02(spark, sf).collect()
     assert(rows.length >= 4 && rows.length <= 6) // flag x status combos

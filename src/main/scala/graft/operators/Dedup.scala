@@ -1076,6 +1076,69 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- X28
+  /** X28: EVAL-SIDE contamination report — x12 answers "which TRAINING
+    * docs carry eval text" (so they can be dropped); x28 answers the
+    * dual integrity question every model report must: "how
+    * contaminated is each EVAL item against this training corpus" —
+    * per eval doc, its distinct 8-gram count, how many of those grams
+    * appear anywhere in training, the contamination fraction in basis
+    * points, how many distinct training docs share them, and a
+    * `flagged` verdict at 20% (the threshold eval-suite audits
+    * typically quarantine at). Zero-contamination eval docs still get
+    * a row — absence of evidence must be visible, not missing.
+    *
+    * Scale: the training corpus flows ONCE through the same narrow
+    * gram projection as x12, joined against the broadcast-small eval
+    * gram set (x12's premise; the unbroadcastable-eval regime swaps in
+    * x13's Bloom-pushdown front end with the identical downstream
+    * aggregate); the report frame is \|eval docs\| rows. Integer
+    * arithmetic throughout ⇒ hash-exact. */
+  def x28ContaminationReport(s: SparkSession, d: String): DataFrame = {
+    val grams = decontamGrams(s, d)
+    val evalG = grams.filter(col("doc_id") % 50 === 0)
+    val trainG = grams.filter(col("doc_id") % 50 =!= 0)
+    val totals = evalG.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams")) // grams are distinct per doc
+    val hits = trainG.join(broadcast(evalG.select(col("doc_id").as("eval_id"), col("g"))),
+        Seq("g"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("g")).as("n_contaminated"),
+        countDistinct(col("doc_id")).as("n_train_docs"))
+      .withColumnRenamed("eval_id", "doc_id")
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("contamination_bp",
+        expr("n_contaminated * 10000 DIV n_grams"))
+      .withColumn("flagged", col("contamination_bp") >= 2000L)
+      .orderBy(col("doc_id"))
+  }
+
+  val x28Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT DISTINCT doc_id,
+       |             array_to_string(list_slice(ws, i, i + ${DecontamGram - 1}), ' ') AS g
+       |      FROM w, unnest(generate_series(1, len(ws) - ${DecontamGram - 1})) AS u(i)
+       |      WHERE len(ws) >= $DecontamGram),
+       |ev AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |       FROM g WHERE doc_id % 50 = 0 GROUP BY 1),
+       |hits AS (SELECT e.doc_id,
+       |                CAST(COUNT(DISTINCT e.g) AS BIGINT) AS n_contaminated,
+       |                CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs
+       |         FROM g e JOIN g t ON e.g = t.g
+       |         WHERE e.doc_id % 50 = 0 AND t.doc_id % 50 <> 0
+       |         GROUP BY 1)
+       |SELECT ev.doc_id, n_grams,
+       |  CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       |  CAST(COALESCE(n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       |  CAST(COALESCE(n_contaminated, 0) * 10000 // n_grams AS BIGINT)
+       |    AS contamination_bp,
+       |  COALESCE(n_contaminated, 0) * 10000 // n_grams >= 2000 AS flagged
+       |FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+       |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- X13
   /** X12's documented fallback, wired end-to-end: when the eval gram
     * set is too big to BROADCAST, fold its xxhash64 values into a ~1%
@@ -1269,6 +1332,7 @@ object Dedup {
     "x11_passage_dedup" -> (x11PassageDedup _),
     "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
     "x12_decontaminate" -> (x12Decontaminate _),
+    "x28_contamination_report" -> (x28ContaminationReport _),
     "x13_decontaminate_bloom" -> (x13DecontaminateBloom _))
 
   val oracles: Map[String, String] = Map(
@@ -1276,6 +1340,7 @@ object Dedup {
     "x11_passage_dedup" -> x11Sql,
     "x18_boilerplate_strip" -> x18Sql,
     "x12_decontaminate" -> x12Sql,
+    "x28_contamination_report" -> x28Sql,
     // x13 is x12's exact output via the Bloom-pushdown plan — same oracle
     "x13_decontaminate_bloom" -> x12Sql,
     "p1_minhash_lsh"   -> p1Sql,

@@ -187,6 +187,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("x28 report: one row per eligible eval doc; bounded fractions; " +
+    "consistent with x12's training-side view") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val rows = Dedup.x28ContaminationReport(spark, sf).collect()
+    val eligible = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0 && size(split(col("text"), " ")) >= 8)
+      .count()
+    assert(rows.length == eligible.toInt,
+      s"expected a row per eligible eval doc ($eligible), got ${rows.length}")
+    rows.foreach { r =>
+      val (ng, nc) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_contaminated"))
+      val bp = r.getAs[Long]("contamination_bp")
+      assert(nc <= ng && ng > 0, s"contaminated grams exceed total: $r")
+      assert(bp >= 0 && bp <= 10000, s"bp out of range: $r")
+      assert(r.getAs[Boolean]("flagged") == (bp >= 2000), s"flag/threshold drift: $r")
+    }
+    // duality with x12: training docs carry eval text iff some eval doc
+    // shows contamination
+    val x12Hit = Dedup.x12Decontaminate(spark, sf).count() > 0
+    val x28Hit = rows.exists(_.getAs[Long]("n_contaminated") > 0)
+    assert(x12Hit == x28Hit, "x12 and x28 disagree about contamination existing")
+  }
+
   test("r02 aggregate shape") {
     val rows = Relational.r02(spark, sf).collect()
     assert(rows.length >= 4 && rows.length <= 6) // flag x status combos

@@ -2662,7 +2662,55 @@ object Similarity {
     out.orderBy(col("query_id"), col("rank"))
   }
 
+  // ------------------------------------------------------------- S18
+  /** S18: index STATS / health report — the admin surface every vector
+    * store exposes beside its data path: per-cell row counts off the
+    * durable s7 index, plus global health as constant columns — cell
+    * balance in basis points (min·10⁴ DIV max — a skewed cell is the
+    * probe's tail latency), tombstone load (s12's pending delete log
+    * vs indexed rows), and the assignment-identity gate.
+    *
+    * Gates (driver-enforced): `assign_ok` — every stored (vec_id,
+    * cell) equals a fresh [[assignQuantize]] assignment from the
+    * corpus with the index's own anchors (a drifted or torn index
+    * says so HERE, before a probe silently searches the wrong cells);
+    * `nonempty_ok` — no registered cell lost all its rows.
+    *
+    * Scale: stats read the codes-only columns of the index (never the
+    * floats), one \|cells\|-row aggregate; the gate recompute is one
+    * corpus pass with broadcast anchors — gate cost, not serving
+    * cost, same posture as s12/s13. */
+  def s18IndexStats(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors, _) = ivfIndex(s, d)
+    val idx = s.read.parquet(path).select(col("vec_id"), col("cell"))
+    val stored = idx.localCheckpoint(true)
+    val cells = stored.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_rows"))
+    val (minC, maxC) = {
+      val r = cells.agg(min(col("n_rows")), max(col("n_rows"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val nTomb = tombstones(s, d).count()
+    val nRows = stored.count()
+    // assignment identity: stored cells ≡ fresh assignment (the
+    // recompute joins on vec_id; any cell mismatch or missing row
+    // counts against the gate)
+    val fresh = assignQuantize(embeddings(s, d), anchors)
+      .select(col("vec_id"), col("cell").as("fresh_cell"))
+    val drift = stored.join(fresh, Seq("vec_id"), "full_outer")
+      .filter(col("cell").isNull || col("fresh_cell").isNull ||
+        col("cell") =!= col("fresh_cell")).count()
+    cells
+      .select(col("cell"), col("n_rows"))
+      .withColumn("balance_bp", lit(minC * 10000L / maxC))
+      .withColumn("tombstone_bp", lit(if (nRows == 0) 0L else nTomb * 10000L / nRows))
+      .withColumn("assign_ok", lit(drift == 0L))
+      .withColumn("nonempty_ok", col("n_rows") > 0L)
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_index_stats" -> (s18IndexStats _),
     "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_hybrid_rrf" -> (s16HybridRrf _),
     "s14_ann_lifecycle" -> (s14AnnLifecycle _),

@@ -930,6 +930,22 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.lastGatedApprox.remove((spark, "s14"))
   }
 
+  test("s18 index stats: covers every indexed row; balance recomputes; " +
+    "assignment identity green against the live corpus") {
+    val rows = Similarity.s18IndexStats(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("assign_ok")),
+      "stored cell assignment drifted from a fresh recompute")
+    assert(rows.forall(_.getAs[Boolean]("nonempty_ok")))
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    val corpus = graft.sources.Tables.embeddings(spark, sf01).count()
+    assert(counts.sum == corpus,
+      s"stats cover ${counts.sum} rows, corpus has $corpus")
+    val expectBalance = counts.min * 10000L / counts.max
+    assert(rows.forall(_.getAs[Long]("balance_bp") == expectBalance),
+      "balance_bp does not recompute from the per-cell counts")
+  }
+
   test("s14 durable exact witness ≡ a live brute-force recompute over the final corpus") {
     // the stored fingerprint-keyed witness (built by the s14 run above
     // or here) must be bit-identical to recomputing the exact top-K

@@ -144,7 +144,11 @@ object ScaleSweep {
       // s17: the MMR shortlist is the corpus-pass half; the greedy is
       // per-query-bounded. mm11: codec-bounded like mm10, probe banded.
       "s17_mmr_rerank" -> (graft.operators.Similarity.s17MmrRerank _),
-      "mm11_audio_probe" -> (graft.operators.Multimodal.mm11AudioProbe _))
+      "mm11_audio_probe" -> (graft.operators.Multimodal.mm11AudioProbe _),
+      // x27: one range shuffle per corpus regardless of N; x28: x12's
+      // gram pass shape with an eval-side aggregate
+      "x27_length_batching" -> (graft.operators.Corpus.x27LengthBatching _),
+      "x28_contamination_report" -> (graft.operators.Dedup.x28ContaminationReport _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

@@ -495,8 +495,13 @@ object Corpus {
       df.select(col("source"), explode(split(txt, " ")).as("word"))
         .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
     }
+    // the histograms are the two corpus passes; checkpoint the
+    // Heaps-bounded (source, word) frames so the totals branch and the
+    // drift join read them instead of re-exploding the corpus
     val o = hist(docs.filter(col("doc_id") % 7 =!= 0), revised = false)
+      .localCheckpoint(true)
     val n = hist(docs.filter(col("doc_id") % 11 =!= 3), revised = true)
+      .localCheckpoint(true)
     val joined = o.as("o")
       .join(n.as("n"), Seq("source", "word"), "full_outer")
       .select(col("source"), col("word"),

@@ -1096,7 +1096,10 @@ object Dedup {
     * arithmetic throughout ⇒ hash-exact. */
   def x28ContaminationReport(s: SparkSession, d: String): DataFrame = {
     val grams = decontamGrams(s, d)
-    val evalG = grams.filter(col("doc_id") % 50 === 0)
+    // checkpoint the eval gram side (broadcast-small by premise): both
+    // the totals aggregate and the contamination join read it, and it
+    // must not cost a second corpus gram pass
+    val evalG = grams.filter(col("doc_id") % 50 === 0).localCheckpoint(true)
     val trainG = grams.filter(col("doc_id") % 50 =!= 0)
     val totals = evalG.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams")) // grams are distinct per doc

@@ -1178,10 +1178,13 @@ object Streaming {
     val sunk = runToMemory(s, agg, sink, OutputMode.Complete())
       .select(unix_timestamp(col("window.start")).as("win_start_s"),
         col("word"), col("c"))
+    // checkpoint the Heaps-bounded reference histogram: the N total
+    // and the drift join both read it — one corpus explode, not two
     val ref = graft.sources.Tables.documents(s, d)
       .select(explode(split(lower(trim(col("text"))), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
     val bigN = ref.agg(sum(col("cr"))).head.getLong(0)
     val winTot = sunk.groupBy(col("win_start_s"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab_win"))

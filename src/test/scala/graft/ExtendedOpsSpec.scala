@@ -35,6 +35,47 @@ class ExtendedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: x27's distributed batching ≡ a driver-side reference on random corpora") {
+    import spark.implicits._
+    // randomized doc-length corpora (incl. docs larger than the budget,
+    // which skip batch ids); the distributed two-phase-scan batching
+    // must equal the obvious sequential per-bucket fold computed here
+    val rnd = new scala.util.Random(0xBA7C)
+    for (trial <- 0 until 3) {
+      val docs = (0L until (500L + trial * 700L)).map { id =>
+        val ntok = 1 + (rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(30)          // short
+          case 1 => 30 + rnd.nextInt(200)    // medium
+          case _ => 400 + rnd.nextInt(800)   // can exceed the 512 budget
+        })
+        (id, Seq.fill(ntok)("w").mkString(" "))
+      }
+      val df = spark.createDataFrame(rnd.shuffle(docs)).toDF("doc_id", "text")
+        .repartition(5)
+      // reference: per bucket in doc_id order, batch = exclusive-prefix DIV 512
+      val ref = docs.map { case (id, t) => (id, t.split(" ").length.toLong) }
+        .map { case (id, n) => (n / 16, id, n) }
+        .groupBy(_._1).flatMap { case (bkt, ds) =>
+          var pref = 0L
+          ds.sortBy(_._2).map { case (_, id, n) =>
+            val b = pref / 512; pref += n; (bkt, b, id, n)
+          }
+        }
+        .groupBy(t => (t._1, t._2)).map { case ((bkt, b), xs) =>
+          (bkt, b, xs.size.toLong, xs.map(_._4).sum,
+            xs.map(_._3).min, xs.map(_._3).max, xs.map(_._4).max)
+        }
+        .map { case (bkt, b, nd, nt, fd, ld, mx) =>
+          Seq(bkt, b, nd, nt, fd, ld, (nd * mx - nt) * 10000 / (nd * mx))
+        }.toSet
+      val viaTables = new java.io.File(s"/tmp/graft-x27-prop-$trial")
+      df.write.mode("overwrite").parquet(viaTables.getAbsolutePath + "/documents.parquet")
+      val got = graft.operators.Corpus.x27LengthBatching(spark, viaTables.getAbsolutePath)
+        .collect().map(_.toSeq.map(_.asInstanceOf[Long]): Seq[Long]).toSet
+      assert(got == ref, s"trial $trial: distributed batching diverged from reference")
+    }
+  }
+
   test("r32 native session_window agrees with st2's hand-rolled sessionizer") {
     import java.sql.Timestamp
     // the two differ ONLY on gaps of exactly 30 minutes (half-open

@@ -27,7 +27,11 @@ object Explain {
         "s14_ann_lifecycle", "r35_incremental_agg", "x24_dsir_sample",
         // late round-10 flagships: range-partitioned rank scans (the
         // prefix-sum RFM build), WindowGroupLimit-capped MMR shortlist
-        "r37_rfm_segment", "s17_mmr_rerank")
+        "r37_rfm_segment", "s17_mmr_rerank",
+        // round-10 close-out flagships: fused validation aggregates,
+        // gram-dictionary novelty join, sound int8 range prune (the
+        // registered s19 candidate frame prints the codes-only scan)
+        "r38_quality_checks", "t18_ngram_novelty", "s19_range_search")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

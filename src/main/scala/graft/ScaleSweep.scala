@@ -148,7 +148,13 @@ object ScaleSweep {
       // x27: one range shuffle per corpus regardless of N; x28: x12's
       // gram pass shape with an eval-side aggregate
       "x27_length_batching" -> (graft.operators.Corpus.x27LengthBatching _),
-      "x28_contamination_report" -> (graft.operators.Dedup.x28ContaminationReport _))
+      "x28_contamination_report" -> (graft.operators.Dedup.x28ContaminationReport _),
+      // t18: the gram-dictionary join must ride the gram frame (two
+      // gram shuffles, output |grams| rows however viral a gram is);
+      // s19: the sound int8 prune must keep the candidate fetch
+      // proportional to answers, not corpus
+      "t18_ngram_novelty" -> (graft.operators.TextAnalysis.t18NgramNovelty _),
+      "s19_range_search" -> (graft.operators.Similarity.s19RangeSearch _))
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>

@@ -1219,8 +1219,122 @@ object Relational {
       |       ROUND(CAST(SUM(mon) AS DOUBLE), 4) AS revenue
       |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- R38 (data-quality validation report)
+  /** Declarative data-quality validation — the Deequ/Great-Expectations
+    * shape every production warehouse runs before publishing a table:
+    * a fixed check suite (range, domain, uniqueness, referential
+    * integrity) evaluated over the raw tables, one report row per
+    * (table, check) with the table's row count, the violation count
+    * and a pass verdict. A clean corpus reports zeros — the report's
+    * value is that the zeros are MEASURED, not assumed, and the same
+    * frame drives alerting when they stop being zero.
+    *
+    * Scale shape (the Deequ insight): every scan-expressible check on
+    * a table fuses into ONE map-side-combined conditional aggregate —
+    * adding a check adds a sum, not a pass, so the suite costs one
+    * corpus read per table at any table count. The two referential
+    * checks are the only joins: fact-side keys left-anti the key
+    * column of the referenced table (at 100 TB the r30 Bloom
+    * prefilter pushes onto the fact scan first; the residual anti
+    * join only sees probable orphans). Uniqueness folds into the same
+    * single aggregate as COUNT(*) − COUNT(DISTINCT key) — no second
+    * pass, no self-join. Integer counts ⇒ hash-exact. */
+  def r38(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    def viol(cond: Column): Column =
+      sum(when(cond, 1L).otherwise(0L)).cast(LongType)
+    // one row: (n, v1, v2, ...) → one report row per check
+    def report(tbl: String, agg: DataFrame, checks: Seq[String]): DataFrame =
+      agg.select(lit(tbl).as("tbl"),
+        explode(array(checks.map(c =>
+          struct(lit(c).as("chk"), col(s"v_$c").as("violations"))): _*)).as("e"),
+        col("n"))
+        .select(col("tbl"), col("e.chk").as("chk"), col("n").as("n_rows"),
+          col("e.violations").as("violations"),
+          (col("e.violations") === 0L).as("pass"))
+
+    val li = lineitem(s, d)
+    val ord = orders(s, d)
+    val cust = customer(s, d)
+
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_quantity").isNull || col("l_quantity") < 1 ||
+        col("l_quantity") > 50).as("v_quantity_range"),
+      viol(col("l_discount").isNull || col("l_discount") < 0 ||
+        col("l_discount") > 0.1).as("v_discount_range"),
+      viol(col("l_extendedprice").isNull ||
+        col("l_extendedprice") <= 0).as("v_price_positive"))
+    val liOrphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("v_ri_orderkey"))
+
+    val ordAgg = ord.agg(
+      count(lit(1)).as("n"),
+      viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_status_domain"),
+      viol(col("o_totalprice").isNull ||
+        col("o_totalprice") <= 0).as("v_price_positive"),
+      (count(lit(1)) - countDistinct(col("o_orderkey")))
+        .cast(LongType).as("v_orderkey_unique"))
+    val ordOrphans = ord.select(col("o_custkey"))
+      .join(cust.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("v_ri_custkey"))
+
+    val custAgg = cust.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("c_custkey")))
+        .cast(LongType).as("v_custkey_unique"),
+      viol(col("c_name").isNull).as("v_name_not_null"),
+      viol(col("c_mktsegment").isNull).as("v_segment_not_null"))
+
+    report("lineitem", liAgg.crossJoin(liOrphans),
+        Seq("quantity_range", "discount_range", "price_positive", "ri_orderkey"))
+      .unionAll(report("orders", ordAgg.crossJoin(ordOrphans),
+        Seq("status_domain", "price_positive", "orderkey_unique", "ri_custkey")))
+      .unionAll(report("customer", custAgg,
+        Seq("custkey_unique", "name_not_null", "segment_not_null")))
+      .orderBy(col("tbl"), col("chk"))
+  }
+
+  val r38Sql: String =
+    """WITH li AS (SELECT COUNT(*) AS n,
+      |  COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS v_qty,
+      |  COUNT(*) FILTER (l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1) AS v_disc,
+      |  COUNT(*) FILTER (l_extendedprice IS NULL OR l_extendedprice <= 0) AS v_price
+      |  FROM lineitem),
+      |liri AS (SELECT COUNT(*) AS v FROM lineitem l
+      |         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+      |od AS (SELECT COUNT(*) AS n,
+      |  COUNT(*) FILTER (o_orderstatus NOT IN ('O','F','P')) AS v_status,
+      |  COUNT(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS v_price,
+      |  COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq
+      |  FROM orders),
+      |odri AS (SELECT COUNT(*) AS v FROM orders o
+      |         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+      |cu AS (SELECT COUNT(*) AS n,
+      |  COUNT(*) - COUNT(DISTINCT c_custkey) AS v_uniq,
+      |  COUNT(*) FILTER (c_name IS NULL) AS v_name,
+      |  COUNT(*) FILTER (c_mktsegment IS NULL) AS v_seg
+      |  FROM customer)
+      |SELECT tbl, chk, n_rows, violations, violations = 0 AS pass FROM (
+      |  SELECT 'lineitem' AS tbl, 'quantity_range' AS chk, n AS n_rows, v_qty AS violations FROM li
+      |  UNION ALL SELECT 'lineitem', 'discount_range', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem', 'price_positive', n, v_price FROM li
+      |  UNION ALL SELECT 'lineitem', 'ri_orderkey', (SELECT n FROM li), v FROM liri
+      |  UNION ALL SELECT 'orders', 'status_domain', n, v_status FROM od
+      |  UNION ALL SELECT 'orders', 'price_positive', n, v_price FROM od
+      |  UNION ALL SELECT 'orders', 'orderkey_unique', n, v_uniq FROM od
+      |  UNION ALL SELECT 'orders', 'ri_custkey', (SELECT n FROM od), v FROM odri
+      |  UNION ALL SELECT 'customer', 'custkey_unique', n, v_uniq FROM cu
+      |  UNION ALL SELECT 'customer', 'name_not_null', n, v_name FROM cu
+      |  UNION ALL SELECT 'customer', 'segment_not_null', n, v_seg FROM cu) t
+      |ORDER BY tbl, chk""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r38_quality_checks" -> (r38 _),
     "r37_rfm_segment" -> (r37 _),
     "r36_funnel" -> (r36 _),
     "r35_incremental_agg" -> (r35 _),
@@ -1265,6 +1379,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r38_quality_checks" -> r38Sql,
     "r37_rfm_segment" -> r37Sql,
     "r36_funnel" -> r36Sql,
     "r35_incremental_agg" -> r35Sql,

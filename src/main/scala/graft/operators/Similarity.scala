@@ -2709,7 +2709,95 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  // ------------------------------------------------------------- S19
+  /** S19: RANGE (radius) similarity search — all pairs (query, doc)
+    * with cosine ≥ τ, the other half of the retrieval API surface
+    * (top-k answers "the best K whatever they score"; range answers
+    * "everything above a quality bar" — dedup candidate generation,
+    * near-duplicate audits and recall-oriented retrieval all want the
+    * latter). τ = 0.3 against this corpus's diffuse synthetic
+    * embeddings (max off-diagonal cosine ≈ 0.3–0.5, so the bar is
+    * selective but non-empty for every query).
+    *
+    * Unlike top-k, range search admits a SOUND-AND-COMPLETE compressed
+    * prune, so this is the one approximate-representation family
+    * member with a full hash oracle AND a pruned scan: score every
+    * candidate on x8's int8 codes and keep it iff the code score COULD
+    * reach τ under the quantization error bound. Per vector,
+    * qᵢ = round(vᵢ·127/s) ⇒ |vᵢ − qᵢ·s/127| ≤ s/254, so for query Q
+    * |cos − cosApprox| ≤ (s/254)·‖Q‖₁/(‖Q‖·‖v‖) — every term of the
+    * bound is a per-row scalar. Candidates passing
+    * cosApprox + bound + 10⁻⁴ ≥ τ (the 10⁻⁴ absorbs the final
+    * round-to-4) are PROVABLY a superset of the true answer; the exact
+    * float verify then reproduces the brute-force result bit-for-bit —
+    * hence the DuckDB oracle, where s2/s3/s6 can only carry recall
+    * gates.
+    *
+    * 100 TB story: the corpus-wide pass reads int8 codes only (4× less
+    * IO than floats, integer-dot kernel); floats are fetched by a
+    * candidate-proportional join-back, exactly s9/s10's
+    * codes-are-the-read-path posture. The candidate frame is
+    * registered in [[lastGatedApprox]] so PipelineSpec asserts the
+    * prune actually discards most of the corpus (and that the final
+    * answer still equals the unpruned scan). Composes with the s7
+    * cell layout: cells whose anchor scores below τ − cell radius
+    * prune entire partitions first. */
+  private[graft] val RangeTau = 0.3
+
+  def s19RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val codes = e
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qv", expr(
+        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .select(col("vec_id"), col("scale"), col("qv"), col("nrm"))
+    val q = broadcast(e.filter(col("vec_id") < NQueries)
+      .withColumn("l1", expr("aggregate(transform(v, x -> abs(x)), 0D, (a, x) -> a + x)")))
+    // int8 scan: code score + per-pair error bound, sound keep-filter
+    val cand = q.as("q")
+      .join(codes.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .withColumn("approx",
+        expr("aggregate(zip_with(q.v, e.qv, (x, c) -> x * c), 0D, (a, v) -> a + v)")
+          * col("e.scale") / lit(127.0) / (col("q.nrm") * col("e.nrm")))
+      .withColumn("bnd",
+        col("e.scale") / lit(254.0) * col("q.l1") / (col("q.nrm") * col("e.nrm")))
+      .filter(col("approx") + col("bnd") + lit(1e-4) >= RangeTau)
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"))
+    registerGatedPlan(s, "s19", cand)
+    // candidate-proportional float fetch + exact verify (s1's fold order)
+    val nf = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
+    val qf = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qf"), col("nrm").as("qn")))
+    cand.join(nf, Seq("neighbor_id"))
+      .join(qf, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vecDot(col("qf"), col("nv")) / (col("qn") * col("nn")), 4).as("cos4"))
+      .filter(col("cos4") >= RangeTau)
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
+  val s19Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+       |dots AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         SUM(q.x * e.x ORDER BY q.i) AS dot
+       |  FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id,
+       |       ROUND(dot / (nq.nrm * ne.nrm), 4) AS cos4
+       |FROM dots JOIN nrm nq ON nq.vec_id = query_id
+       |          JOIN nrm ne ON ne.vec_id = neighbor_id
+       |WHERE ROUND(dot / (nq.nrm * ne.nrm), 4) >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_range_search" -> (s19RangeSearch _),
     "s18_index_stats" -> (s18IndexStats _),
     "s17_mmr_rerank" -> (s17MmrRerank _),
     "s16_hybrid_rrf" -> (s16HybridRrf _),
@@ -2739,6 +2827,7 @@ object Similarity {
     * and floor-asserted in PipelineSpec. X2 must equal S1 exactly
     * (asserted in PipelineSpec); it shares S1's oracle. */
   val oracles: Map[String, String] = Map(
+    "s19_range_search"  -> s19Sql,
     "s16_hybrid_rrf"    -> s16Sql,
     "s11_ann_filtered"  -> s11Sql,
     "s1_ann_bruteforce" -> s1Sql,

@@ -1182,7 +1182,53 @@ object TextAnalysis {
       |            * 2654435761) % 4096 - 2048 END)) > 0 AS keep
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- T18
+  /** T18: cross-document n-gram NOVELTY profile — for each document,
+    * how much of its 8-gram content is unique to it vs shared with any
+    * other document in the corpus. The per-doc dual of the dedup
+    * family: p1/x11 find WHICH documents overlap; t18 scores HOW
+    * original each document is (novelty in basis points), the signal
+    * used to pick "high-novelty" subsets for curriculum/quality
+    * mixtures and to flag template farms (novelty ≈ 0) before they
+    * reach near-dup clustering.
+    *
+    * Scale: reuses x12's narrow distinct-gram projection (one corpus
+    * pass, no shuffle); gram frequencies are ONE map-side-combined
+    * aggregate on the gram (grams are distinct per doc, so COUNT(*) =
+    * containing-doc count); the per-doc fold is a shuffle join of the
+    * gram frame against the (gram, count) dictionary — output is
+    * \|grams\| rows regardless of how viral a gram is, so a hot
+    * boilerplate gram inflates no partition (the dictionary side of a
+    * skewed key is ONE row; AQE handles the probe-side spread).
+    * Integer basis points ⇒ hash-exact. */
+  def t18NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val grams = Dedup.decontamGramsOf(documents(s, d))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_bp",
+        expr("(n_grams - n_shared) * 10000 DIV n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t18Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |             array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+      |      FROM w, unnest(generate_series(1, len(ws) - 7)) AS u(i)
+      |      WHERE len(ws) >= 8),
+      |f AS (SELECT g, COUNT(*) AS n_docs FROM g GROUP BY 1)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |       CAST(COUNT(*) FILTER (f.n_docs >= 2) AS BIGINT) AS n_shared,
+      |       CAST((COUNT(*) - COUNT(*) FILTER (f.n_docs >= 2)) * 10000
+      |            // COUNT(*) AS BIGINT) AS novelty_bp
+      |FROM g JOIN f USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_ngram_novelty" -> (t18NgramNovelty _),
     "x25_data_card" -> (x25DataCard _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "t16_quality_model" -> (t16QualityModel _),
@@ -1204,6 +1250,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t18_ngram_novelty" -> t18Sql,
     "x25_data_card" -> x25Sql,
     "t16_quality_model" -> t16Sql,
     "t14_chunk" -> t14Sql,

@@ -959,6 +959,33 @@ class PipelineSpec extends AnyFunSuite {
       "durable s14 exact witness diverged from a live recompute")
   }
 
+  test("s19 range search: pruned int8 scan ≡ unpruned brute force; " +
+    "error bound prunes most of the corpus") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.vecDot
+    val got = Similarity.s19RangeSearch(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the registered pre-verify candidate frame measures the prune
+    val nCand = Similarity.lastGatedApprox((spark, "s19")).count()
+    Similarity.lastGatedApprox.remove((spark, "s19"))
+    // unpruned reference: the full float scan with the same fold order
+    val e = Similarity.prepared(spark, sf01)
+    val q = broadcast(e.filter(col("vec_id") < 10))
+    val ref = q.as("q").join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
+        round(vecDot(col("q.v"), col("e.v")) / (col("q.nrm") * col("e.nrm")), 4)
+          .as("cos4"))
+      .filter(col("cos4") >= Similarity.RangeTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref,
+      s"sound prune lost or invented pairs: missing ${ref -- got}, extra ${got -- ref}")
+    assert(got.nonEmpty, "empty range result — tau above this corpus's similarity range")
+    val scored = (e.count() - 1) * 10
+    assert(nCand < scored / 2,
+      s"int8 bound pruned under half the corpus: $nCand of $scored pairs kept")
+    info(s"s19 candidates: $nCand of $scored scored pairs, ${got.size} answers")
+  }
+
   test("s17 MMR: first pick = top relevance; marginal scores non-increasing; " +
     "diversity no worse than plain top-K on redundant shortlists; deterministic") {
     val a = Similarity.s17MmrRerank(spark, sf01).collect()

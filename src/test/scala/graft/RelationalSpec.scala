@@ -236,4 +236,97 @@ class RelationalSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(kept.size <= total && kept.nonEmpty)
   }
+
+  test("r38 validation: clean corpus measures zero violations; " +
+    "seeded corruption is caught check-by-check") {
+    import org.apache.spark.sql.functions._
+    val clean = Relational.r38(spark, sf).collect()
+    assert(clean.length == 11, s"check suite size drifted: ${clean.length}")
+    val liN = graft.sources.Tables.lineitem(spark, sf).count()
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("pass") && r.getAs[Long]("violations") == 0L,
+        s"clean data flagged: $r")
+    }
+    assert(clean.filter(_.getString(0) == "lineitem")
+      .forall(_.getAs[Long]("n_rows") == liN), "lineitem row count drifted")
+
+    // seeded-corruption replay: copy the three tables, inject exactly
+    // one violation per check class (each bad row is engineered to trip
+    // ONLY its own check), re-run the identical suite
+    val work = java.nio.file.Files.createTempDirectory("r38spec").toFile
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val ord = graft.sources.Tables.orders(spark, sf)
+      val cust = graft.sources.Tables.customer(spark, sf)
+      li.union(li.limit(2).withColumn("l_quantity", lit(99.0)))     // 2× range
+        .union(li.limit(1).withColumn("l_orderkey", lit(-1L)))      // 1× orphan
+        .write.parquet(s"${work.getAbsolutePath}/lineitem.parquet")
+      ord.union(ord.limit(1).withColumn("o_orderkey", lit(-2L))
+          .withColumn("o_orderstatus", lit("X")))                   // 1× domain
+        .union(ord.limit(1).withColumn("o_orderkey", lit(-3L))
+          .withColumn("o_custkey", lit(-5L)))                       // 1× orphan
+        .union(ord.limit(1))                                        // 1× dup key
+        .write.parquet(s"${work.getAbsolutePath}/orders.parquet")
+      cust.union(cust.limit(1))                                     // 1× dup key
+        .union(cust.limit(1).withColumn("c_custkey", lit(-7L))
+          .withColumn("c_name", lit(null).cast("string")))          // 1× null name
+        .write.parquet(s"${work.getAbsolutePath}/customer.parquet")
+
+      val got = Relational.r38(spark, work.getAbsolutePath).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+      val expected = Map(
+        ("lineitem", "quantity_range") -> (2L, false),
+        ("lineitem", "discount_range") -> (0L, true),
+        ("lineitem", "price_positive") -> (0L, true),
+        ("lineitem", "ri_orderkey") -> (1L, false),
+        ("orders", "status_domain") -> (1L, false),
+        ("orders", "price_positive") -> (0L, true),
+        ("orders", "orderkey_unique") -> (1L, false),
+        ("orders", "ri_custkey") -> (1L, false),
+        ("customer", "custkey_unique") -> (1L, false),
+        ("customer", "name_not_null") -> (1L, false),
+        ("customer", "segment_not_null") -> (0L, true))
+      assert(got == expected,
+        s"corruption not isolated per check:\n got=$got\n exp=$expected")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(work)
+    }
+  }
+
+  test("t18 novelty: distributed gram fold matches a driver-side recompute exactly") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.t18NgramNovelty(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("novelty_bp"))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // same tokenization as the engine: split on single space, keep
+    // empties (Spark's split has no limit → trailing empties retained)
+    val gramsOf = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> (if (w.length >= 8) w.sliding(8).map(_.mkString(" ")).toSet
+             else Set.empty[String])
+    }.toMap
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    gramsOf.values.foreach(_.foreach(g => df(g) = df.getOrElse(g, 0) + 1))
+    val ref = gramsOf.collect { case (id, gs) if gs.nonEmpty =>
+      val n = gs.size.toLong
+      val shared = gs.count(df(_) >= 2).toLong
+      id -> (n, shared, (n - shared) * 10000L / n)
+    }
+    assert(rows == ref, {
+      val diff = (ref.keySet ++ rows.keySet)
+        .filter(k => ref.get(k) != rows.get(k)).take(5)
+      s"novelty drift on docs $diff: got ${diff.map(rows.get)}, want ${diff.map(ref.get)}"
+    })
+    rows.values.foreach { case (n, sh, bp) =>
+      assert(sh <= n && bp >= 0 && bp <= 10000, s"bounds violated: ($n, $sh, $bp)")
+    }
+  }
 }

@@ -1135,7 +1135,132 @@ object Multimodal {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------------------------------------- MM12
+  /** mm12 output row: planted vs detected cut + the diff evidence. */
+  case class SceneCut(doc_id: Long, n_frames: Long, cut_planted: Long,
+                      cut_detected: Long, max_diff: Long, runner_diff: Long,
+                      cut_ok: Boolean, margin_ok: Boolean)
+
+  /** Encode a video with a PLANTED scene cut at frame index `cut`:
+    * frames f < cut carry the text bytes shifted +f (mm6's smooth
+    * intra-scene motion), frames f ≥ cut carry the INVERTED bytes
+    * (255 − b) shifted +f — a hard content change. The adjacent-frame
+    * channel difference is then exactly replayable from the text:
+    * within a scene Σ\|Δ\| = len (every text byte moves by 1, padding
+    * still), across the cut Σ\|Δ\| = Σ\|256 − 2b\| ≥ 4·len for ASCII —
+    * so the boundary provably dominates every within-scene pair. */
+  private[graft] def encodeCutVideo(data: Array[Byte], nFrames: Int,
+                                    cut: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val out = new Array[Byte](data.length)
+      var i = 0
+      while (i < data.length) {
+        val b = if (f < cut) data(i).toInt else 255 - data(i).toInt
+        out(i) = (b + f).toByte
+        i += 1
+      }
+      encodeBmp(out)
+    }
+    val fb = frames.headOption.map(_.length).getOrElse(0)
+    val buf = java.nio.ByteBuffer.allocate(12 + nFrames * fb)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GV01".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putInt(nFrames).putInt(fb)
+    frames.foreach(buf.put)
+    buf.array()
+  }
+
+  /** mm12: SCENE-CUT detection — the shot-segmentation step a video
+    * training pipeline runs before frame sampling (mm6 samples frames
+    * blindly; mm12 finds the shot boundaries so sampling can be
+    * per-shot). Consecutive decoded frames are diffed channel-wise;
+    * the boundary with the maximum total absolute difference is the
+    * detected cut, gated against the planted one (`cut_ok`) and
+    * against ambiguity (`margin_ok`: the winning diff must be ≥ 2× the
+    * runner-up — for this construction the true boundary is provably
+    * ≥ 4× every within-scene pair, so a margin failure means the
+    * decode or diff kernel broke, not the data).
+    *
+    * Scale shape: one decode-bounded narrow pass, reader per
+    * partition, TWO frames resident at a time (streaming pairwise —
+    * a shot detector never holds the clip); no shuffle; the final
+    * ORDER BY is oracle determinism only. The per-pair diff sums are
+    * integer-exact and fully replayable from the text, so unlike the
+    * lossy mm7 this codec path carries a FULL hash oracle. */
+  def mm12SceneCuts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val n = 5 + (id % 3).toInt
+        val cut = 2 + (id % 2).toInt
+        val p = encodeCutVideo(bytes, n, cut)
+        MediaRecord(id, p, "gv01cut", p.length)
+      }
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        disposing(it.map { r =>
+          val bb = java.nio.ByteBuffer.wrap(r.payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val magic = new Array[Byte](4); bb.get(magic)
+          require(new String(magic, "US-ASCII") == "GV01", "bad container magic")
+          val nFrames = bb.getInt; val fb = bb.getInt
+          def channels(f: Int): Array[Int] = {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(r.payload, 12 + f * fb, fb))
+            reader.setInput(iis)
+            val img = reader.read(0)
+            val out = new Array[Int](img.getWidth * img.getHeight * 3)
+            var k = 0; var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                out(k) = (rgb >> 16) & 0xff; out(k + 1) = (rgb >> 8) & 0xff
+                out(k + 2) = rgb & 0xff; k += 3
+                x += 1
+              }
+              y += 1
+            }
+            out
+          }
+          var prev = channels(0)
+          var best = -1L; var bestIdx = 0L; var runner = -1L
+          var f = 1
+          while (f < nFrames) {
+            val cur = channels(f)
+            var diff = 0L; var i = 0
+            while (i < cur.length) { diff += math.abs(cur(i) - prev(i)); i += 1 }
+            if (diff > best) { runner = best; best = diff; bestIdx = f }
+            else if (diff > runner) runner = diff
+            prev = cur
+            f += 1
+          }
+          val planted = 2L + r.doc_id % 2 // the fixture's cut position
+          SceneCut(r.doc_id, nFrames.toLong, planted, bestIdx, best, runner,
+            cut_ok = bestIdx == planted, margin_ok = best >= 2 * runner)
+        }, reader)
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val mm12Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |b AS (SELECT doc_id,
+      |             CAST(SUM(ABS(256 - 2 * ord(substr(text, i, 1)))) AS BIGINT) AS boundary
+      |      FROM d, unnest(generate_series(1, len)) AS u(i) GROUP BY 1)
+      |SELECT d.doc_id, CAST(5 + d.doc_id % 3 AS BIGINT) AS n_frames,
+      |       CAST(2 + d.doc_id % 2 AS BIGINT) AS cut_planted,
+      |       CAST(2 + d.doc_id % 2 AS BIGINT) AS cut_detected,
+      |       b.boundary AS max_diff,
+      |       CAST(d.len AS BIGINT) AS runner_diff,
+      |       TRUE AS cut_ok, TRUE AS margin_ok
+      |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_scene_cuts" -> (mm12SceneCuts _),
     "mm11_audio_probe" -> (mm11AudioProbe _),
     "mm10_audio_fingerprint" -> (mm10AudioFingerprint _),
     "mm9_phash_dedup"    -> (mm9PerceptualDedup _),
@@ -1149,6 +1274,7 @@ object Multimodal {
     "mm4_mixed_decode"   -> (mm4MixedDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm12_scene_cuts"    -> mm12Sql,
     "mm6_video_frames"   -> mm6Sql,
     "mm5_audio_mixed"    -> mm5Sql,
     "mm1_media_features" -> mm1Sql,

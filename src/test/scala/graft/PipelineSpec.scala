@@ -646,6 +646,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("mm12 scene cuts: diff evidence replays from text; a cut-free clip fails the margin " +
+    "(negative control); deterministic") {
+    val rows = Multimodal.mm12SceneCuts(spark, sf001).collect()
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = docs(id).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      // from-text replay: boundary diff = sum |256 - 2b|, runner = len
+      val boundary = bytes.map(b => math.abs(256 - 2 * b.toInt)).map(_.toLong).sum
+      assert(r.getAs[Long]("max_diff") == boundary,
+        s"doc $id: boundary diff ${r.getAs[Long]("max_diff")} != replay $boundary")
+      assert(r.getAs[Long]("runner_diff") == bytes.length.toLong,
+        s"doc $id: within-scene diff != text length")
+      assert(r.getAs[Boolean]("cut_ok") && r.getAs[Boolean]("margin_ok"), s"gate: $r")
+      assert(r.getAs[Long]("cut_detected") == 2L + id % 2)
+    }
+    // negative control: a clip with NO planted cut (cut index 0 inverts
+    // every frame -> one smooth scene) must not show a dominant
+    // boundary: every pair diff = len, so margin (>= 2x runner) fails
+    val data = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    val uncut = Multimodal.encodeCutVideo(data, 6, 0)
+    val bb = java.nio.ByteBuffer.wrap(uncut).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    assert(new String(magic, "US-ASCII") == "GV01")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+    try {
+      val (n, fb) = (bb.getInt, bb.getInt)
+      def frame(f: Int): Array[Int] = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(uncut, 12 + f * fb, fb))
+        reader.setInput(iis)
+        val img = reader.read(0)
+        (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+              c <- Seq(16, 8, 0)) yield (img.getRGB(x, y) >> c) & 0xff).toArray
+      }
+      val diffs = (1 until n).map { f =>
+        frame(f).zip(frame(f - 1)).map { case (a, b) => math.abs(a - b).toLong }.sum
+      }
+      assert(diffs.distinct.size == 1 && diffs.head == data.length.toLong,
+        s"cut-free clip shows unequal pair diffs: $diffs")
+      assert(diffs.max < 2 * diffs.sorted.apply(diffs.size - 2) ||
+        diffs.size < 2, "a cut-free clip must fail the 2x margin")
+    } finally reader.dispose()
+    // deterministic end to end
+    val again = Multimodal.mm12SceneCuts(spark, sf001).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)), "mm12 not deterministic")
+  }
+
   test("mm10 audio fingerprint matches a codec-free from-text replay; completeness gate green") {
     import org.apache.spark.sql.functions.col
     val rows = Multimodal.mm10AudioFingerprint(spark, sf001).collect()

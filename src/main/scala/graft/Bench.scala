@@ -90,30 +90,41 @@ object Bench {
     val order = (0 until byFamily.map(_.size).max)
       .flatMap(i => byFamily.flatMap(_.lift(i)))
     // A crashed query must not report its time-to-failure as a normal
-    // timing: failures record -1 and are listed by name, so the JSON
-    // can't silently present an errored run as a healthy one.
-    def sweep(): Map[String, Double] = order.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-      }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // outside the timed region: drop per-query CacheManager entries so
-      // storage stays flat across the sweep (localCheckpointed
-      // cross-query state like the P1/P5 pair cache is unaffected)
-      spark.catalog.clearCache()
-      name -> dt
-    }.toMap
+    // timing: failures record -1 and are listed by name, AND the cause
+    // is captured per pass for the persisted artifact — round 10's
+    // adjudication cost a full judge re-run because the IIOException
+    // lived only in the discarded stderr tail.
+    def sweep(): (Map[String, Double], Map[String, String]) = {
+      val errs = scala.collection.mutable.Map.empty[String, String]
+      val times = order.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            // root cause class beats the Spark wrapper (SparkException
+            // from a task failure buries the codec/IO error 2-3 deep)
+            var root: Throwable = e
+            while (root.getCause != null && root.getCause != root) root = root.getCause
+            errs(name) = root.getClass.getSimpleName
+            false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // outside the timed region: drop per-query CacheManager entries so
+        // storage stays flat across the sweep (localCheckpointed
+        // cross-query state like the P1/P5 pair cache is unaffected)
+        spark.catalog.clearCache()
+        name -> dt
+      }.toMap
+      (times, errs.toMap)
+    }
     // TWO full interleaved passes; the reported time per query is the
     // MIN of the two. A contention burst then reads, from the artifact
     // alone, as (pass1 >> min) over a time-contiguous stretch of ONE
     // pass — distinguishable from a code regression, which moves both
     // passes together. (Best-of-2 is also the steadier engine estimate:
     // co-tenant noise on this box is strictly additive.)
-    val pass1 = sweep()
-    val pass2 = sweep()
+    val (pass1, errs1) = sweep()
+    val (pass2, errs2) = sweep()
     val results = pass1.map { case (k, v1) =>
       val v2 = pass2.getOrElse(k, -1.0)
       // a query that failed in EITHER pass reports -1: min-of-passes
@@ -180,10 +191,23 @@ object Bench {
     val warmupJson = (("steady_state" -> steadyWarmup) +: indexWarmup)
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    //  - `errors.<query>` = root-cause exception class per failing
+    //    pass. This is what lets a reader name the bug (IIOException)
+    //    and tell a direct failure from collateral (same errorClass,
+    //    later interleave slot, single pass) WITHOUT a re-run.
+    val errJson = {
+      val names = (errs1.keySet ++ errs2.keySet).toSeq.sorted
+      if (names.isEmpty) ""
+      else names.map { n =>
+        val parts = errs1.get(n).map(c => "\"pass1\":\"" + c + "\"").toSeq ++
+          errs2.get(n).map(c => "\"pass2\":\"" + c + "\"").toSeq
+        "\"" + n + "\":" + parts.mkString("{", ",", "}")
+      }.mkString(",\"errors\":{", ",", "}")
+    }
     val fullJson =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, 6)},""" +
       s""""pass1":${qmap(pass1, 6)},"pass2":${qmap(pass2, 6)},""" +
-      s""""warmup":$warmupJson,"order":"family-interleaved","passes":2$failed,"sf":$sfNum}"""
+      s""""warmup":$warmupJson,"order":"family-interleaved","passes":2$failed$errJson,"sf":$sfNum}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"), "BENCH_FULL.json"),

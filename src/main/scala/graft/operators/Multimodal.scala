@@ -60,6 +60,25 @@ object Multimodal {
     buf.array()
   }
 
+  /** Per-partition codec setup. Every decode input in this file is an
+    * in-memory ByteArrayInputStream, so the ImageIO *disk* cache buys
+    * nothing — each open stream would hold a FileCacheImageInputStream
+    * temp file, and a leaked or merely still-open stream consumes a
+    * descriptor + cache file. At 100 TB decode scale (billions of
+    * frames) that exhausts the filesystem regardless of cluster size,
+    * so we force memory-cached streams once per partition before
+    * resolving the codec. Idempotent; executor-side because it runs
+    * inside mapPartitions. */
+  private def partitionReader(fmt: String): javax.imageio.ImageReader = {
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+  }
+
+  private def partitionWriter(fmt: String): javax.imageio.ImageWriter = {
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+  }
+
   /** Wraps a partition's mapped iterator so every per-partition
     * ImageReader is dispose()d when the iterator exhausts — closing
     * only the per-row ImageInputStream leaks the readers' native
@@ -103,7 +122,7 @@ object Multimodal {
     mediaTable(s, d).mapPartitions { it =>
       // codec resolved once per partition — the amortized-setup slot a
       // real pipeline uses for model/codec initialization
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      val reader = partitionReader("bmp")
       disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -259,7 +278,7 @@ object Multimodal {
   def mm3Resize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     mediaTable(s, d).mapPartitions { it =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      val reader = partitionReader("bmp")
       val md = java.security.MessageDigest.getInstance("MD5")
       disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -370,8 +389,8 @@ object Multimodal {
       }
       .mapPartitions { it =>
         val readers = Map(
-          "png" -> javax.imageio.ImageIO.getImageReadersByFormatName("png").next(),
-          "bmp" -> javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next())
+          "png" -> partitionReader("png"),
+          "bmp" -> partitionReader("bmp"))
         disposing(it.map { r =>
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.payload))
@@ -579,7 +598,7 @@ object Multimodal {
         MediaRecord(id, p, "gv01", p.length)
       }
       .mapPartitions { it =>
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        val reader = partitionReader("bmp")
         disposing(it.map { r =>
           val bb = java.nio.ByteBuffer.wrap(r.payload)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -678,8 +697,8 @@ object Multimodal {
     documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        val writer = partitionWriter("jpeg")
+        val reader = partitionReader("jpeg")
         cleanup(it.map { case (id, t) =>
           val data = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
           val h = math.max(1, (data.length + ImgW - 1) / ImgW)
@@ -705,7 +724,7 @@ object Multimodal {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))
           reader.setInput(iis)
-          val dec = reader.read(0)
+          val dec = try reader.read(0) finally iis.close()
           var errSum = 0L
           var q = 0
           while (q < ImgW * h && q < dec.getWidth * dec.getHeight) {
@@ -878,7 +897,7 @@ object Multimodal {
   def mm9PerceptualDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val hashes = mediaTable(s, d).mapPartitions { it =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+      val reader = partitionReader("bmp")
       disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.payload))
@@ -1189,7 +1208,12 @@ object Multimodal {
     * lossy mm7 this codec path carries a FULL hash oracle. */
   def mm12SceneCuts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // empty docs have no frames to cut — skipped on BOTH sides (the
+    // oracle's generate_series(1,0) is empty, so its per-doc boundary
+    // CTE drops them; mirror that here instead of emitting a
+    // cut_ok=false row the oracle never sees)
     documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
       .as[(Long, String)]
       .map { case (id, t) =>
         val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -1199,7 +1223,7 @@ object Multimodal {
         MediaRecord(id, p, "gv01cut", p.length)
       }
       .mapPartitions { it =>
-        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("bmp").next()
+        val reader = partitionReader("bmp")
         disposing(it.map { r =>
           val bb = java.nio.ByteBuffer.wrap(r.payload)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1207,23 +1231,28 @@ object Multimodal {
           require(new String(magic, "US-ASCII") == "GV01", "bad container magic")
           val nFrames = bb.getInt; val fb = bb.getInt
           def channels(f: Int): Array[Int] = {
+            // close per frame: at bench scale this loop opens
+            // docs × frames streams — leaking them exhausts
+            // descriptor/cache capacity long before GC notices
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(r.payload, 12 + f * fb, fb))
-            reader.setInput(iis)
-            val img = reader.read(0)
-            val out = new Array[Int](img.getWidth * img.getHeight * 3)
-            var k = 0; var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                out(k) = (rgb >> 16) & 0xff; out(k + 1) = (rgb >> 8) & 0xff
-                out(k + 2) = rgb & 0xff; k += 3
-                x += 1
+            try {
+              reader.setInput(iis)
+              val img = reader.read(0)
+              val out = new Array[Int](img.getWidth * img.getHeight * 3)
+              var k = 0; var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  out(k) = (rgb >> 16) & 0xff; out(k + 1) = (rgb >> 8) & 0xff
+                  out(k + 2) = rgb & 0xff; k += 3
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
-            }
-            out
+              out
+            } finally iis.close()
           }
           var prev = channels(0)
           var best = -1L; var bestIdx = 0L; var runner = -1L
@@ -1247,7 +1276,8 @@ object Multimodal {
   }
 
   val mm12Sql: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents
+      |           WHERE length(text) > 0),
       |b AS (SELECT doc_id,
       |             CAST(SUM(ABS(256 - 2 * ord(substr(text, i, 1)))) AS BIGINT) AS boundary
       |      FROM d, unnest(generate_series(1, len)) AS u(i) GROUP BY 1)

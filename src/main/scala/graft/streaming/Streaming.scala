@@ -239,6 +239,26 @@ object Streaming {
     new java.io.File(root, s"graft-ckpt-$name-${java.util.UUID.randomUUID}")
   }
 
+  /** Workspace lifecycle for queries that stage a scratch copy of a
+    * durable artifact (st12's streamed index generation): creates the
+    * temp dir, runs the body, and deletes BOTH the workspace and the
+    * query checkpoint in `finally` — success or failure, nothing is
+    * left behind. Package-private so the residue-free contract is
+    * spec-testable with a forced failure, not just argued. */
+  private[graft] def withWorkspace[A](name: String)(body: (String, java.io.File) => A): A = {
+    val work = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    val ckpt = ckptDir(name)
+    try body(work, ckpt)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+      rm(new java.io.File(work))
+    }
+  }
+
   /** Runs a bounded streaming query to a memory sink and returns the
     * sink contents. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
@@ -847,10 +867,8 @@ object Streaming {
     // I/O only, not the Spark re-ingest the base rebuild used to pay
     // on every invocation.
     val (basePath, anchors, nCells) = Similarity.baseIndexPath(s, d)
-    val work = java.nio.file.Files.createTempDirectory("graft_st12").toString
-    val idxDir = s"$work/index"
-    val ckpt = ckptDir("st12")
-    try {
+    withWorkspace("st12") { (work, ckpt) =>
+      val idxDir = s"$work/index"
       val src = java.nio.file.Paths.get(basePath)
       val dst = java.nio.file.Paths.get(idxDir)
       val walk = java.nio.file.Files.walk(src)
@@ -895,18 +913,11 @@ object Streaming {
           Similarity.prepared(s, d), incrAnchors, incrNProbe)
         .select(cols: _*).localCheckpoint(true)
       val mismatch = mine.exceptAll(ref).count() + ref.exceptAll(mine).count()
+      // the returned frames are eagerly checkpointed, so withWorkspace
+      // deleting the staged generation before return is safe — and a
+      // failed stream/probe cannot leak the workspace either
       mine.withColumn("append_ok", lit(mismatch == 0L))
         .orderBy(col("query_id"), col("rn"))
-    } finally {
-      // failure-proof cleanup (checkpoint AND workspace): the returned
-      // frames are eagerly checkpointed, so deletion before return is
-      // safe, and a failed stream/probe no longer leaks the workspace
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(ckpt)
-      rm(new java.io.File(work))
     }
   }
 

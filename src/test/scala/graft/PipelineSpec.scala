@@ -679,10 +679,12 @@ class PipelineSpec extends AnyFunSuite {
       def frame(f: Int): Array[Int] = {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(uncut, 12 + f * fb, fb))
-        reader.setInput(iis)
-        val img = reader.read(0)
-        (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
-              c <- Seq(16, 8, 0)) yield (img.getRGB(x, y) >> c) & 0xff).toArray
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth;
+                c <- Seq(16, 8, 0)) yield (img.getRGB(x, y) >> c) & 0xff).toArray
+        } finally iis.close()
       }
       val diffs = (1 until n).map { f =>
         frame(f).zip(frame(f - 1)).map { case (a, b) => math.abs(a - b).toLong }.sum
@@ -695,6 +697,42 @@ class PipelineSpec extends AnyFunSuite {
     // deterministic end to end
     val again = Multimodal.mm12SceneCuts(spark, sf001).collect()
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)), "mm12 not deterministic")
+  }
+
+  test("mm12/mm7 decode passes leak no ImageIO cache files or descriptors") {
+    // Regression for the round-10 bench failure: a per-frame
+    // ImageInputStream left open holds a FileCacheImageInputStream
+    // temp file (imageio*.tmp) + a descriptor; at sf0.1 scale that
+    // exhausts cache capacity and kills the query. With the fix
+    // (streams closed + ImageIO.setUseCache(false) per partition) a
+    // full decode pass must create ZERO imageio temp files and leave
+    // the process fd table flat.
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def imageioTmps(): Set[String] =
+      Option(tmp.list()).getOrElse(Array.empty)
+        .filter(n => n.toLowerCase.startsWith("imageio") && n.endsWith(".tmp")).toSet
+    val fdDir = new java.io.File("/proc/self/fd")
+    def fds(): Int = Option(fdDir.list()).map(_.length).getOrElse(-1)
+    // warmup pass: a cold session opens jars/shuffle/parquet fds on
+    // its first query — measure the SECOND pass, where the only new
+    // descriptors a leak could add are the per-frame streams
+    def decodePass(): Unit = {
+      Multimodal.mm12SceneCuts(spark, sf001).collect()
+      Multimodal.mm7JpegDecode(spark, sf001).collect()
+    }
+    decodePass()
+    val tmpsBefore = imageioTmps()
+    val fdBefore = fds()
+    decodePass()
+    val leaked = imageioTmps() -- tmpsBefore
+    assert(leaked.isEmpty, s"decode pass left ImageIO cache files: $leaked")
+    if (fdBefore >= 0) {
+      val fdAfter = fds()
+      // the pre-fix leak grew this by one per decoded frame (hundreds
+      // at sf0.001); steady-state churn is a handful
+      assert(fdAfter - fdBefore < 64,
+        s"descriptor growth across warm decode pass: $fdBefore -> $fdAfter")
+    }
   }
 
   test("mm10 audio fingerprint matches a codec-free from-text replay; completeness gate green") {

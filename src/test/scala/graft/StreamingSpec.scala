@@ -468,6 +468,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(key).sorted.sameElements(ref.map(key).sorted))
   }
 
+  test("st12 workspace is residue-free after success AND after a forced failure") {
+    val roots = Seq(new java.io.File(System.getProperty("java.io.tmpdir")),
+      new java.io.File("/dev/shm"))
+    def residue(): Seq[String] = roots.flatMap { r =>
+      Option(r.list()).getOrElse(Array.empty)
+        .filter(n => n.startsWith("graft_st12") || n.startsWith("graft-ckpt-st12"))
+    }
+    // success path: the bit-identity spec above already ran st12; any
+    // surviving workspace is a leak regardless of which test made it
+    assert(residue().isEmpty, s"st12 success path left workspace(s): ${residue()}")
+    // failure path: the lifecycle helper must delete the workspace and
+    // checkpoint when the body throws mid-stream (round 10: a crashed
+    // pass-2 st12 left its staged generation on disk)
+    val boom = intercept[RuntimeException] {
+      graft.streaming.Streaming.withWorkspace("st12") { (work, ckpt) =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(work, "index", "cell=0"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(work, "index", "cell=0", "part-0.parquet"), "x")
+        ckpt.mkdirs()
+        throw new RuntimeException("forced mid-stream failure")
+      }
+    }
+    assert(boom.getMessage == "forced mid-stream failure")
+    assert(residue().isEmpty, s"st12 failure path left workspace(s): ${residue()}")
+  }
+
   test("st13 CDC apply equals the batch latest-per-key; bucket rewrites are targeted") {
     val got = graft.streaming.Streaming.st13StreamCdcApply(spark, sf).collect()
     assert(got.nonEmpty)

@@ -738,8 +738,10 @@ object Similarity {
     * string retires every older artifact to the rebuild path. v2 added
     * the stored `pq8` PQ-codes column and the trailer-terminated
     * anchor sidecar; v3 made `label` the first partition key (s11's
-    * metadata-pruned serving path) and stores it in the incr index. */
-  private val IndexFormatVersion = "graft-index-v3"
+    * metadata-pruned serving path) and stores it in the incr index;
+    * v4 added the stored `opq8` rotated-basis PQ codes + the OPQ
+    * rotation/codebook sidecars (s15 serves from stored codes). */
+  private val IndexFormatVersion = "graft-index-v4"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -881,7 +883,9 @@ object Similarity {
     * version; the s9/s10 serving paths then scan stored codes instead
     * of re-encoding per query (the s7 treatment applied to PQ). */
   private[graft] def assignQuantize(raw: DataFrame, anchors: Array[(Int, Array[Double])],
-                             books: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                             books: Option[Array[Array[Array[Double]]]] = None,
+                             opq: Option[(Array[Array[Double]],
+                                          Array[Array[Array[Double]]])] = None): DataFrame = {
     val base = raw
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
@@ -896,24 +900,29 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
         col("nq2"), col("cell"))
-    books match {
-      case None => base
-      case Some(b) =>
-        // still one narrow pass: append the 8-byte code per row, no join
-        val s = raw.sparkSession
-        val bB = s.sparkContext.broadcast(b)
-        val outSchema = base.schema.add("pq8", org.apache.spark.sql.types.BinaryType)
-        val embIdx = base.schema.fieldIndex("embedding")
-        base.mapPartitions { rows =>
-          val bk = bB.value
-          rows.map { r =>
-            val emb = r.getSeq[Float](embIdx)
-            val v = new Array[Double](emb.length)
-            var i = 0
-            while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pqEncode(v, bk))
-          }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
+    if (books.isEmpty && opq.isEmpty) base
+    else {
+      // still one narrow pass: append the 8-byte code column(s) per
+      // row, no join — identity-basis pq8 and rotated-basis opq8 are
+      // both ingest work, encoded together off one float read
+      val s = raw.sparkSession
+      val bB = s.sparkContext.broadcast(books)
+      val oB = s.sparkContext.broadcast(opq)
+      val outSchema = (books.map(_ => "pq8").toSeq ++ opq.map(_ => "opq8"))
+        .foldLeft(base.schema)(_.add(_, org.apache.spark.sql.types.BinaryType))
+      val embIdx = base.schema.fieldIndex("embedding")
+      base.mapPartitions { rows =>
+        val bk = bB.value; val oq = oB.value
+        rows.map { r =>
+          val emb = r.getSeq[Float](embIdx)
+          val v = new Array[Double](emb.length)
+          var i = 0
+          while (i < v.length) { v(i) = emb(i).toDouble; i += 1 }
+          val extra = bk.map(b => pqEncode(v, b)).toSeq ++
+            oq.map { case (rot, ob) => pqEncode(rotApply(rot, v), ob) }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
     }
   }
 
@@ -954,8 +963,11 @@ object Similarity {
             dir.getName + s".build-${ProcessHandle.current().pid()}")
           // label is the FIRST partition key: a metadata-filtered search
           // (s11) prunes whole label directories before any vector is
-          // read; the cell level below it keeps s7's probe pruning
-          assignQuantize(embeddings(s, d), anchors, Some(books))
+          // read; the cell level below it keeps s7's probe pruning.
+          // Both code columns (identity-basis pq8 for s9/s10, rotated
+          // opq8 for s15) are encoded in this one ingest pass.
+          assignQuantize(embeddings(s, d), anchors, Some(books),
+              Some((opqRot(s, d, e), opqBooks(s, d, e))))
             .write.mode("overwrite").partitionBy("label", "cell")
             .parquet(tmp.getAbsolutePath)
           writeAnchors(tmp, anchors, nCells)
@@ -1240,6 +1252,10 @@ object Similarity {
       report("incr_index", incrIndexPath(s, d)._1),
       report("base_index", baseIndexPath(s, d)._1),
       { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
+      { opqRot(s, d, prepared(s, d))
+        report("opq_rotation", opqRotPath(d).getAbsolutePath) },
+      { opqBooks(s, d, prepared(s, d))
+        report("opq_codebooks", opqBooksPath(d).getAbsolutePath) },
       report("s14_final_index", s14RebuildPath(s, d)),
       { s14ExactWitness(s, d); report("s14_exact_witness", witnessPath("s14-exact", d)) },
       { s14FilteredWitness(s, d)
@@ -1952,21 +1968,111 @@ object Similarity {
   private[graft] def opqEigenvalues(e: DataFrame): Array[Double] =
     graft.matrix.LocalLA.symEig(secondMoment(e))._1
 
-  /** Session-scoped OPQ rotation cache (same hygiene as
-    * [[exactCache]]); no disk sidecar — the rotation is bit-
-    * deterministic from the corpus alone, and retraining is one scan. */
+  /** OPQ rotation cache — session-scoped in memory and DURABLE on
+    * disk (the pqBooks contract): the rotation is ingest-time work
+    * that s15's serving path depends on, so a fresh session loads the
+    * sidecar instead of paying the training scan. The matrix rides
+    * beside the OPQ codebooks in the fingerprint-keyed dir; raw
+    * IEEE-754 bits, so load ≡ retrain bit-for-bit. */
   private val opqRotCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
       Array[Array[Double]]]
 
+  private[graft] def opqRotPath(d: String): java.io.File =
+    new java.io.File(indexRoot, s"graft-opq-${corpusFingerprint(d)}/_rotation.txt")
+
+  private def loadRotationFile(f: java.io.File): Option[Array[Array[Double]]] =
+    if (f.isFile)
+      try {
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        if (lines.size != 64) None
+        else Some(Array.tabulate(64) { r =>
+          val coords = lines.get(r).trim.split(" ")
+            .map(t => java.lang.Double.longBitsToDouble(t.toLong))
+          require(coords.length == 64)
+          coords
+        })
+      } catch { case _: Exception => None }
+    else None
+
   private[graft] def opqRot(s: SparkSession, d: String,
-                            e: DataFrame): Array[Array[Double]] = {
+                            e: => DataFrame): Array[Array[Double]] = {
     opqRotCache.keys.foreach { case k @ (sess, _) =>
       if (sess.sparkContext.isStopped) opqRotCache.remove(k)
     }
     if (opqRotCache.size >= 8 && !opqRotCache.contains((s, d)))
       opqRotCache.remove(opqRotCache.head._1)
-    opqRotCache.getOrElseUpdate((s, d), opqRotation(e))
+    opqRotCache.getOrElseUpdate((s, d), {
+      val f = opqRotPath(d)
+      loadRotationFile(f) match {
+        case Some(r) =>
+          artifactStatus(f.getAbsolutePath) = "found"
+          r
+        case None =>
+          artifactStatus(f.getAbsolutePath) = "built"
+          val r = opqRotation(e)
+          val sb = new StringBuilder
+          r.foreach { row =>
+            sb.append(row.map(x =>
+              java.lang.Double.doubleToLongBits(x).toString).mkString(" ")).append('\n')
+          }
+          publishSidecar(f, sb.toString, "opq rotation")
+          r
+      }
+    })
+  }
+
+  /** OPQ codebooks — trained in the ROTATED basis over the same
+    * corpus, persisted like [[pqBooks]] (same dir as the rotation:
+    * the two are one artifact — codes encoded against these books are
+    * meaningless without exactly this R). iters=2 matches the
+    * original in-query s15 training, so stored codes are bit-equal to
+    * what s15 used to encode in-flight. */
+  private val opqBookCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      Array[Array[Array[Double]]]]
+
+  private[graft] def opqBooksPath(d: String): java.io.File =
+    new java.io.File(indexRoot, s"graft-opq-${corpusFingerprint(d)}/_books.txt")
+
+  private[graft] def opqBooks(s: SparkSession, d: String,
+                              e: => DataFrame): Array[Array[Array[Double]]] = {
+    opqBookCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) opqBookCache.remove(k)
+    }
+    if (opqBookCache.size >= 8 && !opqBookCache.contains((s, d)))
+      opqBookCache.remove(opqBookCache.head._1)
+    opqBookCache.getOrElseUpdate((s, d), {
+      val f = opqBooksPath(d)
+      loadBooksFile(f) match {
+        case Some(books) =>
+          artifactStatus(f.getAbsolutePath) = "found"
+          books
+        case None =>
+          artifactStatus(f.getAbsolutePath) = "built"
+          val frame = e
+          val books =
+            trainPqCodebooks(rotated(frame, opqRot(s, d, frame)), iters = 2)
+          publishSidecar(f, booksBody(books), "opq codebook")
+          books
+      }
+    })
+  }
+
+  /** Driver/executor-side rotation kernel — the SAME fixed-order
+    * inner loop as [[rotated]]'s mapPartitions, so a vector rotated
+    * here is bit-identical to one rotated by the frame path (ingest
+    * encode and query-LUT construction must agree on every bit). */
+  private[graft] def rotApply(r: Array[Array[Double]],
+                              v: Array[Double]): Array[Double] = {
+    val y = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      var acc = 0.0; var j = 0
+      while (j < 64) { acc += r(i)(j) * v(j); j += 1 }
+      y(i) = acc; i += 1
+    }
+    y
   }
 
   /** Rotate the working frame into the OPQ basis: one narrow
@@ -2013,6 +2119,50 @@ object Similarity {
   private[graft] def pqBooksPath(d: String): java.io.File =
     new java.io.File(indexRoot, s"graft-pq-${corpusFingerprint(d)}/_books.txt")
 
+  /** Codebook sidecar codec, shared by the PQ and OPQ artifacts: one
+    * line per (subspace, centroid), coords as raw IEEE-754 long bits.
+    * A malformed / wrong-geometry file loads as None → retrain. */
+  private def loadBooksFile(f: java.io.File): Option[Array[Array[Array[Double]]]] =
+    if (f.isFile)
+      try {
+        val lines = java.nio.file.Files.readAllLines(f.toPath)
+        if (lines.size != PqM * PqK) None
+        else Some(Array.tabulate(PqM, PqK) { (m, c) =>
+          val coords = lines.get(m * PqK + c).trim.split(" ")
+            .map(t => java.lang.Double.longBitsToDouble(t.toLong))
+          require(coords.length == PqSub)
+          coords
+        })
+      } catch { case _: Exception => None }
+    else None
+
+  /** UNIQUE temp + atomic move (the writeAnchors contract): a fixed
+    * shared tmp name would let two concurrent trainers interleave
+    * (A renames while B is mid-write to the same path) and publish
+    * a torn file. A failed move is logged, not swallowed — the
+    * loader's validation would degrade it to a silent retrain. */
+  private def publishSidecar(f: java.io.File, body: String, what: String): Unit = {
+    f.getParentFile.mkdirs()
+    val tmp = java.io.File.createTempFile(f.getName, ".tmp", f.getParentFile)
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    try java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Exception =>
+      System.err.println(s"[graft] $what publish failed (will retrain next session): $e")
+      tmp.delete()
+    }
+  }
+
+  private def booksBody(books: Array[Array[Array[Double]]]): String = {
+    val sb = new StringBuilder
+    books.foreach(_.foreach { cvec =>
+      sb.append(cvec.map(x =>
+        java.lang.Double.doubleToLongBits(x).toString).mkString(" ")).append('\n')
+    })
+    sb.toString
+  }
+
   private[graft] def pqBooks(s: SparkSession, d: String,
                              e: DataFrame): Array[Array[Array[Double]]] = {
     pqBookCache.keys.foreach { case k @ (sess, _) =>
@@ -2023,46 +2173,15 @@ object Similarity {
     pqBookCache.getOrElseUpdate((s, d), {
       val f = pqBooksPath(d)
       // malformed or stale-geometry sidecar → retrain, never crash
-      val loaded: Option[Array[Array[Array[Double]]]] =
-        if (f.isFile)
-          try {
-            val lines = java.nio.file.Files.readAllLines(f.toPath)
-            if (lines.size != PqM * PqK) None
-            else Some(Array.tabulate(PqM, PqK) { (m, c) =>
-              val coords = lines.get(m * PqK + c).trim.split(" ")
-                .map(t => java.lang.Double.longBitsToDouble(t.toLong))
-              require(coords.length == PqSub)
-              coords
-            })
-          } catch { case _: Exception => None }
-        else None
-      if (loaded.isDefined) {
-        artifactStatus(f.getParent) = "found"
-        loaded.get
-      } else {
-        artifactStatus(f.getParent) = "built"
-        val books = trainPqCodebooks(e)
-        f.getParentFile.mkdirs()
-        val sb = new StringBuilder
-        books.foreach(_.foreach { cvec =>
-          sb.append(cvec.map(x =>
-            java.lang.Double.doubleToLongBits(x).toString).mkString(" ")).append('\n')
-        })
-        // UNIQUE temp + atomic move (the writeAnchors contract): a fixed
-        // shared tmp name would let two concurrent trainers interleave
-        // (A renames while B is mid-write to the same path) and publish
-        // a torn file. A failed move is logged, not swallowed — the
-        // loader's validation would degrade it to a silent retrain.
-        val tmp = java.io.File.createTempFile("_books", ".tmp", f.getParentFile)
-        java.nio.file.Files.writeString(tmp.toPath, sb.toString)
-        try java.nio.file.Files.move(tmp.toPath, f.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case e: Exception =>
-          System.err.println(s"[graft] pq codebook publish failed (will retrain next session): $e")
-          tmp.delete()
-        }
-        books
+      loadBooksFile(f) match {
+        case Some(books) =>
+          artifactStatus(f.getParent) = "found"
+          books
+        case None =>
+          artifactStatus(f.getParent) = "built"
+          val books = trainPqCodebooks(e)
+          publishSidecar(f, booksBody(books), "pq codebook")
+          books
       }
     })
   }
@@ -2276,57 +2395,67 @@ object Similarity {
     * in the SAME basis (orthogonality preserves dots and norms, so the
     * scores approximate the same cosine), 40·K shortlist via the
     * rank-pushdown window, exact rerank against the ORIGINAL floats.
-    * At 100 TB the rotation happens once at ingest (the stored `pq8`
-    * bytes simply hold rotated-basis codes — same 8 bytes/vector
-    * scanned, same LUT-sum serving cost) and R rides the codebook
-    * sidecar; here the encode runs in-flight because the durable
-    * index's codes are frozen in the identity basis. Recall-gated vs
+    * The rotation + encode are INGEST work (round 11, closing the
+    * round-10 gap): [[ivfIndex]]'s build stores the rotated-basis
+    * codes as the `opq8` column beside `pq8`, and R + the rotated
+    * codebooks ride fingerprint-keyed sidecars ([[opqRotPath]] /
+    * [[opqBooksPath]]) — serving scans 8 stored bytes/vector exactly
+    * like s9 and rotates only the |queries| collected query vectors
+    * driver-side ([[rotApply]], the bit-identical kernel). At 100 TB
+    * the per-probe cost is the LUT-sum scan, period. Recall-gated vs
     * exact S1 (floor 0.7) like every approximate family member. */
   def s15AnnOpq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = prepared(s, d).cache()
-    val rot = rotated(e, opqRot(s, d, e)).cache()
-    val books = trainPqCodebooks(rot, iters = 2)
+    val rotM = opqRot(s, d, e)
+    val books = opqBooks(s, d, e)
+    val (idxPath, _, _) = ivfIndex(s, d)
     val cn2 = Array.tabulate(PqM, PqK) { (m, c) =>
       var acc = 0.0; var i = 0
       while (i < PqSub) { acc += books(m)(c)(i) * books(m)(c)(i); i += 1 }
       acc
     }
-    val bB = s.sparkContext.broadcast(books)
     val cn2B = s.sparkContext.broadcast(cn2)
-    // query LUTs in the rotated basis — the rotated norm IS the
-    // original norm (orthogonality), recomputed here from the rotated
-    // coords so LUT and codes share one arithmetic path
-    val queries = rot.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
+    // codes-only scan of the persisted index: the stored opq8 bytes
+    // ARE the rotated-basis encode (same rotApply/pqEncode kernels,
+    // same sidecar'd R and books ⇒ bit-identical to an in-flight pass)
+    val codes = s.read.parquet(idxPath).select(col("vec_id"), col("opq8"))
+    // query LUTs in the rotated basis — queries are the only vectors
+    // rotated at serving time (driver-side, |queries| rows); the
+    // rotated norm IS the original norm (orthogonality), recomputed
+    // from the rotated coords so LUT and codes share one arithmetic
+    // path
+    val queries = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
       .collect().sortBy(_._1)
-    val luts = queries.map { case (qid, qv, qn) =>
+    val luts = queries.map { case (qid, qv0) =>
+      val qv = rotApply(rotM, qv0)
+      var n2 = 0.0; var i = 0
+      while (i < qv.length) { n2 += qv(i) * qv(i); i += 1 }
       val lut = Array.tabulate(PqM, PqK) { (m, c) =>
-        var acc = 0.0; var i = 0
-        while (i < PqSub) { acc += qv(m * PqSub + i) * books(m)(c)(i); i += 1 }
+        var acc = 0.0; var j = 0
+        while (j < PqSub) { acc += qv(m * PqSub + j) * books(m)(c)(j); j += 1 }
         acc
       }
-      (qid, lut, qn)
+      (qid, lut, math.sqrt(n2))
     }
     val lutB = s.sparkContext.broadcast(luts)
-    val scored = rot.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val bk = bB.value; val ls = lutB.value; val n2 = cn2B.value
-        it.flatMap { case (id, v) =>
-          val code = pqEncode(v, bk)
-          ls.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
-            var dot = 0.0; var rn2 = 0.0; var m = 0
-            while (m < PqM) {
-              val c = code(m) & 0xff
-              dot += lut(m)(c); rn2 += n2(m)(c)
-              m += 1
-            }
-            val denom = qn * math.sqrt(rn2)
-            val cosq = if (denom > 0) dot / denom else 0.0
-            (qid, id, math.round(cosq * 1e4) / 1e4)
+    val scored = codes.as[(Long, Array[Byte])].mapPartitions { it =>
+      val ls = lutB.value; val n2 = cn2B.value
+      it.flatMap { case (id, code) =>
+        ls.iterator.filter(_._1 != id).map { case (qid, lut, qn) =>
+          var dot = 0.0; var rn2 = 0.0; var m = 0
+          while (m < PqM) {
+            val c = code(m) & 0xff
+            dot += lut(m)(c); rn2 += n2(m)(c)
+            m += 1
           }
+          val denom = qn * math.sqrt(rn2)
+          val cosq = if (denom > 0) dot / denom else 0.0
+          (qid, id, math.round(cosq * 1e4) / 1e4)
         }
-      }.toDF("query_id", "neighbor_id", "cosq4")
+      }
+    }.toDF("query_id", "neighbor_id", "cosq4")
     val short = scored.withColumn("qrn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosq4").desc, col("neighbor_id"))))

@@ -272,6 +272,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s15 serves from STORED rotated codes: opq8 matches an independent rotate+encode") {
+    import org.apache.spark.sql.functions.col
+    Similarity.s15AnnOpq(spark, sf01).collect() // ensures index + sidecars exist
+    val idx = spark.read.parquet(Similarity.ivfIndexPath(spark, sf01))
+    assert(idx.schema.fieldNames.contains("opq8"),
+      "durable index lost the stored OPQ-codes column")
+    val e = Similarity.prepared(spark, sf01)
+    // independent re-derivation: retrain the rotation from the corpus
+    // (bit-deterministic), load nothing, re-encode every vector
+    val rot = Similarity.opqRotation(e)
+    val sidecarRot = Similarity.opqRot(spark, sf01, e)
+    assert(rot.flatMap(_.toSeq).sameElements(sidecarRot.flatMap(_.toSeq)),
+      "sidecar'd OPQ rotation diverged from a fresh training")
+    val books = Similarity.opqBooks(spark, sf01, e)
+    val stored = idx.select(col("vec_id"), col("opq8")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val vecs = e.select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    assert(vecs.length == stored.size, "index row count drifted from the corpus")
+    vecs.foreach { case (id, v) =>
+      val fresh = Similarity.pqEncode(Similarity.rotApply(rot, v), books)
+      assert(java.util.Arrays.equals(stored(id), fresh),
+        s"stored opq8 code for vec $id diverged from a fresh rotate+encode")
+    }
+  }
+
   test("t14 chunking plans with zero exchanges; x21 plans exactly one range exchange") {
     val t14 = graft.operators.TextAnalysis.t14Chunk(spark, sf001)
     val t14Plan = t14.queryExecution.executedPlan.toString

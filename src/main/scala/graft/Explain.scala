@@ -31,7 +31,10 @@ object Explain {
         // round-10 close-out flagships: fused validation aggregates,
         // gram-dictionary novelty join, sound int8 range prune (the
         // registered s19 candidate frame prints the codes-only scan)
-        "r38_quality_checks", "t18_ngram_novelty", "s19_range_search")
+        "r38_quality_checks", "t18_ngram_novelty", "s19_range_search",
+        // round-11 flagships: masked+delta probe (registered frame),
+        // stored-opq8 codes-only ADC scan
+        "s13_ann_update", "s15_ann_opq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -55,27 +55,47 @@ object Corpus {
     * (Verify/Bench do this after every query — one bounded entry per
     * in-flight prefixSum, same hygiene as the other operator caches). */
   private[graft] def prefixSum(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
-                               valueCol: String): DataFrame = {
+                               valueCol: String): DataFrame =
+    prefixSums(df, sortExprs, Seq(valueCol))
+      .withColumnRenamed(s"prefix_$valueCol", "prefix")
+
+  /** Multi-column form: one range shuffle, one offsets round-trip, one
+    * narrow pass — each `valueCols` entry gets its exclusive prefix as
+    * `prefix_<col>`. A constant-1 column makes the global ROW RANK a
+    * prefix sum too (rank = prefix+1), which is how t9 retires its
+    * single-reducer vocabulary window. */
+  private[graft] def prefixSums(df: DataFrame, sortExprs: Seq[org.apache.spark.sql.Column],
+                                valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
     val s = df.sparkSession
     val parts = df.repartitionByRange(sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*).persist()
-    val vIdx = parts.schema.fieldNames.indexOf(valueCol)
+    val vIdx = valueCols.map(parts.schema.fieldNames.indexOf(_)).toArray
+    val k = vIdx.length
     val partSums = parts.rdd.mapPartitionsWithIndex { (i, it) =>
-      var t = 0L; it.foreach(t += _.getLong(vIdx)); Iterator((i, t))
+      val t = new Array[Long](k)
+      it.foreach { r =>
+        var j = 0; while (j < k) { t(j) += r.getLong(vIdx(j)); j += 1 }
+      }
+      Iterator((i, t))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _) // offsets(i) = Σ sums(<i)
+    // offsets(i)(j) = Σ_{p<i} sums(p)(j)
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (acc, cur) =>
+      Array.tabulate(k)(j => acc(j) + cur(j))
+    }
     val offB = s.sparkContext.broadcast(offsets)
     val out = parts.rdd.mapPartitionsWithIndex { (i, it) =>
-      var run = offB.value(i)
+      val run = offB.value(i).clone()
       it.map { r =>
-        val row = Row.fromSeq(r.toSeq :+ run)
-        run += r.getLong(vIdx)
+        val row = Row.fromSeq(r.toSeq ++ run.toSeq)
+        var j = 0; while (j < k) { run(j) += r.getLong(vIdx(j)); j += 1 }
         row
       }
     }
-    s.createDataFrame(out, parts.schema.add("prefix", LongType, nullable = false))
+    val schema = valueCols.foldLeft(parts.schema)((sc, c) =>
+      sc.add(s"prefix_$c", LongType, nullable = false))
+    s.createDataFrame(out, schema)
   }
 
   def x14SequencePack(s: SparkSession, d: String): DataFrame = {
@@ -473,10 +493,19 @@ object Corpus {
     * any engine: TV = ½·Σ_w |c_o(w)/N_o − c_n(w)/N_n| is computed as
     * Σ_w |c_o(w)·N_n − c_n(w)·N_o| · 10⁴ DIV (2·N_o·N_n) — one
     * cross-multiplied long per word, no float division until never.
-    * (At 100 TB per-source token counts overflow a long product; the
-    * production form casts the same expressions to DECIMAL(38,0) with
-    * an identical plan — the gate keeps longs because they are
-    * hash-exact in both engines.)
+    *
+    * The long form overflows once a source's token total passes
+    * ~2⁶³/10⁴, so the arithmetic WIDTH is a wired regime switch
+    * (t12's broadcast-ceiling discipline applied to arithmetic): the
+    * per-source totals frame is broadcast-sized, so ONE tiny driver
+    * job reads the max total and picks the lane — below
+    * [[x23DecimalMinTokens]] the cross products stay longs (hash-
+    * exact, what the gate records); at or above it the SAME
+    * expressions run in DECIMAL(19,0)-input / DECIMAL(38,0)-product
+    * arithmetic (exact for any long-valued count, headroom to 10³⁸)
+    * and only the final bp values return to BIGINT. Both lanes are
+    * bit-identical wherever both are exact — PipelineSpec forces the
+    * threshold to 0 and asserts decimal plan + identical answers.
     *
     * Scale shape: the two token histograms are the ONLY corpus passes
     * (explode → map-side-combined (source, word) counts); everything
@@ -484,7 +513,13 @@ object Corpus {
     * full_outer word join, the per-source totals (broadcast-sized),
     * the TV aggregate, and the top-drift `row_number` window (keyed by
     * source over vocab rows, never documents). */
-  def x23DistributionDrift(s: SparkSession, d: String): DataFrame = {
+  private val x23DecimalMinTokens = 1000000000L
+
+  def x23DistributionDrift(s: SparkSession, d: String): DataFrame =
+    x23DistributionDriftImpl(s, d, x23DecimalMinTokens)
+
+  private[graft] def x23DistributionDriftImpl(s: SparkSession, d: String,
+                                              decimalMinTokens: Long): DataFrame = {
     val docs = documents(s, d)
     def hist(df: DataFrame, revised: Boolean): DataFrame = {
       val txt =
@@ -509,15 +544,33 @@ object Corpus {
         coalesce(col("n.c"), lit(0L)).as("cn"))
     val tot = joined.groupBy(col("source"))
       .agg(sum(col("co")).as("no"), sum(col("cn")).as("nn"))
+      .localCheckpoint(true)
+    // the regime switch: per-source totals are broadcast-sized, so one
+    // tiny driver job reads the max and picks the arithmetic lane
+    val maxTok = tot.agg(greatest(
+        coalesce(max(col("no")), lit(0L)), coalesce(max(col("nn")), lit(0L))))
+      .collect()(0).getLong(0)
+    val wide = maxTok >= decimalMinTokens
+    // DECIMAL(19,0) inputs make every product land in DECIMAL(38,0)
+    // EXACTLY (19+19+1 capped at 38 loses nothing for long-valued
+    // counts); the long lane is the hash-exact gate form
+    val crossExpr =
+      if (wide) abs(col("co").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)") -
+        col("cn").cast("decimal(19,0)") * col("no").cast("decimal(19,0)"))
+      else abs(col("co") * col("nn") - col("cn") * col("no"))
+    def bp(numer: String, n1: String, n2: String): Column =
+      if (wide) expr(s"CAST($numer * 10000 DIV (CAST(2 AS DECIMAL(19,0)) " +
+        s"* CAST($n1 AS DECIMAL(19,0)) * CAST($n2 AS DECIMAL(19,0))) AS BIGINT)")
+      else expr(s"CAST($numer * 10000 DIV (2 * $n1 * $n2) AS BIGINT)")
     val crossed = joined.join(broadcast(tot), Seq("source"))
-      .withColumn("cross", abs(col("co") * col("nn") - col("cn") * col("no")))
+      .withColumn("cross", crossExpr)
     val byScore = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("cross").desc, col("word"))
     val top = crossed.withColumn("rn", row_number().over(byScore))
       .filter(col("rn") === 1)
       .select(col("source"), col("word").as("top_word"),
-        expr("CAST(cross * 10000 DIV (2 * no * nn) AS BIGINT)").as("top_word_bp"))
+        bp("cross", "no", "nn").as("top_word_bp"))
     crossed.groupBy(col("source"))
       .agg(first(col("no")).as("n_tok_old"), first(col("nn")).as("n_tok_new"),
         sum(when(col("co") > 0, 1L).otherwise(0L)).as("vocab_old"),
@@ -526,8 +579,7 @@ object Corpus {
       .join(top, Seq("source"))
       .select(col("source"), col("n_tok_old"), col("n_tok_new"),
         col("vocab_old"), col("vocab_new"),
-        expr("CAST(sum_cross * 10000 DIV (2 * n_tok_old * n_tok_new) AS BIGINT)")
-          .as("tv_bp"),
+        bp("sum_cross", "n_tok_old", "n_tok_new").as("tv_bp"),
         col("top_word"), col("top_word_bp"))
       .orderBy(col("source"))
   }

@@ -1233,16 +1233,58 @@ object Relational {
     * a table fuses into ONE map-side-combined conditional aggregate —
     * adding a check adds a sum, not a pass, so the suite costs one
     * corpus read per table at any table count. The two referential
-    * checks are the only joins: fact-side keys left-anti the key
-    * column of the referenced table (at 100 TB the r30 Bloom
-    * prefilter pushes onto the fact scan first; the residual anti
-    * join only sees probable orphans). Uniqueness folds into the same
-    * single aggregate as COUNT(*) − COUNT(DISTINCT key) — no second
-    * pass, no self-join. Integer counts ⇒ hash-exact. */
-  def r38(s: SparkSession, d: String): DataFrame = {
+    * checks are the only joins, and their SHAPE is a wired regime
+    * switch on the referenced key count (t12's ceiling discipline):
+    * below [[r38BloomMinKeys]] the key set broadcasts and the anti
+    * join is the plain broadcast one (hash-exact gate lane); at or
+    * above it the key set no longer fits an executor twice, so the
+    * r30 Bloom rides the fact scan instead — rows the bloom rejects
+    * are DEFINITE orphans (no false negatives) counted with no join
+    * at all, and only the bloom-accepted rows reach the residual
+    * shuffle anti join that catches the ~fpp false-positive orphans.
+    * On a dirty 100 TB fact table the orphans (the rows the check
+    * exists to find) never enter the shuffle. Both lanes are exactly
+    * equal — PipelineSpec forces the threshold to 0 and asserts
+    * bloom-probe plan + bit-identical report. Uniqueness folds into
+    * the same single aggregate as COUNT(*) − COUNT(DISTINCT key) —
+    * no second pass, no self-join. Integer counts ⇒ hash-exact. */
+  private val r38BloomMinKeys = 10000000L
+
+  def r38(s: SparkSession, d: String): DataFrame =
+    r38Impl(s, d, r38BloomMinKeys)
+
+  private[graft] def r38Impl(s: SparkSession, d: String,
+                             bloomMinKeys: Long): DataFrame = {
     import org.apache.spark.sql.types.LongType
     def viol(cond: Column): Column =
       sum(when(cond, 1L).otherwise(0L)).cast(LongType)
+    // referential-integrity violation count, lane picked per referenced
+    // key cardinality (one metadata-cheap count-star decides)
+    def riViolations(fact: DataFrame, factKey: String, dim: DataFrame,
+                     dimKey: String, out: String): DataFrame = {
+      val keys = dim.select(col(dimKey))
+      val nKeys = keys.count()
+      if (nKeys < bloomMinKeys)
+        fact.select(col(factKey))
+          .join(keys, col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as(out))
+      else {
+        val bloom = keys.stat.bloomFilter(dimKey, math.max(nKeys, 1000L), 0.01)
+        val probe = graft.functions.SketchFunctions
+          .bloomMightContainLong(bloom, col(factKey))
+        val definite = fact.select(col(factKey)).filter(!probe)
+          .agg(count(lit(1)).cast(LongType).as("v_definite"))
+        // the residual join must NOT broadcast — above the ceiling the
+        // key set is exactly what doesn't fit; hint the merge join so
+        // the forced-threshold spec exercises the true at-scale plan
+        val residual = fact.select(col(factKey)).filter(probe)
+          .join(keys.hint("SHUFFLE_MERGE"),
+            col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).cast(LongType).as("v_residual"))
+        definite.crossJoin(residual)
+          .select((col("v_definite") + col("v_residual")).as(out))
+      }
+    }
     // one row: (n, v1, v2, ...) → one report row per check
     def report(tbl: String, agg: DataFrame, checks: Seq[String]): DataFrame =
       agg.select(lit(tbl).as("tbl"),
@@ -1265,10 +1307,8 @@ object Relational {
         col("l_discount") > 0.1).as("v_discount_range"),
       viol(col("l_extendedprice").isNull ||
         col("l_extendedprice") <= 0).as("v_price_positive"))
-    val liOrphans = li.select(col("l_orderkey"))
-      .join(ord.select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).cast(LongType).as("v_ri_orderkey"))
+    val liOrphans = riViolations(li, "l_orderkey", ord, "o_orderkey",
+      "v_ri_orderkey")
 
     val ordAgg = ord.agg(
       count(lit(1)).as("n"),
@@ -1277,10 +1317,8 @@ object Relational {
         col("o_totalprice") <= 0).as("v_price_positive"),
       (count(lit(1)) - countDistinct(col("o_orderkey")))
         .cast(LongType).as("v_orderkey_unique"))
-    val ordOrphans = ord.select(col("o_custkey"))
-      .join(cust.select(col("c_custkey")),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).cast(LongType).as("v_ri_custkey"))
+    val ordOrphans = riViolations(ord, "o_custkey", cust, "c_custkey",
+      "v_ri_custkey")
 
     val custAgg = cust.agg(
       count(lit(1)).as("n"),

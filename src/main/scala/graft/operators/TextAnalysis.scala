@@ -361,32 +361,33 @@ object TextAnalysis {
     * precompute for tokenizer/vocab construction (how many types cover
     * 90% of tokens?) and for stopword-list derivation. One narrow
     * tokenize pass + one map-side-combined count aggregate; the rank/
-    * cumulative window runs over the VOCABULARY, not the corpus —
-    * Heaps' law bounds distinct types at a few million even for
-    * 100 TB corpora, so the unpartitioned (single-reducer) window is
-    * over a driver-scale row set by construction, while the corpus
-    * itself never moves more than its per-partition partial counts.
-    * Coverage is emitted in integer BASIS POINTS ((cum·10⁴) div total
-    * — exact integer arithmetic, no float division to disagree on). */
+    * cumulative scan runs over the VOCABULARY, not the corpus (Heaps'
+    * law bounds distinct types at a few million even for 100 TB
+    * corpora) — and since round 11 it is the shared two-phase
+    * [[graft.operators.Corpus.prefixSums]] (range partition by
+    * (cnt desc, token), per-partition totals to the driver, broadcast
+    * offsets) rather than an unpartitioned window: rank = the prefix
+    * of a constant-1 column, cumulative count = the prefix of `cnt`,
+    * so even a pathological vocabulary never funnels through one
+    * reducer. Coverage is emitted in integer BASIS POINTS
+    * ((cum·10⁴) div total — exact integer arithmetic, no float
+    * division to disagree on); the grand total reads off the CACHED
+    * partitioned vocab frame inside prefixSums, not a second corpus
+    * pass. */
   def t9Vocab(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = documents(s, d)
       .select(explode(split(norm, " +")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    // The corpus total is a 1-row aggregate FOLDED INTO the plan (cross
-    // join on a broadcast single row) — one job, not a separate `first`
-    // action; the token-count exchange is shared between both branches
-    // via ReuseExchange (same child, same partitioning).
-    val total = counts.agg(sum(col("cnt")).as("total"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    counts
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("cum", sum(col("cnt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("one", lit(1L))
+    val ranked = graft.operators.Corpus.prefixSums(counts,
+      Seq(col("cnt").desc, col("token")), Seq("one", "cnt"))
+    val total = ranked.agg(sum(col("cnt")).as("total"))
+    ranked
       .crossJoin(broadcast(total))
-      .select(col("token"), col("cnt"), col("rnk"),
-        expr("(cum * 10000) div total").as("coverage_bp"))
+      .select(col("token"), col("cnt"),
+        (col("prefix_one") + 1L).as("rnk"),
+        expr("((prefix_cnt + cnt) * 10000) div total").as("coverage_bp"))
       .orderBy(col("rnk"))
   }
 

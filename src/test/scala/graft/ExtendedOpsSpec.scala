@@ -349,13 +349,21 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("t9 vocabulary: contiguous ranks, monotone coverage ending at 10000") {
-    val rows = TextAnalysis.t9Vocab(spark, sf).collect()
-      .map(r => (r.getInt(2), r.getLong(1), r.getLong(3)))
-    assert(rows.map(_._1).toSeq == (1 to rows.length))
+  test("t9 vocabulary: contiguous ranks, monotone coverage ending at 10000; " +
+    "no single-reducer window") {
+    val df = TextAnalysis.t9Vocab(spark, sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(2), r.getLong(1), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length))
     // counts non-increasing in rank, coverage non-decreasing, exact finish
     assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._3 <= b._3 })
     assert(rows.last._3 == 10000L)
+    // the rank/cumulative scan is the two-phase prefixSums now — the
+    // plan must carry NO unpartitioned Window node (the former
+    // vocabulary funnel) anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"t9 regrew a window rank over the vocabulary:\n$plan")
   }
 
   test("x20 stratified split matches a driver-side md5 recompute and " +

@@ -943,6 +943,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.forall(r => !tombIds.contains(r.getAs[Long]("neighbor_id"))),
       "a tombstoned id surfaced in the top-k")
 
+    // the registered pre-checkpoint probe plan is the AUDITABLE one:
+    // partition-pruned index scan (PartitionFilters on the probed
+    // cells), not the LogicalRDD the checkpointed return frame shows
+    val probePlan = Similarity.lastGatedApprox((spark, "s12"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(probePlan).isDefined,
+      s"s12's registered probe plan lost its partition pruning:\n$probePlan")
+    Similarity.lastGatedApprox.remove((spark, "s12"))
+
     // compaction: masked probe of the live index ≡ unmasked probe of the
     // compacted generation, bit for bit
     val (srcPath, anchors, nCells) = Similarity.ivfIndex(spark, d)
@@ -1002,6 +1011,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("recall_ok")), "recall gate red")
     assert(rows.forall(_.getAs[Boolean]("fresh_ok")),
       "a served score disagrees with the updated corpus — stale floats leaked")
+    // the registered masked+delta probe plan keeps its pruned scan
+    val s13Plan = Similarity.lastGatedApprox((spark, "s13"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(s13Plan).isDefined,
+      s"s13's registered probe plan lost its partition pruning:\n$s13Plan")
+    Similarity.lastGatedApprox.remove((spark, "s13"))
     // from-scratch identity: serving through base+tombstones+delta must
     // equal a full rebuild over the updated corpus with the same anchors
     val (srcPath, anchors, nCells) = Similarity.ivfIndex(spark, d)

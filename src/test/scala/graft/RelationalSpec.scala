@@ -149,6 +149,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("x23 decimal lane: forced threshold switches the plan, answers bit-held") {
+    import graft.operators.Corpus
+    // long lane (production default at gate scale) vs forced DECIMAL
+    // lane: the switch must move arithmetic width only, never a value
+    val longLane = Corpus.x23DistributionDriftImpl(spark, sf, Long.MaxValue)
+    val wideLane = Corpus.x23DistributionDriftImpl(spark, sf, 0L)
+    val longPlan = longLane.queryExecution.optimizedPlan.toString
+    val widePlan = wideLane.queryExecution.optimizedPlan.toString
+    assert(!longPlan.toLowerCase.contains("decimal("),
+      s"long lane leaked decimal arithmetic:\n$longPlan")
+    assert(widePlan.toLowerCase.contains("as decimal(19,0)"),
+      s"forced decimal lane shows no widened cross products:\n$widePlan")
+    val a = longLane.collect().map(_.toSeq)
+    val b = wideLane.collect().map(_.toSeq)
+    assert(a.sameElements(b),
+      "decimal-lane x23 diverged from the long lane at gate scale")
+  }
+
   test("x27 batching: conserves docs and tokens; batch spans ordered within a bucket; " +
     "waste bounded") {
     import org.apache.spark.sql.functions._
@@ -289,12 +307,38 @@ class RelationalSpec extends AnyFunSuite {
         ("customer", "segment_not_null") -> (0L, true))
       assert(got == expected,
         s"corruption not isolated per check:\n got=$got\n exp=$expected")
+      // the forced bloom lane must catch the SAME orphans: definite
+      // (bloom-rejected) + residual (false-positive survivors) sums to
+      // the exact anti-join count
+      val gotBloom = Relational.r38Impl(spark, work.getAbsolutePath, 0L).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+      assert(gotBloom == expected,
+        s"bloom-lane RI diverged under corruption:\n got=$gotBloom\n exp=$expected")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(work)
     }
+  }
+
+  test("r38 bloom lane: forced threshold puts the bloom probe on the fact scan, " +
+    "no broadcast residual, report bit-held") {
+    import graft.operators.Relational
+    val default = Relational.r38(spark, sf)
+    val forced = Relational.r38Impl(spark, sf, 0L)
+    val defPlan = default.queryExecution.executedPlan.toString
+    val bloomPlan = forced.queryExecution.executedPlan.toString
+    assert(!defPlan.contains("might_contain"),
+      s"gate lane leaked a bloom probe:\n$defPlan")
+    assert(bloomPlan.contains("might_contain"),
+      s"forced lane shows no bloom probe on the fact scan:\n$bloomPlan")
+    assert(!bloomPlan.contains("BroadcastHashJoin LeftAnti"),
+      s"forced lane still broadcasts the residual anti join:\n$bloomPlan")
+    assert(forced.collect().map(_.toSeq)
+        .sameElements(default.collect().map(_.toSeq)),
+      "bloom-lane r38 diverged from the broadcast lane")
   }
 
   test("t18 novelty: distributed gram fold matches a driver-side recompute exactly") {

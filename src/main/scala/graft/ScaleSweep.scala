@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
 object ScaleSweep {
 
   private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int): Unit = {
-    val marker = new java.io.File(dir, "_SCALE_OK")
+    // v2: the blow-up also covers the TPC-H relational tables (r38's
+    // validation suite reads lineitem/orders/customer) — an old-marker
+    // dir regenerates
+    val marker = new java.io.File(dir, "_SCALE_OK_v2")
     if (marker.isFile) return
     // documents: copy 0 verbatim; copies 1..n-1 word-remapped
     val docs = s.read.parquet(s"$base/documents.parquet")
@@ -86,6 +89,30 @@ object ScaleSweep {
     }
     evCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // relational tables for r38: each copy shifts its keys by the same
+    // offsets on both sides of every FK (l_orderkey↔o_orderkey,
+    // o_custkey↔c_custkey), so per-copy referential integrity is
+    // preserved EXACTLY — a clean corpus stays clean at N×, which is
+    // what makes the r38 curve about the scan/join cost, not about
+    // manufactured violations
+    val li = s.read.parquet(s"$base/lineitem.parquet")
+    val ord = s.read.parquet(s"$base/orders.parquet")
+    val cu = s.read.parquet(s"$base/customer.parquet")
+    val okOff = ord.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val ckOff = cu.agg(max(col("c_custkey"))).head.getLong(0) + 1
+    (0 until n).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okOff))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (0 until n).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * okOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * ckOff))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (0 until n).map { k =>
+      cu.withColumn("c_custkey", col("c_custkey") + lit(k * ckOff))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     java.nio.file.Files.writeString(marker.toPath, s"copies=$n of $base\n")
   }
 
@@ -94,6 +121,9 @@ object ScaleSweep {
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft-scale"
     val scales = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
                  else Seq(1, 3, 10)
+    // optional 4th arg: comma-separated flagship filter for a targeted
+    // re-sweep (e.g. one fixed query) without paying the full list
+    val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -154,7 +184,18 @@ object ScaleSweep {
       // s19: the sound int8 prune must keep the candidate fetch
       // proportional to answers, not corpus
       "t18_ngram_novelty" -> (graft.operators.TextAnalysis.t18NgramNovelty _),
-      "s19_range_search" -> (graft.operators.Similarity.s19RangeSearch _))
+      "s19_range_search" -> (graft.operators.Similarity.s19RangeSearch _),
+      // round-11 members: the fused one-pass validation suite (cost =
+      // one scan per table at any check count); the decode-bounded
+      // codec passes POST leak-fix (round 10's sf0.1 killer — the
+      // curve is the proof the per-frame stream close holds at N×);
+      // s15 serving from STORED rotated codes (must now track s9's
+      // codes-only scan curve, not the former rotate-the-corpus cost)
+      "r38_quality_checks" -> (graft.operators.Relational.r38 _),
+      "mm12_scene_cuts" -> (graft.operators.Multimodal.mm12SceneCuts _),
+      "mm7_jpeg_decode" -> (graft.operators.Multimodal.mm7JpegDecode _),
+      "s15_ann_opq" -> (graft.operators.Similarity.s15AnnOpq _))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>
@@ -180,6 +221,7 @@ object ScaleSweep {
       val qs = times.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }.mkString("{", ",", "}")
       println(f"""[scale] {"scale":$n,"queries":$qs,"total":${times.map(_._2).filter(_ >= 0).sum}%.2f}""")
     }
+    if (only.isEmpty) {
     // iterative-family trend point: the m15 CG solve at 1×/2×/4× its
     // gate problem size (matrix scale is the n axis here, not corpus
     // rows — the per-iteration matvec is O(n²) dense-block work and
@@ -221,6 +263,7 @@ object ScaleSweep {
         System.err.println(s"[scale] pq_k=$k opq=$opq failed: $e")
       }
     }
+    } // only.isEmpty — the m15/eigen/codebook tails are full-sweep extras
     spark.stop()
   }
 }

@@ -1370,8 +1370,64 @@ object Relational {
       |  UNION ALL SELECT 'customer', 'segment_not_null', n, v_seg FROM cu) t
       |ORDER BY tbl, chk""".stripMargin
 
+  // ---------------------------------------------------------------- R39 (cohort retention)
+  /** Weekly COHORT-RETENTION matrix — the growth-analytics staple
+    * beside r36's funnel and r37's RFM: users are cohorted by the
+    * week of their FIRST event ("signup week"); for each (cohort,
+    * week offset k) the matrix counts how many of that cohort were
+    * active in cohort-week + k, with retention in basis points of the
+    * cohort size. Week buckets are Monday-start `date_trunc('week')`
+    * in BOTH engines; offsets are day-difference DIV 7 (exact — both
+    * endpoints are week starts), and every output is an integer, so
+    * the query hash-matches.
+    *
+    * Scale: one per-user MIN aggregate (the cohort frame), one
+    * distinct per-(user, week) activity projection, and ONE
+    * user_id-keyed join between them — all cluster on user_id; the
+    * matrix itself folds map-side to |cohorts × offsets| rows and the
+    * cohort-size join is broadcast-sized forever. No window, no
+    * corpus-wide sort; at 100 TB of events the cost is two
+    * map-side-combined aggregates and one co-keyed shuffle. */
+  def r39(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), col("ts"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      .select(col("user_id"),
+        date_format(date_trunc("week", col("t0")), "yyyy-MM-dd").as("cohort"),
+        to_date(date_trunc("week", col("t0"))).as("cw"))
+    val sizes = first.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_size"))
+    val weeks = ev
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    weeks.join(first, Seq("user_id"))
+      .withColumn("week_offset", expr("CAST(datediff(w, cw) DIV 7 AS BIGINT)"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("n_active * 10000 DIV cohort_size").as("retention_bp"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val r39Sql: String =
+    """WITH f AS (SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY 1),
+      |fc AS (SELECT user_id,
+      |              STRFTIME(DATE_TRUNC('week', t0), '%Y-%m-%d') AS cohort,
+      |              CAST(DATE_TRUNC('week', t0) AS DATE) AS cw FROM f),
+      |sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM fc GROUP BY 1),
+      |wk AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+      |       FROM events),
+      |a AS (SELECT fc.cohort, (w - cw) // 7 AS week_offset, COUNT(*) AS n_active
+      |      FROM wk JOIN fc ON wk.user_id = fc.user_id GROUP BY 1, 2)
+      |SELECT a.cohort, CAST(a.week_offset AS BIGINT) AS week_offset,
+      |       a.n_active, sz.cohort_size,
+      |       a.n_active * 10000 // sz.cohort_size AS retention_bp
+      |FROM a JOIN sz ON a.cohort = sz.cohort
+      |ORDER BY a.cohort, week_offset""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r39_cohort_retention" -> (r39 _),
     "r38_quality_checks" -> (r38 _),
     "r37_rfm_segment" -> (r37 _),
     "r36_funnel" -> (r36 _),
@@ -1417,6 +1473,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r39_cohort_retention" -> r39Sql,
     "r38_quality_checks" -> r38Sql,
     "r37_rfm_segment" -> r37Sql,
     "r36_funnel" -> r36Sql,

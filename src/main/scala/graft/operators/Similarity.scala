@@ -2856,11 +2856,10 @@ object Similarity {
     * qᵢ = round(vᵢ·127/s) ⇒ |vᵢ − qᵢ·s/127| ≤ s/254, so for query Q
     * |cos − cosApprox| ≤ (s/254)·‖Q‖₁/(‖Q‖·‖v‖) — every term of the
     * bound is a per-row scalar. Candidates passing
-    * cosApprox + bound + 10⁻⁴ ≥ τ (the 10⁻⁴ absorbs the final
-    * round-to-4) are PROVABLY a superset of the true answer; the exact
-    * float verify then reproduces the brute-force result bit-for-bit —
-    * hence the DuckDB oracle, where s2/s3/s6 can only carry recall
-    * gates.
+    * cosApprox + bound + [[rangeSlack]] ≥ τ are PROVABLY a superset
+    * of the true answer; the exact float verify then reproduces the
+    * brute-force result bit-for-bit — hence the DuckDB oracle, where
+    * s2/s3/s6 can only carry recall gates.
     *
     * 100 TB story: the corpus-wide pass reads int8 codes only (4× less
     * IO than floats, integer-dot kernel); floats are fetched by a
@@ -2872,6 +2871,18 @@ object Similarity {
     * cell layout: cells whose anchor scores below τ − cell radius
     * prune entire partitions first. */
   private[graft] val RangeTau = 0.3
+
+  /** Slack budget for the sound keep-filter, DERIVED rather than a
+    * magic constant (the round-10 advisory): a candidate whose exact
+    * cos rounds to ≥ τ at 4 decimals satisfies cos ≥ τ − 5·10⁻⁵ (the
+    * half-ulp of the rounding grid — the irreducible term), and the
+    * float evaluation of approx+bnd can sit below its real value by
+    * at most the d-term dot product's accumulated rounding,
+    * ≤ ~d·2⁻⁵³ relative for unit-scale inputs (~7·10⁻¹⁵ at d = 64).
+    * The d·10⁻¹² term covers that with >10³ margin per dimension, so
+    * the guarantee survives a dimension or magnitude change instead
+    * of silently consuming a fixed headroom. */
+  private[graft] def rangeSlack(dim: Int): Double = 5e-5 + dim * 1e-12
 
   def s19RangeSearch(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
@@ -2891,7 +2902,7 @@ object Similarity {
           * col("e.scale") / lit(127.0) / (col("q.nrm") * col("e.nrm")))
       .withColumn("bnd",
         col("e.scale") / lit(254.0) * col("q.l1") / (col("q.nrm") * col("e.nrm")))
-      .filter(col("approx") + col("bnd") + lit(1e-4) >= RangeTau)
+      .filter(col("approx") + col("bnd") + lit(rangeSlack(64)) >= RangeTau)
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"))
     registerGatedPlan(s, "s19", cand)
     // candidate-proportional float fetch + exact verify (s1's fold order)

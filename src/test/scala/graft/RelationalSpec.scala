@@ -341,6 +341,36 @@ class RelationalSpec extends AnyFunSuite {
       "bloom-lane r38 diverged from the broadcast lane")
   }
 
+  test("r39 cohort retention: offset-0 rows are full cohorts, sizes partition " +
+    "the user base, retention bounded") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.col
+    val rows = Relational.r39(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cohort, rs) =>
+      // week 0 contains every cohort member by construction (the first
+      // event IS activity in the cohort week)
+      val w0 = rs.find(_.getAs[Long]("week_offset") == 0L)
+      assert(w0.isDefined, s"cohort $cohort lost its week-0 row")
+      assert(w0.get.getAs[Long]("n_active") == w0.get.getAs[Long]("cohort_size") &&
+        w0.get.getAs[Long]("retention_bp") == 10000L,
+        s"cohort $cohort week-0 is not the full cohort: ${w0.get}")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size") &&
+          r.getAs[Long]("retention_bp") <= 10000L &&
+          r.getAs[Long]("week_offset") >= 0L, s"retention inversion: $r")
+      }
+    }
+    // cohort sizes partition the user base exactly
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    val sizeSum = byCohort.values
+      .map(_.head.getAs[Long]("cohort_size")).sum
+    assert(sizeSum == users,
+      s"cohort sizes ($sizeSum) do not partition the $users users")
+  }
+
   test("t18 novelty: distributed gram fold matches a driver-side recompute exactly") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.t18NgramNovelty(spark, sf).collect()

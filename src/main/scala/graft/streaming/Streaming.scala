@@ -84,6 +84,11 @@ private[streaming] object StreamFmt {
   * 6-decimal scaled-long sum (st10's quantization). `timerMs` is the
   * currently registered timer expiry, so a batch that extends the
   * session deletes exactly the stale timer it supersedes. */
+case class FunnelEvent(event_id: Long, ts: java.sql.Timestamp,
+                       user_id: Long, event_type: String)
+case class FunnelProg(t1: Long, t2: Long, t3: Long)
+case class FunnelUpd(user_id: Long, s1: Boolean, s2: Boolean, s3: Boolean)
+
 case class St11State(sessionId: Int, startUs: Long, lastUs: Long,
                      n: Int, sum6: Long, open: Boolean, timerMs: Long)
 
@@ -1234,7 +1239,130 @@ object Streaming {
       |ORDER BY 1""".stripMargin
 
   // ------------------------------------------------------------
+  // ------------------------------------------------------------ ST16
+  /** ST16: streaming FUNNEL — r36's ordered view → click → purchase
+    * funnel maintained continuously (the continuous member of the
+    * growth-analytics family: r36 batch funnel, r39 batch cohort
+    * retention, st16 keeps the funnel current as events arrive). The
+    * event feed drains in THREE event-time-ordered micro-batches
+    * (ts terciles, mtime-pinned — the time-ordered drain a funnel
+    * topic delivers); per-user state is the funnel progression
+    * `(t1, t2, t3)` — three timestamps, nothing else — advanced by a
+    * `flatMapGroupsWithState` fold that processes each batch's events
+    * in (ts, stage, event_id) order: the first view fixes t1, the
+    * first click in [t1, t1+1d] fixes t2, the first purchase in
+    * [t2, t2+1d] fixes t3 (stage-before-stage at equal ts, so r36's
+    * tie admission `≥` is preserved). Under time-ordered arrival
+    * "first processed" ≡ "minimum", so the final state is EXACTLY
+    * r36's per-user (t1, t2, t3) and the served 3-row stage table
+    * hash-matches r36's oracle. Out-of-order feeds get watermarked
+    * reorder buffering in production; the exactness claim here is the
+    * ordered-drain contract, st13's posture.
+    *
+    * Scale: state = 3 timestamps per user (RocksDB-backed, evictable
+    * 2 days past t1 once watermarked); each batch shuffles only its
+    * own rows by user_id; stage flags are MONOTONE (set-once), so the
+    * update stream's per-user OR equals the final state — the serving
+    * fold reads |updates| rows, never the event history. */
+  def st16StreamFunnel(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    import s.implicits._
+    val DayUs = 86400L * 1000000
+    val ev = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("view", "click", "purchase"))
+    val work = java.nio.file.Files.createTempDirectory("graft_st16").toString
+    val ckpt = ckptDir("st16")
+    try {
+      // three ts-tercile files, mtimes ascending: value-range splits
+      // keep equal timestamps in one batch, so the stage-priority sort
+      // below sees every tie together
+      val inDir = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val bounds = ev.select(
+          expr("percentile_approx(CAST(ts AS DOUBLE), array(0.34, 0.67), 10000)"))
+        .head.getSeq[Double](0)
+      val (c1, c2) = (bounds(0), bounds(1))
+      val t0 = System.currentTimeMillis() - 60000
+      Seq(col("ts").cast("double") < c1,
+          col("ts").cast("double") >= c1 && col("ts").cast("double") < c2,
+          col("ts").cast("double") >= c2).zipWithIndex.foreach { case (pred, i) =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_st16_split").toString
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, s"b$i.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(t0 + i * 10000)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(tmp))
+      }
+      def micros(t: java.sql.Timestamp): Long =
+        (t.getTime / 1000) * 1000000 + t.getNanos / 1000
+      def stageRank(tpe: String): Int = tpe match {
+        case "view" => 0; case "click" => 1; case _ => 2
+      }
+      def advance(userId: Long, it: Iterator[FunnelEvent],
+                  state: GroupState[FunnelProg]): Iterator[FunnelUpd] = {
+        var st = state.getOption.getOrElse(FunnelProg(Long.MinValue,
+          Long.MinValue, Long.MinValue))
+        val evs = it.toArray
+          .map(e => (micros(e.ts), stageRank(e.event_type), e.event_id))
+          .sorted
+        evs.foreach { case (tu, stg, _) =>
+          if (stg == 0 && st.t1 == Long.MinValue) st = st.copy(t1 = tu)
+          else if (stg == 1 && st.t1 != Long.MinValue && st.t2 == Long.MinValue &&
+            tu >= st.t1 && tu <= st.t1 + DayUs) st = st.copy(t2 = tu)
+          else if (stg == 2 && st.t2 != Long.MinValue && st.t3 == Long.MinValue &&
+            tu >= st.t2 && tu <= st.t2 + DayUs) st = st.copy(t3 = tu)
+        }
+        state.update(st)
+        Iterator.single(FunnelUpd(userId, st.t1 != Long.MinValue,
+          st.t2 != Long.MinValue, st.t3 != Long.MinValue))
+      }
+      val updates = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout())(advance)
+      s.catalog.dropTempView("graft_st16")
+      val q = updates.toDF().writeStream.format("memory").queryName("graft_st16")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // flags are monotone ⇒ per-user OR of the update stream = final
+      // state; the stage fold is r36's 3-row table
+      val fin = s.table("graft_st16").groupBy(col("user_id"))
+        .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+          max(col("s3")).as("s3"))
+        .agg(sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
+        .head
+      val (n1, n2, n3) = (fin.getLong(0), fin.getLong(1), fin.getLong(2))
+      Seq((1, "view", n1, 10000L),
+          (2, "click", n2, if (n1 == 0) 0L else n2 * 10000L / n1),
+          (3, "purchase", n3, if (n1 == 0) 0L else n3 * 10000L / n1))
+        .toDF("stage", "event_type", "n_users", "conv_bp")
+        .orderBy(col("stage"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+      rm(new java.io.File(work))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_funnel" -> (st16StreamFunnel _),
     "st15_stream_drift" -> (st15StreamDrift _),
     "st14_trending_terms" -> (st14TrendingTerms _),
     "st13_stream_cdc_apply" -> (st13StreamCdcApply _),
@@ -1252,6 +1380,9 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    // st16 is batch r36's exact answer maintained continuously — the
+    // funnel state's final fold hash-matches the same oracle
+    "st16_stream_funnel" -> graft.operators.Relational.r36Sql,
     "st15_stream_drift" -> st15Sql,
     "st14_trending_terms" -> st14Sql,
     "st13_stream_cdc_apply" -> st13Sql,

@@ -495,6 +495,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(residue().isEmpty, s"st12 failure path left workspace(s): ${residue()}")
   }
 
+  test("st16 streaming funnel equals the batch r36 funnel bit-for-bit") {
+    val streamed = graft.streaming.Streaming.st16StreamFunnel(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Relational.r36(spark, sf)
+      .collect().map(_.toSeq)
+    assert(streamed.sameElements(batch),
+      s"streamed funnel diverged from batch r36:\n got=${streamed.toSeq}\n exp=${batch.toSeq}")
+    // teeth: the funnel must actually discriminate at this sf (every
+    // stage non-empty and strictly shrinking would make a vacuous pass
+    // suspicious; r36's gate data shows 150 -> 60 -> 25-ish)
+    val n = streamed.map(_(2).asInstanceOf[Long])
+    assert(n(0) > n(1) && n(1) > n(2) && n(2) > 0,
+      s"funnel stages not discriminating: ${n.toSeq}")
+  }
+
   test("st13 CDC apply equals the batch latest-per-key; bucket rewrites are targeted") {
     val got = graft.streaming.Streaming.st13StreamCdcApply(spark, sf).collect()
     assert(got.nonEmpty)

@@ -194,7 +194,12 @@ object ScaleSweep {
       "r38_quality_checks" -> (graft.operators.Relational.r38 _),
       "mm12_scene_cuts" -> (graft.operators.Multimodal.mm12SceneCuts _),
       "mm7_jpeg_decode" -> (graft.operators.Multimodal.mm7JpegDecode _),
-      "s15_ann_opq" -> (graft.operators.Similarity.s15AnnOpq _))
+      "s15_ann_opq" -> (graft.operators.Similarity.s15AnnOpq _),
+      // growth-analytics family: the cohort matrix must ride the
+      // |users| frame (the blow-up multiplies users), and the
+      // streaming funnel's per-batch cost must track batch rows
+      "r39_cohort_retention" -> (graft.operators.Relational.r39 _),
+      "st16_stream_funnel" -> (graft.streaming.Streaming.st16StreamFunnel _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it

@@ -1289,7 +1289,117 @@ object Multimodal {
       |       TRUE AS cut_ok, TRUE AS margin_ok
       |FROM d JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------------------- MM13
+  /** MM13: media-container INTEGRITY audit — the multimodal member of
+    * the validation family (r38 validates the relational tables, mm13
+    * validates the media corpus): every container's header and byte
+    * layout are checked STRUCTURALLY, without decoding — magic bytes,
+    * declared-size fields vs actual payload length, and format
+    * geometry (BMP width/bpp/pixel-array size; WAV PCM/mono/rate and
+    * data-chunk size; GV01 frame-count × frame-size accounting plus
+    * the embedded first frame's own magic). This is the cheap pass a
+    * 100 TB media pipeline runs BEFORE paying decode: truncation, bit
+    * rot and mis-muxed containers surface at header-read cost
+    * (O(bytes-touched) = a few dozen per object), and only clean
+    * objects proceed to the mm1-mm12 codec stages.
+    *
+    * The corpus is the mixed-media one (doc_id % 3 routes bmp / wav /
+    * gv01-video); the report is one row per format with object/byte
+    * volume and per-check violation counts — a clean corpus reports
+    * MEASURED zeros (r38's posture), and the byte totals are exact
+    * integer functions of the text lengths, so the DuckDB oracle
+    * recomputes them from `documents` alone: any drift between the
+    * declared layout and the bytes actually written flips the hash.
+    * Corruption teeth live in the spec: targeted magic/truncation/
+    * geometry tampering flips exactly its own counter (via the
+    * package-private [[auditContainer]] kernel the query itself uses).
+    *
+    * Scale: one narrow pass (encode+audit per row, no decode), one
+    * 3-row map-side-combined aggregate; no shuffle of payloads. */
+  private[graft] def auditContainer(p: Array[Byte], fmt: String)
+      : (Boolean, Boolean, Boolean) = {
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def u16(off: Int) = bb.getShort(off) & 0xffff
+    fmt match {
+      case "bmp" =>
+        val magicOk = p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+        val sizeOk = magicOk && bb.getInt(2) == p.length
+        val geomOk = magicOk && bb.getInt(18) == ImgW && u16(28) == 24 &&
+          bb.getInt(34) == p.length - 54 && (p.length - 54) % RowBytes == 0
+        (magicOk, sizeOk, geomOk)
+      case "wav" =>
+        val magicOk = p.length >= 44 &&
+          new String(p, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(p, 8, 4, "US-ASCII") == "WAVE"
+        val sizeOk = magicOk && bb.getInt(4) == p.length - 8
+        val geomOk = magicOk && u16(20) == 1 && u16(22) == 1 &&
+          bb.getInt(24) == SampleRate && bb.getInt(40) == p.length - 44 &&
+          (p.length - 44) % 2 == 0
+        (magicOk, sizeOk, geomOk)
+      case _ => // gv01
+        val magicOk = p.length >= 12 &&
+          new String(p, 0, 4, "US-ASCII") == "GV01"
+        val n = if (magicOk) bb.getInt(4) else 0
+        val fb = if (magicOk) bb.getInt(8) else 0
+        val sizeOk = magicOk && n > 0 && fb > 0 && p.length == 12 + n.toLong * fb
+        val geomOk = sizeOk && p(12) == 'B' && p(13) == 'M'
+        (magicOk, sizeOk, geomOk)
+    }
+  }
+
+  def mm13ContainerAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        val (p, fmt) = (id % 3) match {
+          case 0 => (encodeBmp(bytes), "bmp")
+          case 1 => (encodeWav(bytes), "wav")
+          case _ => (encodeCutVideo(bytes, (5 + (id / 3) % 3).toInt,
+            (2 + (id % 2)).toInt), "gv01")
+        }
+        val (magicOk, sizeOk, geomOk) = auditContainer(p, fmt)
+        (fmt, p.length.toLong, magicOk, sizeOk, geomOk)
+      }
+      .toDF("format", "n_bytes", "magic_ok", "size_ok", "geom_ok")
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(!col("magic_ok"), 1L).otherwise(0L)).as("magic_violations"),
+        sum(when(!col("size_ok"), 1L).otherwise(0L)).as("size_violations"),
+        sum(when(!col("geom_ok"), 1L).otherwise(0L)).as("geom_violations"))
+      .withColumn("pass", col("magic_violations") === 0L &&
+        col("size_violations") === 0L && col("geom_violations") === 0L)
+      .orderBy(col("format"))
+  }
+
+  /** Byte totals recomputed from text lengths alone: BMP = 54 + 48·h
+    * with h = max(1, ceil(len/48)); WAV = 44 + 2·len; GV01 =
+    * 12 + nFrames·(BMP size of the same len). */
+  val mm13Sql: String =
+    """WITH d AS (SELECT doc_id, length(text) AS len FROM documents
+      |           WHERE length(text) > 0),
+      |sized AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'gv01' END AS format,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN 54 + 48 * GREATEST(1, (len + 47) // 48)
+      |    WHEN 1 THEN 44 + 2 * len
+      |    ELSE 12 + (5 + (doc_id // 3) % 3) *
+      |         (54 + 48 * GREATEST(1, (len + 47) // 48))
+      |  END AS n_bytes
+      |  FROM d)
+      |SELECT format, COUNT(*) AS n_objects,
+      |       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+      |       CAST(0 AS BIGINT) AS magic_violations,
+      |       CAST(0 AS BIGINT) AS size_violations,
+      |       CAST(0 AS BIGINT) AS geom_violations,
+      |       TRUE AS pass
+      |FROM sized GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_container_audit" -> (mm13ContainerAudit _),
     "mm12_scene_cuts" -> (mm12SceneCuts _),
     "mm11_audio_probe" -> (mm11AudioProbe _),
     "mm10_audio_fingerprint" -> (mm10AudioFingerprint _),
@@ -1304,6 +1414,7 @@ object Multimodal {
     "mm4_mixed_decode"   -> (mm4MixedDecode _))
 
   val oracles: Map[String, String] = Map(
+    "mm13_container_audit" -> mm13Sql,
     "mm12_scene_cuts"    -> mm12Sql,
     "mm6_video_frames"   -> mm6Sql,
     "mm5_audio_mixed"    -> mm5Sql,

@@ -761,6 +761,46 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mm13 container audit: clean corpus measures zeros; targeted tampering " +
+    "flips exactly its own counter") {
+    val rows = Multimodal.mm13ContainerAudit(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bmp", "gv01", "wav"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("pass") &&
+        r.getAs[Long]("magic_violations") == 0L &&
+        r.getAs[Long]("size_violations") == 0L &&
+        r.getAs[Long]("geom_violations") == 0L,
+        s"clean corpus flagged: $r")
+      assert(r.getAs[Long]("n_objects") > 0)
+    }
+    // corruption teeth, per format, through the SAME kernel the query
+    // runs: each tamper flips its own check (and only the checks that
+    // depend on the tampered bytes)
+    val data = "the quick brown fox jumps over the lazy dog".getBytes("US-ASCII")
+    def checks(p: Array[Byte], fmt: String) = Multimodal.auditContainer(p, fmt)
+    for ((mk, fmt) <- Seq(
+        (() => Multimodal.encodeBmp(data), "bmp"),
+        (() => Multimodal.encodeWav(data), "wav"),
+        (() => Multimodal.encodeCutVideo(data, 5, 2), "gv01"))) {
+      assert(checks(mk(), fmt) == ((true, true, true)), s"$fmt clean baseline")
+      val badMagic = mk(); badMagic(0) = 'X'.toByte
+      assert(!checks(badMagic, fmt)._1, s"$fmt magic tamper not caught")
+      val truncated = mk().dropRight(7)
+      assert(!checks(truncated, fmt)._2, s"$fmt truncation not caught")
+    }
+    // geometry-only tampering: size fields intact, layout field wrong
+    val bmpGeom = Multimodal.encodeBmp(data)
+    java.nio.ByteBuffer.wrap(bmpGeom).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 17) // width 16 -> 17
+    assert(checks(bmpGeom, "bmp") == ((true, true, false)),
+      "bmp width tamper must flip geometry alone")
+    val wavGeom = Multimodal.encodeWav(data)
+    java.nio.ByteBuffer.wrap(wavGeom).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 2) // mono -> stereo claim
+    assert(checks(wavGeom, "wav") == ((true, true, false)),
+      "wav channel tamper must flip geometry alone")
+  }
+
   test("mm10 audio fingerprint matches a codec-free from-text replay; completeness gate green") {
     import org.apache.spark.sql.functions.col
     val rows = Multimodal.mm10AudioFingerprint(spark, sf001).collect()

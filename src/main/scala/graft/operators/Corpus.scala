@@ -805,7 +805,102 @@ object Corpus {
       |  CAST(SUM(rn * doc_id) AS BIGINT) AS order_check
       |FROM rn GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ------------------------------------------------------------- X29
+  /** Cluster-balanced DIVERSITY sample — the embedding-space
+    * counterpart of x15's per-language temperature mixture (SemDedup /
+    * DiverseEvol shape): partition the corpus into K=16 embedding
+    * clusters, then draw an EQUAL per-cluster quota (B/K = 4 of
+    * budget B = 64) in a portable pseudo-random order, so the sample
+    * covers every region of embedding space instead of oversampling
+    * the dense center the way a uniform draw does.
+    *
+    * Assignment is a NARROW shuffle-free argmax: the 16 anchor vectors
+    * (vec_id < 16 — fixed so the whole query replays in SQL; the
+    * trained-k-means anchors of s3 drop in via [[graft.operators.Similarity]]'s
+    * `trainedAnchors` when centroid quality matters more than an exact
+    * oracle) ride the plan as literals, each row computes 16 rounded
+    * cosines and takes `array_max` over (cos4, −anchor_id) structs —
+    * max cosine, ties to the smaller anchor, no corpus×anchors
+    * exchange, no window (s3's assignment discipline). The rounded-
+    * before-compare cosine is what makes the argmax hash-portable
+    * (s1's contract); the per-cluster draw orders by x15's Knuth
+    * mixer — pure integer, reproducible run over run, engine over
+    * engine.
+    *
+    * Scale: assignment + mixer are one narrow projection; the
+    * per-cluster pick is a rank-≤-quota filter (WindowGroupLimit —
+    * each cluster keeps 4 rows, never sorts the corpus globally);
+    * cluster sizes are a 16-row broadcast. At 100 TB: one corpus scan,
+    * one bounded-output shuffle keyed by 16 clusters (AQE splits the
+    * skewed dense-center cluster), 64 rows out. */
+  def x29DiversitySample(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+    val anchorRows = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()                                   // 16 rows — bounded
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val cands = array(anchorRows.map { case (id, av, an) =>
+      struct(
+        round(vecDot(col("v"), array(av.map(lit(_)): _*)) /
+          (col("nrm") * lit(an)), 4).as("c"),
+        lit(-id).as("nid"))
+    }: _*)
+    val clustered = e.select(col("vec_id"), array_max(cands).as("best"))
+      .select(col("vec_id"), (-col("best.nid")).as("cluster"),
+        col("best.c").as("cos_centroid"))
+    val sizes = clustered.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val wPick = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    clustered
+      .withColumn("h",
+        ((col("vec_id") % 1048576L) * 2654435761L + 12345L) % 1048576L)
+      .withColumn("pick", row_number().over(wPick))
+      .filter(col("pick") <= 4)
+      .join(broadcast(sizes), Seq("cluster"))
+      .select(col("cluster"), col("pick"), col("vec_id"),
+        col("cos_centroid"), col("cluster_size"))
+      .orderBy(col("cluster"), col("pick"))
+  }
+
+  val x29Sql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT e.vec_id, a.vec_id AS anchor_id, SUM(e.x * a.x ORDER BY e.i) AS dot
+      |  FROM ex e JOIN ex a ON a.i = e.i AND a.vec_id < 16 GROUP BY 1, 2),
+      |cosv AS (
+      |  SELECT d.vec_id, anchor_id,
+      |         ROUND(dot / (ne.nrm * na.nrm), 4) AS cos4
+      |  FROM dots d JOIN nrm ne ON ne.vec_id = d.vec_id
+      |              JOIN nrm na ON na.vec_id = anchor_id),
+      |clust AS (
+      |  SELECT vec_id, anchor_id AS cluster, cos4 AS cos_centroid FROM (
+      |    SELECT vec_id, anchor_id, cos4,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY cos4 DESC, anchor_id) AS rn
+      |    FROM cosv) t WHERE rn = 1),
+      |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM clust GROUP BY 1),
+      |picked AS (
+      |  SELECT cluster, vec_id, cos_centroid,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+      |           ORDER BY ((vec_id % 1048576) * 2654435761 + 12345) % 1048576,
+      |                    vec_id) AS INT) AS pick
+      |  FROM clust)
+      |SELECT p.cluster, p.pick, p.vec_id, p.cos_centroid, sz.cluster_size
+      |FROM picked p JOIN sz USING (cluster) WHERE pick <= 4
+      |ORDER BY cluster, pick""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x29_diversity_sample" -> (x29DiversitySample _),
     "x23_distribution_drift" -> (x23DistributionDrift _),
     "x27_length_batching" -> (x27LengthBatching _),
     "x26_shard_manifest" -> (x26ShardManifest _),
@@ -819,6 +914,7 @@ object Corpus {
     "x20_stratified_split" -> (x20StratifiedSplit _))
 
   val oracles: Map[String, String] = Map(
+    "x29_diversity_sample" -> x29Sql,
     "x23_distribution_drift" -> x23Sql,
     "x27_length_batching" -> x27Sql,
     "x26_shard_manifest" -> x26Sql,

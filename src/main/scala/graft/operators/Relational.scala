@@ -1425,8 +1425,66 @@ object Relational {
       |FROM a JOIN sz ON a.cohort = sz.cohort
       |ORDER BY a.cohort, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- R40 (fuzzy join)
+  /** Edit-distance FUZZY self-join — the entity-resolution / data-
+    * cleaning staple (dirty keys, OCR noise, typo'd identifiers):
+    * every pair of customer names within Levenshtein distance 1,
+    * with the distance as evidence.
+    *
+    * The naive form is an O(n²) cross join with a string-DP predicate
+    * — a non-starter at any scale. The engine instead uses the
+    * SYMMETRIC-DELETE (SymSpell) neighborhood: for k=1, if
+    * lev(a,b) ≤ 1 then a and b share at least one member of
+    * {x} ∪ {x minus one char} (substitution → delete the differing
+    * position from both; insertion/deletion → the shorter string is
+    * itself a deletion variant of the longer; equality → the string
+    * itself). So: explode each name into its ≤ L+1 deletion variants,
+    * self-join on the variant's xxhash64 (8-byte join key; hash
+    * collisions are harmless because every candidate is re-verified),
+    * dedup candidate pairs, and verify with the exact codegen'd
+    * `levenshtein` — candidates with true distance 2 (possible: two
+    * different single-deletions colliding) are filtered here.
+    *
+    * Scale: |variants| = (L+1)·n rows shuffled on an 8-byte hash —
+    * ONE equi-join whose output is proportional to the true-match
+    * density (plus the bounded distance-2 collisions), never n²; the
+    * DP verify runs only on candidates. Hot variant buckets (a
+    * deletion shared by many near-identical keys) are exactly the
+    * matches the query exists to find, and AQE splits any skewed
+    * bucket. At 100 TB of keys this is the standard blocking-join
+    * shape: candidates ∝ duplicates, not corpus². */
+  def r40(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_name").as("name"))
+    // {name} ∪ single-char deletions, deduped per name (array_union)
+    val deletions = expr(
+      """array_union(array(name),
+        |  transform(sequence(1, length(name)),
+        |    i -> concat(substring(name, 1, i - 1),
+        |                substring(name, i + 1, length(name)))))""".stripMargin)
+    val vars = c.select(col("name"), explode(deletions).as("variant"))
+      .select(xxhash64(col("variant")).as("vh"), col("name"))
+    val cand = vars.as("a")
+      .join(vars.as("b"),
+        col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Brute-force DP join — the oracle pays the O(n²) the engine's
+    * deletion-neighborhood blocking avoids. */
+  val r40Sql: String =
+    """SELECT a.c_name AS name_a, b.c_name AS name_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r40_fuzzy_join" -> (r40 _),
     "r39_cohort_retention" -> (r39 _),
     "r38_quality_checks" -> (r38 _),
     "r37_rfm_segment" -> (r37 _),
@@ -1473,6 +1531,7 @@ object Relational {
     "x5_pipeline"        -> (x5 _))
 
   val oracles: Map[String, String] = Map(
+    "r40_fuzzy_join" -> r40Sql,
     "r39_cohort_retention" -> r39Sql,
     "r38_quality_checks" -> r38Sql,
     "r37_rfm_segment" -> r37Sql,

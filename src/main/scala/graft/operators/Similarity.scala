@@ -2936,7 +2936,100 @@ object Similarity {
        |WHERE ROUND(dot / (nq.nrm * ne.nrm), 4) >= $RangeTau
        |ORDER BY query_id, neighbor_id""".stripMargin
 
+  // ------------------------------------------------------------- S20
+  /** 1-bit BINARY quantization — the last rung of the compression
+    * ladder (float32 → int8 s5 → PQ s9 / OPQ s15 → 1 bit here): each
+    * 64-dim vector collapses to the 64-BIT SIGN WORD (bit i set iff
+    * vᵢ ≥ 0), Hamming distance ranks a per-query shortlist of
+    * 20K candidates (1-bit sketches are coarse — the multiplier is the
+    * recall lever, and even 20K rows is 0.3% of the gate corpus), and only the shortlist is re-scored with exact
+    * float cosine. 8 bytes/vector — 32× smaller than the floats, the
+    * same footprint as PQ but with a TWO-INSTRUCTION distance kernel
+    * (XOR + POPCNT, here codegen'd `bit_count(a ^ b)`), which is why
+    * binary sketches are the first-pass filter in billion-vector
+    * serving stacks (Hamming-prefilter-then-rerank).
+    *
+    * Every stage is integer-deterministic (Hamming ties broken by
+    * neighbor_id, rerank ties by neighbor_id), so unlike the
+    * recall-gated s2/s3 the WHOLE algorithm replays in SQL — a full
+    * hash oracle; the recall-vs-exact floor lives in the spec.
+    *
+    * Scale: the corpus-wide pass moves (vec_id, bin) = 16 bytes/row;
+    * the shortlist (|queries|·20K rows) alone pays the float join-back
+    * (s9/s19's codes-are-the-read-path posture). In the index-backed
+    * family the sign word would persist beside pq8/opq8 at ingest —
+    * same sidecar discipline, nothing new to store here. */
+  def s20AnnBinary(s: SparkSession, d: String): DataFrame = {
+    val e = prepared(s, d)
+    val codes = e.select(col("vec_id"), expr(
+      """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+        |  (acc, i) -> acc | IF(element_at(v, i + 1) >= 0D,
+        |                       shiftleft(CAST(1 AS BIGINT), i),
+        |                       CAST(0 AS BIGINT)))""".stripMargin).as("bin"))
+    val q = broadcast(codes.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("bin").as("qbin")))
+    val m = 20 * K
+    val ham = q.join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("CAST(bit_count(qbin ^ bin) AS INT)").as("hamming"))
+    val wh = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    val shortlist = ham.withColumn("rh", row_number().over(wh))
+      .filter(col("rh") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+    val reranked = shortlist
+      .join(e.select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qn")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        round(vecDot(col("qv"), col("nv")) / (col("qn") * col("nn")), 4)
+          .as("cos4"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    reranked.withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("cos4"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val s20Sql: String =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(SUM(x * x ORDER BY i)) AS nrm FROM ex GROUP BY 1),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         SUM(CASE WHEN (q.x >= 0) <> (e.x >= 0) THEN 1 ELSE 0 END) AS h
+       |  FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQueries GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id, CAST(h AS INT) AS hamming FROM (
+       |    SELECT query_id, neighbor_id, h,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY h, neighbor_id) AS rh
+       |    FROM ham) t WHERE rh <= ${20 * K}),
+       |dots AS (
+       |  SELECT s.query_id, s.neighbor_id, s.hamming,
+       |         SUM(q.x * e.x ORDER BY q.i) AS dot
+       |  FROM short s JOIN ex q ON q.vec_id = s.query_id
+       |               JOIN ex e ON e.vec_id = s.neighbor_id AND e.i = q.i
+       |  GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, hamming,
+       |         ROUND(dot / (nq.nrm * ne.nrm), 4) AS cos4
+       |  FROM dots JOIN nrm nq ON nq.vec_id = query_id
+       |            JOIN nrm ne ON ne.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, hamming, cos4, rn FROM (
+       |  SELECT query_id, neighbor_id, hamming, cos4,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos4 DESC, neighbor_id) AS rn
+       |  FROM scored) t
+       |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_ann_binary" -> (s20AnnBinary _),
     "s19_range_search" -> (s19RangeSearch _),
     "s18_index_stats" -> (s18IndexStats _),
     "s17_mmr_rerank" -> (s17MmrRerank _),
@@ -2971,6 +3064,7 @@ object Similarity {
     "s16_hybrid_rrf"    -> s16Sql,
     "s11_ann_filtered"  -> s11Sql,
     "s1_ann_bruteforce" -> s1Sql,
+    "s20_ann_binary" -> s20Sql,
     "s4_ann_topk_agg"   -> s1Sql,
     "s5_ann_quantized"  -> s5Sql,
     "x2_topk_cosine"    -> s1Sql,

@@ -1228,7 +1228,70 @@ object TextAnalysis {
       |FROM g JOIN f USING (g)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- T19
+  /** T19: per-document KEYWORD extraction — the top-3 TF-IDF terms of
+    * every document, the classic "what is this doc about" signal used
+    * for topic tagging, cluster labeling (x29's clusters get names from
+    * exactly this), and retrieval snippets. t11's BM25 scores docs
+    * against a QUERY; t19 ranks a doc's own terms against the corpus.
+    *
+    * The idf is INTEGER-portable by construction: score =
+    * tf · ((N·10⁴) DIV df) — a monotone transform of tf·N/df, so the
+    * ranking is the classic TF-IDF ranking, but every intermediate is
+    * a long and the whole query hash-matches across engines (no ln, no
+    * float; the t13/x25 discipline). Bounds: tf ≤ doc tokens ≤ 10⁴-ish,
+    * N·10⁴ DIV df ≤ N·10⁴ — products stay far inside int64 until
+    * N ≈ 10¹⁴ docs.
+    *
+    * Scale: one tokenize pass → map-side-combined (doc, term) tf; df
+    * folds FROM the tf frame (terms are distinct per (doc, term) row ⇒
+    * COUNT(*) = containing docs — t18's dictionary trick) so the
+    * corpus is never re-read; tf ⋈ df joins on the Heaps-bounded vocab
+    * frame (dictionary side of a hot term is ONE row, AQE spreads the
+    * probe); the per-doc top-3 is a rank-≤-3 filter — WindowGroupLimit
+    * keeps 3 rows per doc, no global sort. N is a 1-row broadcast. */
+  def t19KeywordExtract(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(split(norm, " +")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 10000) DIV df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val t19Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), ' +')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      |       WHERE len(term) > 0 GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         tf.tf * ((n.n_docs * 10000) // df.df) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, df, score FROM (
+      |  SELECT doc_id, term, tf, df, score,
+      |         ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                            ORDER BY score DESC, term) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_keyword_extract" -> (t19KeywordExtract _),
     "t18_ngram_novelty" -> (t18NgramNovelty _),
     "x25_data_card" -> (x25DataCard _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1251,6 +1314,7 @@ object TextAnalysis {
     "x7_heavy_hitters" -> (x7HeavyHitters _))
 
   val oracles: Map[String, String] = Map(
+    "t19_keyword_extract" -> t19Sql,
     "t18_ngram_novelty" -> t18Sql,
     "x25_data_card" -> x25Sql,
     "t16_quality_model" -> t16Sql,

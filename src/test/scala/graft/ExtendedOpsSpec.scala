@@ -396,6 +396,41 @@ class ExtendedOpsSpec extends AnyFunSuite {
     // equality above: the per-text bucket function is the whole key)
   }
 
+  test("x29 diversity sample: assignment is the true rounded-cosine argmax " +
+    "(driver recompute); quotas are min(4, cluster size); full cluster coverage") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.operators.Corpus.x29DiversitySample(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute of the clustering from raw floats
+    val vecs = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val anchors = (0L until 16L).map(id => id -> vecs(id))
+    def cos4(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      math.round(dot / (nrm(a) * nrm(b)) * 1e4) / 1e4
+    }
+    val wantCluster = vecs.map { case (id, v) =>
+      id -> anchors.map { case (aid, av) => (cos4(v, av), aid) }
+        .maxBy { case (c, aid) => (c, -aid) }._2
+    }
+    rows.foreach { r =>
+      val (cl, id) = (r.getLong(0), r.getLong(2))
+      assert(wantCluster(id) == cl, s"vec $id assigned $cl, argmax says ${wantCluster(id)}")
+    }
+    // per-cluster quota and coverage
+    val sizesWant = wantCluster.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val byCluster = rows.groupBy(_.getLong(0))
+    assert(byCluster.keySet == sizesWant.filter(_._2 > 0).keySet,
+      "sample must cover every nonempty cluster")
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.length == math.min(4, sizesWant(c)), s"cluster $c quota broken")
+      assert(rs.head.getAs[Long]("cluster_size") == sizesWant(c).toLong)
+    }
+  }
+
   test("x21 range layout: zones partition the corpus, disjoint and sorted; " +
        "the audit fails overlapping or unsorted zones") {
     val zones = graft.operators.Corpus.x21RangeLayout(spark, sf).collect()

@@ -407,6 +407,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.8, f"int8-quantized recall $r%.3f — quantization noise should cost little at @5")
   }
 
+  test("s20 binary-sketch ANN: recall floor vs exact s1; sign-word packing " +
+    "matches a driver-side Hamming recompute") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val df = Similarity.s20AnnBinary(spark, sf01)
+    val r = recallVs(exact, topk(df))
+    info(f"s20 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"binary-sketch recall $r%.3f — 1-bit Hamming shortlist broken")
+    // the Hamming evidence column must equal a from-floats recompute
+    val vecs = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Float](1).map(x => x.toDouble >= 0d).toArray).toMap
+    df.collect().foreach { row =>
+      val (q, n, h) = (row.getLong(0), row.getLong(1), row.getInt(2))
+      val want = vecs(q).zip(vecs(n)).count { case (a, b) => a != b }
+      assert(h == want, s"hamming($q,$n)=$h, recompute=$want")
+    }
+  }
+
   test("s6 IVF+int8 recall vs exact s1") {
     val exact = topk(Similarity.s1BruteForce(spark, sf01))
     val comp = topk(Similarity.s6AnnIvfQuantized(spark, sf01))

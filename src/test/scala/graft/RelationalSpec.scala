@@ -371,6 +371,41 @@ class RelationalSpec extends AnyFunSuite {
       s"cohort sizes ($sizeSum) do not partition the $users users")
   }
 
+  test("r40 fuzzy join: deletion-neighborhood blocking finds EXACTLY the " +
+    "brute-force lev<=1 pairs; no cartesian in the plan") {
+    import graft.operators.Relational
+    val df = Relational.r40(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join fell back to an all-pairs plan:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // driver-side brute force: the O(n^2) DP the blocking must equal
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val names = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_name").collect().map(_.getString(0)).sorted
+    val want = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      d = lev(names(i), names(j)) if d <= 1
+    } yield (names(i), names(j), d)).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "degenerate fixture: no fuzzy pairs at sf0.001")
+  }
+
   test("t18 novelty: distributed gram fold matches a driver-side recompute exactly") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.t18NgramNovelty(spark, sf).collect()

@@ -34,7 +34,13 @@ object Explain {
         "r38_quality_checks", "t18_ngram_novelty", "s19_range_search",
         // round-11 flagships: masked+delta probe (registered frame),
         // stored-opq8 codes-only ADC scan
-        "s13_ann_update", "s15_ann_opq")
+        "s13_ann_update", "s15_ann_opq",
+        // round-11 close-out: pinned shuffle-hash variant join (no
+        // broadcast of the corpus-sized frame), WindowGroupLimit-
+        // capped binary shortlist + TF-IDF top-3, narrow argmax
+        // assignment (no corpus×anchors exchange)
+        "r40_fuzzy_join", "s20_ann_binary", "t19_keyword_extract",
+        "x29_diversity_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -34,7 +34,7 @@ object ScaleSweep {
     // v2: the blow-up also covers the TPC-H relational tables (r38's
     // validation suite reads lineitem/orders/customer) — an old-marker
     // dir regenerates
-    val marker = new java.io.File(dir, "_SCALE_OK_v2")
+    val marker = new java.io.File(dir, "_SCALE_OK_v3")
     if (marker.isFile) return
     // documents: copy 0 verbatim; copies 1..n-1 word-remapped
     val docs = s.read.parquet(s"$base/documents.parquet")
@@ -111,6 +111,13 @@ object ScaleSweep {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     (0 until n).map { k =>
       cu.withColumn("c_custkey", col("c_custkey") + lit(k * ckOff))
+        // v3: names rebuilt from the SHIFTED key (the generator's own
+        // format), so copies carry disjoint name ranges — r40's fuzzy
+        // pairs grow ~linearly (one digit-neighborhood per id), not as
+        // the n² cross-copy duplicate pairs a verbatim name copy would
+        // plant
+        .withColumn("c_name",
+          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     java.nio.file.Files.writeString(marker.toPath, s"copies=$n of $base\n")
@@ -199,7 +206,22 @@ object ScaleSweep {
       // |users| frame (the blow-up multiplies users), and the
       // streaming funnel's per-batch cost must track batch rows
       "r39_cohort_retention" -> (graft.operators.Relational.r39 _),
-      "st16_stream_funnel" -> (graft.streaming.Streaming.st16StreamFunnel _))
+      "st16_stream_funnel" -> (graft.streaming.Streaming.st16StreamFunnel _),
+      // round-11 close-out: mm13's header audit must stay O(objects)
+      // (a decode-free pass — its curve should undercut every mm codec
+      // row); r40's deletion-neighborhood join must grow with matches,
+      // not corpus² (the blow-up keeps cross-copy names disjoint);
+      // s20's Hamming pass moves 16 B/row, rerank ∝ shortlist; x29's
+      // argmax is one narrow scan + a 64-row pick; t19's vocab join
+      // rides the Heaps-bounded term frame
+      "mm13_container_audit" -> (graft.operators.Multimodal.mm13ContainerAudit _),
+      "r40_fuzzy_join" -> (graft.operators.Relational.r40 _),
+      "s20_ann_binary" -> (graft.operators.Similarity.s20AnnBinary _),
+      "x29_diversity_sample" -> (graft.operators.Corpus.x29DiversitySample _),
+      "t19_keyword_extract" -> (graft.operators.TextAnalysis.t19KeywordExtract _),
+      // st17: the late-data audit's cost must track batch rows (state
+      // = open windows); the drop accounting itself adds no pass
+      "st17_late_data_audit" -> (graft.streaming.Streaming.st17LateDataAudit _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it

@@ -1463,7 +1463,12 @@ object Relational {
         |                substring(name, i + 1, length(name)))))""".stripMargin)
     val vars = c.select(col("name"), explode(deletions).as("variant"))
       .select(xxhash64(col("variant")).as("vh"), col("name"))
+    // both sides are the (L+1)·n variant frame — at scale neither fits
+    // a driver broadcast, so pin the shuffle hash join (the 8-byte vh
+    // key shuffles; AQE would otherwise pick a borderline broadcast at
+    // small sf and flip shape as the corpus grows)
     val cand = vars.as("a")
+      .hint("shuffle_hash")
       .join(vars.as("b"),
         col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))

@@ -1361,7 +1361,148 @@ object Streaming {
     }
   }
 
+  // ----------------------------------------------------------- ST17
+  /** ST17: LATE-DATA / watermark audit — the observability contract
+    * every production stream ships with: how many rows arrived too
+    * late for the watermark and were silently dropped, and what the
+    * surviving per-window counts are. Without this view a pipeline
+    * cannot distinguish "traffic dipped" from "the feed lagged past
+    * the watermark" — the silent-data-loss failure mode of
+    * event-time processing.
+    *
+    * Out-of-order arrival is DETERMINISTIC here: three mtime-pinned
+    * batches — the even-id half first (spans the whole time range, so
+    * the watermark advances to max(even ts) − 1 h), then the odd-id
+    * rows whose hour window is still open under that watermark, then
+    * the odd-id STRAGGLERS whose window already closed. Three batches
+    * because under an AvailableNow drain of a pre-listed directory
+    * Spark's late-row filter sees the watermark ONE BATCH BEHIND
+    * eviction (SPARK-24634 split `eventTimeWatermarkForLateEvents`
+    * from `...ForEviction`; the drain pre-plans batch k+1 while batch
+    * k's stats are uncommitted) — measured with a probe, not assumed,
+    * and pinned in StreamingSpec together with the contrasting
+    * incremental-arrival case (files appearing between triggers are
+    * filtered against the CURRENT batch-start watermark, no lag). So
+    * the watermark raised by batch 0 is enforced on data from batch 2
+    * on, and the stragglers land exactly one batch past their grace
+    * window: every one of them is genuinely dropped.
+    * Two audit columns: `n_dropped_rows` (raw late rows, replayed from
+    * the same watermark arithmetic the split uses) and
+    * `n_dropped_groups` — Spark's own state-operator metric
+    * (`numRowsDroppedByWatermark`, summed over batches), which counts
+    * the PARTIAL-AGGREGATE rows reaching the state store, i.e. one per
+    * distinct late window per batch (measured: 718 groups for 4,985
+    * raw rows at the gate sf; the straggler batch is a single file ⇒
+    * one input partition ⇒ one partial row per window). The DuckDB
+    * oracle recomputes the survivor counts, the raw drop count AND the
+    * distinct-late-window count from first principles (watermark =
+    * ms-floored max even-batch event time minus the delay; a row is
+    * dropped iff its window end ≤ watermark), so the hash gate
+    * cross-checks Spark's internal watermark algebra against an
+    * independent replay, not against itself.
+    *
+    * Scale: state = one count per open hour window (watermark-
+    * evicted); per-batch shuffle ∝ batch rows; the audit itself adds
+    * zero passes — the drop counter is a metric the operator already
+    * maintains. */
+  def st17LateDataAudit(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    val ev = graft.sources.Tables.events(s, d).select(col("event_id"), col("ts"))
+    val work = java.nio.file.Files.createTempDirectory("graft_st17").toString
+    val ckpt = ckptDir("st17")
+    try {
+      val inDir = s"$work/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+      val t0 = System.currentTimeMillis() - 60000
+      // wm after batch 0, in Spark's arithmetic: ms-floored max even
+      // event time minus the 1 h delay, re-expressed in micros
+      val maxEvenUs = ev.filter(col("event_id") % 2 === 0)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val wmUs = (maxEvenUs / 1000 - 3600000L) * 1000
+      val windowEndUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
+      Seq(col("event_id") % 2 === 0,
+          col("event_id") % 2 === 1 && windowEndUs > wmUs,
+          col("event_id") % 2 === 1 && windowEndUs <= wmUs)
+        .zipWithIndex.foreach { case (pred, i) =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft_st17_split").toString
+          ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(inDir, s"b$i.parquet")
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + i * 10000)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(tmp))
+        }
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+      s.catalog.dropTempView("graft_st17")
+      val q = agg.writeStream.format("memory").queryName("graft_st17")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val droppedGroups = q.recentProgress.iterator.map { p =>
+        Option(p.stateOperators).map(_.map(_.numRowsDroppedByWatermark).sum)
+          .getOrElse(0L)
+      }.sum
+      val droppedRows = ev
+        .filter(col("event_id") % 2 === 1 && windowEndUs <= wmUs).count()
+      // counts are monotone per window ⇒ the last update is the max
+      s.table("graft_st17")
+        .groupBy(col("window"))
+        .agg(max(col("n_events")).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("n_events"))
+        .withColumn("n_dropped_rows", lit(droppedRows))
+        .withColumn("n_dropped_groups", lit(droppedGroups))
+        .orderBy(col("win_start"))
+        .localCheckpoint(true)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(ckpt)
+      rm(new java.io.File(work))
+    }
+  }
+
+  /** Independent watermark replay: wm = ms-floored max even-batch ts
+    * − 1 h (Spark tracks event-time stats in milliseconds); an odd
+    * row survives iff its hour-window end > wm (on-time rows ride
+    * batch 1 inside the one-batch grace, stragglers ride batch 2 and
+    * are enforced against exactly this wm). */
+  val st17Sql: String =
+    """WITH wm AS (
+      |  SELECT (epoch_us(MAX(ts)) // 1000 - 3600000) * 1000 AS w_us
+      |  FROM events WHERE event_id % 2 = 0),
+      |surv AS (
+      |  SELECT ts FROM events WHERE event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT e.ts FROM events e, wm
+      |  WHERE e.event_id % 2 = 1
+      |    AND epoch_us(date_trunc('hour', e.ts)) + 3600000000 > wm.w_us),
+      |drp AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         COUNT(DISTINCT date_trunc('hour', e.ts)) AS n_groups
+      |  FROM events e, wm
+      |  WHERE e.event_id % 2 = 1
+      |    AND epoch_us(date_trunc('hour', e.ts)) + 3600000000 <= wm.w_us)
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |       COUNT(*) AS n_events,
+      |       (SELECT n_rows FROM drp) AS n_dropped_rows,
+      |       (SELECT n_groups FROM drp) AS n_dropped_groups
+      |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_late_data_audit" -> (st17LateDataAudit _),
     "st16_stream_funnel" -> (st16StreamFunnel _),
     "st15_stream_drift" -> (st15StreamDrift _),
     "st14_trending_terms" -> (st14TrendingTerms _),
@@ -1380,6 +1521,7 @@ object Streaming {
     "st6_stream_static"  -> (st6StreamStaticJoin _))
 
   val oracles: Map[String, String] = Map(
+    "st17_late_data_audit" -> st17Sql,
     // st16 is batch r36's exact answer maintained continuously — the
     // funnel state's final fold hash-matches the same oracle
     "st16_stream_funnel" -> graft.operators.Relational.r36Sql,

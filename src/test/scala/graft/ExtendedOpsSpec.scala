@@ -396,6 +396,38 @@ class ExtendedOpsSpec extends AnyFunSuite {
     // equality above: the per-text bucket function is the whole key)
   }
 
+  test("t19 keyword extract: integer TF-IDF top-3 matches a driver-side " +
+    "recompute; per-doc rank runs as a group limit, not a global sort") {
+    val df = graft.operators.TextAnalysis.t19KeywordExtract(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-3 must prune through WindowGroupLimit:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).trim.toLowerCase.split(" +").filter(_.nonEmpty)))
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    val n = tf.count(_._2.nonEmpty).toLong
+    val want = tf.filter(_._2.nonEmpty).flatMap { case (id, m) =>
+      m.toSeq.map { case (w, f) => (w, f, dfreq(w), f * (n * 10000L / dfreq(w))) }
+        .sortBy { case (w, _, _, sc) => (-sc, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, f, d, sc), i) => (id, i + 1) -> (w, f, d, sc) }
+    }
+    assert(got == want, {
+      val diff = (want.keySet ++ got.keySet)
+        .filter(k => want.get(k) != got.get(k)).take(3)
+      s"keyword drift at $diff: got ${diff.map(got.get)}, want ${diff.map(want.get)}"
+    })
+  }
+
   test("x29 diversity sample: assignment is the true rounded-cosine argmax " +
     "(driver recompute); quotas are min(4, cluster size); full cluster coverage") {
     val sf01 = "/root/testdata/sf0.01"

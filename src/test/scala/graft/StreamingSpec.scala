@@ -495,6 +495,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(residue().isEmpty, s"st12 failure path left workspace(s): ${residue()}")
   }
 
+  test("watermark late-filter lag: AvailableNow drains filter one batch behind " +
+    "eviction; incremental arrival filters at the current watermark (st17's basis)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_wmlag").toString
+    def writeOne(dir: String, name: String, mtime: Long, ts: Seq[String]): Unit = {
+      val tmp = Files.createTempDirectory("graft_wmlag_t").toString
+      ts.toDF("raw").select(col("raw").cast("timestamp").as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      val dst = new java.io.File(dir, name)
+      Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    def dropsOf(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.map(p => Option(p.stateOperators)
+        .map(_.map(_.numRowsDroppedByWatermark).sum).getOrElse(0L)).sum
+    val t0 = System.currentTimeMillis() - 60000
+    // AvailableNow drain, 2 pre-listed files: the straggler arrives ONE
+    // batch after the watermark-raising row — inside the lag grace, NOT
+    // dropped
+    val inA = s"$work/a"
+    writeOne(inA, "b0.parquet", t0, Seq("2024-01-01 10:00:00", "2024-01-01 20:00:00"))
+    writeOne(inA, "b1.parquet", t0 + 10000, Seq("2024-01-01 10:30:00"))
+    def drain(in: String, name: String): Long = {
+      val ck = Files.createTempDirectory("graft_wmlag_ck").toString
+      spark.catalog.dropTempView(name)
+      val q = spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .outputMode(OutputMode.Update()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); dropsOf(q)
+    }
+    assert(drain(inA, "graft_wmlag_a") == 0L,
+      "2-batch AvailableNow drain: straggler rides the one-batch lag grace")
+    // 3 pre-listed files: the straggler lands one batch PAST the grace
+    val inB = s"$work/b"
+    writeOne(inB, "b0.parquet", t0, Seq("2024-01-01 10:00:00", "2024-01-01 20:00:00"))
+    writeOne(inB, "b1.parquet", t0 + 10000, Seq("2024-01-01 19:30:00"))
+    writeOne(inB, "b2.parquet", t0 + 20000, Seq("2024-01-01 10:30:00"))
+    assert(drain(inB, "graft_wmlag_b") == 1L,
+      "3-batch AvailableNow drain: straggler past the lag grace must drop")
+    // incremental arrival: the SAME 2-batch layout drops with no lag
+    val inC = s"$work/c"
+    writeOne(inC, "c0.parquet", t0, Seq("2024-01-01 10:00:00", "2024-01-01 20:00:00"))
+    val ck = Files.createTempDirectory("graft_wmlag_ck").toString
+    spark.catalog.dropTempView("graft_wmlag_c")
+    val q = spark.readStream.schema("ts timestamp").parquet(inC)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("graft_wmlag_c")
+      .option("checkpointLocation", ck)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      writeOne(inC, "c1.parquet", t0 + 10000, Seq("2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      assert(dropsOf(q) == 1L,
+        "incremental arrival: late row filtered at the current watermark, no lag")
+    } finally q.stop()
+  }
+
+  test("st17 late-data audit: batch split is exhaustive and the groups metric " +
+    "bounds the rows metric") {
+    val rows = graft.streaming.Streaming.st17LateDataAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val survivors = rows.map(_.getAs[Long]("n_events")).sum
+    val droppedRows = rows.head.getAs[Long]("n_dropped_rows")
+    val droppedGroups = rows.head.getAs[Long]("n_dropped_groups")
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(survivors + droppedRows == total,
+      s"split not exhaustive: $survivors survivors + $droppedRows dropped != $total")
+    assert(droppedGroups <= droppedRows && droppedGroups > 0L && droppedRows > 0L,
+      s"audit teeth: groups=$droppedGroups rows=$droppedRows must be positive, " +
+        "groups <= rows")
+  }
+
   test("st16 streaming funnel equals the batch r36 funnel bit-for-bit") {
     val streamed = graft.streaming.Streaming.st16StreamFunnel(spark, sf)
       .collect().map(_.toSeq)

@@ -1026,7 +1026,218 @@ object MatrixQueries {
         |) AS t(path, i0, i1, j0, j1, bytes, roundtrip_ok)
         |ORDER BY path""".stripMargin)
 
+  // ---------------------------------------------------------------- M17
+  /** M17: distributed LANCZOS — top-k eigenpairs of the SPD matrix,
+    * the eigen-member of the iterative family (m15/m16 solve, m17
+    * spectrally decomposes; m9 bounds only the largest singular value,
+    * m17 extracts PAIRS): k=3 Ritz pairs from an m-step Krylov basis
+    * with FULL reorthogonalization, the standard workhorse for "top
+    * eigenvectors of a matrix you can only afford to multiply by"
+    * (spectral embeddings, PCA of huge Grams, stability analysis).
+    *
+    * Distribution discipline = m15's: the matrix is the column-keyed
+    * full-symmetric block layout, every matvec is [[bvMatvec]] (narrow
+    * join + map-side-combined reduce), every vector op is a
+    * co-partitioned join, and the Krylov BASIS lives distributed as
+    * one (block → m×blk slab) frame — so full reorthogonalization is
+    * TWO jobs per iteration regardless of basis size (one fused
+    * Basisᵀ·w reduction producing m driver scalars, one fused
+    * w −= Basis·c update), not m separate dot-jobs; done twice
+    * ("twice is enough", Parlett) for orthogonality to machine
+    * precision. The driver sees only the tridiagonal (α, β) — its
+    * m×m eigensolve reuses m14's cyclic-Jacobi [[LocalLA.symEig]].
+    * Iteration stops when the FREE Lanczos residual bound
+    * |β_m·s_{m,k}| clears the tolerance for all k (or at mMax); the
+    * gate then checks the TRUE distributed residual ‖A·y − θ·y‖ /
+    * (|θ|·‖y‖) per extracted pair plus pairwise Ritz-vector
+    * orthonormality — not the recurrence's own estimate.
+    *
+    * Scale: per iteration ONE matvec + a bounded number of narrow
+    * joins; driver state = m scalars per reduction; basis storage
+    * m·n doubles spread over the blocks. Lineage truncated every 8
+    * iterations (m15's treatment). */
+  def m17LanczosEigen(s: SparkSession, dir: String): DataFrame =
+    m17At(s, 512, 128)
+
+  private[graft] def m17At(s: SparkSession, n: Int, blk: Int): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    // m15's SPD core + THREE planted spectral spikes: uₖ = the uniform
+    // unit vector on block k's indices (disjoint supports ⇒ exactly
+    // orthonormal, each rank-1 bump touches ONE diagonal block:
+    // +cₖ/blk on every entry), cₖ = (3−k)·n. The boosted random bulk
+    // sits in n ± O(√n) — a CLUSTERED edge, the classic slow case for
+    // any Krylov method — while the planted extremes at ~4n/3n/2n are
+    // separated by n, so the top-3 extraction converges in tens of
+    // iterations; the dense-spectrum spec cross-checks against the
+    // SAME planted matrix, so the plant is tested, not assumed.
+    val plantK = 3
+    val aByCol = BlockCholesky.spdBlocks(sc, n, blk, Seed, boost = n.toDouble)
+      .flatMap { case ((bi, bj), dm) =>
+        val d0 = LocalLA.fromDM(dm)
+        val d = if (bi == bj && bi < plantK) {
+          val bump = (plantK - bi) * n.toDouble / blk
+          Array.tabulate(d0.length, d0(0).length)((i, j) => d0(i)(j) + bump)
+        } else d0
+        if (bi == bj) Iterator((bj, (bi, d)))
+        else Iterator((bj, (bi, d)), (bi, (bj, LocalLA.transpose(d))))
+      }.partitionBy(part).cache()
+    type Basis = org.apache.spark.rdd.RDD[(Int, Array[Array[Double]])]
+    val cached = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    def keep[T <: org.apache.spark.rdd.RDD[_]](v: T): T = { v.cache(); cached += v; v }
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
+    def axpy(alpha: Double, u: BlockVec, v: BlockVec): BlockVec =
+      u.join(v, part).mapValues { case (a, b) =>
+        val w = b.clone(); var i = 0
+        while (i < w.length) { w(i) += alpha * a(i); i += 1 }
+        w
+      }
+    def bvec(f: Int => Double): BlockVec =
+      sc.parallelize(0 until q, q)
+        .map(b => (b, Array.tabulate(blk)(i => f(b * blk + i))))
+        .partitionBy(part)
+
+    val K = 3
+    val mMax = math.min(96, n)
+    // the |β·s| bound is ABSOLUTE — scale it to the spectrum (running
+    // max |α| tracks ‖T‖ within 2×) so the stop is ~1e-8 RELATIVE;
+    // an absolute 1e-9 against eigenvalues of size n never fires
+    var tScale = 0.0
+    // deterministic non-degenerate start, normalized
+    val v0raw = keep(bvec(i => 1.0 + math.sin(i * 0.7)))
+    val v0nrm = math.sqrt(dot(v0raw, v0raw))
+    var v: BlockVec = keep(v0raw.mapValues(_.map(_ / v0nrm)))
+    var vPrev: BlockVec = null
+    var basis: Basis = keep(v.mapValues(a => Array(a)))
+    val alphas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val betas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var beta = 0.0
+    var converged = false
+    var breakdown = false
+    while (alphas.length < mMax && !converged && !breakdown) {
+      var w: BlockVec = keep(bvMatvec(aByCol, v, part))
+      if (vPrev != null) w = keep(axpy(-beta, vPrev, w))
+      val alpha = dot(w, v)
+      w = keep(axpy(-alpha, v, w))
+      alphas += alpha
+      tScale = math.max(tScale, math.abs(alpha))
+      // full reorthogonalization, twice: c = Basisᵀw (ONE fused
+      // reduction job however wide the basis), then w −= Basis·c
+      for (_ <- 0 until 2) {
+        val c = basis.join(w, part).map { case (_, (vb, wb)) =>
+          Array.tabulate(vb.length) { i =>
+            val bi = vb(i); var acc = 0.0; var t = 0
+            while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
+            acc
+          }
+        }.reduce { (x, y) =>
+          val z = x.clone(); var i = 0
+          while (i < z.length) { z(i) += y(i); i += 1 }
+          z
+        }
+        w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
+          val out = wb.clone()
+          var i = 0
+          while (i < vb.length) {
+            val bi = vb(i); val ci = c(i); var t = 0
+            while (t < out.length) { out(t) -= ci * bi(t); t += 1 }
+            i += 1
+          }
+          out
+        })
+      }
+      beta = math.sqrt(dot(w, w))
+      if (beta < 1e-12 * math.abs(alpha)) breakdown = true // invariant subspace
+      else {
+        betas += beta
+        vPrev = v
+        v = keep(w.mapValues(_.map(_ / beta)))
+        basis = keep(basis.join(v, part).mapValues { case (vb, nv) => vb :+ nv })
+        // truncate EVERY live reference the next iteration's joins will
+        // serialize, EVERY iteration (basis, v and vPrev — tasks ship
+        // the whole RDD object graph; caching does not cut it, only a
+        // checkpoint does; a chained vPrev overflows the task
+        // deserializer's stack within ~30 iterations). Blocks are
+        // already materialized in memory, so this is bookkeeping, not
+        // recompute.
+        basis.localCheckpoint(); v.localCheckpoint(); vPrev.localCheckpoint()
+        sc.union(Seq(v, vPrev)).foreachPartition(_ => ())
+        basis.foreachPartition(_ => ())
+        // FREE residual bound from the tridiagonal: |β_m · s_{m,k}|
+        val m = alphas.length
+        if (m > K) {
+          val t = Array.tabulate(m, m)((i, j) =>
+            if (i == j) alphas(i)
+            else if (math.abs(i - j) == 1) betas(math.min(i, j)) else 0.0)
+          val (_, evec) = LocalLA.symEig(t)
+          converged = (0 until K).forall(k =>
+            math.abs(beta * evec(m - 1)(k)) < 1e-8 * tScale)
+        }
+      }
+    }
+    val m = alphas.length
+    val t = Array.tabulate(m, m)((i, j) =>
+      if (i == j) alphas(i)
+      else if (math.abs(i - j) == 1) betas(math.min(i, j)) else 0.0)
+    val (theta, sVec) = LocalLA.symEig(t)
+    // Ritz vectors Y = V·S_K in ONE pass over the basis
+    val sCols = Array.tabulate(K, m)((k, i) => sVec(i)(k))
+    // the basis carries m+1 vectors (v_{m+1} is appended before the
+    // convergence check) — the Ritz blend uses exactly the first m
+    val y: Basis = keep(basis.mapValues { vb =>
+      Array.tabulate(K) { k =>
+        val out = new Array[Double](vb(0).length)
+        var i = 0
+        while (i < m) {
+          val ci = sCols(k)(i); val bi = vb(i); var p = 0
+          while (p < out.length) { out(p) += ci * bi(p); p += 1 }
+          i += 1
+        }
+        out
+      }
+    })
+    // pairwise Gram of the Ritz vectors — one reduction job
+    val gram = y.map { case (_, arr) =>
+      Array.tabulate(K, K) { (a, b) =>
+        var acc = 0.0; var p = 0
+        while (p < arr(a).length) { acc += arr(a)(p) * arr(b)(p); p += 1 }
+        acc
+      }
+    }.reduce { (xa, xb) =>
+      Array.tabulate(K, K)((a, b) => xa(a)(b) + xb(a)(b))
+    }
+    val orthoErr = (for (a <- 0 until K; b <- 0 until K) yield
+      math.abs(gram(a)(b) - (if (a == b) 1.0 else 0.0))).max
+    // TRUE residuals via distributed matvec per pair
+    val rows = (0 until K).map { k =>
+      val yk: BlockVec = y.mapValues(_(k))
+      val ay = bvMatvec(aByCol, yk, part)
+      val th = theta(k)
+      val r2 = ay.join(yk, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val d0 = a(i) - th * b(i); acc += d0 * d0; i += 1 }
+        acc
+      }.sum()
+      val residRel = math.sqrt(r2) / (math.abs(th) * math.sqrt(gram(k)(k)))
+      (k + 1, th, residRel, orthoErr, m,
+        residRel < 1e-7 && orthoErr < 1e-8 && th > 0.0 &&
+          (k == 0 || th <= theta(k - 1)))
+    }
+    cached.foreach(_.unpersist(false))
+    aByCol.unpersist(false)
+    rows.toDF("rank", "theta", "resid_rel", "ortho_err", "iters", "pass")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_lanczos_eigen" -> (m17LanczosEigen _),
     "m1_generate"   -> (m1Generate _),
     "m2_local_lu"   -> (m2LocalLU _),
     "m3_dist_lu"    -> (m3DistLU _),

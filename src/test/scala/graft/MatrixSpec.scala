@@ -441,6 +441,36 @@ class MatrixSpec extends AnyFunSuite {
       s"preconditioner bought <2x: cg=${row.getAs[Int]("cg_iters")} pcg=${row.getAs[Int]("pcg_iters")}")
   }
 
+  test("m17: Lanczos top-3 Ritz values match the dense spectrum; gates green") {
+    val n = 256; val blk = 64; val q = n / blk
+    val rows = MatrixQueries.m17At(spark, n, blk).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getAs[Boolean]("pass"), r.toString))
+    info(rows.map(r => f"theta${r.getAs[Int]("rank")}=${r.getAs[Double]("theta")}%.6f " +
+      f"resid=${r.getAs[Double]("resid_rel")}%.2e").mkString(" "))
+    // dense ground truth over the SAME matrix (m15-spec assembly +
+    // m17's planted spikes: +cₖ/blk on diagonal block k, cₖ = (3−k)·n)
+    val aLoc = Array.ofDim[Double](n, n)
+    for (bi <- 0 until q; bj <- 0 to bi) {
+      val a = MatrixGen.localBlock(blk, seed, bi, bj, 0.0)
+      val at = MatrixGen.localBlock(blk, seed, bj, bi, 0.0)
+      val bump = if (bi == bj && bi < 3) (3 - bi) * n.toDouble / blk else 0.0
+      for (i <- 0 until blk; j <- 0 until blk) {
+        var v = (a(i)(j) + at(j)(i)) / 2 + bump
+        if (bi == bj && i == j) v += n.toDouble
+        aLoc(bi * blk + i)(bj * blk + j) = v
+        aLoc(bj * blk + j)(bi * blk + i) = v
+      }
+    }
+    val (lam, _) = LocalLA.symEig(aLoc)
+    rows.foreach { r =>
+      val k = r.getAs[Int]("rank") - 1
+      val th = r.getAs[Double]("theta")
+      assert(math.abs(th - lam(k)) <= 1e-6 * math.abs(lam(k)),
+        f"Ritz value $k drifted: theta=$th%.9f dense=${lam(k)}%.9f")
+    }
+  }
+
   test("rank-deficient tall solve: ridge fallback engages and matches a local oracle") {
     val m = 512; val d = 8; val blk = 32
     // duplicate column 6 into column 7 → numerical rank d-1

@@ -264,6 +264,20 @@ object ScaleSweep {
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       println(f"""[scale] {"m15_n":$n,"sec":$dt%.2f}""")
     }
+    // eigen-family trend point: m17 Lanczos at 1×/2×/4× the gate n —
+    // per-iteration cost is the same O(n²) matvec as m15 plus the
+    // basis reorthogonalization (O(n·m) per iteration); the planted
+    // spikes keep the iteration count ~constant across n, so the
+    // curve isolates the matvec/basis cost
+    Seq(512, 1024, 2048).foreach { n =>
+      val t0 = System.nanoTime()
+      val ok = try { graft.matrix.MatrixQueries.m17At(spark, n, 128).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] m17@n=$n failed: $e"); false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      println(f"""[scale] {"m17_n":$n,"sec":$dt%.2f}""")
+    }
     // codebook-quality probe at the LARGEST corpus: does 256-entry PQ
     // (classic 8-bit) recover at the codebook what the 64-entry books
     // lose at scale? Shortlist recall bounds s9's post-rerank recall.

@@ -1255,8 +1255,12 @@ object TextAnalysis {
     val terms = documents(s, d)
       .select(col("doc_id"), explode(split(norm, " +")).as("term"))
       .filter(length(col("term")) > 0)
+    // tf feeds THREE consumers (df fold, N count, the scoring join) —
+    // materialize it once so the corpus tokenize+aggregate runs once,
+    // not three times (x23's histogram-frame treatment)
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))

@@ -1187,12 +1187,16 @@ object MatrixQueries {
       if (i == j) alphas(i)
       else if (math.abs(i - j) == 1) betas(math.min(i, j)) else 0.0)
     val (theta, sVec) = LocalLA.symEig(t)
+    // an early invariant-subspace breakdown can leave m < K Ritz pairs
+    // — extract what exists (the `pass` gate still demands K rows via
+    // the spec, so a silent breakdown surfaces, it doesn't crash)
+    val kEff = math.min(K, m)
     // Ritz vectors Y = V·S_K in ONE pass over the basis
-    val sCols = Array.tabulate(K, m)((k, i) => sVec(i)(k))
+    val sCols = Array.tabulate(kEff, m)((k, i) => sVec(i)(k))
     // the basis carries m+1 vectors (v_{m+1} is appended before the
     // convergence check) — the Ritz blend uses exactly the first m
     val y: Basis = keep(basis.mapValues { vb =>
-      Array.tabulate(K) { k =>
+      Array.tabulate(kEff) { k =>
         val out = new Array[Double](vb(0).length)
         var i = 0
         while (i < m) {
@@ -1205,18 +1209,18 @@ object MatrixQueries {
     })
     // pairwise Gram of the Ritz vectors — one reduction job
     val gram = y.map { case (_, arr) =>
-      Array.tabulate(K, K) { (a, b) =>
+      Array.tabulate(kEff, kEff) { (a, b) =>
         var acc = 0.0; var p = 0
         while (p < arr(a).length) { acc += arr(a)(p) * arr(b)(p); p += 1 }
         acc
       }
     }.reduce { (xa, xb) =>
-      Array.tabulate(K, K)((a, b) => xa(a)(b) + xb(a)(b))
+      Array.tabulate(kEff, kEff)((a, b) => xa(a)(b) + xb(a)(b))
     }
-    val orthoErr = (for (a <- 0 until K; b <- 0 until K) yield
+    val orthoErr = (for (a <- 0 until kEff; b <- 0 until kEff) yield
       math.abs(gram(a)(b) - (if (a == b) 1.0 else 0.0))).max
     // TRUE residuals via distributed matvec per pair
-    val rows = (0 until K).map { k =>
+    val rows = (0 until kEff).map { k =>
       val yk: BlockVec = y.mapValues(_(k))
       val ay = bvMatvec(aByCol, yk, part)
       val th = theta(k)

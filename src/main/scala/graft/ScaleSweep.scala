@@ -116,8 +116,9 @@ object ScaleSweep {
         // pairs grow ~linearly (one digit-neighborhood per id), not as
         // the n² cross-copy duplicate pairs a verbatim name copy would
         // plant
-        .withColumn("c_name",
-          concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))
+        // format_string pads to AT LEAST 9 digits — lpad would TRUNCATE
+        // keys past 1e9 and collide names across distinct customers
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     java.nio.file.Files.writeString(marker.toPath, s"copies=$n of $base\n")

@@ -502,10 +502,19 @@ object Corpus {
     * [[x23DecimalMinTokens]] the cross products stay longs (hash-
     * exact, what the gate records); at or above it the SAME
     * expressions run in DECIMAL(19,0)-input / DECIMAL(38,0)-product
-    * arithmetic (exact for any long-valued count, headroom to 10³⁸)
-    * and only the final bp values return to BIGINT. Both lanes are
-    * bit-identical wherever both are exact — PipelineSpec forces the
-    * threshold to 0 and asserts decimal plan + identical answers.
+    * arithmetic and only the final bp values return to BIGINT. Both
+    * lanes are bit-identical wherever both are exact — PipelineSpec
+    * forces the threshold to 0 and asserts decimal plan + identical
+    * answers.
+    *
+    * The decimal lane's OWN exact envelope ends where
+    * `sum_cross · 10⁴` (≤ 2·N_o·N_n·10⁴) passes DECIMAL(38)'s 10³⁸:
+    * ~7·10¹⁶ tokens per source — ≈3,500× a full 100 TB corpus
+    * (~2·10¹³ tokens). Past it Spark's non-ANSI decimal overflow
+    * returns NULL, i.e. a silently wrong drift report, so the lane
+    * picker THROWS there instead (a gate query must fail loud); the
+    * widening past that envelope is a two-word representation, not
+    * another cast.
     *
     * Scale shape: the two token histograms are the ONLY corpus passes
     * (explode → map-side-combined (source, word) counts); everything
@@ -551,6 +560,10 @@ object Corpus {
         coalesce(max(col("no")), lit(0L)), coalesce(max(col("nn")), lit(0L))))
       .collect()(0).getLong(0)
     val wide = maxTok >= decimalMinTokens
+    // DECIMAL(38) exact envelope: 2·maxTok²·10⁴ < 10³⁸
+    require(maxTok <= 70000000000000000L,
+      s"x23: $maxTok tokens/source exceeds the DECIMAL(38) exact envelope " +
+        "(~7e16); widen the drift arithmetic before trusting this report")
     // DECIMAL(19,0) inputs make every product land in DECIMAL(38,0)
     // EXACTLY (19+19+1 capped at 38 loses nothing for long-valued
     // counts); the long lane is the hash-exact gate form

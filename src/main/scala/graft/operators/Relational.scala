@@ -1259,11 +1259,14 @@ object Relational {
     def viol(cond: Column): Column =
       sum(when(cond, 1L).otherwise(0L)).cast(LongType)
     // referential-integrity violation count, lane picked per referenced
-    // key cardinality (one metadata-cheap count-star decides)
+    // key cardinality — read from parquet FOOTER metadata (the lane
+    // probe must not cost a dim-table scan per check; the count() path
+    // is only the fallback for a non-parquet layout)
     def riViolations(fact: DataFrame, factKey: String, dim: DataFrame,
-                     dimKey: String, out: String): DataFrame = {
+                     dimTable: String, dimKey: String, out: String): DataFrame = {
       val keys = dim.select(col(dimKey))
-      val nKeys = keys.count()
+      val nKeys = graft.sources.Tables.parquetRowCount(s, d, dimTable)
+        .getOrElse(keys.count())
       if (nKeys < bloomMinKeys)
         fact.select(col(factKey))
           .join(keys, col(factKey) === col(dimKey), "left_anti")
@@ -1272,12 +1275,18 @@ object Relational {
         val bloom = keys.stat.bloomFilter(dimKey, math.max(nKeys, 1000L), 0.01)
         val probe = graft.functions.SketchFunctions
           .bloomMightContainLong(bloom, col(factKey))
-        val definite = fact.select(col(factKey)).filter(!probe)
+        // a NULL fact key is a DEFINITE orphan (the anti-join lane and
+        // the NOT EXISTS oracle both count it) — the null-safe bloom
+        // probe returns NULL for it, which a bare !probe/probe pair
+        // would drop from BOTH branches
+        val definite = fact.select(col(factKey))
+          .filter(col(factKey).isNull || !probe)
           .agg(count(lit(1)).cast(LongType).as("v_definite"))
         // the residual join must NOT broadcast — above the ceiling the
         // key set is exactly what doesn't fit; hint the merge join so
         // the forced-threshold spec exercises the true at-scale plan
-        val residual = fact.select(col(factKey)).filter(probe)
+        val residual = fact.select(col(factKey))
+          .filter(col(factKey).isNotNull && probe)
           .join(keys.hint("SHUFFLE_MERGE"),
             col(factKey) === col(dimKey), "left_anti")
           .agg(count(lit(1)).cast(LongType).as("v_residual"))
@@ -1307,8 +1316,8 @@ object Relational {
         col("l_discount") > 0.1).as("v_discount_range"),
       viol(col("l_extendedprice").isNull ||
         col("l_extendedprice") <= 0).as("v_price_positive"))
-    val liOrphans = riViolations(li, "l_orderkey", ord, "o_orderkey",
-      "v_ri_orderkey")
+    val liOrphans = riViolations(li, "l_orderkey", ord, "orders",
+      "o_orderkey", "v_ri_orderkey")
 
     val ordAgg = ord.agg(
       count(lit(1)).as("n"),
@@ -1317,8 +1326,8 @@ object Relational {
         col("o_totalprice") <= 0).as("v_price_positive"),
       (count(lit(1)) - countDistinct(col("o_orderkey")))
         .cast(LongType).as("v_orderkey_unique"))
-    val ordOrphans = riViolations(ord, "o_custkey", cust, "c_custkey",
-      "v_ri_custkey")
+    val ordOrphans = riViolations(ord, "o_custkey", cust, "customer",
+      "c_custkey", "v_ri_custkey")
 
     val custAgg = cust.agg(
       count(lit(1)).as("n"),

@@ -61,6 +61,30 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Row count from parquet FOOTER metadata — a regime/lane picker's
+    * cardinality probe (r38's broadcast-vs-bloom choice) must not cost
+    * a table scan. Sums the row-group counts of every part file's
+    * footer; None on any layout surprise (caller counts the hard way). */
+  def parquetRowCount(s: SparkSession, dir: String, name: String): Option[Long] =
+    try {
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else {
+        var total = 0L
+        files.foreach { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += r.getRecordCount
+          finally r.close()
+        }
+        Some(total)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Register every test table as a temp view so raw `spark.sql(...)`
     * text works against the same data the DataFrame surface reads —
     * the engine's SQL-string entry point. */

@@ -264,6 +264,26 @@ object Streaming {
     }
   }
 
+  /** Writes `df` as ONE parquet file `name` under `dir` with a pinned
+    * mtime — the mtime-ordered micro-batch fixture the multi-batch
+    * replays (st13/st16/st17) drain through `maxFilesPerTrigger`. */
+  private def writeBatchFile(df: DataFrame, dir: String, name: String,
+                             mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_split").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    dst.setLastModified(mtime)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   /** Runs a bounded streaming query to a memory sink and returns the
     * sink contents. */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
@@ -1271,14 +1291,19 @@ object Streaming {
     val ev = graft.sources.Tables.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       .filter(col("event_type").isin("view", "click", "purchase"))
-    val work = java.nio.file.Files.createTempDirectory("graft_st16").toString
-    val ckpt = ckptDir("st16")
-    try {
+    // a funnel-eligible-event-free corpus has the all-zero 3-stage
+    // table as its answer (r36's n1 == 0 branch) — the percentile
+    // split below would NPE on the null aggregate instead
+    if (ev.isEmpty)
+      return Seq((1, "view", 0L, 0L), (2, "click", 0L, 0L),
+        (3, "purchase", 0L, 0L))
+        .toDF("stage", "event_type", "n_users", "conv_bp")
+        .orderBy(col("stage")).localCheckpoint(true)
+    withWorkspace("st16") { (work, ckpt) =>
       // three ts-tercile files, mtimes ascending: value-range splits
       // keep equal timestamps in one batch, so the stage-priority sort
       // below sees every tie together
       val inDir = s"$work/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
       val bounds = ev.select(
           expr("percentile_approx(CAST(ts AS DOUBLE), array(0.34, 0.67), 10000)"))
         .head.getSeq[Double](0)
@@ -1287,18 +1312,7 @@ object Streaming {
       Seq(col("ts").cast("double") < c1,
           col("ts").cast("double") >= c1 && col("ts").cast("double") < c2,
           col("ts").cast("double") >= c2).zipWithIndex.foreach { case (pred, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st16_split").toString
-        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, s"b$i.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(t0 + i * 10000)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(tmp))
+        writeBatchFile(ev.filter(pred), inDir, s"b$i.parquet", t0 + i * 10000)
       }
       def micros(t: java.sql.Timestamp): Long =
         (t.getTime / 1000) * 1000000 + t.getNanos / 1000
@@ -1351,13 +1365,6 @@ object Streaming {
         .toDF("stage", "event_type", "n_users", "conv_bp")
         .orderBy(col("stage"))
         .localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(ckpt)
-      rm(new java.io.File(work))
     }
   }
 
@@ -1407,35 +1414,29 @@ object Streaming {
     * maintains. */
   def st17LateDataAudit(s0: SparkSession, d: String): DataFrame = {
     val s = scoped(s0)
+    import s.implicits._
     val ev = graft.sources.Tables.events(s, d).select(col("event_id"), col("ts"))
-    val work = java.nio.file.Files.createTempDirectory("graft_st17").toString
-    val ckpt = ckptDir("st17")
-    try {
+    // wm after batch 0, in Spark's arithmetic: ms-floored max even
+    // event time minus the 1 h delay, re-expressed in micros; a
+    // corpus with no even-id rows has a NULL max — the empty audit is
+    // the answer (the oracle's surv CTE is empty too), not an NPE
+    val maxRow = ev.filter(col("event_id") % 2 === 0)
+      .agg(max(unix_micros(col("ts")))).head
+    if (maxRow.isNullAt(0))
+      return Seq.empty[(String, Long, Long, Long)]
+        .toDF("win_start", "n_events", "n_dropped_rows", "n_dropped_groups")
+        .localCheckpoint(true)
+    val maxEvenUs = maxRow.getLong(0)
+    val wmUs = (maxEvenUs / 1000 - 3600000L) * 1000
+    val windowEndUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
+    withWorkspace("st17") { (work, ckpt) =>
       val inDir = s"$work/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
       val t0 = System.currentTimeMillis() - 60000
-      // wm after batch 0, in Spark's arithmetic: ms-floored max even
-      // event time minus the 1 h delay, re-expressed in micros
-      val maxEvenUs = ev.filter(col("event_id") % 2 === 0)
-        .agg(max(unix_micros(col("ts")))).head.getLong(0)
-      val wmUs = (maxEvenUs / 1000 - 3600000L) * 1000
-      val windowEndUs = unix_micros(date_trunc("hour", col("ts"))) + lit(3600000000L)
       Seq(col("event_id") % 2 === 0,
           col("event_id") % 2 === 1 && windowEndUs > wmUs,
           col("event_id") % 2 === 1 && windowEndUs <= wmUs)
         .zipWithIndex.foreach { case (pred, i) =>
-          val tmp = java.nio.file.Files.createTempDirectory("graft_st17_split").toString
-          ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(inDir, s"b$i.parquet")
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(t0 + i * 10000)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
-          rm(new java.io.File(tmp))
+          writeBatchFile(ev.filter(pred), inDir, s"b$i.parquet", t0 + i * 10000)
         }
       val agg = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
@@ -1464,13 +1465,6 @@ object Streaming {
         .withColumn("n_dropped_groups", lit(droppedGroups))
         .orderBy(col("win_start"))
         .localCheckpoint(true)
-    } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(ckpt)
-      rm(new java.io.File(work))
     }
   }
 

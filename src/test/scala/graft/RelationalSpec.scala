@@ -278,11 +278,15 @@ class RelationalSpec extends AnyFunSuite {
       val cust = graft.sources.Tables.customer(spark, sf)
       li.union(li.limit(2).withColumn("l_quantity", lit(99.0)))     // 2× range
         .union(li.limit(1).withColumn("l_orderkey", lit(-1L)))      // 1× orphan
+        .union(li.limit(1).withColumn("l_orderkey",
+          lit(null).cast("long")))                                  // 1× NULL-FK orphan
         .write.parquet(s"${work.getAbsolutePath}/lineitem.parquet")
       ord.union(ord.limit(1).withColumn("o_orderkey", lit(-2L))
           .withColumn("o_orderstatus", lit("X")))                   // 1× domain
         .union(ord.limit(1).withColumn("o_orderkey", lit(-3L))
           .withColumn("o_custkey", lit(-5L)))                       // 1× orphan
+        .union(ord.limit(1).withColumn("o_orderkey", lit(-8L))
+          .withColumn("o_custkey", lit(null).cast("long")))         // 1× NULL-FK orphan
         .union(ord.limit(1))                                        // 1× dup key
         .write.parquet(s"${work.getAbsolutePath}/orders.parquet")
       cust.union(cust.limit(1))                                     // 1× dup key
@@ -297,19 +301,20 @@ class RelationalSpec extends AnyFunSuite {
         ("lineitem", "quantity_range") -> (2L, false),
         ("lineitem", "discount_range") -> (0L, true),
         ("lineitem", "price_positive") -> (0L, true),
-        ("lineitem", "ri_orderkey") -> (1L, false),
+        ("lineitem", "ri_orderkey") -> (2L, false),
         ("orders", "status_domain") -> (1L, false),
         ("orders", "price_positive") -> (0L, true),
         ("orders", "orderkey_unique") -> (1L, false),
-        ("orders", "ri_custkey") -> (1L, false),
+        ("orders", "ri_custkey") -> (2L, false),
         ("customer", "custkey_unique") -> (1L, false),
         ("customer", "name_not_null") -> (1L, false),
         ("customer", "segment_not_null") -> (0L, true))
       assert(got == expected,
         s"corruption not isolated per check:\n got=$got\n exp=$expected")
       // the forced bloom lane must catch the SAME orphans: definite
-      // (bloom-rejected) + residual (false-positive survivors) sums to
-      // the exact anti-join count
+      // (bloom-rejected, including the NULL FKs a bare !probe/probe
+      // pair would drop from both branches) + residual (false-positive
+      // survivors) sums to the exact anti-join count
       val gotBloom = Relational.r38Impl(spark, work.getAbsolutePath, 0L).collect()
         .map(r => (r.getString(0), r.getString(1)) ->
           (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap

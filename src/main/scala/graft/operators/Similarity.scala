@@ -33,6 +33,8 @@ object Similarity {
 
   private val K = 5        // neighbors per query
   private val NQueries = 10
+  /** The query-set size, for cross-package serving members (st18). */
+  private[graft] def nQueries: Int = NQueries
 
   import graft.functions.VectorFunctions.{vecDot, vecNorm2}
 

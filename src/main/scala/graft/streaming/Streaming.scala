@@ -1495,7 +1495,79 @@ object Streaming {
       |       (SELECT n_groups FROM drp) AS n_dropped_groups
       |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------- ST18
+  /** ST18: continuous ANN SERVING against the durable index — st12 is
+    * the ingest half of a vector service, st18 is the query half:
+    * query vectors arrive in micro-batches (three mtime-pinned files
+    * split by vec_id % 3) and each batch is answered through the s7
+    * serving path (pruned int8 scoring scan + pruned float rerank)
+    * against the SAME immutable cell-partitioned index generation,
+    * via `foreachBatch`. The exactness claim is the SERVING IDENTITY:
+    * a probe touches only its own query's cells and candidate rows,
+    * so per-query answers are independent of batch composition and
+    * the union of the streamed answers must equal the one-shot batch
+    * probe BIT-FOR-BIT — gated in-query (`serve_ok`, enforced by
+    * Verify.gateInvariants), not merely recall-floored; `batches_ok`
+    * additionally proves the drain really ran as three micro-batches
+    * (a collapsed single batch would make the identity vacuous).
+    *
+    * Scale: per micro-batch cost ∝ |batch| probes; serving state is
+    * NONE (the index is immutable shared storage — which is exactly
+    * what the bit-identity gate demonstrates); the index build is
+    * ingest work shared with s7 (found durable, not rebuilt). */
+  def st18StreamAnnServe(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.vecNorm2
+    val (path, anchors, nCells) = Similarity.ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
+    val nq = Similarity.nQueries
+    val queries = graft.sources.Tables.embeddings(s, d)
+      .filter(col("vec_id") < nq).select(col("vec_id"), col("embedding"))
+    withWorkspace("st18") { (work, ckpt) =>
+      val inDir = s"$work/in"
+      val outDir = s"$work/out"
+      val t0 = System.currentTimeMillis() - 60000
+      (0 until 3).foreach { i =>
+        writeBatchFile(queries.filter(col("vec_id") % 3 === i), inDir,
+          s"b$i.parquet", t0 + i * 10000)
+      }
+      val q = s.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val prep = batch
+            .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+          Similarity.probeIndex(s, path, prep, anchors, nProbe)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val served = s.read.parquet(outDir)
+      val oneShot = Similarity.probeIndex(s, path, Similarity.prepared(s, d),
+        anchors, nProbe)
+        .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+        .localCheckpoint(true)
+      val a = served.select(col("query_id"), col("neighbor_id"), col("cos4"),
+        col("rn"))
+      val ok = a.exceptAll(oneShot).isEmpty && oneShot.exceptAll(a).isEmpty
+      val nBatches = served.select(col("batch_id")).distinct().count()
+      served
+        .withColumn("n_batches", lit(nBatches))
+        .withColumn("serve_ok", lit(ok))
+        .withColumn("batches_ok", lit(nBatches == 3L))
+        .orderBy(col("query_id"), col("rn"))
+        .localCheckpoint(true) // eager: outDir dies with the workspace
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_ann_serve" -> (st18StreamAnnServe _),
     "st17_late_data_audit" -> (st17LateDataAudit _),
     "st16_stream_funnel" -> (st16StreamFunnel _),
     "st15_stream_drift" -> (st15StreamDrift _),

@@ -577,6 +577,25 @@ class StreamingSpec extends AnyFunSuite {
         "groups <= rows")
   }
 
+  test("st18 streamed ANN serving: three micro-batches, answers bit-identical " +
+    "to the one-shot probe, every query fully served") {
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.streaming.Streaming.st18StreamAnnServe(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("serve_ok") && r.getAs[Boolean]("batches_ok"),
+        s"serving identity broken: $r")
+    }
+    // the drain really interleaved: all three batches produced answers
+    assert(rows.map(_.getAs[Long]("batch_id")).toSet == Set(0L, 1L, 2L),
+      "queries were not served across three distinct micro-batches")
+    // every query served exactly top-K, ranks dense from 1
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length),
+        s"query $q ranks not dense")
+    }
+  }
+
   test("st16 streaming funnel equals the batch r36 funnel bit-for-bit") {
     val streamed = graft.streaming.Streaming.st16StreamFunnel(spark, sf)
       .collect().map(_.toSeq)

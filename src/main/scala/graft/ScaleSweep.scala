@@ -222,7 +222,11 @@ object ScaleSweep {
       "t19_keyword_extract" -> (graft.operators.TextAnalysis.t19KeywordExtract _),
       // st17: the late-data audit's cost must track batch rows (state
       // = open windows); the drop accounting itself adds no pass
-      "st17_late_data_audit" -> (graft.streaming.Streaming.st17LateDataAudit _))
+      "st17_late_data_audit" -> (graft.streaming.Streaming.st17LateDataAudit _),
+      // st18: streamed serving must track the PROBE cost — queries ×
+      // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
+      // growth) — never the full corpus
+      "st18_stream_ann_serve" -> (graft.streaming.Streaming.st18StreamAnnServe _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it

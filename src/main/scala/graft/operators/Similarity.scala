@@ -1585,6 +1585,19 @@ object Similarity {
     new java.io.File(indexRoot, s"graft-$name-${corpusFingerprint(d)}")
       .getAbsolutePath
 
+  /** st18's serving-identity baseline: the one-shot batch probe over
+    * the durable index — deterministic from (corpus, index), so it is
+    * a durable fingerprint-keyed witness (s14's discipline): streamed
+    * serving re-proves bit-identity against it every run without
+    * re-paying the full probe. */
+  private[graft] def st18OneShotLive(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors, nCells) = ivfIndex(s, d)
+    probeIndex(s, path, prepared(s, d), anchors, math.max(4, nCells / 4))
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+  }
+  private[graft] def st18OneShotWitness(s: SparkSession, d: String): DataFrame =
+    durableWitness(s, "st18-oneshot", d)(st18OneShotLive(s, d))
+
   /** The live computation behind [[s14ExactWitness]] — exact top-K
     * (query_id, neighbor_id) over the FINAL corpus (updates applied,
     * deletes removed). Exposed separately so the spec can assert the

@@ -1549,14 +1549,17 @@ object Streaming {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val served = s.read.parquet(outDir)
-      val oneShot = Similarity.probeIndex(s, path, Similarity.prepared(s, d),
-        anchors, nProbe)
-        .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
-        .localCheckpoint(true)
-      val a = served.select(col("query_id"), col("neighbor_id"), col("cos4"),
-        col("rn"))
-      val ok = a.exceptAll(oneShot).isEmpty && oneShot.exceptAll(a).isEmpty
-      val nBatches = served.select(col("batch_id")).distinct().count()
+      // the identity gate compares ≤ NQueries·K rows — driver-side
+      // multiset equality, not exceptAll shuffles
+      val servedRows = served.select(col("query_id"), col("neighbor_id"),
+        col("cos4"), col("rn"), col("batch_id")).collect()
+      // the baseline is a durable fingerprint-keyed witness (s14's
+      // discipline) — found, not re-probed, on every later run
+      val oneShot = Similarity.st18OneShotWitness(s, d).collect()
+      def multiset(rs: Array[org.apache.spark.sql.Row], w: Int) =
+        rs.map(_.toSeq.take(w)).groupBy(identity).view.mapValues(_.length).toMap
+      val ok = multiset(servedRows, 4) == multiset(oneShot, 4)
+      val nBatches = servedRows.map(_.getLong(4)).distinct.length.toLong
       served
         .withColumn("n_batches", lit(nBatches))
         .withColumn("serve_ok", lit(ok))

@@ -589,6 +589,14 @@ class StreamingSpec extends AnyFunSuite {
     // the drain really interleaved: all three batches produced answers
     assert(rows.map(_.getAs[Long]("batch_id")).toSet == Set(0L, 1L, 2L),
       "queries were not served across three distinct micro-batches")
+    // the durable identity witness equals a live one-shot probe — a
+    // stale or corrupted stored baseline must fail here, not pass
+    // silently through the found-witness fast path
+    val stored = graft.operators.Similarity.st18OneShotWitness(spark, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val live = graft.operators.Similarity.st18OneShotLive(spark, sf01)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(stored.sameElements(live), "st18 witness drifted from a live probe")
     // every query served exactly top-K, ranks dense from 1
     rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
       assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length),

@@ -1511,10 +1511,16 @@ object Streaming {
     * additionally proves the drain really ran as three micro-batches
     * (a collapsed single batch would make the identity vacuous).
     *
-    * Scale: per micro-batch cost ∝ |batch| probes; serving state is
-    * NONE (the index is immutable shared storage — which is exactly
-    * what the bit-identity gate demonstrates); the index build is
-    * ingest work shared with s7 (found durable, not rebuilt). */
+    * Scale: per micro-batch cost ∝ |batch| probes of ≈√corpus-sized
+    * cells; serving state is NONE (the index is immutable shared
+    * storage — which is exactly what the bit-identity gate
+    * demonstrates); the index build is ingest work shared with s7
+    * (found durable, not rebuilt), and the identity baseline is a
+    * fingerprint-keyed durable witness (s14's discipline).
+    * Exactly-once note: the bounded AvailableNow replay appends each
+    * batch's answers once by construction; a RESTARTED production
+    * stream must key the sink write by (epochId, query) for
+    * idempotence — foreachBatch's standard at-least-once contract. */
   def st18StreamAnnServe(s0: SparkSession, d: String): DataFrame = {
     val s = scoped(s0)
     import graft.operators.Similarity

@@ -1188,9 +1188,12 @@ object MatrixQueries {
       else if (math.abs(i - j) == 1) betas(math.min(i, j)) else 0.0)
     val (theta, sVec) = LocalLA.symEig(t)
     // an early invariant-subspace breakdown can leave m < K Ritz pairs
-    // — extract what exists (the `pass` gate still demands K rows via
-    // the spec, so a silent breakdown surfaces, it doesn't crash)
+    // — extract what exists, and record the shortfall as a GATE column
+    // (`rank_complete`): fewer-but-green rows would otherwise pass
+    // Verify.gateInvariants vacuously (boolean checks can't see a
+    // missing row)
     val kEff = math.min(K, m)
+    val rankComplete = kEff == K
     // Ritz vectors Y = V·S_K in ONE pass over the basis
     val sCols = Array.tabulate(kEff, m)((k, i) => sVec(i)(k))
     // the basis carries m+1 vectors (v_{m+1} is appended before the
@@ -1230,13 +1233,14 @@ object MatrixQueries {
         acc
       }.sum()
       val residRel = math.sqrt(r2) / (math.abs(th) * math.sqrt(gram(k)(k)))
-      (k + 1, th, residRel, orthoErr, m,
+      (k + 1, th, residRel, orthoErr, m, rankComplete,
         residRel < 1e-7 && orthoErr < 1e-8 && th > 0.0 &&
           (k == 0 || th <= theta(k - 1)))
     }
     cached.foreach(_.unpersist(false))
     aByCol.unpersist(false)
-    rows.toDF("rank", "theta", "resid_rel", "ortho_err", "iters", "pass")
+    rows.toDF("rank", "theta", "resid_rel", "ortho_err", "iters",
+        "rank_complete_ok", "pass")
       .orderBy("rank")
   }
 

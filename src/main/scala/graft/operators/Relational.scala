@@ -1263,9 +1263,9 @@ object Relational {
     // probe must not cost a dim-table scan per check; the count() path
     // is only the fallback for a non-parquet layout)
     def riViolations(fact: DataFrame, factKey: String, dim: DataFrame,
-                     dimTable: String, dimKey: String, out: String): DataFrame = {
+                     dimKey: String, out: String): DataFrame = {
       val keys = dim.select(col(dimKey))
-      val nKeys = graft.sources.Tables.parquetRowCount(s, d, dimTable)
+      val nKeys = graft.sources.Tables.parquetRowCountOfScan(s, dim)
         .getOrElse(keys.count())
       if (nKeys < bloomMinKeys)
         fact.select(col(factKey))
@@ -1316,8 +1316,8 @@ object Relational {
         col("l_discount") > 0.1).as("v_discount_range"),
       viol(col("l_extendedprice").isNull ||
         col("l_extendedprice") <= 0).as("v_price_positive"))
-    val liOrphans = riViolations(li, "l_orderkey", ord, "orders",
-      "o_orderkey", "v_ri_orderkey")
+    val liOrphans = riViolations(li, "l_orderkey", ord, "o_orderkey",
+      "v_ri_orderkey")
 
     val ordAgg = ord.agg(
       count(lit(1)).as("n"),
@@ -1326,8 +1326,8 @@ object Relational {
         col("o_totalprice") <= 0).as("v_price_positive"),
       (count(lit(1)) - countDistinct(col("o_orderkey")))
         .cast(LongType).as("v_orderkey_unique"))
-    val ordOrphans = riViolations(ord, "o_custkey", cust, "customer",
-      "c_custkey", "v_ri_custkey")
+    val ordOrphans = riViolations(ord, "o_custkey", cust, "c_custkey",
+      "v_ri_custkey")
 
     val custAgg = cust.agg(
       count(lit(1)).as("n"),

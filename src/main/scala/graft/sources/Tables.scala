@@ -61,22 +61,23 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Row count from parquet FOOTER metadata — a regime/lane picker's
-    * cardinality probe (r38's broadcast-vs-bloom choice) must not cost
-    * a table scan. Sums the row-group counts of every part file's
-    * footer; None on any layout surprise (caller counts the hard way). */
-  def parquetRowCount(s: SparkSession, dir: String, name: String): Option[Long] =
+  /** Row count of an UNFILTERED parquet scan from FOOTER metadata — a
+    * regime/lane picker's cardinality probe (r38's broadcast-vs-bloom
+    * choice) must not cost a table scan. Reads the frame's OWN
+    * `inputFiles` (so the probe is bound to exactly the data the
+    * caller scans — no path/name pair to drift) and sums the footers'
+    * row-group counts; None on any layout surprise (caller counts the
+    * hard way). Footers can't see filters: pass the raw table frame. */
+  def parquetRowCountOfScan(s: SparkSession, df: DataFrame): Option[Long] =
     try {
       val conf = s.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-      val fs = root.getFileSystem(conf)
-      val files = fs.listStatus(root).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
+      val files = df.inputFiles.filter(_.endsWith(".parquet"))
       if (files.isEmpty) None
       else {
         var total = 0L
-        files.foreach { p =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        files.foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try total += r.getRecordCount
           finally r.close()

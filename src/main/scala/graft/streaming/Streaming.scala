@@ -1001,23 +1001,11 @@ object Streaming {
       // file-source order; the RESULT is split-invariant either way
       // (the merge is associative — the oracle proves it).
       val inDir = s"$work/in"
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
       val t0 = System.currentTimeMillis() - 60000
       Seq(col("event_id") % 2 === 0 && col("user_id") % 2 === 0,
           col("event_id") % 2 === 0 && col("user_id") % 2 === 1,
           col("event_id") % 2 === 1).zipWithIndex.foreach { case (pred, i) =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_st13_split").toString
-        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(inDir, s"b$i.parquet")
-        java.nio.file.Files.copy(part.toPath, dst.toPath)
-        dst.setLastModified(t0 + i * 10000)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete()
-        }
-        rm(new java.io.File(tmp))
+        writeBatchFile(ev.filter(pred), inDir, s"b$i.parquet", t0 + i * 10000)
       }
       val genPtr = new java.util.concurrent.atomic.AtomicReference[String](null)
       val genCnt = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1295,7 +1283,10 @@ object Streaming {
     // table as its answer (r36's n1 == 0 branch) — the percentile
     // split below would NPE on the null aggregate instead
     if (ev.isEmpty)
-      return Seq((1, "view", 0L, 0L), (2, "click", 0L, 0L),
+      // r36's convention: stage 1's conversion is DEFINED as 10000 bp
+      // (of itself) even when the cohort is empty — the oracle
+      // hardcodes it, so the guard must too
+      return Seq((1, "view", 0L, 10000L), (2, "click", 0L, 0L),
         (3, "purchase", 0L, 0L))
         .toDF("stage", "event_type", "n_users", "conv_bp")
         .orderBy(col("stage")).localCheckpoint(true)

@@ -445,7 +445,8 @@ class MatrixSpec extends AnyFunSuite {
     val n = 256; val blk = 64; val q = n / blk
     val rows = MatrixQueries.m17At(spark, n, blk).collect()
     assert(rows.length == 3)
-    rows.foreach(r => assert(r.getAs[Boolean]("pass"), r.toString))
+    rows.foreach(r => assert(r.getAs[Boolean]("pass") &&
+      r.getAs[Boolean]("rank_complete_ok"), r.toString))
     info(rows.map(r => f"theta${r.getAs[Int]("rank")}=${r.getAs[Double]("theta")}%.6f " +
       f"resid=${r.getAs[Double]("resid_rel")}%.2e").mkString(" "))
     // dense ground truth over the SAME matrix (m15-spec assembly +

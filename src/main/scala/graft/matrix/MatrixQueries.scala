@@ -1244,7 +1244,140 @@ object MatrixQueries {
       .orderBy("rank")
   }
 
+  /** M18: BiCGSTAB solve of a NONSYMMETRIC system A·x = b — the
+    * general-matrix member of the iterative family (m15/m16 require
+    * SPD, m17 symmetric; until now a general dense A had only the
+    * direct LU path when a factorization is unaffordable). Van der
+    * Vorst's stabilized bi-conjugate gradient: TWO distributed matvecs
+    * per iteration ([[bvMatvec]] on the column-keyed block layout),
+    * every vector update a narrow co-partitioned axpy join, and the
+    * ONLY driver traffic is five recurrence scalars per iteration
+    * (three fused reduction jobs), regardless of n — m15's discipline
+    * unchanged.
+    *
+    * The system is DELIBERATELY nonsymmetric: [[MatrixGen.blocks]]'s
+    * seeded dense blocks (a_ij ≠ a_ji — MatrixSpec asserts the
+    * asymmetry has teeth) with diagonal boost n, so row dominance
+    * keeps it well-conditioned and a convergence failure or recurrence
+    * breakdown (ρ→0 / ω→0 — both exit LOUD as `pass=false`, never a
+    * hang: the iteration cap is n) would be an engine bug, not an
+    * ill-conditioning artifact. b is PLANTED as A·x* through the same
+    * distributed matvec; the gate checks the TRUE residual
+    * ‖A·x̂−b‖/‖b‖ (one extra matvec) AND recovery of x*, and
+    * MatrixSpec sandwiches x̂ against an independent driver-local LU
+    * solve of the same system. Lineage: localCheckpoint-truncated
+    * every 8 iterations; all per-iteration caches dropped on return. */
+  def m18BicgStab(s: SparkSession, dir: String): DataFrame =
+    m18At(s, 512, 128)
+
+  /** The BiCGSTAB solve at a caller-chosen size (ScaleSweep trend
+    * points ride this, m15At's pattern). */
+  private[graft] def m18At(s: SparkSession, n: Int, blk: Int): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    val aByCol = MatrixGen.blocks(sc, n, blk, Seed, diagBoost = n.toDouble)
+      .map { case ((bi, bj), m) => (bj, (bi, LocalLA.fromDM(toDense(m)))) }
+      .partitionBy(part).cache()
+    val cached = scala.collection.mutable.ArrayBuffer.empty[BlockVec]
+    def keep(v: BlockVec): BlockVec = { v.cache(); cached += v; v }
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
+    // fused (⟨u,v⟩, ⟨v,v⟩) in ONE reduction job — BiCGSTAB needs two
+    // scalar pairs per iteration and each shares a join
+    def dotPair(u: BlockVec, v: BlockVec): (Double, Double) =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var uv = 0.0; var vv = 0.0; var i = 0
+        while (i < b.length) { uv += a(i) * b(i); vv += b(i) * b(i); i += 1 }
+        (uv, vv)
+      }.reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    def axpy(alpha: Double, u: BlockVec, v: BlockVec): BlockVec =
+      u.join(v, part).mapValues { case (a, b) =>
+        val w = b.clone(); var i = 0
+        while (i < w.length) { w(i) += alpha * a(i); i += 1 }
+        w
+      }
+    def bvec(f: Int => Double): BlockVec =
+      sc.parallelize(0 until q, q)
+        .map(b => (b, Array.tabulate(blk)(i => f(b * blk + i))))
+        .partitionBy(part)
+
+    val xStar = keep(bvec(i => 1.0 + (i % 7) * 0.25))
+    val b0 = keep(bvMatvec(aByCol, xStar, part))
+    val bNrm = math.sqrt(dot(b0, b0))
+
+    var x: BlockVec = keep(bvec(_ => 0.0))
+    var r: BlockVec = b0 // r₀ = b − A·0
+    val rHat = b0 // shadow residual r̂₀ = r₀, fixed for the whole solve
+    var p: BlockVec = r
+    var rho = bNrm * bNrm // ⟨r̂,r⟩ with r = r̂ = b
+    var rNrm2 = rho
+    var it = 0
+    var breakdown = false
+    while (it < n && math.sqrt(rNrm2) / bNrm > 1e-12 && !breakdown) {
+      val av = keep(bvMatvec(aByCol, p, part))
+      val rhv = dot(rHat, av)
+      if (math.abs(rhv) < 1e-300) breakdown = true
+      else {
+        val alpha = rho / rhv
+        val sv = keep(axpy(-alpha, av, r))
+        val t = keep(bvMatvec(aByCol, sv, part))
+        val (ts, tt) = dotPair(sv, t) // (⟨s,t⟩, ⟨t,t⟩)
+        if (tt < 1e-300) {
+          // t = A·s = 0 with nonsingular A ⇒ s = 0: the half-step
+          // already converged — take it and let the loop condition exit
+          x = keep(axpy(alpha, p, x)); r = sv
+          rNrm2 = 0.0; it += 1
+        } else {
+          val omega = ts / tt
+          val xN = keep(axpy(omega, sv, keep(axpy(alpha, p, x))))
+          val rN = keep(axpy(-omega, t, sv))
+          val (rhoN, rN2) = dotPair(rHat, rN) // (⟨r̂,r⟩, ⟨r,r⟩)
+          if (math.abs(omega) < 1e-300 ||
+              (math.abs(rhoN) < 1e-300 && math.sqrt(rN2) / bNrm > 1e-12))
+            breakdown = true
+          else {
+            val beta = (rhoN / rho) * (alpha / omega)
+            val pN = keep(axpy(beta, keep(axpy(-omega, av, p)), rN))
+            if (it % 8 == 7) {
+              xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
+              sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+            }
+            x = xN; r = rN; p = pN
+            rho = rhoN; rNrm2 = rN2
+          }
+          it += 1
+        }
+      }
+    }
+    // TRUE residual via one more distributed matvec
+    val ax = bvMatvec(aByCol, x, part)
+    val tr = ax.join(b0, part).map { case (_, (a, b)) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d0 = a(i) - b(i); acc += d0 * d0; i += 1 }
+      acc
+    }.sum()
+    val err = x.join(xStar, part).map { case (_, (xa, xs)) =>
+      var m = 0.0; var i = 0
+      while (i < xa.length) { m = math.max(m, math.abs(xa(i) - xs(i))); i += 1 }
+      m
+    }.max()
+    val residTrue = math.sqrt(tr) / bNrm
+    val relErr = err / 2.5 // max|x*| = 1 + 6·0.25
+    cached.foreach(_.unpersist(false))
+    aByCol.unpersist(false)
+    val pass = !breakdown && residTrue < 1e-10 && relErr < 1e-8
+    Seq((n, blk, it, residTrue, relErr, pass))
+      .toDF("n", "blk", "iters", "resid_rel", "err_rel", "pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m18_bicgstab" -> (m18BicgStab _),
     "m17_lanczos_eigen" -> (m17LanczosEigen _),
     "m1_generate"   -> (m1Generate _),
     "m2_local_lu"   -> (m2LocalLU _),

@@ -1025,7 +1025,7 @@ object Streaming {
             .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
             .localCheckpoint(true)
           val affected = delta.select(col("bucket")).distinct()
-            .collect().map(_.getInt(0)).toSet
+            .collect().map(_.getInt(0)).toSet // bounded: <= nBuckets ints
           val old = genPtr.get()
           val newGen = s"$work/gen${genCnt.incrementAndGet()}"
           // MERGE as union + latest-wins: snapshot rows and batch rows
@@ -1446,6 +1446,20 @@ object Streaming {
       }.sum
       val droppedRows = ev
         .filter(col("event_id") % 2 === 1 && windowEndUs <= wmUs).count()
+      // Cross-check the REPLAYED arithmetic (droppedRows, our
+      // re-derivation of wm = ms-floored max even ts − 1 h with the
+      // one-batch AvailableNow lag) against the MEASURED metric
+      // (droppedGroups = numRowsDroppedByWatermark over the
+      // batch-local pre-aggregated late rows, i.e. distinct late
+      // windows). If a Spark upgrade shifts the watermark algebra the
+      // two disagree on emptiness or direction — fail LOUD here, not
+      // silently publish a stale audit column. groups ≤ rows because
+      // every dropped window contains ≥1 dropped row.
+      require((droppedGroups > 0) == (droppedRows > 0) &&
+              droppedGroups <= droppedRows,
+        s"st17 watermark audit drifted from Spark's measured drops: " +
+        s"replayed n_dropped_rows=$droppedRows vs measured " +
+        s"numRowsDroppedByWatermark(groups)=$droppedGroups")
       // counts are monotone per window ⇒ the last update is the max
       s.table("graft_st17")
         .groupBy(col("window"))
@@ -1508,51 +1522,32 @@ object Streaming {
     * demonstrates); the index build is ingest work shared with s7
     * (found durable, not rebuilt), and the identity baseline is a
     * fingerprint-keyed durable witness (s14's discipline).
-    * Exactly-once note: the bounded AvailableNow replay appends each
-    * batch's answers once by construction; a RESTARTED production
-    * stream must key the sink write by (epochId, query) for
-    * idempotence — foreachBatch's standard at-least-once contract. */
+    * Exactly-once: the sink write is keyed by EPOCH — each batch's
+    * answers land in their own `batch-<epochId>` directory with mode
+    * OVERWRITE — so foreachBatch's at-least-once replay (crash after
+    * the sink write but before the checkpoint commit, then restart)
+    * rewrites the same epoch's answers in place instead of
+    * double-appending them. StreamingSpec proves it the hard way:
+    * kill after the first commit, delete that commit record to force
+    * a genuine epoch replay, restart from the checkpoint, and the
+    * served union still bit-matches the one-shot witness. */
   def st18StreamAnnServe(s0: SparkSession, d: String): DataFrame = {
     val s = scoped(s0)
-    import graft.operators.Similarity
-    import graft.functions.VectorFunctions.vecNorm2
-    val (path, anchors, nCells) = Similarity.ivfIndex(s, d)
-    val nProbe = math.max(4, nCells / 4)
-    val nq = Similarity.nQueries
-    val queries = graft.sources.Tables.embeddings(s, d)
-      .filter(col("vec_id") < nq).select(col("vec_id"), col("embedding"))
     withWorkspace("st18") { (work, ckpt) =>
       val inDir = s"$work/in"
       val outDir = s"$work/out"
-      val t0 = System.currentTimeMillis() - 60000
-      (0 until 3).foreach { i =>
-        writeBatchFile(queries.filter(col("vec_id") % 3 === i), inDir,
-          s"b$i.parquet", t0 + i * 10000)
-      }
-      val q = s.readStream.schema(queries.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .writeStream
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-          val prep = batch
-            .select(col("vec_id"),
-              expr("transform(embedding, x -> cast(x AS double))").as("v"))
-            .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-          Similarity.probeIndex(s, path, prep, anchors, nProbe)
-            .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(outDir)
-          ()
-        }
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(Trigger.AvailableNow()).start()
+      val schema = st18WriteInputs(s, d, inDir)
+      val q = st18StartServing(s, d, schema, inDir, outDir,
+        ckpt.getAbsolutePath)
       q.awaitTermination()
-      val served = s.read.parquet(outDir)
-      // the identity gate compares ≤ NQueries·K rows — driver-side
+      val served = s.read.parquet(s"$outDir/batch-*")
+      // bounded: the identity gate compares ≤ NQueries·K rows — driver-side
       // multiset equality, not exceptAll shuffles
       val servedRows = served.select(col("query_id"), col("neighbor_id"),
         col("cos4"), col("rn"), col("batch_id")).collect()
       // the baseline is a durable fingerprint-keyed witness (s14's
       // discipline) — found, not re-probed, on every later run
-      val oneShot = Similarity.st18OneShotWitness(s, d).collect()
+      val oneShot = graft.operators.Similarity.st18OneShotWitness(s, d).collect() // bounded: <= NQueries*K witness rows
       def multiset(rs: Array[org.apache.spark.sql.Row], w: Int) =
         rs.map(_.toSeq.take(w)).groupBy(identity).view.mapValues(_.length).toMap
       val ok = multiset(servedRows, 4) == multiset(oneShot, 4)
@@ -1564,6 +1559,59 @@ object Streaming {
         .orderBy(col("query_id"), col("rn"))
         .localCheckpoint(true) // eager: outDir dies with the workspace
     }
+  }
+
+  /** Writes the three mtime-pinned query micro-batch files for
+    * [[st18StreamAnnServe]] (vec_id % 3 split) and returns their
+    * schema. Factored so the restart spec can stage the same inputs
+    * into its own workspace. */
+  private[graft] def st18WriteInputs(s: SparkSession, d: String,
+                                     inDir: String): StructType = {
+    val nq = graft.operators.Similarity.nQueries
+    val queries = graft.sources.Tables.embeddings(s, d)
+      .filter(col("vec_id") < nq).select(col("vec_id"), col("embedding"))
+    val t0 = System.currentTimeMillis() - 60000
+    (0 until 3).foreach { i =>
+      writeBatchFile(queries.filter(col("vec_id") % 3 === i), inDir,
+        s"b$i.parquet", t0 + i * 10000)
+    }
+    queries.schema
+  }
+
+  /** Starts (or RESTARTS, from the same checkpoint) the st18 serving
+    * stream. The sink contract is the exactly-once half of the
+    * operator: every epoch's answers are written with mode OVERWRITE
+    * into the epoch's own `batch-<epochId>` directory, so a replayed
+    * epoch — foreachBatch is at-least-once across restarts —
+    * rewrites identical bytes in place rather than appending a second
+    * copy. (One streaming query per sink dir; with several, key the
+    * dir by (queryId, epochId).) Probing is deterministic per epoch:
+    * the input file set for an epoch is fixed by the checkpoint's
+    * offsets log and the index generation is immutable, so an
+    * overwrite never changes surviving bytes, only restores them. */
+  private[graft] def st18StartServing(s: SparkSession, d: String,
+                                      schema: StructType, inDir: String,
+                                      outDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.vecNorm2
+    val (path, anchors, nCells) = Similarity.ivfIndex(s, d)
+    val nProbe = math.max(4, nCells / 4)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val prep = batch
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+        Similarity.probeIndex(s, path, prep, anchors, nProbe)
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -604,6 +604,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st18 exactly-once restart: kill after the first commit, force an " +
+    "epoch replay, restart from the checkpoint — served union still " +
+    "bit-matches the one-shot witness") {
+    val sf01 = "/root/testdata/sf0.01"
+    val work = java.nio.file.Files.createTempDirectory("graft_st18_restart")
+      .toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    try {
+      val inDir = s"$work/in"; val outDir = s"$work/out"
+      val ckpt = s"$work/ckpt"
+      val schema =
+        graft.streaming.Streaming.st18WriteInputs(spark, sf01, inDir)
+      // run 1: stop as soon as the first epoch is committed (later
+      // epochs may or may not have run — both shapes are valid here)
+      val q1 = graft.streaming.Streaming.st18StartServing(
+        spark, sf01, schema, inDir, outDir, ckpt)
+      val commits = new java.io.File(s"$ckpt/commits")
+      val deadline = System.currentTimeMillis() + 180000
+      while (!new java.io.File(commits, "0").isFile && q1.isActive &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      assert(new java.io.File(commits, "0").isFile,
+        "first epoch never committed")
+      // force a GENUINE at-least-once replay: the newest committed
+      // epoch's sink write already happened — deleting its commit
+      // record makes the restarted stream re-execute exactly that
+      // epoch against the already-written batch dir (the crash-after-
+      // sink-write-before-commit window, induced deterministically)
+      val last = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
+      assert(new java.io.File(s"$outDir/batch-$last").isDirectory,
+        s"sink write for committed epoch $last missing")
+      assert(new java.io.File(commits, last.toString).delete())
+      // the local FS keeps a checksum sibling; leaving it behind makes
+      // the replayed commit's rename fail spuriously
+      new java.io.File(commits, s".$last.crc").delete()
+      // run 2: restart from the same checkpoint, drain to completion —
+      // epoch `last` replays and OVERWRITES its own dir (exactly-once),
+      // the remaining inputs drain normally
+      val q2 = graft.streaming.Streaming.st18StartServing(
+        spark, sf01, schema, inDir, outDir, ckpt)
+      q2.awaitTermination()
+      val served = spark.read.parquet(s"$outDir/batch-*")
+      val got = served.select(col("query_id"), col("neighbor_id"),
+        col("cos4"), col("rn")).collect().map(_.toSeq)
+      val witness = graft.operators.Similarity.st18OneShotWitness(spark, sf01)
+        .collect().map(_.toSeq.take(4))
+      def ms(a: Array[Seq[Any]]) =
+        a.groupBy(identity).view.mapValues(_.length).toMap
+      assert(ms(got) == ms(witness),
+        "restarted drain double-served or dropped answers")
+      assert(served.select(col("batch_id")).distinct().count() == 3,
+        "three input files must drain as three epochs across the runs")
+    } finally rm(new java.io.File(work))
+  }
+
   test("st16 streaming funnel equals the batch r36 funnel bit-for-bit") {
     val streamed = graft.streaming.Streaming.st16StreamFunnel(spark, sf)
       .collect().map(_.toSeq)

@@ -376,8 +376,8 @@ class RelationalSpec extends AnyFunSuite {
       s"cohort sizes ($sizeSum) do not partition the $users users")
   }
 
-  test("r40 fuzzy join: deletion-neighborhood blocking finds EXACTLY the " +
-    "brute-force lev<=1 pairs; no cartesian in the plan") {
+  test("r40 fuzzy join: k=2 deletion-neighborhood blocking finds EXACTLY " +
+    "the brute-force lev<=2 pairs; no cartesian in the plan") {
     import graft.operators.Relational
     val df = Relational.r40(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -404,7 +404,7 @@ class RelationalSpec extends AnyFunSuite {
       .select("c_name").collect().map(_.getString(0)).sorted
     val want = (for {
       i <- names.indices; j <- (i + 1) until names.length
-      d = lev(names(i), names(j)) if d <= 1
+      d = lev(names(i), names(j)) if d <= 2
     } yield (names(i), names(j), d)).toSet
     assert(got == want,
       s"missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")

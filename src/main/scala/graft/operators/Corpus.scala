@@ -79,7 +79,7 @@ object Corpus {
         var j = 0; while (j < k) { t(j) += r.getLong(vIdx(j)); j += 1 }
       }
       Iterator((i, t))
-    }.collect().sortBy(_._1).map(_._2)
+    }.collect().sortBy(_._1).map(_._2) // bounded: one row per partition
     // offsets(i)(j) = Σ_{p<i} sums(p)(j)
     val offsets = partSums.scanLeft(new Array[Long](k)) { (acc, cur) =>
       Array.tabulate(k)(j => acc(j) + cur(j))
@@ -507,14 +507,17 @@ object Corpus {
     * forces the threshold to 0 and asserts decimal plan + identical
     * answers.
     *
-    * The decimal lane's OWN exact envelope ends where
-    * `sum_cross · 10⁴` (≤ 2·N_o·N_n·10⁴) passes DECIMAL(38)'s 10³⁸:
-    * ~7·10¹⁶ tokens per source — ≈3,500× a full 100 TB corpus
-    * (~2·10¹³ tokens). Past it Spark's non-ANSI decimal overflow
-    * returns NULL, i.e. a silently wrong drift report, so the lane
-    * picker THROWS there instead (a gate query must fail loud); the
-    * widening past that envelope is a two-word representation, not
-    * another cast.
+    * The decimal lane never forms `sum_cross · 10⁴` (which would cap
+    * the envelope at ~7·10¹⁶ tokens): the bp division is emitted
+    * digit-by-digit (schoolbook long division, every intermediate
+    * < D·10), so its exact envelope runs to the representational
+    * ceiling of D = 2·N_o·N_n itself in DECIMAL(38): ~2.2·10¹⁸
+    * tokens per source — ≈110,000× a full 100 TB corpus (~2·10¹³
+    * tokens), effectively the long-count range. Past it Spark's
+    * non-ANSI decimal overflow returns NULL, i.e. a silently wrong
+    * drift report, so the lane picker THROWS there instead (a gate
+    * query must fail loud); the widening past that envelope is a
+    * two-word representation, not another cast.
     *
     * Scale shape: the two token histograms are the ONLY corpus passes
     * (explode → map-side-combined (source, word) counts); everything
@@ -558,12 +561,20 @@ object Corpus {
     // tiny driver job reads the max and picks the arithmetic lane
     val maxTok = tot.agg(greatest(
         coalesce(max(col("no")), lit(0L)), coalesce(max(col("nn")), lit(0L))))
-      .collect()(0).getLong(0)
+      .collect()(0).getLong(0) // bounded: ONE-row max aggregate
     val wide = maxTok >= decimalMinTokens
-    // DECIMAL(38) exact envelope: 2·maxTok²·10⁴ < 10³⁸
-    require(maxTok <= 70000000000000000L,
+    // DECIMAL(38) exact envelope: the wide lane's bp division is
+    // emitted digit-by-digit (below), so the only representational
+    // constraint left is that D·10 = 2·N_o·N_n·10 fits DECIMAL(38):
+    // maxTok ≤ √(10³⁷/2) ≈ 2.24e18 tokens/source — effectively the
+    // full long-count range (~110,000× a 100 TB corpus) and the hard
+    // ceiling of ANY 38-digit representation of D. Past it the
+    // widening is a two-word representation, not another cast — so
+    // the lane picker THROWS there (a gate query must fail loud,
+    // never publish a silently-NULLed drift report).
+    require(maxTok <= 2200000000000000000L,
       s"x23: $maxTok tokens/source exceeds the DECIMAL(38) exact envelope " +
-        "(~7e16); widen the drift arithmetic before trusting this report")
+        "(~2.2e18); widen the drift arithmetic before trusting this report")
     // DECIMAL(19,0) inputs make every product land in DECIMAL(38,0)
     // EXACTLY (19+19+1 capped at 38 loses nothing for long-valued
     // counts); the long lane is the hash-exact gate form
@@ -571,9 +582,29 @@ object Corpus {
       if (wide) abs(col("co").cast("decimal(19,0)") * col("nn").cast("decimal(19,0)") -
         col("cn").cast("decimal(19,0)") * col("no").cast("decimal(19,0)"))
       else abs(col("co") * col("nn") - col("cn") * col("no"))
+    // bp = ⌊numer·10⁴ / D⌋, D = 2·n1·n2. The wide lane does NOT form
+    // numer·10⁴ (which re-shrinks the envelope to ~7e16): it emits the
+    // quotient DIGIT BY DIGIT — schoolbook long division in base 10,
+    // q then four (r·10 DIV D, r·10 MOD D) steps — so every
+    // intermediate is < D·10 and the result is bit-identical to the
+    // long lane wherever both are exact (PipelineSpec forces the
+    // threshold to 0 and asserts exactly that).
     def bp(numer: String, n1: String, n2: String): Column =
-      if (wide) expr(s"CAST($numer * 10000 DIV (CAST(2 AS DECIMAL(19,0)) " +
-        s"* CAST($n1 AS DECIMAL(19,0)) * CAST($n2 AS DECIMAL(19,0))) AS BIGINT)")
+      if (wide) {
+        val dd = s"(CAST(2 AS DECIMAL(19,0)) * CAST($n1 AS DECIMAL(19,0))" +
+          s" * CAST($n2 AS DECIMAL(19,0)))"
+        val q  = s"($numer DIV $dd)"
+        val r0 = s"($numer % $dd)"
+        val d1 = s"(($r0 * 10) DIV $dd)"
+        val r1 = s"(($r0 * 10) % $dd)"
+        val d2 = s"(($r1 * 10) DIV $dd)"
+        val r2 = s"(($r1 * 10) % $dd)"
+        val d3 = s"(($r2 * 10) DIV $dd)"
+        val r3 = s"(($r2 * 10) % $dd)"
+        val d4 = s"(($r3 * 10) DIV $dd)"
+        expr(s"CAST($q * 10000 + $d1 * 1000 + $d2 * 100 + $d3 * 10 + $d4" +
+          " AS BIGINT)")
+      }
       else expr(s"CAST($numer * 10000 DIV (2 * $n1 * $n2) AS BIGINT)")
     val crossed = joined.join(broadcast(tot), Seq("source"))
       .withColumn("cross", crossExpr)
@@ -672,7 +703,7 @@ object Corpus {
       .select(col("doc_id"), (col("lang") === "en").as("tgt"),
         bucket(col("w")).as("h"))
     val counts = toks.groupBy(col("tgt"), col("h")).agg(count(lit(1)).as("c"))
-      .collect()
+      .collect() // bounded: 2*nBuckets hash-bucket rows
     val ct = new Array[Long](B); val cr = new Array[Long](B)
     counts.foreach { r =>
       val arr = if (r.getBoolean(0)) ct else cr

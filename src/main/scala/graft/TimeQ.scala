@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { name =>
+      // warm + timed
+      var best = Double.MaxValue
+      var rows = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        rows = SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+      }
+      println(f"TIMEQ $name rows=$rows best=$best%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -231,7 +231,7 @@ object Similarity {
     val ds = e.select(col("vec_id"), col("v"), col("nrm"))
       .as[(Long, Array[Double], Double)]
     var anchors: Array[(Int, Array[Double])] =
-      ds.filter(_._1 < nCells).collect().sortBy(_._1)
+      ds.filter(_._1 < nCells).collect().sortBy(_._1) // bounded: nCells seed rows
         .map { case (id, v, _) => (id.toInt, v) }
     for (_ <- 1 to iters) {
       val anchB = s.sparkContext.broadcast(anchors.map { case (c, av) =>
@@ -267,7 +267,7 @@ object Similarity {
           (x._1, z, x._3 + y._3)
         }
         .map { case (c, (_, sums, n)) => (c, sums.map(_.toDouble / n / 1048576.0)) }
-        .collect().sortBy(_._1)
+        .collect().sortBy(_._1) // bounded: nCells centroid rows
     }
     anchors
   }
@@ -1345,7 +1345,7 @@ object Similarity {
     val idx = s.read.parquet(srcPath)
     val affected = idx.join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"))
       .select(col("label"), col("cell")).distinct()
-      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet
+      .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet // bounded: <= |tombstones| (label, cell) pairs
     val src = java.nio.file.Paths.get(srcPath)
     val dst = java.nio.file.Paths.get(dstPath)
     // copy sidecars + unaffected partition files verbatim
@@ -1678,7 +1678,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0))
+    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0)) // bounded: distinct label enum
     val e = src.filter(col("label").isin(qLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
         expr("transform(embedding, x -> cast(x AS double))").as("ev"))
@@ -1738,7 +1738,7 @@ object Similarity {
       // answer itself is a durable frame; only the gen1 side (folded
       // this run) is probed live
       val ref = s14FoldRef(s, d)
-      val foldOk = res.collect().map(_.toSeq).toSet ==
+      val foldOk = res.collect().map(_.toSeq).toSet == // bounded: <= NQueries*K gate rows
         ref.collect().map(_.toSeq).toSet
       // S11 through gen1: label dirs pruned first, exact inside labels.
       // The finalCorpus reference side is bit-deterministic from the
@@ -1746,7 +1746,7 @@ object Similarity {
       // (which this run just folded) is recomputed live.
       val filteredOk =
         s14FilteredTopK(s, d, s.read.parquet(gen1.getAbsolutePath))
-          .collect().map(_.toSeq).toSet ==
+          .collect().map(_.toSeq).toSet == // bounded: <= NQueries*K gate rows
           s14FilteredWitness(s, d).collect().map(_.toSeq).toSet
       // recall vs the durable exact-top-K witness over the final corpus
       val exact = s14ExactWitness(s, d)
@@ -1773,7 +1773,12 @@ object Similarity {
     * plan shape. */
   private val PqM = 8
   private val PqK = 64
-  private val PqSub = 64 / PqM
+  /** Embedding dimension the PQ/OPQ geometry is built over — the ONE
+    * source of truth for the rotation sidecar (PqDim lines × PqDim
+    * coords) and the rotApply kernel; PqSub derives from it, so a
+    * dimension change re-shapes every reader and kernel together. */
+  private[graft] val PqDim = 64
+  private val PqSub = PqDim / PqM
 
   /** Per-subspace L2 k-means codebooks, bit-deterministic by the same
     * construction as [[trainAnchors]]: seeded from the K lowest-id
@@ -1787,10 +1792,10 @@ object Similarity {
                                       k: Int = PqK): Array[Array[Array[Double]]] = {
     val s = e.sparkSession
     import s.implicits._
-    val sub = 64 / PqM
+    val sub = PqDim / PqM
     val ds = e.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
     var books: Array[Array[Array[Double]]] = {
-      val seeds = ds.filter(_._1 < k).collect().sortBy(_._1).map(_._2)
+      val seeds = ds.filter(_._1 < k).collect().sortBy(_._1).map(_._2) // bounded: k seed rows
       Array.tabulate(PqM, k)((m, c) => seeds(c).slice(m * sub, (m + 1) * sub))
     }
     for (_ <- 1 to iters) {
@@ -1829,7 +1834,7 @@ object Similarity {
           (x._1, z, x._3 + y._3)
         }
         .map { case (key, (_, sums, n)) => (key, sums.map(_.toDouble / n / 1048576.0)) }
-        .collect().toMap
+        .collect().toMap // bounded: PqM*k centroid rows
       books = Array.tabulate(PqM, k)((m, c) =>
         agg.getOrElse(m * k + c, books(m)(c)))
     }
@@ -1869,7 +1874,7 @@ object Similarity {
     val cn2B = s.sparkContext.broadcast(cn2)
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-      .collect().sortBy(_._1)
+      .collect().sortBy(_._1) // bounded: NQueries rows
     val luts = queries.map { case (qid, qv, qn) =>
       val lut = Array.tabulate(PqM, nBooks) { (m, c) =>
         var acc = 0.0; var i = 0
@@ -1917,7 +1922,7 @@ object Similarity {
   private[graft] def secondMoment(e: DataFrame): Array[Array[Double]] = {
     val sess = e.sparkSession
     import sess.implicits._
-    val n = 64
+    val n = PqDim
     val sums = e.select(col("v")).as[Array[Double]].rdd.mapPartitions { it =>
       val acc = new Array[Long](n * n)
       it.foreach { v =>
@@ -1956,10 +1961,10 @@ object Similarity {
     * so at 100 TB it prices like one extra Lloyd round. */
   private[graft] def opqRotation(e: DataFrame): Array[Array[Double]] = {
     val (vals, vecs) = graft.matrix.LocalLA.symEig(secondMoment(e))
-    val bucketOf = new Array[Int](64)
+    val bucketOf = new Array[Int](PqDim)
     val logProd = new Array[Double](PqM)
     val fill = new Array[Int](PqM)
-    for (i <- 0 until 64) {
+    for (i <- 0 until PqDim) {
       val lv = math.log(math.max(vals(i), 1e-12))
       var best = -1; var bestLp = Double.MaxValue
       var b = 0
@@ -1970,8 +1975,8 @@ object Similarity {
       bucketOf(i) = best; logProd(best) += lv; fill(best) += 1
     }
     // rows of R bucket-major; within a bucket, descending eigenvalue
-    val order = (0 until 64).sortBy(i => (bucketOf(i), i))
-    Array.tabulate(64, 64)((r, c) => vecs(c)(order(r)))
+    val order = (0 until PqDim).sortBy(i => (bucketOf(i), i))
+    Array.tabulate(PqDim, PqDim)((r, c) => vecs(c)(order(r)))
   }
 
   /** Eigenvalue spectrum of the corpus second-moment matrix
@@ -2000,11 +2005,11 @@ object Similarity {
     if (f.isFile)
       try {
         val lines = java.nio.file.Files.readAllLines(f.toPath)
-        if (lines.size != 64) None
-        else Some(Array.tabulate(64) { r =>
+        if (lines.size != PqDim) None
+        else Some(Array.tabulate(PqDim) { r =>
           val coords = lines.get(r).trim.split(" ")
             .map(t => java.lang.Double.longBitsToDouble(t.toLong))
-          require(coords.length == 64)
+          require(coords.length == PqDim)
           coords
         })
       } catch { case _: Exception => None }
@@ -2080,11 +2085,11 @@ object Similarity {
     * encode and query-LUT construction must agree on every bit). */
   private[graft] def rotApply(r: Array[Array[Double]],
                               v: Array[Double]): Array[Double] = {
-    val y = new Array[Double](64)
+    val y = new Array[Double](PqDim)
     var i = 0
-    while (i < 64) {
+    while (i < PqDim) {
       var acc = 0.0; var j = 0
-      while (j < 64) { acc += r(i)(j) * v(j); j += 1 }
+      while (j < PqDim) { acc += r(i)(j) * v(j); j += 1 }
       y(i) = acc; i += 1
     }
     y
@@ -2104,11 +2109,11 @@ object Similarity {
       .mapPartitions { it =>
         val m = rB.value
         it.map { case (id, v) =>
-          val y = new Array[Double](64)
+          val y = new Array[Double](PqDim)
           var i = 0
-          while (i < 64) {
+          while (i < PqDim) {
             var acc = 0.0; var j = 0
-            while (j < 64) { acc += m(i)(j) * v(j); j += 1 }
+            while (j < PqDim) { acc += m(i)(j) * v(j); j += 1 }
             y(i) = acc; i += 1
           }
           (id, y)
@@ -2244,7 +2249,7 @@ object Similarity {
     // query side: LUT[m][c] = <q_m, c_mc>, one row per query, broadcast
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-      .collect().sortBy(_._1)
+      .collect().sortBy(_._1) // bounded: NQueries rows
     val luts = queries.map { case (qid, qv, qn) =>
       val lut = Array.tabulate(PqM, PqK) { (m, c) =>
         var acc = 0.0; var i = 0
@@ -2331,10 +2336,10 @@ object Similarity {
     // query side: probed cells (rank-over-cells window on the
     // query-bounded side only) + per-query LUTs, broadcast together
     val probes = queryProbes(e, anchors, nProbe, "vec_id", "v", "nrm")
-      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect()
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect() // bounded: <= NQueries*nProbe rows
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
-      .collect().sortBy(_._1)
+      .collect().sortBy(_._1) // bounded: NQueries rows
     val luts = queries.map { case (qid, qv, qn) =>
       val lut = Array.tabulate(PqM, PqK) { (m, c) =>
         var acc = 0.0; var i = 0
@@ -2442,7 +2447,7 @@ object Similarity {
     // path
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
-      .collect().sortBy(_._1)
+      .collect().sortBy(_._1) // bounded: NQueries rows
     val luts = queries.map { case (qid, qv0) =>
       val qv = rotApply(rotM, qv0)
       var n2 = 0.0; var i = 0
@@ -2572,7 +2577,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x AS double))").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0))
+    val qLabels = q.select(col("label")).distinct().collect().map(_.get(0)) // bounded: distinct label enum
     // literal IN over the first partition key → directory-level pruning
     val idx = s.read.parquet(path)
       .filter(col("label").isin(qLabels: _*))
@@ -2646,15 +2651,15 @@ object Similarity {
     val topN = 50
     val tTop = TextAnalysis.bm25Scored(s, d)
       .orderBy(col("score4").desc, col("doc_id")).limit(topN)
-      .select(col("doc_id")).as[Long].collect()
+      .select(col("doc_id")).as[Long].collect() // bounded: limit(topN) rows
     val e = prepared(s, d)
     val q = broadcast(e.filter(col("vec_id") === 0)
       .select(col("v").as("qv"), col("nrm").as("qn")))
-    val vTop = e.filter(col("vec_id") =!= 0).crossJoin(q)
+    val vTop = e.filter(col("vec_id") =!= 0).crossJoin(q) // bounded: q is ONE broadcast row
       .select(col("vec_id"),
         round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("cos4"))
       .orderBy(col("cos4").desc, col("vec_id")).limit(topN)
-      .select(col("vec_id")).as[Long].collect()
+      .select(col("vec_id")).as[Long].collect() // bounded: limit(topN) rows
     val tr = tTop.zipWithIndex.map { case (id, i) => (id, i + 1) }.toSeq
       .toDF("doc_id", "tr")
     val vr = vTop.zipWithIndex.map { case (id, i) => (id, i + 1) }.toSeq

@@ -67,22 +67,34 @@ object Tables {
     * `inputFiles` (so the probe is bound to exactly the data the
     * caller scans — no path/name pair to drift) and sums the footers'
     * row-group counts; None on any layout surprise (caller counts the
-    * hard way). Footers can't see filters: pass the raw table frame. */
+    * hard way). Footers can't see filters: pass the raw table frame.
+    *
+    * Footers open in PARALLEL (fixed 16-way pool): metadata-only, but
+    * a many-file table would otherwise serialize N driver round-trips
+    * exactly where the bloom lane triggers (≥10M-row dims). Past
+    * 4096 files even parallel footer-reads stop being "free" next to
+    * the scan they'd save — give up and let the caller count. */
   def parquetRowCountOfScan(s: SparkSession, df: DataFrame): Option[Long] =
     try {
       val conf = s.sparkContext.hadoopConfiguration
       val files = df.inputFiles.filter(_.endsWith(".parquet"))
-      if (files.isEmpty) None
+      if (files.isEmpty || files.length > 4096) None
       else {
-        var total = 0L
-        files.foreach { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try total += r.getRecordCount
-          finally r.close()
-        }
-        Some(total)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, files.length))
+        try {
+          val futures = files.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Long] {
+              def call(): Long = {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                try r.getRecordCount finally r.close()
+              }
+            })
+          }
+          Some(futures.map(_.get()).sum)
+        } finally pool.shutdown()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

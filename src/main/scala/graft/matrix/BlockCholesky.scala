@@ -53,7 +53,7 @@ object BlockCholesky {
     graft.Lineage.truncate(rest)
     def materializeAndFetchDiag(r: Blocks, kk: (Int, Int)): MlDM =
       r.flatMap { case (key, m) => if (key == kk) Iterator.single(m) else Iterator.empty }
-        .collect().head
+        .collect().head // bounded: ONE diagonal block
     var diagBlock: MlDM = materializeAndFetchDiag(rest, (0, 0))
 
     val diagL = new ArrayBuffer[((Int, Int), MlDM)]

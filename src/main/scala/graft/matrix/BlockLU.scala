@@ -59,7 +59,7 @@ object BlockLU {
     // diagonal block. One action per iteration, not two.
     def materializeAndFetchDiag(r: Blocks, kk: (Int, Int)): MlDM =
       r.flatMap { case (key, m) => if (key == kk) Iterator.single(m) else Iterator.empty }
-        .collect().head
+        .collect().head // bounded: ONE diagonal block
     var diagBlock: MlDM = materializeAndFetchDiag(rest, (0, 0))
 
     val perms = new Array[Array[Int]](q)

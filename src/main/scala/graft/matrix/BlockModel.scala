@@ -83,7 +83,7 @@ object BlockModel {
     * /root/reference/Matrix/LUDecomposition.java:370-386). */
   def toLocal(blocks: Blocks, n: Int, m: Int, blk: Int): Array[Array[Double]] = {
     val a = Array.ofDim[Double](n, m)
-    blocks.collect().foreach { case ((bi, bj), dm) =>
+    blocks.collect().foreach { case ((bi, bj), dm) => // bounded: base-case-sized matrices only
       val d = toDense(dm)
       var j = 0
       while (j < d.numCols) {

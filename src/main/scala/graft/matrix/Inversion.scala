@@ -139,7 +139,7 @@ object Inversion {
       val dkk = fromDM(diag((k, k)))
       val rowK = cur.filter { case ((i, _), _) => i == k }
         .mapValues(mb => toDM(base(dkk, fromDM(mb))))
-        .collect()
+        .collect() // bounded: one q-block panel row
       solved ++= rowK
       if (order.last != k) {
         val rowB = sc.broadcast(rowK.map { case ((_, j), mm) => (j, mm) }.toMap)

@@ -260,7 +260,7 @@ object TextAnalysis {
     val eps = 0.001
     val cms = toks.stat.countMinSketch("token", eps, 0.99, 42)
     val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("token")).limit(20).collect()
+      .orderBy(col("cnt").desc, col("token")).limit(20).collect() // bounded: limit(20)
     toks.unpersist()
     top.toSeq.map { r =>
       val t = r.getString(0); val c = r.getLong(1)
@@ -331,7 +331,7 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd)) // bounded: nd is ONE row
       .withColumn("tfidf4", round((col("tf") * col("n_docs")).cast("double") / col("df"), 4))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf4").desc, col("term"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
@@ -384,7 +384,7 @@ object TextAnalysis {
       Seq(col("cnt").desc, col("token")), Seq("one", "cnt"))
     val total = ranked.agg(sum(col("cnt")).as("total"))
     ranked
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(total)) // bounded: total is ONE row
       .select(col("token"), col("cnt"),
         (col("prefix_one") + 1L).as("rnk"),
         expr("((prefix_cnt + cnt) * 10000) div total").as("coverage_bp"))
@@ -500,7 +500,7 @@ object TextAnalysis {
         col("sum_len").cast("double")
       idf * tf * lit(2.2) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * lenRatio))
     }.reduce(_ + _)
-    base.crossJoin(broadcast(stats))
+    base.crossJoin(broadcast(stats)) // bounded: stats is ONE row
       .withColumn("score4", round(score, 4))
       .filter(col("score4") > 0)
   }
@@ -606,7 +606,7 @@ object TextAnalysis {
     // the plan switch: V comes off the 1-row stats aggregate (one tiny
     // driver job) — one long decides how the model tables move, and the
     // collected stats fold back in as literals (no crossJoin recompute)
-    val statsRow = stats.collect()(0)
+    val statsRow = stats.collect()(0) // bounded: ONE-row stats aggregate
     // an empty unigram table (no doc with >=2 tokens) yields a null
     // max(c1) — treat it as 0 rather than crash the driver; the scored
     // frame below is empty anyway in that case
@@ -710,7 +710,7 @@ object TextAnalysis {
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
       max(col("n_words")).as("max_doc_tokens"))
     val total = bySource.agg(sum(col("n_tokens")).as("tot_tokens"))
-    bySource.crossJoin(broadcast(total))
+    bySource.crossJoin(broadcast(total)) // bounded: total is ONE row
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         col("n_keep"),
         expr("n_keep * 10000L div n_docs").as("keep_bp"),
@@ -879,7 +879,7 @@ object TextAnalysis {
     val out =
       if (nWords <= driverLocalMaxWords) {
         t15LastRegime = "driver-local"
-        val collected = wordFrame.as[(Array[String], Long)].collect()
+        val collected = wordFrame.as[(Array[String], Long)].collect() // bounded: <= driverLocalMaxWords rows (regime guard)
         t15MergeLoopLocal(collected, merges)
       } else {
         t15LastRegime = "distributed"
@@ -1013,7 +1013,7 @@ object TextAnalysis {
         .groupBy(col("p.a"), col("p.b"))
         .agg(sum(col("cnt")).as("pc"))
         .orderBy(col("pc").desc, col("a"), col("b"))
-        .limit(1).collect()
+        .limit(1).collect() // bounded: limit(1)
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
@@ -1098,7 +1098,7 @@ object TextAnalysis {
     import s.implicits._
     val mergeTable = t15BpeTrainImpl(s, d, merges, t15DriverLocalMaxWords)
       .select(col("rank"), col("left"), col("right"))
-      .as[(Int, String, String)].collect()
+      .as[(Int, String, String)].collect() // bounded: <= merges rows
     val ranks: Map[(String, String), Int] =
       mergeTable.map(t => ((t._2, t._3), t._1)).toMap
     val merged: Set[String] = mergeTable.map(t => t._2 + t._3).toSet
@@ -1265,7 +1265,7 @@ object TextAnalysis {
     val n = tf.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term"))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(n)) // bounded: n is ONE row
       .withColumn("score", col("tf") * expr("(n_docs * 10000) DIV df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))

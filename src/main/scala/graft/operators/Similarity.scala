@@ -968,8 +968,19 @@ object Similarity {
           // read; the cell level below it keeps s7's probe pruning.
           // Both code columns (identity-basis pq8 for s9/s10, rotated
           // opq8 for s15) are encoded in this one ingest pass.
+          // ONE file per (label, cell) directory: partitionBy from W
+          // shuffle partitions otherwise writes up to W files per dir
+          // (measured 41k files for 331 MB at the 30× sweep point,
+          // with every probe paying listing/footer/task overhead ∝
+          // file count — the round-12 super-linear st18/s7 break).
+          // Hash-repartitioning on the partition columns routes each
+          // directory through exactly one task, and at the √n cell
+          // geometry one file per cell is also the right 100 TB
+          // shape: rows/cell ≈ √n ⇒ ~200 MB parquet files at 10¹¹
+          // vectors.
           assignQuantize(embeddings(s, d), anchors, Some(books),
               Some((opqRot(s, d, e), opqBooks(s, d, e))))
+            .repartition(col("label"), col("cell"))
             .write.mode("overwrite").partitionBy("label", "cell")
             .parquet(tmp.getAbsolutePath)
           writeAnchors(tmp, anchors, nCells)
@@ -1163,13 +1174,15 @@ object Similarity {
         val anchors = trainAnchors(
           eBase.select(col("vec_id"), col("v"), col("nrm")), nCells, iters = 2)
         val path = dir.getAbsolutePath
+        // one file per cell dir per generation — see ivfIndex's build
         if (fromScratch)
-          assignQuantize(raw, anchors)
+          assignQuantize(raw, anchors).repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(path)
         else {
-          assignQuantize(base, anchors)
+          assignQuantize(base, anchors).repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(path)
           assignQuantize(raw.filter(col("vec_id") % 10 === 9), anchors)
+            .repartition(col("cell"))
             .write.mode("append").partitionBy("cell").parquet(path)
         }
         writeAnchors(dir, anchors, nCells)
@@ -1219,7 +1232,8 @@ object Similarity {
           val anchors = trainAnchors(
             eBase.select(col("vec_id"), col("v"), col("nrm")), nCells, iters = 2)
           val path = dir.getAbsolutePath
-          assignQuantize(base, anchors)
+          // one file per cell dir — see ivfIndex's build
+          assignQuantize(base, anchors).repartition(col("cell"))
             .write.mode("overwrite").partitionBy("cell").parquet(path)
           writeAnchors(dir, anchors, nCells)
           java.nio.file.Files.writeString(done.toPath, "ok\n")

@@ -918,7 +918,13 @@ object Streaming {
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          // one file per touched cell dir PER BATCH (the honest LSM
+          // append shape) — partitionBy from the batch's partitions
+          // would stack several files per cell per epoch; see
+          // ivfIndex's build for the measured cost of letting index
+          // file counts outgrow directories
           Similarity.assignQuantize(batch, anchors)
+            .repartition(col("cell"))
             .write.mode("append").partitionBy("cell").parquet(idxDir)
         }
         .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -1053,7 +1059,9 @@ object Streaming {
                   col("event_id"), col("event_type"), col("value"),
                   col("tot").as("n_updates"))
             }
-          merged.write.mode("overwrite").partitionBy("bucket").parquet(newGen)
+          // one file per bucket dir — see Similarity.ivfIndex's build
+          merged.repartition(col("bucket"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(newGen)
           // untouched buckets survive byte-for-byte: file-level copy
           var copied = 0
           if (old != null) {

@@ -1729,6 +1729,35 @@ class PipelineSpec extends AnyFunSuite {
       s"the 1-row stats join must broadcast, not shuffle:\n$plan")
   }
 
+  test("a fresh index build writes exactly ONE parquet file per partition " +
+    "directory (the 30x sweep measured 41k files for 331 MB without the " +
+    "pre-write clustering, and probe cost went super-linear on it)") {
+    val dir = new java.io.File(Similarity.ivfIndexPath(spark, sf001))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(dir) // force a rebuild with the current writer
+    val fresh = spark.newSession() // the per-(session, dir) cache must miss
+    val built = new java.io.File(Similarity.ivfIndexPath(fresh, sf001))
+    def leafDirs(f: java.io.File): Seq[java.io.File] =
+      if (!f.isDirectory) Seq.empty
+      else {
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        val sub = kids.filter(_.isDirectory)
+        if (sub.isEmpty) Seq(f) else sub.flatMap(leafDirs)
+      }
+    val counts = leafDirs(built)
+      .map(d => d -> Option(d.listFiles()).map(_.count(
+        _.getName.endsWith(".parquet"))).getOrElse(0))
+      .filter(_._2 > 0)
+    assert(counts.size > 10, s"expected many (label, cell) dirs, got ${counts.size}")
+    val fat = counts.filter(_._2 > 1)
+    assert(fat.isEmpty,
+      s"${fat.size} partition dirs hold >1 file (first: ${fat.headOption}) — " +
+        "the pre-write repartition on the partition columns regressed")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

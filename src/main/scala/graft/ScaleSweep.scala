@@ -31,9 +31,10 @@ import org.apache.spark.sql.functions._
 object ScaleSweep {
 
   private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int): Unit = {
-    // v2: the blow-up also covers the TPC-H relational tables (r38's
-    // validation suite reads lineitem/orders/customer) — an old-marker
-    // dir regenerates
+    // v3: the blow-up covers the TPC-H relational tables (r38's
+    // validation suite reads lineitem/orders/customer) AND rebuilds
+    // names from the shifted keys so cross-copy rows stay distinct —
+    // an old-marker dir regenerates
     val marker = new java.io.File(dir, "_SCALE_OK_v3")
     if (marker.isFile) return
     // documents: copy 0 verbatim; copies 1..n-1 word-remapped
@@ -310,6 +311,63 @@ object ScaleSweep {
       }
     }
     } // only.isEmpty — the m15/eigen/codebook tails are full-sweep extras
+    // nonsymmetric iterative trend (full sweep, or targeted via
+    // only="m18trend"): m18 BiCGSTAB at 1×/2×/4× the gate n — two
+    // matvecs per iteration vs m15's one, same scalars-only driver
+    // traffic; the row-dominant construction keeps the iteration count
+    // ~constant across n, so the curve isolates per-iteration job cost
+    // exactly like the m15/m17 rows above
+    if (only.forall(_.contains("m18trend"))) {
+      Seq(512, 1024, 2048).foreach { n =>
+        val t0 = System.nanoTime()
+        val ok = try { graft.matrix.MatrixQueries.m18At(spark, n, 128).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] m18@n=$n failed: $e"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        println(f"""[scale] {"m18_n":$n,"sec":$dt%.2f}""")
+      }
+    }
+    // ANISOTROPY probe (runs in the full sweep, or targeted via
+    // only="aniso"): the natural corpus is near-isotropic (measured
+    // eigen ratio 1.22 at every swept scale) — a spectrum with nothing
+    // for the OPQ rotation to rebalance, so the paired pq/opq rows
+    // above can't show what s15's rotation buys. Build a synthetic
+    // SKEWED-spectrum variant — dim i scaled by 4^(−i/63), a 16×
+    // top-to-bottom variance skew that lands entirely in the FIRST
+    // contiguous PQ subspaces — and re-pair the shortlist-recall probe
+    // where the eigenvalue-balancing rotation has a measurable lever.
+    if (only.forall(_.contains("aniso"))) {
+      val anisoDir = s"$outRoot/aniso"
+      val am = new java.io.File(anisoDir, "_ANISO_OK_v1")
+      if (!am.isFile) {
+        spark.read.parquet(s"$base/embeddings.parquet").select(
+          col("vec_id"),
+          expr("transform(embedding, (x, i) -> " +
+            "cast(x * power(0.25, i / 63.0) AS float))").as("embedding"),
+          col("label"))
+          .write.mode("overwrite").parquet(s"$anisoDir/embeddings.parquet")
+        java.nio.file.Files.writeString(am.toPath, s"aniso of $base\n")
+      }
+      try {
+        val ev = graft.operators.Similarity.opqEigenvalues(
+          graft.operators.Similarity.prepared(spark, anisoDir))
+        println(f"""[scale] {"aniso_eig_max":${ev.head}%.4f,"aniso_eig_min":${ev.last}%.4f,"ratio":${ev.head / ev.last}%.2f}""")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] aniso eigen probe failed: $e")
+      }
+      Seq((64, false), (64, true), (256, false), (256, true)).foreach { case (k, opq) =>
+        try {
+          val t0 = System.nanoTime()
+          val r = graft.operators.Similarity.pqShortlistRecall(spark, anisoDir, k, opq)
+          val dt = (System.nanoTime() - t0) / 1e9
+          val tag = if (opq) "aniso_opq_k" else "aniso_pq_k"
+          println(f"""[scale] {"$tag":$k,"shortlist_recall":$r%.4f,"sec":$dt%.2f}""")
+        } catch { case e: Throwable =>
+          System.err.println(s"[scale] aniso pq_k=$k opq=$opq failed: $e")
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -1489,12 +1489,17 @@ object Relational {
     val c = customer(s, d).select(col("c_name").as("name"))
     val vars = c.as[String].flatMap(levForms _)
       .toDF("form", "name", "d", "w")
-    // both sides are the O(L²)·n form frame — at scale neither fits
-    // a driver broadcast, so pin the shuffle hash join (AQE would
-    // otherwise pick a borderline broadcast at small sf and flip
-    // shape as the corpus grows)
+    // both sides are the O(L²)·n form frame — at scale neither fits a
+    // driver broadcast (AQE would pick a borderline broadcast at small
+    // sf and flip shape as the corpus grows), and at d ≤ 2 the frame is
+    // too big for shuffle-hash either: ~2L² ≈ 650 forms/name means 100M
+    // rows at the 10× sweep point, where the per-partition build map
+    // OOMed (measured: SparkOutOfMemoryError "not enough memory to
+    // build hash map"). Pin SORT-MERGE — the only shape that degrades
+    // by SPILLING instead of failing when both sides are huge, which is
+    // the honest 100 TB posture for a self-join of an exploded frame
     val cand = vars.as("a")
-      .hint("shuffle_hash")
+      .hint("merge")
       .join(vars.as("b"),
         col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
           col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2)

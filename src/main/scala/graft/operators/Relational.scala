@@ -1483,7 +1483,12 @@ object Relational {
     * itself is the scale driver (dense key spaces have dense match
     * sets), which is the right cost model for a fuzzy join; AQE
     * splits any residual hot form bucket. */
-  def r40(s: SparkSession, d: String): DataFrame = {
+  def r40(s: SparkSession, d: String): DataFrame = r40Impl(s, d, None)
+
+  /** [[r40]] with a forced join lane, so the lane-equivalence spec can
+    * drive both shapes over the same corpus. */
+  private[graft] def r40Impl(s: SparkSession, d: String,
+                             forceLane: Option[String]): DataFrame = {
     val sess = s
     import sess.implicits._
     val c = customer(s, d).select(col("c_name").as("name"))
@@ -1491,15 +1496,31 @@ object Relational {
       .toDF("form", "name", "d", "w")
     // both sides are the O(L²)·n form frame — at scale neither fits a
     // driver broadcast (AQE would pick a borderline broadcast at small
-    // sf and flip shape as the corpus grows), and at d ≤ 2 the frame is
-    // too big for shuffle-hash either: ~2L² ≈ 650 forms/name means 100M
-    // rows at the 10× sweep point, where the per-partition build map
-    // OOMed (measured: SparkOutOfMemoryError "not enough memory to
-    // build hash map"). Pin SORT-MERGE — the only shape that degrades
-    // by SPILLING instead of failing when both sides are huge, which is
-    // the honest 100 TB posture for a self-join of an exploded frame
+    // sf and flip shape as the corpus grows), and the JOIN lane is a
+    // memory decision AQE doesn't make for us: shuffle-hash builds a
+    // per-partition hash map over forms/parts rows, which measured
+    // 1.6× faster than the sort at gate scale (9.4 vs 14.8 s at
+    // sf0.1's 10M forms) but threw SparkOutOfMemoryError ("not enough
+    // memory to build hash map") at the 10× sweep point's 100M-row
+    // frame. So pick the lane from the EXACT form-count bound — one
+    // tiny driver aggregate on the name frame (x23/r38's lane-picker
+    // discipline: the probe is broadcast-sized relative to the frame
+    // it predicts): |forms(name)| ≤ 2L² + 1 (1 identity + 2L single
+    // edits + 2·C(L,2) double-deletes/wildcards + L(L−1) mixed). At
+    // ≤ 1M build rows per shuffle partition the map is ~100 MB and
+    // shuffle-hash is safe; past it, SORT-MERGE — the only shape that
+    // degrades by SPILLING instead of failing when both sides are
+    // huge, the honest 100 TB posture for a self-join of an exploded
+    // frame.
+    val lane = forceLane.getOrElse {
+      val formsBound = c
+        .agg(sum(lit(2) * length(col("name")) * length(col("name")) + lit(1)))
+        .head.getLong(0) // bounded: ONE-row sum aggregate
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      if (formsBound <= 1000000L * parts) "shuffle_hash" else "merge"
+    }
     val cand = vars.as("a")
-      .hint("merge")
+      .hint(lane)
       .join(vars.as("b"),
         col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
           col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2)

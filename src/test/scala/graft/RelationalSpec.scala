@@ -376,6 +376,24 @@ class RelationalSpec extends AnyFunSuite {
       s"cohort sizes ($sizeSum) do not partition the $users users")
   }
 
+  test("r40 lane pick: both join lanes answer identically; the picked lane " +
+    "matches the form-count bound") {
+    import graft.operators.Relational
+    val hash = Relational.r40Impl(spark, sf, Some("shuffle_hash"))
+    val merge = Relational.r40Impl(spark, sf, Some("merge"))
+    assert(hash.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"),
+      "forced shuffle_hash lane did not plan a ShuffledHashJoin")
+    assert(merge.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "forced merge lane did not plan a SortMergeJoin")
+    assert(hash.collect().map(_.toSeq).toSeq == merge.collect().map(_.toSeq).toSeq,
+      "the two join lanes disagree — the lane pick would change answers")
+    // at gate scale the bound sits far under 1M rows/partition ⇒ the
+    // unforced pick must take the measured-faster hash lane
+    assert(Relational.r40(spark, sf).queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"),
+      "gate-scale pick should be shuffle_hash (forms far below the ceiling)")
+  }
+
   test("r40 fuzzy join: k=2 deletion-neighborhood blocking finds EXACTLY " +
     "the brute-force lev<=2 pairs; no cartesian in the plan") {
     import graft.operators.Relational

@@ -29,7 +29,7 @@ class TopKAggregator(k: Int) extends Aggregator[Scored, List[Scored], Seq[Scored
   private def insert(buf: List[Scored], x: Scored): List[Scored] = {
     val (better, worse) = buf.span(lt(_, x))
     val merged = better ::: (x :: worse)
-    if (merged.length > k) merged.take(k) else merged
+    if (merged.length > k) merged.take(k) else merged // local: Array.take inside the aggregator buffer
   }
 
   override def zero: List[Scored] = Nil

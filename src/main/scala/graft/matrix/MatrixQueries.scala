@@ -484,7 +484,7 @@ object MatrixQueries {
 
     // driver-local oracle over the same rows (m×d is small at gate scale)
     val al = (0 until m / blk).flatMap { bi =>
-      MatrixGen.localBlock(blk, Seed, bi, 0, 0.0).map(_.take(d))
+      MatrixGen.localBlock(blk, Seed, bi, 0, 0.0).map(_.take(d)) // local: Array.take on a local block row
     }.toArray
     val rl = LocalLA.canonUpper(LocalLA.qrR(al))
     val rScale = rl.map(_.map(math.abs).max).max

@@ -34,7 +34,7 @@ object TallSkinny {
     sc.parallelize(0 until q, math.min(q, 32)).flatMap { bi =>
       val b = MatrixGen.localBlock(blk, seed, bi, 0, 0.0)
       (0 until blk).map { iLoc =>
-        ((bi.toLong * blk + iLoc), b(iLoc).take(d))
+        ((bi.toLong * blk + iLoc), b(iLoc).take(d)) // local: Array.take inside a partition iterator
       }
     }
   }

@@ -202,7 +202,7 @@ object Corpus {
   def x15MixtureSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, d)
-    // stratum stats collect is one row per language — driver-bounded
+    // bounded: stratum stats collect is one row per language
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs")).collect()
     val nMin = counts.map(_.getLong(1)).min
     val thr = counts.map { r =>
@@ -885,7 +885,7 @@ object Corpus {
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val anchorRows = e.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("v"), col("nrm"))
-      .collect()                                   // 16 rows — bounded
+      .collect()                                // bounded: 16 anchor rows
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
     val cands = array(anchorRows.map { case (id, av, an) =>

@@ -201,7 +201,7 @@ object Dedup {
       if (sess.sparkContext.isStopped) pairCache.remove(k)
     }
     if (pairCache.size >= PairCacheMax && !pairCache.contains((s, d)))
-      pairCache.remove(pairCache.head._1)
+      pairCache.remove(pairCache.head._1) // local: LRU eviction on a size-capped driver cache map
     pairCache.getOrElseUpdate((s, d), graft.Lineage.truncate(computeNearDupPairs(s, d)))
   }
 
@@ -497,7 +497,7 @@ object Dedup {
       if (sess.sparkContext.isStopped) p4DropCache.remove(k)
     }
     if (p4DropCache.size >= PairCacheMax && !p4DropCache.contains((s, d)))
-      p4DropCache.remove(p4DropCache.head._1)
+      p4DropCache.remove(p4DropCache.head._1) // local: LRU eviction on a size-capped driver cache map
     p4DropCache.getOrElseUpdate((s, d),
       graft.Lineage.truncate(
         p4EmbeddingNearDup(s, d).select(col("vec_b")).distinct()))
@@ -1259,7 +1259,7 @@ object Dedup {
 
   def p8DupPagerank(s: SparkSession, d: String): DataFrame = {
     val (ranks, rIso, n, g) = dupGraphRanks(s, d)
-    val gSum = ranks.agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0)
+    val gSum = ranks.agg(coalesce(sum(col("r")), lit(0.0))).head.getDouble(0) // bounded: ONE-row sum aggregate
     val total = gSum + (n - g) * rIso
     // the single corpus-sized job: project the shared isolated-node
     // constant over every doc_id not in the graph

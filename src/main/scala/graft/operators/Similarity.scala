@@ -117,7 +117,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) exactCache.remove(k)
     }
     if (exactCache.size >= 8 && !exactCache.contains((s, d)))
-      exactCache.remove(exactCache.head._1)
+      exactCache.remove(exactCache.head._1) // local: LRU eviction on a size-capped driver cache map
     exactCache.getOrElseUpdate((s, d),
       s1BruteForce(s, d).select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true))
@@ -297,7 +297,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) anchorCache.remove(k)
     }
     if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
-      anchorCache.remove(anchorCache.head._1)
+      anchorCache.remove(anchorCache.head._1) // local: LRU eviction on a size-capped driver cache map
     anchorCache.getOrElseUpdate((s, d), {
       val base = e.select(col("vec_id"), col("v"), col("nrm"))
       trainAnchors(base, ivfCells(base.count()), iters = 2)
@@ -780,7 +780,7 @@ object Similarity {
       val rel = x.getAbsolutePath.stripPrefix(rootPath)
       md.update(s"$rel:${x.length}:${x.lastModified}\n".getBytes)
     }
-    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16)
+    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16) // local: String.take on a hex digest
   }
 
   /** Sidecar format: line 0 = "nCells nAnchors dim"; each further line =
@@ -938,7 +938,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) indexCache.remove(k)
     }
     if (indexCache.size >= 8 && !indexCache.contains((s, d)))
-      indexCache.remove(indexCache.head._1)
+      indexCache.remove(indexCache.head._1) // local: LRU eviction on a size-capped driver cache map
     indexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot, s"graft-ivf-${corpusFingerprint(d)}")
       // a malformed/stale-geometry sidecar (e.g. written by an older
@@ -1060,7 +1060,7 @@ object Similarity {
       .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
     val probes = broadcast(queryProbes(qSide, anchors, nProbe,
       "vec_id", "v", "nrm", "qv", "nq2"))
-    // the probed cell ids: ≤ NQueries·nProbe ints — driver-bounded
+    // bounded: the probed cell ids — ≤ NQueries·nProbe ints
     val probeCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
 
@@ -1150,7 +1150,7 @@ object Similarity {
     }
     val key = (s, if (fromScratch) d + "#scratch" else d)
     if (incrIndexCache.size >= 8 && !incrIndexCache.contains(key))
-      incrIndexCache.remove(incrIndexCache.head._1)
+      incrIndexCache.remove(incrIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
     incrIndexCache.getOrElseUpdate(key, {
       val dir = new java.io.File(indexRoot,
         s"graft-ivf-incr-${corpusFingerprint(d)}" +
@@ -1210,7 +1210,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) baseIndexCache.remove(k)
     }
     if (baseIndexCache.size >= 8 && !baseIndexCache.contains((s, d)))
-      baseIndexCache.remove(baseIndexCache.head._1)
+      baseIndexCache.remove(baseIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
     baseIndexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot,
         s"graft-ivf-base-${corpusFingerprint(d)}")
@@ -2035,7 +2035,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) opqRotCache.remove(k)
     }
     if (opqRotCache.size >= 8 && !opqRotCache.contains((s, d)))
-      opqRotCache.remove(opqRotCache.head._1)
+      opqRotCache.remove(opqRotCache.head._1) // local: LRU eviction on a size-capped driver cache map
     opqRotCache.getOrElseUpdate((s, d), {
       val f = opqRotPath(d)
       loadRotationFile(f) match {
@@ -2075,7 +2075,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) opqBookCache.remove(k)
     }
     if (opqBookCache.size >= 8 && !opqBookCache.contains((s, d)))
-      opqBookCache.remove(opqBookCache.head._1)
+      opqBookCache.remove(opqBookCache.head._1) // local: LRU eviction on a size-capped driver cache map
     opqBookCache.getOrElseUpdate((s, d), {
       val f = opqBooksPath(d)
       loadBooksFile(f) match {
@@ -2203,7 +2203,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) pqBookCache.remove(k)
     }
     if (pqBookCache.size >= 8 && !pqBookCache.contains((s, d)))
-      pqBookCache.remove(pqBookCache.head._1)
+      pqBookCache.remove(pqBookCache.head._1) // local: LRU eviction on a size-capped driver cache map
     pqBookCache.getOrElseUpdate((s, d), {
       val f = pqBooksPath(d)
       // malformed or stale-geometry sidecar → retrain, never crash
@@ -2805,7 +2805,7 @@ object Similarity {
         val p = remaining.remove(bestI)
         sel += ((p._1, p._2, bestScore, p._3, p._4))
       }
-      val firstOk = sel.nonEmpty && sel.head._1 == cands.head._1
+      val firstOk = sel.nonEmpty && sel.head._1 == cands.head._1 // local: Scala Seq ops on K-bounded candidate list
       val monotoneOk = sel.iterator.map(_._3).sliding(2)
         .forall(p => p.length < 2 || p(0) >= p(1) - 1e-9)
       def avgPair(xs: Seq[(Array[Double], Double)]): Double = {
@@ -2815,7 +2815,7 @@ object Similarity {
         if (ps.isEmpty) 0.0 else ps.sum / ps.length
       }
       val avgMmr = r4d(avgPair(sel.map(t => (t._4, t._5)).toSeq))
-      val avgTop = r4d(avgPair(cands.take(K).map(t => (t._3, t._4)).toSeq))
+      val avgTop = r4d(avgPair(cands.take(K).map(t => (t._3, t._4)).toSeq)) // local: Scala Seq ops on K-bounded candidate list
       sel.iterator.zipWithIndex.map { case ((nid, rel, mmr, _, _), i) =>
         (qid, i + 1, nid, r4d(rel), r4d(mmr), firstOk, monotoneOk,
           avgMmr, avgTop)
@@ -2850,7 +2850,7 @@ object Similarity {
     val cells = stored.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_rows"))
     val (minC, maxC) = {
-      val r = cells.agg(min(col("n_rows")), max(col("n_rows"))).head
+      val r = cells.agg(min(col("n_rows")), max(col("n_rows"))).head // bounded: ONE-row min/max aggregate
       (r.getLong(0), r.getLong(1))
     }
     val nTomb = tombstones(s, d).count()

@@ -272,7 +272,7 @@ object Streaming {
     val tmp = java.nio.file.Files.createTempDirectory("graft_split").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
-      .filter(_.getName.endsWith(".parquet")).head
+      .filter(_.getName.endsWith(".parquet")).head // local: java File array of the ONE coalesced part file
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val dst = new java.io.File(dir, name)
     java.nio.file.Files.copy(part.toPath, dst.toPath)
@@ -1217,7 +1217,7 @@ object Streaming {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cr"))
       .localCheckpoint(true)
-    val bigN = ref.agg(sum(col("cr"))).head.getLong(0)
+    val bigN = ref.agg(sum(col("cr"))).head.getLong(0) // bounded: ONE-row sum aggregate
     val winTot = sunk.groupBy(col("win_start_s"))
       .agg(sum(col("c")).as("n"), count(lit(1)).as("vocab_win"))
     sunk.join(ref, Seq("word")) // window vocab ⊆ corpus vocab by construction
@@ -1305,7 +1305,7 @@ object Streaming {
       val inDir = s"$work/in"
       val bounds = ev.select(
           expr("percentile_approx(CAST(ts AS DOUBLE), array(0.34, 0.67), 10000)"))
-        .head.getSeq[Double](0)
+        .head.getSeq[Double](0) // bounded: ONE-row percentile aggregate
       val (c1, c2) = (bounds(0), bounds(1))
       val t0 = System.currentTimeMillis() - 60000
       Seq(col("ts").cast("double") < c1,
@@ -1356,7 +1356,7 @@ object Streaming {
         .agg(sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
           sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
           sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
-        .head
+        .head // bounded: ONE-row count aggregate
       val (n1, n2, n3) = (fin.getLong(0), fin.getLong(1), fin.getLong(2))
       Seq((1, "view", n1, 10000L),
           (2, "click", n2, if (n1 == 0) 0L else n2 * 10000L / n1),
@@ -1420,7 +1420,7 @@ object Streaming {
     // corpus with no even-id rows has a NULL max — the empty audit is
     // the answer (the oracle's surv CTE is empty too), not an NPE
     val maxRow = ev.filter(col("event_id") % 2 === 0)
-      .agg(max(unix_micros(col("ts")))).head
+      .agg(max(unix_micros(col("ts")))).head // bounded: ONE-row max aggregate
     if (maxRow.isNullAt(0))
       return Seq.empty[(String, Long, Long, Long)]
         .toDF("win_start", "n_events", "n_dropped_rows", "n_dropped_groups")
@@ -1557,7 +1557,7 @@ object Streaming {
       // discipline) — found, not re-probed, on every later run
       val oneShot = graft.operators.Similarity.st18OneShotWitness(s, d).collect() // bounded: <= NQueries*K witness rows
       def multiset(rs: Array[org.apache.spark.sql.Row], w: Int) =
-        rs.map(_.toSeq.take(w)).groupBy(identity).view.mapValues(_.length).toMap
+        rs.map(_.toSeq.take(w)).groupBy(identity).view.mapValues(_.length).toMap // local: Seq.take on already-collected gate rows
       val ok = multiset(servedRows, 4) == multiset(oneShot, 4)
       val nBatches = servedRows.map(_.getLong(4)).distinct.length.toLong
       served

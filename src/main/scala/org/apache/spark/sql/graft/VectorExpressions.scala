@@ -194,7 +194,7 @@ object VectorFunctions {
   def topCells(v: Column, nrm: Column,
                anchors: Array[(Int, Array[Double])], k: Int): Column = {
     val sorted = anchors.sortBy(_._1)
-    val dim = sorted.head._2.length
+    val dim = sorted.head._2.length // local: Scala Seq head on codebook entries
     val cells = sorted.map(_._1)
     val flat = new Array[Double](cells.length * dim)
     val norms = new Array[Double](cells.length)

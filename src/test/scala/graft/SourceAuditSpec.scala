@@ -41,14 +41,20 @@ class SourceAuditSpec extends AnyFunSuite {
       else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
     }
 
-  // call sites only: `.collect()` exactly (not collectAsList/collect_set
-  // SQL strings) and `.crossJoin(` as a method call (not prose in docs)
+  // every way a Dataset can materialize on the driver, plus crossJoin:
+  // .collect(), .collectAsList, .toLocalIterator, .head/.head(n),
+  // .first(), .take(n). The widened pattern (round-13) also matches
+  // plain Scala collection ops with the same spelling — those must be
+  // classified too, with a `local:` annotation naming why no Dataset
+  // is involved, so every match is a conscious decision, not a blind
+  // spot (round-12's r40 lane probe used .head.getLong(0) and was
+  // invisible to the old .collect()-only pattern).
   private val sitePattern = java.util.regex.Pattern
-    .compile("""\.collect\(\)|\.crossJoin\(""")
+    .compile("""\.collect\(\)|\.crossJoin\(|\.collectAsList|\.toLocalIterator|\.head\b|\.first\(|\.take\(""")
   private val boundPattern = java.util.regex.Pattern
-    .compile("""(?i)(//|\*).*bounded""")
+    .compile("""(?i)(//|\*).*(bounded|local):""")
 
-  test("every .collect()/.crossJoin( call site in operator source is " +
+  test("every driver-materialization call site in operator source is " +
     "annotated with the row bound that makes it driver-safe") {
     val root = repoRoot
     var sites = 0
@@ -70,11 +76,13 @@ class SourceAuditSpec extends AnyFunSuite {
     }
     // the audit must actually see the surface it guards — a path or
     // pattern regression that finds zero sites would pass vacuously
-    assert(sites >= 40, s"audit found only $sites call sites — the walk " +
-      "or the pattern regressed (round-12 baseline: 46)")
+    assert(sites >= 65, s"audit found only $sites call sites — the walk " +
+      "or the pattern regressed (round-13 baseline: 71)")
     assert(unannotated.isEmpty,
       s"${unannotated.size} unannotated driver-materialization sites — " +
-        "state what bounds the rows in a 'bounded:' comment on or " +
-        "within 4 lines above each:\n" + unannotated.mkString("\n"))
+        "state what bounds the rows in a 'bounded:' comment (Dataset " +
+        "action) or 'local:' comment (plain Scala collection, no " +
+        "Dataset) on or within 4 lines above each:\n" +
+        unannotated.mkString("\n"))
   }
 }

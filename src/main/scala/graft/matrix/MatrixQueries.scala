@@ -762,6 +762,22 @@ object MatrixQueries {
       w
     })
 
+  /** After a localCheckpoint barrier, every per-iteration RDD not in
+    * `live` is unreachable (the checkpoint just truncated the lineage
+    * that could have re-read it) — drop it from the block manager
+    * immediately, keeping the cached footprint O(live) instead of
+    * O(iterations): a near-breakdown solve at the n-iteration cap
+    * would otherwise accumulate thousands of dead cached iterates
+    * before the final bulk unpersist. */
+  private def retireCached[T <: org.apache.spark.rdd.RDD[_]](
+      cached: scala.collection.mutable.ArrayBuffer[T],
+      live: Seq[org.apache.spark.rdd.RDD[_]]): Unit = {
+    val liveIds = live.map(_.id).toSet
+    val (stay, drop) = cached.partition(v => liveIds.contains(v.id))
+    drop.foreach(_.unpersist(false))
+    cached.clear(); cached ++= stay
+  }
+
   /** M15: conjugate-gradient solve of the SPD system A·x = b — the
     * ITERATIVE member of the solver family (direct LU m3–m5, Cholesky
     * m10, QR m12, randomized m13/m14): when a factorization is
@@ -850,6 +866,7 @@ object MatrixQueries {
         // vectors in ONE union job (blocks are GC-cleanable, DAG bounded)
         xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
         sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+        retireCached(cached, Seq(xN, rN, pN, b0, xStar))
       }
       x = xN; r = rN; p = pN
       rs = rsN
@@ -975,6 +992,7 @@ object MatrixQueries {
         if (it % 8 == 7) {
           xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
           sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+          retireCached(cached, Seq(xN, rN, zN, pN, b0, xStar, invDiag))
         }
         x = xN; r = rN; z = zN; p = pN
         rz = rzN; rr = rrN
@@ -1170,6 +1188,7 @@ object MatrixQueries {
         basis.localCheckpoint(); v.localCheckpoint(); vPrev.localCheckpoint()
         sc.union(Seq(v, vPrev)).foreachPartition(_ => ())
         basis.foreachPartition(_ => ())
+        retireCached(cached, Seq(basis, v, vPrev))
         // FREE residual bound from the tridiagonal: |β_m · s_{m,k}|
         val m = alphas.length
         if (m > K) {
@@ -1347,6 +1366,7 @@ object MatrixQueries {
             if (it % 8 == 7) {
               xN.localCheckpoint(); rN.localCheckpoint(); pN.localCheckpoint()
               sc.union(Seq(xN, rN, pN)).foreachPartition(_ => ())
+              retireCached(cached, Seq(xN, rN, pN, b0, xStar))
             }
             x = xN; r = rN; p = pN
             rho = rhoN; rNrm2 = rN2

@@ -1732,12 +1732,16 @@ class PipelineSpec extends AnyFunSuite {
   test("a fresh index build writes exactly ONE parquet file per partition " +
     "directory (the 30x sweep measured 41k files for 331 MB without the " +
     "pre-write clustering, and probe cost went super-linear on it)") {
-    val dir = new java.io.File(Similarity.ivfIndexPath(spark, sf001))
+    // build in a TEST-SCOPED root: deleting the shared sf0.001 index
+    // mid-suite left other tests' session caches pointing at dead files
+    val root = new java.io.File("target", "graft-index-onefile-spec")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
     }
-    rm(dir) // force a rebuild with the current writer
+    rm(root)
+    sys.props("graft.index.root") = root.getAbsolutePath
+    try {
     val fresh = spark.newSession() // the per-(session, dir) cache must miss
     val built = new java.io.File(Similarity.ivfIndexPath(fresh, sf001))
     def leafDirs(f: java.io.File): Seq[java.io.File] =
@@ -1756,6 +1760,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(fat.isEmpty,
       s"${fat.size} partition dirs hold >1 file (first: ${fat.headOption}) — " +
         "the pre-write repartition on the partition columns regressed")
+    } finally {
+      sys.props.remove("graft.index.root")
+      rm(root)
+    }
   }
 
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {

@@ -328,6 +328,28 @@ object ScaleSweep {
         println(f"""[scale] {"m18_n":$n,"sec":$dt%.2f}""")
       }
     }
+    // r40 lane shoot-out (targeted via only="r40lanes"): the round-12
+    // verdict asked for the per-form grouped pair expansion (ONE form
+    // shuffle) to be measured against the two-shuffle join lanes at
+    // 1×/3×/10× before a 100× point — same corpus, same answers
+    // (lane-equivalence spec), different shuffle count and skew shape.
+    if (only.exists(_.contains("r40lanes"))) {
+      scales.foreach { n =>
+        val dir = if (n == 1) base else s"$outRoot/x$n"
+        if (n > 1) ensureScaled(spark, base, dir, n)
+        Seq("shuffle_hash", "merge", "grouped").foreach { lane =>
+          val t0 = System.nanoTime()
+          val ok = try {
+            graft.operators.Relational.r40Impl(spark, dir, Some(lane)).count()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] r40 lane=$lane@x$n failed: $e"); false
+          }
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          println(f"""[scale] {"r40_lane":"$lane","scale":$n,"sec":$dt%.2f}""")
+        }
+      }
+    }
     // ANISOTROPY probe (runs in the full sweep, or targeted via
     // only="aniso"): the natural corpus is near-isotropic (measured
     // eigen ratio 1.22 at every swept scale) — a spectrum with nothing

@@ -1494,40 +1494,113 @@ object Relational {
     val c = customer(s, d).select(col("c_name").as("name"))
     val vars = c.as[String].flatMap(levForms _)
       .toDF("form", "name", "d", "w")
-    // both sides are the O(L²)·n form frame — at scale neither fits a
-    // driver broadcast (AQE would pick a borderline broadcast at small
-    // sf and flip shape as the corpus grows), and the JOIN lane is a
-    // memory decision AQE doesn't make for us: shuffle-hash builds a
-    // per-partition hash map over forms/parts rows, which measured
-    // 1.6× faster than the sort at gate scale (9.4 vs 14.8 s at
-    // sf0.1's 10M forms) but threw SparkOutOfMemoryError ("not enough
-    // memory to build hash map") at the 10× sweep point's 100M-row
-    // frame. So pick the lane from the EXACT form-count bound — one
-    // tiny driver aggregate on the name frame (x23/r38's lane-picker
-    // discipline: the probe is broadcast-sized relative to the frame
-    // it predicts): |forms(name)| ≤ 2L² + 1 (1 identity + 2L single
-    // edits + 2·C(L,2) double-deletes/wildcards + L(L−1) mixed). At
-    // ≤ 1M build rows per shuffle partition the map is ~100 MB and
-    // shuffle-hash is safe; past it, SORT-MERGE — the only shape that
-    // degrades by SPILLING instead of failing when both sides are
-    // huge, the honest 100 TB posture for a self-join of an exploded
-    // frame.
-    val lane = forceLane.getOrElse {
-      val formsBound = c
-        .agg(sum(lit(2) * length(col("name")) * length(col("name")) + lit(1)))
-        .head.getLong(0) // bounded: ONE-row sum aggregate
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      if (formsBound <= 1000000L * parts) "shuffle_hash" else "merge"
-    }
-    val cand = vars.as("a")
-      .hint(lane)
-      .join(vars.as("b"),
-        col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
-          col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2)
-      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
-      .distinct()
+    val lane = forceLane.getOrElse(
+      r40PickLane(c, s.conf.get("spark.sql.shuffle.partitions").toInt))
+    // "grouped" is the ONE-shuffle shape: cluster the form frame once,
+    // expand pairs inside each form group (round-12 refinement #3,
+    // measured this round against the join lanes — see BASELINE.md);
+    // the join lanes shuffle the same frame twice (once per side).
+    val cand =
+      if (lane == "grouped") r40GroupedPairs(s, vars)
+      else vars.as("a")
+        .hint(lane)
+        .join(vars.as("b"),
+          col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
+            col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2)
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .distinct()
     cand.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** Candidate-pair expansion for the "grouped" lane: ONE hash shuffle
+    * clusters the form frame by form, then each group expands its
+    * admissible pairs locally — versus the join lanes' two shuffles of
+    * the same frame. Within a group every name appears at most once
+    * (the form string pins w = #wildcards, and d = len(name) −
+    * len(form), so (form, name) determines (d, w) and [[levForms]]
+    * dedupes), and the admission rule needs only the group's rows.
+    * Group size is ANSWER-shaped by the blocking's tightness (hot
+    * forms on id-shaped keys hold ~#alphabet names), so the in-memory
+    * group is bounded in practice; the cap below turns a pathological
+    * degenerate corpus (millions of identical keys — a data bug, and
+    * quadratic OUTPUT for any exact algorithm) into a loud error
+    * instead of a silent executor OOM. */
+  private[graft] def r40GroupedPairs(s: SparkSession,
+                                     vars: DataFrame): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val GroupCap = 4 << 20
+    vars.as[(String, String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (form, it) =>
+        // bounded: one form's rows — answer-shaped by blocking tightness,
+        // capped loud at 4M rows (a 4M-name identical-key group implies
+        // ~8·10¹² output pairs; no lane answers that quietly)
+        val rows = it.take(GroupCap).toArray // local: capped group buffer
+        if (rows.length == GroupCap)
+          throw new IllegalStateException(
+            s"r40 form group '$form' exceeds $GroupCap rows — degenerate " +
+              "key corpus; the exact answer itself is quadratic here")
+        java.util.Arrays.sort(rows,
+          Ordering.by((t: (String, String, Int, Int)) => t._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var i = 0
+        while (i < rows.length) {
+          val (_, na, da, wa) = rows(i)
+          var j = i + 1
+          while (j < rows.length) {
+            val (_, nb, db, wb) = rows(j)
+            if (na != nb && da + db + math.max(wa, wb) <= 2)
+              out += ((na, nb))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("name_a", "name_b")
+      .distinct()
+  }
+
+  /** Join-lane picker for [[r40]]'s exploded self-join. Both sides are
+    * the O(L²)·n form frame — at scale neither fits a driver broadcast
+    * (AQE would pick a borderline broadcast at small sf and flip shape
+    * as the corpus grows), and the JOIN lane is a memory decision AQE
+    * doesn't make for us: shuffle-hash builds a per-partition hash map
+    * over the build side, which measured 1.6× faster than the sort at
+    * gate scale (9.4 vs 14.8 s at sf0.1's 10M forms) but threw
+    * SparkOutOfMemoryError ("not enough memory to build hash map") at
+    * the 10× sweep point's 100M-row frame. So pick the lane from an
+    * EXACT BYTES bound — one tiny driver aggregate on the name frame
+    * (x23/r38's lane-picker discipline: the probe is broadcast-sized
+    * relative to the frame it predicts): per name,
+    * |forms| ≤ 2L² + 1 (1 identity + 2L single edits + 2·C(L,2)
+    * double-deletes/wildcards + L(L−1) mixed), and each form row costs
+    * ≈ 2L + 96 B in the hash relation (two ≤L-char UTF8 strings + two
+    * ints in an UnsafeRow + map-entry overhead). Summing
+    * (2L²+1)·(2L+96) over names SELF-TUNES to the key width — the old
+    * 1M-rows/partition constant silently assumed ~100 B rows and
+    * would have OOMed on long keys. Shuffle-hash is picked only when
+    * the MEAN per-partition build side is ≤ 96 MB — ¼ of the measured
+    * OOM point (~412 MB/partition mean at the 10× frame), so a bucket
+    * 4× hotter than the mean still fits; a NULL sum (empty name
+    * frame) coalesces to 0 instead of NPE-ing. Past the ceiling,
+    * the GROUPED per-form pair expansion — ONE shuffle of the form
+    * frame instead of the join lanes' two, sort-based grouping that
+    * degrades by SPILLING instead of failing, measured 42.0 s vs
+    * sort-merge's 65.2 s at the 10× 100M-row frame where shuffle-hash
+    * OOMs (round-13 r40lanes sweep; 3× is a tie with hash, so the
+    * below-ceiling pick keeps the codegen'd join). Sort-merge stays
+    * reachable via the forced lane for the equivalence spec. */
+  private[graft] def r40PickLane(names: DataFrame, parts: Int): String = {
+    val l = length(col(names.columns.head)) // local: Array.head on the schema's column names
+    val bytesBound = names
+      .agg(coalesce(
+        sum((lit(2) * l * l + lit(1)).cast("long") * (lit(2) * l + lit(96))),
+        lit(0L)))
+      .head.getLong(0) // bounded: ONE-row sum aggregate
+    if (bytesBound <= 96L * 1024 * 1024 * parts) "shuffle_hash" else "grouped"
   }
 
   /** All (form, name, d, w) blocking rows for [[r40]]: the name with d

@@ -1412,6 +1412,72 @@ object Similarity {
     }
   }
 
+  /** Compaction threshold for streamed cell-partitioned appends: a cell
+    * dir holding MORE than this many parquet files gets folded to one
+    * by [[foldCells]]. 4 bounds per-probe listing overhead to a small
+    * constant while letting a few epochs accumulate between folds (the
+    * fold itself costs one read+write of the affected cells). */
+  private[graft] val MaxFilesPerCell = 4
+
+  /** Small-file FOLD for a cell-partitioned generation — the LSM
+    * compaction that keeps streamed appends (st12: one file per touched
+    * cell PER epoch) from re-growing the listing pathology the
+    * one-file-per-dir build fix removed: without it a long-lived ingest
+    * stream accumulates epochs × cells files and every probe pays
+    * listing/footer/task overhead ∝ file count again. Rewrites ONLY
+    * `cells` (each clustered to ONE file via the pre-write repartition
+    * on the partition column); every other cell's files and the root
+    * sidecars are HARDLINKED byte-for-byte into the fresh `dstPath`
+    * generation — cost ∝ affected cells' rows + total file COUNT
+    * (metadata), never the corpus. The source generation is immutable
+    * (never mutated in place): a reader mid-scan of the old generation
+    * is undisturbed, and the caller adopts the new one by pointer swap
+    * — the same generation discipline as st13's bucket rewrite. */
+  private[graft] def foldCells(s: SparkSession, srcPath: String,
+                               dstPath: String, cells: Set[Int]): Unit = {
+    val src = java.nio.file.Paths.get(srcPath)
+    val dst = java.nio.file.Paths.get(dstPath)
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val rel = src.relativize(p).toString
+        val cellOf = rel.split('/').find(_.startsWith("cell="))
+          .map(_.substring(5).toInt)
+        // _SUCCESS is re-created IN PLACE by the append below — linking
+        // it would let that truncation reach the immutable source
+        if (rel != "_SUCCESS" && !cellOf.exists(cells.contains)) {
+          val out = dst.resolve(rel)
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.deleteIfExists(out)
+          try java.nio.file.Files.createLink(out, p)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(p, out,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+    } finally walk.close()
+    if (cells.nonEmpty) {
+      // partition pruning keeps the read to the folded cells' files
+      s.read.parquet(srcPath)
+        .filter(col("cell").isin(cells.toSeq.map(Integer.valueOf): _*))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(dstPath)
+    }
+  }
+
+  /** Parquet-file count per cell dir, for the cells named — the
+    * compaction trigger's only metadata read: cost ∝ |cells| dir
+    * listings, never a full-tree walk (a streamed ingest checks just
+    * the cells its batch touched). */
+  private[graft] def cellFileCounts(path: String,
+                                    cells: Set[Int]): Map[Int, Int] =
+    cells.iterator.map { c =>
+      val d = new java.io.File(path, s"cell=$c")
+      c -> Option(d.listFiles()).map(_.count(
+        _.getName.endsWith(".parquet"))).getOrElse(0)
+    }.toMap
+
   // ------------------------------------------------------------- S13
   /** The re-embedded id set for s13 (every 13th corpus vector, queries
     * excluded) — in production, the docs whose content changed since

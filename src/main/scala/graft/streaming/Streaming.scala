@@ -878,8 +878,26 @@ object Streaming {
     * projection against broadcast anchors, write = append under
     * affected cells only); the stream never touches the existing
     * corpus, and state is the file-source offset log alone — there is
-    * no stateful shuffle at all. */
-  def st12StreamIndexIngest(s0: SparkSession, d: String): DataFrame = {
+    * no stateful shuffle at all. A size-triggered COMPACTION closes the
+    * long-lived-stream leak: when an epoch pushes a touched cell past
+    * [[graft.operators.Similarity.MaxFilesPerCell]] files, the
+    * oversized cells fold into a fresh generation
+    * ([[graft.operators.Similarity.foldCells]] — affected cells
+    * rewritten to one file each, everything else hardlinked) and the
+    * generation pointer swaps, so file counts stay O(1) per cell at
+    * any epoch count while readers of the old generation are
+    * undisturbed (StreamingSpec's ≥8-epoch soak proves bit-identical
+    * probes through the fold). */
+  def st12StreamIndexIngest(s0: SparkSession, d: String): DataFrame =
+    st12IngestAt(s0, d, nEpochs = 3)
+
+  /** [[st12StreamIndexIngest]] at a caller-chosen epoch count — the
+    * ≥8-epoch compaction soak (StreamingSpec) rides this; `inspect` is
+    * called with (final generation path, generations created) BEFORE
+    * the workspace is torn down, so a spec can assert on-disk layout
+    * (per-cell file counts) that the returned frame can't carry. */
+  private[graft] def st12IngestAt(s0: SparkSession, d: String, nEpochs: Int,
+      inspect: (String, Int) => Unit = (_, _) => ()): DataFrame = {
     import graft.operators.Similarity
     val s = scoped(s0)
     val raw = graft.sources.Tables.embeddings(s, d)
@@ -911,9 +929,20 @@ object Streaming {
           catch { case _: Exception => java.nio.file.Files.copy(p, out) }
         }
       } finally walk.close()
-      // the new slice arrives as 3 files ⇒ 3 micro-batches
+      // the new slice arrives as nEpochs files ⇒ nEpochs micro-batches
       val inDir = s"$work/in"
-      raw.filter(col("vec_id") % 10 === 9).repartition(3).write.parquet(inDir)
+      raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
+        .write.parquet(inDir)
+      // generation pointer: appends land on the CURRENT generation;
+      // when an epoch pushes any touched cell past MaxFilesPerCell
+      // files, [[Similarity.foldCells]] folds those cells into a fresh
+      // generation (untouched cells hardlinked) and the pointer swaps —
+      // the source generation is never mutated, so a reader mid-scan is
+      // undisturbed. Without this a long-lived stream stacks one file
+      // per touched cell PER epoch and recreates exactly the
+      // listing-cost pathology the one-file-per-dir build fix removed.
+      val current = new java.util.concurrent.atomic.AtomicReference(idxDir)
+      val genSeq = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
         .writeStream
@@ -923,16 +952,31 @@ object Streaming {
           // would stack several files per cell per epoch; see
           // ivfIndex's build for the measured cost of letting index
           // file counts outgrow directories
-          Similarity.assignQuantize(batch, anchors)
-            .repartition(col("cell"))
-            .write.mode("append").partitionBy("cell").parquet(idxDir)
+          val live = current.get()
+          val enc = Similarity.assignQuantize(batch, anchors).persist()
+          try {
+            enc.repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(live)
+            // compaction trigger — metadata reads for the batch's own
+            // cells only, never a full-tree walk
+            // bounded: distinct cells of ONE micro-batch
+            val touched = enc.select(col("cell")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            val over = Similarity.cellFileCounts(live, touched)
+              .filter(_._2 > Similarity.MaxFilesPerCell).keySet
+            if (over.nonEmpty) {
+              val next = s"$idxDir-gen${genSeq.incrementAndGet()}"
+              Similarity.foldCells(s, live, next, over)
+              current.set(next)
+            }
+          } finally enc.unpersist()
         }
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       val nProbe = math.max(4, nCells / 4)
       val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
-      val mine = Similarity.probeIndex(s, idxDir, Similarity.prepared(s, d),
+      val mine = Similarity.probeIndex(s, current.get(), Similarity.prepared(s, d),
         anchors, nProbe).select(cols: _*).localCheckpoint(true)
       // reference = the DURABLE batch-append generation probed directly
       // (bit-identical to s8AnnIndexAppend's serving rows — same index,
@@ -944,6 +988,7 @@ object Streaming {
           Similarity.prepared(s, d), incrAnchors, incrNProbe)
         .select(cols: _*).localCheckpoint(true)
       val mismatch = mine.exceptAll(ref).count() + ref.exceptAll(mine).count()
+      inspect(current.get(), genSeq.get())
       // the returned frames are eagerly checkpointed, so withWorkspace
       // deleting the staged generation before return is safe — and a
       // failed stream/probe cannot leak the workspace either

@@ -387,11 +387,37 @@ class RelationalSpec extends AnyFunSuite {
       "forced merge lane did not plan a SortMergeJoin")
     assert(hash.collect().map(_.toSeq).toSeq == merge.collect().map(_.toSeq).toSeq,
       "the two join lanes disagree — the lane pick would change answers")
-    // at gate scale the bound sits far under 1M rows/partition ⇒ the
-    // unforced pick must take the measured-faster hash lane
+    // the one-shuffle grouped expansion must answer identically too
+    val grouped = Relational.r40Impl(spark, sf, Some("grouped"))
+    assert(grouped.collect().map(_.toSeq).toSeq
+      == hash.collect().map(_.toSeq).toSeq,
+      "grouped pair expansion diverged from the join lanes")
+    // at gate scale the bound sits far under the per-partition bytes
+    // ceiling ⇒ the unforced pick must take the measured-faster hash lane
     assert(Relational.r40(spark, sf).queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"),
       "gate-scale pick should be shuffle_hash (forms far below the ceiling)")
+  }
+
+  test("r40 lane ceiling self-tunes to key width: long keys flip to merge " +
+    "where the old rows/partition constant would have built an OOM-sized map") {
+    import graft.operators.Relational
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // 16 names of 500 chars: 16 · (2·500²+1) = 8M forms — the retired
+    // 1M-rows/partition rule said shuffle_hash at 8 partitions, but the
+    // build side is 16 · 500001 · (2·500+96) ≈ 8.8 GB ≫ parts·96 MB
+    val longKeys = (0 until 16).map(i => ("x" * 499) + ('a' + i).toChar)
+      .toDF("name")
+    assert(Relational.r40PickLane(longKeys, parts) == "grouped",
+      "500-char keys must flip off the hash lane (bytes, not rows)")
+    // typical key width at a count far below the ceiling stays hash
+    val shortKeys = (0 until 1000).map(i => f"Customer#$i%09d").toDF("name")
+    assert(Relational.r40PickLane(shortKeys, parts) == "shuffle_hash",
+      "gate-shaped short keys must keep the measured-faster hash lane")
+    // empty frame: sum() is NULL — must coalesce to 0, not NPE
+    assert(Relational.r40PickLane(Seq.empty[String].toDF("name"), parts)
+      == "shuffle_hash", "empty name frame must not NPE in the lane probe")
   }
 
   test("r40 fuzzy join: k=2 deletion-neighborhood blocking finds EXACTLY " +

@@ -468,6 +468,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(key).sorted.sameElements(ref.map(key).sorted))
   }
 
+  test("st12 compaction soak: 9 epochs end with every cell dir at most " +
+    "MaxFilesPerCell files, at least one fold fired, and the probe stays " +
+    "bit-identical to the batch append through the generation swaps") {
+    var finalGen: String = null
+    var gens = -1
+    var counts: Map[String, Int] = Map.empty
+    val rows = graft.streaming.Streaming.st12IngestAt(spark, sf, nEpochs = 9,
+      inspect = (path, g) => {
+        finalGen = path; gens = g
+        counts = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+          .map(d => d.getName ->
+            d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      }).collect()
+    // 9 epochs over ~the same cells would stack ~10 files/cell without
+    // compaction — the fold MUST have fired and swapped generations
+    assert(gens >= 1, "9-epoch ingest never triggered a compaction fold")
+    assert(finalGen.contains("-gen"), s"pointer never left the base: $finalGen")
+    assert(counts.nonEmpty, "final generation has no cell dirs")
+    // the trigger checks every batch's touched cells right after the
+    // append, so a cell can never END an epoch over the bound
+    val over = counts.filter(_._2 > graft.operators.Similarity.MaxFilesPerCell)
+    assert(over.isEmpty,
+      s"cells past the compaction bound after the soak: $over")
+    info(s"soak: gens=$gens cells=${counts.size} " +
+      s"maxFiles=${counts.values.max}")
+    // bit-identity held across every fold boundary
+    assert(rows.length == 50, s"expected 50 probe rows, got ${rows.length}")
+    assert(rows.forall(_.getAs[Boolean]("append_ok")),
+      "9-epoch streamed ingest with compaction diverged from s8's batch append")
+  }
+
   test("st12 workspace is residue-free after success AND after a forced failure") {
     val roots = Seq(new java.io.File(System.getProperty("java.io.tmpdir")),
       new java.io.File("/dev/shm"))

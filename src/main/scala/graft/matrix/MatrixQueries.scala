@@ -1396,7 +1396,237 @@ object MatrixQueries {
       .toDF("n", "blk", "iters", "resid_rel", "err_rel", "pass")
   }
 
+  /** M19: restarted GMRES(m) solve of a NORMAL-but-COMPLEX-spectrum
+    * system — the Krylov member [[m18BicgStab]] provably cannot cover.
+    * BiCGSTAB's stabilizer step is a REAL degree-1 polynomial (ω from
+    * one real least-squares), so it cannot damp eigenpairs whose
+    * imaginary part dominates: on A = δI + S with S skew-symmetric
+    * (spectrum δ ± iσ, σ/δ = 7 here) the m18 recurrence measurably
+    * breaks down at residual ~1e-6 (MatrixSpec runs the demonstration
+    * driver-locally), while GMRES minimizes the TRUE residual over the
+    * full Krylov subspace with complex-capable rotations and converges
+    * in a handful of restarts.
+    *
+    * Fully distributed, m15/m17's discipline end-to-end: the skew
+    * operator lives as column-keyed blocks (each block pairs the
+    * seeded (bi,bj)/(bj,bi) generators — deterministic, no transpose
+    * shuffle); δ is SELF-TUNED to the spectrum by a distributed power
+    * iteration on −S² (= SᵀS for skew S), never hardcoded to one n;
+    * every A·v is [[bvMatvec]] + a narrow δ-axpy join; the Arnoldi
+    * basis is m17's slab (one fused BasisᵀW reduction per CGS2 pass,
+    * re-orthogonalized twice); H̄ is (m+1)×m on the DRIVER, rotated
+    * incrementally by Givens (m14's small-driver-solve discipline), so
+    * driver traffic per iteration is one m-vector of coefficients +
+    * two scalars regardless of n. Restarts blend x += V·y in ONE pass
+    * over the basis, then re-derive the TRUE residual with a fresh
+    * matvec — restarted GMRES's stagnation-proofing. Lineage:
+    * basis/v/x localCheckpoint-truncated every iteration (m17's task-
+    * serializer lesson), retired iterates dropped at each barrier.
+    * Gate: true residual < 1e-10 AND planted-x* recovery < 1e-8 AND
+    * no stagnation exit. */
+  def m19Gmres(s: SparkSession, dir: String): DataFrame =
+    m19At(s, 512, 128, 40)
+
+  /** The GMRES(m) solve at caller-chosen size/restart length
+    * (MatrixSpec and ScaleSweep trend points ride this). */
+  private[graft] def m19At(s: SparkSession, n: Int, blk: Int,
+                           mRestart: Int): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    val q = n / blk
+    val part = new org.apache.spark.HashPartitioner(q)
+    val ids = for (bi <- 0 until q; bj <- 0 until q) yield (bi, bj)
+    // S = (M − Mᵀ)/2 without a transpose shuffle: the generator is
+    // deterministic per (seed, bi, bj), so each task derives BOTH the
+    // (bi,bj) and (bj,bi) blocks locally
+    val sByCol = sc.parallelize(ids, math.min(ids.size, 64)).map { case (bi, bj) =>
+      val a = MatrixGen.localBlock(blk, Seed, bi, bj, 0.0)
+      val b = MatrixGen.localBlock(blk, Seed, bj, bi, 0.0)
+      val m0 = Array.tabulate(blk, blk)((i, j) => (a(i)(j) - b(j)(i)) / 2)
+      (bj, (bi, m0))
+    }.partitionBy(part).cache()
+    type Basis = org.apache.spark.rdd.RDD[(Int, Array[Array[Double]])]
+    val cached = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def keep[T <: org.apache.spark.rdd.RDD[_]](v: T): T = { v.cache(); cached += v; v }
+    def dot(u: BlockVec, v: BlockVec): Double =
+      u.join(v, part).map { case (_, (a, b)) =>
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }.sum()
+    def bvec(f: Int => Double): BlockVec =
+      sc.parallelize(0 until q, q)
+        .map(b => (b, Array.tabulate(blk)(i => f(b * blk + i))))
+        .partitionBy(part)
+    def scale(v: BlockVec, a: Double): BlockVec = v.mapValues(_.map(_ * a))
+
+    // σ(S) via distributed power iteration on −S² (SPD for skew S):
+    // 12 iterations pin the dominant eigenvalue σ² well inside the
+    // tolerance the c = σ/δ = 7 construction needs (BiCGSTAB fails and
+    // GMRES converges across c ∈ [6, 10] — measured while designing
+    // the system, so σ̂ drift is harmless)
+    var pv = keep(scale(bvec(i => 1.0 + math.cos(i * 0.3)), 1.0))
+    var sigma2 = 0.0
+    for (_ <- 0 until 12) {
+      val z = keep(bvMatvec(sByCol, bvMatvec(sByCol, pv, part), part)
+        .mapValues(_.map(-_)))
+      val (num, den) = (dot(pv, z), dot(pv, pv))
+      sigma2 = num / den
+      val zn = math.sqrt(dot(z, z))
+      pv = keep(scale(z, 1.0 / zn))
+    }
+    val delta = math.sqrt(math.max(sigma2, 0.0)) / 7.0
+    // A·v = S·v + δ·v — one bvMatvec plus a narrow co-partitioned axpy
+    def amat(v: BlockVec): BlockVec =
+      bvMatvec(sByCol, v, part).join(v, part).mapValues { case (sv, vv) =>
+        val w = sv.clone(); var i = 0
+        while (i < w.length) { w(i) += delta * vv(i); i += 1 }
+        w
+      }
+
+    val xStar = keep(bvec(i => 1.0 + (i % 7) * 0.25))
+    val b0 = keep(amat(xStar))
+    val bNrm = math.sqrt(dot(b0, b0))
+    val tol = 1e-12
+
+    var x: BlockVec = keep(bvec(_ => 0.0))
+    var restarts = 0
+    var iters = 0
+    var resid = 1.0
+    var stagnant = false
+    val maxRestarts = 16
+    var done = false
+    while (!done && !stagnant && restarts < maxRestarts) {
+      // r = b − A·x; the TRUE residual starts every cycle (restarted
+      // GMRES's defense against recurrence drift)
+      val r = keep(amat(x).join(b0, part).mapValues { case (ax, bb) =>
+        Array.tabulate(ax.length)(i => bb(i) - ax(i))
+      })
+      val beta0 = math.sqrt(dot(r, r))
+      val prevResid = resid
+      resid = beta0 / bNrm
+      if (resid < tol * 10) done = true // already at the gate target
+      else if (restarts > 0 && resid > prevResid * 0.99) {
+        stagnant = true // a full cycle bought < 1% — exit LOUD
+      } else {
+        var v: BlockVec = keep(scale(r, 1.0 / beta0))
+        var basis: Basis = keep(v.mapValues(a => Array(a)))
+        val h = Array.ofDim[Double](mRestart + 1, mRestart)
+        val g = new Array[Double](mRestart + 1); g(0) = beta0
+        val cs = new Array[Double](mRestart)
+        val sn = new Array[Double](mRestart)
+        var j = 0
+        var inner = true
+        while (inner && j < mRestart) {
+          var w: BlockVec = keep(amat(v))
+          // CGS2: two fused BasisᵀW reductions (ONE job each however
+          // wide the basis), h column = c1 + c2
+          val hCol = new Array[Double](j + 1)
+          for (_ <- 0 until 2) {
+            val c = basis.join(w, part).map { case (_, (vb, wb)) =>
+              Array.tabulate(vb.length) { i =>
+                val bi = vb(i); var acc = 0.0; var t = 0
+                while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
+                acc
+              }
+            }.reduce { (a0, b1) =>
+              val z = a0.clone(); var i = 0
+              while (i < z.length) { z(i) += b1(i); i += 1 }
+              z
+            }
+            var i = 0
+            while (i <= j) { hCol(i) += c(i); i += 1 }
+            w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
+              val out = wb.clone()
+              var k = 0
+              while (k < vb.length) {
+                val bk = vb(k); val ck = c(k); var t = 0
+                while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
+                k += 1
+              }
+              out
+            })
+          }
+          var i = 0
+          while (i <= j) { h(i)(j) = hCol(i); i += 1 }
+          val hj1 = math.sqrt(dot(w, w))
+          h(j + 1)(j) = hj1
+          // incremental Givens: rotate the new column, update g
+          i = 0
+          while (i < j) {
+            val t0 = cs(i) * h(i)(j) + sn(i) * h(i + 1)(j)
+            h(i + 1)(j) = -sn(i) * h(i)(j) + cs(i) * h(i + 1)(j)
+            h(i)(j) = t0
+            i += 1
+          }
+          val dgn = math.hypot(h(j)(j), h(j + 1)(j))
+          cs(j) = h(j)(j) / dgn; sn(j) = h(j + 1)(j) / dgn
+          h(j)(j) = dgn; h(j + 1)(j) = 0.0
+          g(j + 1) = -sn(j) * g(j); g(j) = cs(j) * g(j)
+          iters += 1
+          j += 1
+          if (math.abs(g(j)) / bNrm < tol) inner = false // converged
+          else if (hj1 < 1e-300) inner = false // happy breakdown
+          else if (j < mRestart) {
+            v = keep(scale(w, 1.0 / hj1))
+            basis = keep(basis.join(v, part).mapValues { case (vb, nv) => vb :+ nv })
+            // m17's task-serializer lesson: truncate EVERY live
+            // reference the next joins will ship, EVERY iteration
+            basis.localCheckpoint(); v.localCheckpoint()
+            basis.foreachPartition(_ => ()); v.foreachPartition(_ => ())
+            retireCached(cached, Seq(basis, v, x, b0, xStar, sByCol, pv))
+          }
+        }
+        // back-substitute y from the rotated triangular H, blend
+        // x += V_j·y in ONE pass over the basis slab
+        val y = new Array[Double](j)
+        var bi = j - 1
+        while (bi >= 0) {
+          var acc = g(bi); var k = bi + 1
+          while (k < j) { acc -= h(bi)(k) * y(k); k += 1 }
+          y(bi) = acc / h(bi)(bi)
+          bi -= 1
+        }
+        val jf = j
+        x = keep(basis.join(x, part).mapValues { case (vb, xa) =>
+          val out = xa.clone()
+          var k = 0
+          while (k < jf && k < vb.length) {
+            val bk = vb(k); val yk = y(k); var t = 0
+            while (t < out.length) { out(t) += yk * bk(t); t += 1 }
+            k += 1
+          }
+          out
+        })
+        x.localCheckpoint(); x.foreachPartition(_ => ())
+        restarts += 1
+      }
+    }
+    // TRUE residual + planted-x* recovery, one extra matvec
+    val ax = amat(x)
+    val tr = ax.join(b0, part).map { case (_, (a, b)) =>
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d0 = a(i) - b(i); acc += d0 * d0; i += 1 }
+      acc
+    }.sum()
+    val err = x.join(xStar, part).map { case (_, (xa, xs)) =>
+      var m = 0.0; var i = 0
+      while (i < xa.length) { m = math.max(m, math.abs(xa(i) - xs(i))); i += 1 }
+      m
+    }.max()
+    val residTrue = math.sqrt(tr) / bNrm
+    val relErr = err / 2.5
+    cached.foreach(_.unpersist(false))
+    sByCol.unpersist(false)
+    val pass = !stagnant && residTrue < 1e-10 && relErr < 1e-8
+    Seq((n, blk, mRestart, restarts, iters, delta, residTrue, relErr, pass))
+      .toDF("n", "blk", "m", "restarts", "iters", "delta",
+        "resid_rel", "err_rel", "pass")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m19_gmres" -> (m19Gmres _),
     "m18_bicgstab" -> (m18BicgStab _),
     "m17_lanczos_eigen" -> (m17LanczosEigen _),
     "m1_generate"   -> (m1Generate _),

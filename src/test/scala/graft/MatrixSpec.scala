@@ -527,6 +527,113 @@ class MatrixSpec extends AnyFunSuite {
       "system assembly mismatch")
   }
 
+  test("m19: GMRES(m) converges on the skew-dominant system BiCGSTAB " +
+    "demonstrably fails on; independent local LU solve agrees") {
+    val n = 256; val blk = 64; val q = n / blk
+    val row = MatrixQueries.m19At(spark, n, blk, 32).collect()(0)
+    info(f"restarts=${row.getAs[Int]("restarts")} iters=${row.getAs[Int]("iters")} " +
+      f"delta=${row.getAs[Double]("delta")}%.4f resid=${row.getAs[Double]("resid_rel")}%.2e " +
+      f"err=${row.getAs[Double]("err_rel")}%.2e")
+    assert(row.getAs[Boolean]("pass"), row.toString)
+    val delta = row.getAs[Double]("delta")
+    // the SAME skew system assembled locally, with the SAME self-tuned
+    // δ the distributed power iteration produced
+    val aLoc = Array.ofDim[Double](n, n)
+    for (bi <- 0 until q; bj <- 0 until q) {
+      val a = MatrixGen.localBlock(blk, seed, bi, bj, 0.0)
+      val b = MatrixGen.localBlock(blk, seed, bj, bi, 0.0)
+      for (i <- 0 until blk; j <- 0 until blk) {
+        aLoc(bi * blk + i)(bj * blk + j) = (a(i)(j) - b(j)(i)) / 2 +
+          (if (bi == bj && i == j) delta else 0.0)
+      }
+    }
+    // skew + δI really is what it claims: A + Aᵀ = 2δI
+    val symOff = (for (i <- 0 until n; j <- 0 until n if i != j) yield
+      math.abs(aLoc(i)(j) + aLoc(j)(i))).max
+    assert(symOff < 1e-12, s"off-diagonal symmetrization residue $symOff")
+    val xStar = Array.tabulate(n)(i => 1.0 + (i % 7) * 0.25)
+    val bLoc = aLoc.map { r0 =>
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += r0(i) * xStar(i); i += 1 }
+      acc
+    }
+    // independent driver-local Gaussian elimination recovers the same
+    // planted x* the gate checked — the m18-spec sandwich
+    val m0 = aLoc.map(_.clone()); val bb = bLoc.clone()
+    for (k <- 0 until n) {
+      val piv = (k until n).maxBy(i => math.abs(m0(i)(k)))
+      val tr = m0(k); m0(k) = m0(piv); m0(piv) = tr
+      val tb = bb(k); bb(k) = bb(piv); bb(piv) = tb
+      for (i <- k + 1 until n) {
+        val f = m0(i)(k) / m0(k)(k)
+        for (j <- k until n) m0(i)(j) -= f * m0(k)(j)
+        bb(i) -= f * bb(k)
+      }
+    }
+    val xLu = new Array[Double](n)
+    for (i <- n - 1 to 0 by -1) {
+      var acc = bb(i)
+      for (j <- i + 1 until n) acc -= m0(i)(j) * xLu(j)
+      xLu(i) = acc / m0(i)(i)
+    }
+    val luErr = xLu.zip(xStar).map { case (a, b) => math.abs(a - b) }.max
+    assert(luErr < 1e-8, s"local LU drifted from planted x* by $luErr")
+    // the STRUGGLE has teeth: m18's exact BiCGSTAB recurrence, run
+    // driver-locally on this system, must FAIL the 1e-10 target —
+    // its real degree-1 stabilizer cannot damp the δ ± iσ spectrum
+    // (σ/δ = 7). Breakdown or iteration-cap stagnation both count.
+    def mv(v: Array[Double]): Array[Double] = {
+      val y = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0; var j = 0
+        while (j < n) { acc += aLoc(i)(j) * v(j); j += 1 }
+        y(i) = acc; i += 1
+      }
+      y
+    }
+    def d(u: Array[Double], v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += u(i) * v(i); i += 1 }
+      acc
+    }
+    val bn = math.sqrt(d(bLoc, bLoc))
+    var x = new Array[Double](n); var r = bLoc.clone()
+    val rHat = bLoc.clone(); var p = r.clone()
+    var rho = bn * bn; var rn2 = rho; var it = 0; var bd = false
+    while (it < n && math.sqrt(rn2) / bn > 1e-12 && !bd) {
+      val av = mv(p); val rhv = d(rHat, av)
+      if (math.abs(rhv) < 1e-300) bd = true
+      else {
+        val alpha = rho / rhv
+        val sv = Array.tabulate(n)(i => r(i) - alpha * av(i))
+        val t = mv(sv); val ts = d(sv, t); val tt = d(t, t)
+        if (tt < 1e-300) {
+          x = Array.tabulate(n)(i => x(i) + alpha * p(i)); rn2 = 0.0; it += 1
+        } else {
+          val omega = ts / tt
+          val xN = Array.tabulate(n)(i => x(i) + alpha * p(i) + omega * sv(i))
+          val rN = Array.tabulate(n)(i => sv(i) - omega * t(i))
+          val rhoN = d(rHat, rN); val rN2 = d(rN, rN)
+          if (math.abs(omega) < 1e-300 ||
+              (math.abs(rhoN) < 1e-300 && math.sqrt(rN2) / bn > 1e-12)) bd = true
+          else {
+            val beta2 = (rhoN / rho) * (alpha / omega)
+            p = Array.tabulate(n)(i => rN(i) + beta2 * (p(i) - omega * av(i)))
+            x = xN; r = rN; rho = rhoN; rn2 = rN2
+          }
+          it += 1
+        }
+      }
+    }
+    val axb = mv(x).zip(bLoc).map { case (a, b) => a - b }
+    val bicgRes = math.sqrt(d(axb, axb)) / bn
+    info(f"local BiCGSTAB on the skew system: it=$it breakdown=$bd resid=$bicgRes%.2e")
+    assert(bd || bicgRes > 1e-9,
+      f"BiCGSTAB reached $bicgRes%.2e here — the 'GMRES-only' system claim " +
+        "is vacuous; re-skew the construction")
+  }
+
   test("rank-deficient tall solve: ridge fallback engages and matches a local oracle") {
     val m = 512; val d = 8; val blk = 32
     // duplicate column 6 into column 7 → numerical rank d-1

@@ -500,6 +500,157 @@ class StreamingSpec extends AnyFunSuite {
       "9-epoch streamed ingest with compaction diverged from s8's batch append")
   }
 
+  test("st12+st18 vector-service soak: ingest stream appends+compacts while " +
+    "the serving stream answers; serve bit-identity holds across the one " +
+    "immutable-generation handoff; base untouched; zero leaked files") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    val s = spark
+    val (basePath, anchors, nCells) = Similarity.baseIndexPath(s, sf)
+    val nProbe = math.max(4, nCells / 4)
+    def snapshot(root: String): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).map(f => f.getAbsolutePath -> f.length).toSet
+    }
+    val baseBefore = snapshot(basePath)
+    val work = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    try {
+      // the ingest works on a PRIVATE hardlinked copy of the immutable
+      // base (st12's staging); the serving pointer starts at the
+      // pristine base itself and swaps ONCE, to the final folded
+      // generation, when the ingest publishes
+      val chain0 = s"$work/index"
+      val src = java.nio.file.Paths.get(basePath)
+      val dst = java.nio.file.Paths.get(chain0)
+      val w0 = java.nio.file.Files.walk(src)
+      try w0.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val out = dst.resolve(src.relativize(p).toString)
+          java.nio.file.Files.createDirectories(out.getParent)
+          try java.nio.file.Files.createLink(out, p)
+          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
+        }
+      } finally w0.close()
+      val raw = graft.sources.Tables.embeddings(s, sf)
+      raw.filter(col("vec_id") % 10 === 9).repartition(9)
+        .write.parquet(s"$work/in-ingest")
+      val qSchema = graft.streaming.Streaming.st18WriteInputs(s, sf, s"$work/in-serve")
+      val current = new java.util.concurrent.atomic.AtomicReference(basePath)
+      val chain = new java.util.concurrent.atomic.AtomicReference(chain0)
+      val gens = new java.util.concurrent.atomic.AtomicInteger(0)
+      val published = new java.util.concurrent.CountDownLatch(1)
+      val batch0Done = new java.util.concurrent.CountDownLatch(1)
+      // INGEST stream: st12's append + fold loop on the private chain
+      val qi = s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in-ingest")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // serving batch 0 must answer from the BASE while ingest runs
+          if (id == 0) batch0Done.await(120, java.util.concurrent.TimeUnit.SECONDS)
+          val live = chain.get()
+          val enc = Similarity.assignQuantize(batch, anchors).persist()
+          try {
+            enc.repartition(col("cell"))
+              .write.mode("append").partitionBy("cell").parquet(live)
+            // bounded: distinct cells of ONE micro-batch
+            val touched = enc.select(col("cell")).distinct()
+              .collect().map(_.getInt(0)).toSet
+            val over = Similarity.cellFileCounts(live, touched)
+              .filter(_._2 > Similarity.MaxFilesPerCell).keySet
+            if (over.nonEmpty) {
+              val next = s"$chain0-gen${gens.incrementAndGet()}"
+              Similarity.foldCells(s, live, next, over)
+              chain.set(next)
+            }
+          } finally enc.unpersist()
+          if (id == 8) current.set(chain.get()) // the ONE handoff
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt-ingest")
+        .trigger(Trigger.AvailableNow()).start()
+      // SERVING stream: probes whatever generation the pointer names
+      val served = new java.util.concurrent.ConcurrentLinkedQueue[
+        (Long, String, Array[Seq[Any]])]()
+      val qs = s.readStream.schema(qSchema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in-serve")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // batches 1+ wait out the handoff so the soak provably serves
+          // from BOTH sides of the compaction boundary
+          if (id > 0) published.await(240, java.util.concurrent.TimeUnit.SECONDS)
+          val gen = current.get()
+          val prep = batch.select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vecNorm2(col("v"))))
+          // bounded: <= NQueries*K serving rows per micro-batch
+          val rows = Similarity.probeIndex(s, gen, prep, anchors, nProbe)
+            .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+            .collect().map(_.toSeq)
+          served.add((id, gen, rows))
+          if (id == 0) batch0Done.countDown()
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt-serve")
+        .trigger(Trigger.AvailableNow()).start()
+      try qi.awaitTermination() finally published.countDown()
+      qs.awaitTermination()
+
+      val recs = served.toArray(Array.empty[(Long, String, Array[Seq[Any]])])
+        .sortBy(_._1)
+      assert(recs.length == 3, s"expected 3 serving batches, got ${recs.length}")
+      assert(gens.get() >= 1, "the 9-epoch ingest never folded — the soak " +
+        "did not cross a compaction boundary")
+      assert(recs(0)._2 == basePath,
+        s"serving batch 0 should have answered from the base: ${recs(0)._2}")
+      assert(recs(1)._2.contains("-gen") && recs(2)._2.contains("-gen"),
+        s"post-handoff batches should serve the folded generation: " +
+          s"${recs(1)._2} / ${recs(2)._2}")
+      // bit-identity: each batch's streamed answer equals a one-shot
+      // probe of the SAME (immutable) generation, re-run after the soak
+      recs.foreach { case (id, gen, rows) =>
+        val qids = rows.map(_.head.asInstanceOf[Long]).distinct.toSet
+        val again = Similarity.probeIndex(s, gen,
+            Similarity.prepared(s, sf).filter(col("vec_id").isin(
+              qids.toSeq.map(java.lang.Long.valueOf): _*)),
+            anchors, nProbe)
+          .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+          .collect().map(_.toSeq) // bounded: <= NQueries*K gate rows
+        def ms(a: Array[Seq[Any]]) =
+          a.groupBy(identity).view.mapValues(_.length).toMap
+        assert(ms(rows) == ms(again),
+          s"serving batch $id diverged from a one-shot probe of $gen")
+      }
+      // the final generation's content equals the batch-append reference
+      // (st12's append identity), so the folds lost/duplicated nothing
+      val (incrPath, incrAnchors, incrNProbe) = Similarity.incrIndexPath(s, sf)
+      val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      val fin = Similarity.probeIndex(s, current.get(),
+        Similarity.prepared(s, sf), anchors, nProbe).select(cols: _*)
+      val ref = Similarity.probeIndex(s, incrPath,
+        Similarity.prepared(s, sf), incrAnchors, incrNProbe).select(cols: _*)
+      assert(fin.exceptAll(ref).count() + ref.exceptAll(fin).count() == 0,
+        "final soak generation diverged from the batch append")
+      // the shared base artifact was never touched by the soak
+      assert(snapshot(basePath) == baseBefore,
+        "the soak mutated the immutable base generation")
+      // compaction bound holds on the final generation
+      val cellCounts = Option(new java.io.File(current.get()).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(cellCounts.nonEmpty &&
+        cellCounts.forall(_._2 <= Similarity.MaxFilesPerCell),
+        s"cells past the bound: ${cellCounts.filter(_._2 > Similarity.MaxFilesPerCell).toSeq}")
+    } finally rm(new java.io.File(work))
+    // zero leaked workspace files
+    assert(!new java.io.File(work).exists(), "soak workspace survived cleanup")
+  }
+
   test("st12 workspace is residue-free after success AND after a forced failure") {
     val roots = Seq(new java.io.File(System.getProperty("java.io.tmpdir")),
       new java.io.File("/dev/shm"))

@@ -61,15 +61,20 @@ object ScaleSweep {
     }
     docCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // embeddings: copy 0 verbatim; copies rotate dims by k
+    // embeddings: copy 0 verbatim; copies rotate dims by k MOD dim —
+    // past n = dim copies the rotations repeat (duplicate vector sets
+    // under shifted ids), which is fine for the probe-cost curves the
+    // sweep measures and avoids the negative slice length a raw k > dim
+    // would feed Spark
     val emb = s.read.parquet(s"$base/embeddings.parquet")
     val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
     val embCopies = (0 until n).map { k =>
       if (k == 0) emb
       else emb.select(
         (col("vec_id") + lit(k * eOff)).as("vec_id"),
-        expr(s"concat(slice(embedding, $k + 1, size(embedding) - $k), " +
-          s"slice(embedding, 1, $k))").as("embedding"),
+        expr(s"concat(slice(embedding, ($k % size(embedding)) + 1, " +
+          s"size(embedding) - ($k % size(embedding))), " +
+          s"slice(embedding, 1, $k % size(embedding)))").as("embedding"),
         col("label"))
     }
     embCopies.reduce(_ unionByName _)

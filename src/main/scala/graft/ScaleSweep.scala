@@ -355,6 +355,23 @@ object ScaleSweep {
         }
       }
     }
+    // restarted-GMRES trend (full sweep, or targeted via
+    // only="m19trend"): m19 at 1×/2×/4× the gate n. The σ/δ = 7
+    // construction is self-tuned per n, so the iteration count stays
+    // ~spectrum-determined across sizes and the curve isolates
+    // per-iteration job cost — m15/m17/m18's trend discipline for the
+    // complex-spectrum member
+    if (only.forall(_.contains("m19trend"))) {
+      Seq(512, 1024, 2048).foreach { n =>
+        val t0 = System.nanoTime()
+        val ok = try { graft.matrix.MatrixQueries.m19At(spark, n, 128, 40).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] m19@n=$n failed: $e"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        println(f"""[scale] {"m19_n":$n,"sec":$dt%.2f}""")
+      }
+    }
     // ANISOTROPY probe (runs in the full sweep, or targeted via
     // only="aniso"): the natural corpus is near-isotropic (measured
     // eigen ratio 1.22 at every swept scale) — a spectrum with nothing

@@ -1520,37 +1520,67 @@ object MatrixQueries {
         var inner = true
         while (inner && j < mRestart) {
           var w: BlockVec = keep(amat(v))
-          // CGS2: two fused BasisᵀW reductions (ONE job each however
-          // wide the basis), h column = c1 + c2
+          // CGS2 in TWO fused reduction jobs total: pass 1 returns the
+          // Gram coefficients c1; pass 2 returns (c2, ‖w₁‖²) in ONE
+          // traversal, and ‖w₂‖² = ‖w₁‖² − ‖c2‖² under the (reorthogo-
+          // nalized) basis's orthonormality — c2 is machine-eps-sized
+          // after pass 1, so the correction never cancels. That drops
+          // the separate norm job m17's shape would have paid.
           val hCol = new Array[Double](j + 1)
-          for (_ <- 0 until 2) {
-            val c = basis.join(w, part).map { case (_, (vb, wb)) =>
-              Array.tabulate(vb.length) { i =>
-                val bi = vb(i); var acc = 0.0; var t = 0
-                while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
-                acc
-              }
-            }.reduce { (a0, b1) =>
-              val z = a0.clone(); var i = 0
-              while (i < z.length) { z(i) += b1(i); i += 1 }
-              z
+          val c1 = basis.join(w, part).map { case (_, (vb, wb)) =>
+            Array.tabulate(vb.length) { i =>
+              val bi = vb(i); var acc = 0.0; var t = 0
+              while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
+              acc
             }
-            var i = 0
-            while (i <= j) { hCol(i) += c(i); i += 1 }
-            w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
-              val out = wb.clone()
-              var k = 0
-              while (k < vb.length) {
-                val bk = vb(k); val ck = c(k); var t = 0
-                while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
-                k += 1
-              }
-              out
-            })
+          }.reduce { (a0, b1) =>
+            val z = a0.clone(); var i = 0
+            while (i < z.length) { z(i) += b1(i); i += 1 }
+            z
           }
           var i = 0
+          while (i <= j) { hCol(i) += c1(i); i += 1 }
+          w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
+            val out = wb.clone()
+            var k = 0
+            while (k < vb.length) {
+              val bk = vb(k); val ck = c1(k); var t = 0
+              while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
+              k += 1
+            }
+            out
+          })
+          val (c2, w1n2) = basis.join(w, part).map { case (_, (vb, wb)) =>
+            var n2 = 0.0; var t = 0
+            while (t < wb.length) { n2 += wb(t) * wb(t); t += 1 }
+            (Array.tabulate(vb.length) { i2 =>
+              val bi = vb(i2); var acc = 0.0; var u = 0
+              while (u < wb.length) { acc += bi(u) * wb(u); u += 1 }
+              acc
+            }, n2)
+          }.reduce { (a0, b1) =>
+            val z = a0._1.clone(); var i2 = 0
+            while (i2 < z.length) { z(i2) += b1._1(i2); i2 += 1 }
+            (z, a0._2 + b1._2)
+          }
+          var c2n2 = 0.0
+          i = 0
+          while (i <= j) {
+            hCol(i) += c2(i); c2n2 += c2(i) * c2(i); i += 1
+          }
+          w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
+            val out = wb.clone()
+            var k = 0
+            while (k < vb.length) {
+              val bk = vb(k); val ck = c2(k); var t = 0
+              while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
+              k += 1
+            }
+            out
+          })
+          i = 0
           while (i <= j) { h(i)(j) = hCol(i); i += 1 }
-          val hj1 = math.sqrt(dot(w, w))
+          val hj1 = math.sqrt(math.max(w1n2 - c2n2, 0.0))
           h(j + 1)(j) = hj1
           // incremental Givens: rotate the new column, update g
           i = 0
@@ -1569,12 +1599,21 @@ object MatrixQueries {
           if (math.abs(g(j)) / bNrm < tol) inner = false // converged
           else if (hj1 < 1e-300) inner = false // happy breakdown
           else if (j < mRestart) {
-            v = keep(scale(w, 1.0 / hj1))
-            basis = keep(basis.join(v, part).mapValues { case (vb, nv) => vb :+ nv })
-            // m17's task-serializer lesson: truncate EVERY live
-            // reference the next joins will ship, EVERY iteration
-            basis.localCheckpoint(); v.localCheckpoint()
-            basis.foreachPartition(_ => ()); v.foreachPartition(_ => ())
+            // append the NORMALIZED w straight into the slab, then
+            // derive v as the slab's last column: ONE checkpointed +
+            // materialized RDD per iteration (m17's shape pays three
+            // jobs here), and v's lineage is depth-1 on the fresh
+            // checkpoint, so the task-serializer overflow m17 guards
+            // against can't chain. The checkpoint materialization is
+            // the barrier retireCached needs — with basis's blocks
+            // live, this window's w intermediates are dead.
+            val hInv = 1.0 / hj1
+            basis = keep(basis.join(w, part).mapValues { case (vb, wb) =>
+              vb :+ wb.map(_ * hInv)
+            })
+            basis.localCheckpoint()
+            basis.foreachPartition(_ => ())
+            v = keep(basis.mapValues(_.last))
             retireCached(cached, Seq(basis, v, x, b0, xStar, sByCol, pv))
           }
         }

@@ -1526,11 +1526,10 @@ object Relational {
     * degenerate corpus (millions of identical keys — a data bug, and
     * quadratic OUTPUT for any exact algorithm) into a loud error
     * instead of a silent executor OOM. */
-  private[graft] def r40GroupedPairs(s: SparkSession,
-                                     vars: DataFrame): DataFrame = {
+  private[graft] def r40GroupedPairs(s: SparkSession, vars: DataFrame,
+                                     GroupCap: Int = 4 << 20): DataFrame = {
     val sess = s
     import sess.implicits._
-    val GroupCap = 4 << 20
     vars.as[(String, String, Int, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (form, it) =>

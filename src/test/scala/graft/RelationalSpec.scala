@@ -420,6 +420,26 @@ class RelationalSpec extends AnyFunSuite {
       == "shuffle_hash", "empty name frame must not NPE in the lane probe")
   }
 
+  test("r40 grouped lane: a degenerate identical-key group past the cap " +
+    "fails LOUD instead of building a quadratic pair set quietly") {
+    import graft.operators.Relational
+    import spark.implicits._
+    // ten rows sharing ONE form — any exact fuzzy join's output here is
+    // quadratic in the group, so a cap breach must throw, not OOM
+    val vars = (0 until 10).map(i => ("sameform", s"name$i", 0, 0))
+      .toDF("form", "name", "d", "w")
+    val boom = intercept[org.apache.spark.SparkException] {
+      Relational.r40GroupedPairs(spark, vars, GroupCap = 8).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(boom).contains("exceeds 8 rows"),
+      s"expected the group-cap error, got: ${rootMsg(boom)}")
+    // and below the cap the same frame answers: C(10,2) distinct pairs
+    assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 1024)
+      .count() == 45L)
+  }
+
   test("r40 fuzzy join: k=2 deletion-neighborhood blocking finds EXACTLY " +
     "the brute-force lev<=2 pairs; no cartesian in the plan") {
     import graft.operators.Relational

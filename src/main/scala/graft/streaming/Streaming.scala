@@ -887,7 +887,12 @@ object Streaming {
     * generation pointer swaps, so file counts stay O(1) per cell at
     * any epoch count while readers of the old generation are
     * undisturbed (StreamingSpec's ≥8-epoch soak proves bit-identical
-    * probes through the fold). */
+    * probes through the fold). Exactly-once under foreachBatch's
+    * at-least-once replay ([[st12StartIngest]]): deterministic
+    * `epoch-<id>` file names moved in atomically + a per-generation
+    * applied-epochs manifest carried through folds + a durable
+    * generation pointer — the kill-and-replay spec proves a forced
+    * epoch re-execution changes nothing. */
   def st12StreamIndexIngest(s0: SparkSession, d: String): DataFrame =
     st12IngestAt(s0, d, nEpochs = 3)
 
@@ -933,46 +938,10 @@ object Streaming {
       val inDir = s"$work/in"
       raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
         .write.parquet(inDir)
-      // generation pointer: appends land on the CURRENT generation;
-      // when an epoch pushes any touched cell past MaxFilesPerCell
-      // files, [[Similarity.foldCells]] folds those cells into a fresh
-      // generation (untouched cells hardlinked) and the pointer swaps —
-      // the source generation is never mutated, so a reader mid-scan is
-      // undisturbed. Without this a long-lived stream stacks one file
-      // per touched cell PER epoch and recreates exactly the
-      // listing-cost pathology the one-file-per-dir build fix removed.
       val current = new java.util.concurrent.atomic.AtomicReference(idxDir)
       val genSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-      val q = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1").parquet(inDir)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // one file per touched cell dir PER BATCH (the honest LSM
-          // append shape) — partitionBy from the batch's partitions
-          // would stack several files per cell per epoch; see
-          // ivfIndex's build for the measured cost of letting index
-          // file counts outgrow directories
-          val live = current.get()
-          val enc = Similarity.assignQuantize(batch, anchors).persist()
-          try {
-            enc.repartition(col("cell"))
-              .write.mode("append").partitionBy("cell").parquet(live)
-            // compaction trigger — metadata reads for the batch's own
-            // cells only, never a full-tree walk
-            // bounded: distinct cells of ONE micro-batch
-            val touched = enc.select(col("cell")).distinct()
-              .collect().map(_.getInt(0)).toSet
-            val over = Similarity.cellFileCounts(live, touched)
-              .filter(_._2 > Similarity.MaxFilesPerCell).keySet
-            if (over.nonEmpty) {
-              val next = s"$idxDir-gen${genSeq.incrementAndGet()}"
-              Similarity.foldCells(s, live, next, over)
-              current.set(next)
-            }
-          } finally enc.unpersist()
-        }
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(Trigger.AvailableNow()).start()
+      val q = st12StartIngest(s, raw.schema, inDir, idxDir, anchors,
+        current, genSeq, ckpt.getAbsolutePath)
       q.awaitTermination()
       val nProbe = math.max(4, nCells / 4)
       val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
@@ -995,6 +964,145 @@ object Streaming {
       mine.withColumn("append_ok", lit(mismatch == 0L))
         .orderBy(col("query_id"), col("rn"))
     }
+  }
+
+  /** The applied-epochs manifest of a generation: one epoch id per
+    * line. Reads empty when absent; updated by whole-file write + one
+    * ATOMIC_MOVE rename, so a reader never sees a torn manifest and a
+    * fold generation's hardlinked copy is never written through (the
+    * rename replaces the link). */
+  private def readAppliedEpochs(gen: String): Set[Long] = {
+    val f = new java.io.File(gen, "_applied_epochs.txt")
+    if (!f.isFile) Set.empty
+    else scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def markEpochApplied(gen: String, applied: Set[Long]): Unit = {
+    val dir = java.nio.file.Paths.get(gen)
+    val tmp = java.nio.file.Files.createTempFile(dir, "_applied_epochs", ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      applied.toSeq.sorted.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, dir.resolve("_applied_epochs.txt"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Starts (or RESTARTS, from the same checkpoint) st12's ingest
+    * stream. The sink contract is EXACTLY-ONCE under foreachBatch's
+    * at-least-once replay, st18's epoch-keyed discipline applied to an
+    * LSM append:
+    *
+    *  - each epoch's rows land as DETERMINISTIC file names —
+    *    `cell=C/epoch-<id>.parquet` — staged by one Spark write and
+    *    moved in with REPLACE_EXISTING, so a replay of a crash between
+    *    the move and the manifest update rewrites identical bytes over
+    *    itself instead of appending a second copy;
+    *  - a per-generation `_applied_epochs.txt` manifest (updated by
+    *    atomic rename AFTER the files are in place, carried forward
+    *    into every fold generation by [[Similarity.foldCells]]'s
+    *    root-file copy) makes a replay of a FULLY applied epoch a
+    *    no-op — including after a compaction fold absorbed the
+    *    epoch's files into merged cell files;
+    *  - the compaction trigger runs on every epoch, applied or
+    *    replayed-skipped, so a crash between manifest and fold cannot
+    *    strand a cell above [[Similarity.MaxFilesPerCell]].
+    *
+    * StreamingSpec proves it the hard way (st18's kill-and-replay
+    * recipe): delete the last commit record, restart from the
+    * checkpoint, and the index content and probe answers are
+    * bit-identical to the single-pass run. */
+  private[graft] def st12StartIngest(s: SparkSession, schema: StructType,
+      inDir: String, idxDir: String,
+      anchors: Array[(Int, Array[Double])],
+      current: java.util.concurrent.atomic.AtomicReference[String],
+      genSeq: java.util.concurrent.atomic.AtomicInteger, ckpt: String,
+      beforeEpoch: Long => Unit = _ => (),
+      afterEpoch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    // durable generation pointer: a restart (same JVM or a fresh one)
+    // must resume the CURRENT generation, not the stale pre-fold chain
+    // — the pointer file is updated by atomic rename right after every
+    // fold, exactly like the manifest
+    val pointerPath = java.nio.file.Paths.get(s"$idxDir._CURRENT")
+    if (java.nio.file.Files.isRegularFile(pointerPath)) {
+      val saved = java.nio.file.Files.readString(pointerPath).trim
+      if (saved.nonEmpty) {
+        current.set(saved)
+        val genOf = "-gen(\\d+)$".r.findFirstMatchIn(saved)
+          .map(_.group(1).toInt).getOrElse(0)
+        if (genSeq.get() < genOf) genSeq.set(genOf)
+      }
+    }
+    def persistPointer(gen: String): Unit = {
+      val tmp = java.nio.file.Files.createTempFile(
+        pointerPath.getParent, "_current", ".tmp")
+      java.nio.file.Files.writeString(tmp, gen)
+      java.nio.file.Files.move(tmp, pointerPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        beforeEpoch(id)
+        // one file per touched cell dir PER BATCH (the honest LSM
+        // append shape) — partitionBy from the batch's partitions
+        // would stack several files per cell per epoch; see ivfIndex's
+        // build for the measured cost of letting index file counts
+        // outgrow directories
+        val live = current.get()
+        val enc = Similarity.assignQuantize(batch, anchors).persist()
+        try {
+          // bounded: distinct cells of ONE micro-batch
+          val touched = enc.select(col("cell")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val applied = readAppliedEpochs(live)
+          if (!applied.contains(id)) {
+            // stage with Spark, publish by deterministic-name move
+            val stage = s"$idxDir.stage-epoch-$id"
+            enc.repartition(col("cell"))
+              .write.mode("overwrite").partitionBy("cell").parquet(stage)
+            touched.foreach { c =>
+              val cellDir = new java.io.File(stage, s"cell=$c")
+              Option(cellDir.listFiles()).getOrElse(Array.empty)
+                .filter(_.getName.endsWith(".parquet")).zipWithIndex
+                .foreach { case (f, k) =>
+                  val dstDir = java.nio.file.Paths.get(live, s"cell=$c")
+                  java.nio.file.Files.createDirectories(dstDir)
+                  // k is 0 for the designed one-file-per-cell stage;
+                  // deterministic suffixes keep replays idempotent even
+                  // if a writer change ever stages more
+                  java.nio.file.Files.move(f.toPath,
+                    dstDir.resolve(s"epoch-$id.$k.parquet"),
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
+            }
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+              f.delete()
+            }
+            rm(new java.io.File(stage))
+            markEpochApplied(live, applied + id)
+          }
+          // compaction trigger — metadata reads for the batch's own
+          // cells only, never a full-tree walk; runs on replays too
+          val over = Similarity.cellFileCounts(live, touched)
+            .filter(_._2 > Similarity.MaxFilesPerCell).keySet
+          if (over.nonEmpty) {
+            val next = s"$idxDir-gen${genSeq.incrementAndGet()}"
+            Similarity.foldCells(s, live, next, over)
+            current.set(next)
+            persistPointer(next)
+          }
+        } finally enc.unpersist()
+        afterEpoch(id)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
   }
 
   // ------------------------------------------------------------ ST13

@@ -545,34 +545,18 @@ class StreamingSpec extends AnyFunSuite {
       val gens = new java.util.concurrent.atomic.AtomicInteger(0)
       val published = new java.util.concurrent.CountDownLatch(1)
       val batch0Done = new java.util.concurrent.CountDownLatch(1)
-      // INGEST stream: st12's append + fold loop on the private chain
-      val qi = s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1")
-        .parquet(s"$work/in-ingest")
-        .writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
+      // INGEST stream: the REAL st12 starter (exactly-once epochs +
+      // fold trigger) on the private chain; the soak's latches ride
+      // the epoch hooks
+      val qi = graft.streaming.Streaming.st12StartIngest(
+        s, raw.schema, s"$work/in-ingest", chain0, anchors, chain, gens,
+        s"$work/ckpt-ingest",
+        beforeEpoch = id =>
           // serving batch 0 must answer from the BASE while ingest runs
-          if (id == 0) batch0Done.await(120, java.util.concurrent.TimeUnit.SECONDS)
-          val live = chain.get()
-          val enc = Similarity.assignQuantize(batch, anchors).persist()
-          try {
-            enc.repartition(col("cell"))
-              .write.mode("append").partitionBy("cell").parquet(live)
-            // bounded: distinct cells of ONE micro-batch
-            val touched = enc.select(col("cell")).distinct()
-              .collect().map(_.getInt(0)).toSet
-            val over = Similarity.cellFileCounts(live, touched)
-              .filter(_._2 > Similarity.MaxFilesPerCell).keySet
-            if (over.nonEmpty) {
-              val next = s"$chain0-gen${gens.incrementAndGet()}"
-              Similarity.foldCells(s, live, next, over)
-              chain.set(next)
-            }
-          } finally enc.unpersist()
-          if (id == 8) current.set(chain.get()) // the ONE handoff
-          ()
-        }
-        .option("checkpointLocation", s"$work/ckpt-ingest")
-        .trigger(Trigger.AvailableNow()).start()
+          if (id == 0)
+            batch0Done.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        afterEpoch = id =>
+          if (id == 8) current.set(chain.get())) // the ONE handoff
       // SERVING stream: probes whatever generation the pointer names
       val served = new java.util.concurrent.ConcurrentLinkedQueue[
         (Long, String, Array[Seq[Any]])]()
@@ -649,6 +633,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally rm(new java.io.File(work))
     // zero leaked workspace files
     assert(!new java.io.File(work).exists(), "soak workspace survived cleanup")
+  }
+
+  test("st12 exactly-once ingest: kill after the first commit, force an " +
+    "epoch replay, restart from the checkpoint with FRESH pointers — " +
+    "no double-append, index content bit-identical to the batch append") {
+    import graft.operators.Similarity
+    val (basePath, anchors, nCells) = Similarity.baseIndexPath(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_st12_restart")
+      .toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    try {
+      val idxDir = s"$work/index"
+      val src = java.nio.file.Paths.get(basePath)
+      val dst = java.nio.file.Paths.get(idxDir)
+      val w0 = java.nio.file.Files.walk(src)
+      try w0.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val out = dst.resolve(src.relativize(p).toString)
+          java.nio.file.Files.createDirectories(out.getParent)
+          try java.nio.file.Files.createLink(out, p)
+          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
+        }
+      } finally w0.close()
+      val raw = graft.sources.Tables.embeddings(spark, sf)
+      raw.filter(col("vec_id") % 10 === 9).repartition(3)
+        .write.parquet(s"$work/in")
+      val ckpt = s"$work/ckpt"
+      // run 1: stop as soon as the first epoch is committed
+      val cur1 = new java.util.concurrent.atomic.AtomicReference(idxDir)
+      val gen1 = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q1 = graft.streaming.Streaming.st12StartIngest(spark, raw.schema,
+        s"$work/in", idxDir, anchors, cur1, gen1, ckpt)
+      val commits = new java.io.File(s"$ckpt/commits")
+      val deadline = System.currentTimeMillis() + 180000
+      while (!new java.io.File(commits, "0").isFile && q1.isActive &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      assert(new java.io.File(commits, "0").isFile, "first epoch never committed")
+      // the crash-after-append-before-commit window, induced
+      // deterministically: the newest committed epoch's index files and
+      // manifest entry already exist — deleting its commit record makes
+      // the restarted stream re-execute exactly that epoch
+      val last = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      // run 2: FRESH pointer refs — the durable _CURRENT file (not the
+      // in-memory state run 1 lost) must resume the right generation
+      val cur2 = new java.util.concurrent.atomic.AtomicReference(idxDir)
+      val gen2 = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q2 = graft.streaming.Streaming.st12StartIngest(spark, raw.schema,
+        s"$work/in", idxDir, anchors, cur2, gen2, ckpt)
+      q2.awaitTermination()
+      val finalGen = cur2.get()
+      // no double-append: exactly one row per corpus vector
+      val idx = spark.read.parquet(finalGen)
+      val want = raw.count()
+      assert(idx.count() == want,
+        s"replayed epoch double-appended: ${idx.count()} rows vs $want vectors")
+      assert(idx.select(col("vec_id")).distinct().count() == want,
+        "duplicate vec_ids after the replay")
+      // probe bit-identity vs the batch-append reference (st12's gate)
+      val nProbe = math.max(4, nCells / 4)
+      val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      val mine = Similarity.probeIndex(spark, finalGen,
+        Similarity.prepared(spark, sf), anchors, nProbe).select(cols: _*)
+      val (incrPath, incrAnchors, incrNProbe) = Similarity.incrIndexPath(spark, sf)
+      val ref = Similarity.probeIndex(spark, incrPath,
+        Similarity.prepared(spark, sf), incrAnchors, incrNProbe).select(cols: _*)
+      assert(mine.exceptAll(ref).count() + ref.exceptAll(mine).count() == 0,
+        "post-replay index diverged from the batch append")
+    } finally rm(new java.io.File(work))
   }
 
   test("st12 workspace is residue-free after success AND after a forced failure") {

@@ -660,7 +660,10 @@ class StreamingSpec extends AnyFunSuite {
         }
       } finally w0.close()
       val raw = graft.sources.Tables.embeddings(spark, sf)
-      raw.filter(col("vec_id") % 10 === 9).repartition(3)
+      // 9 epochs: folds WILL fire (the 9-epoch soak proves ≥1), so the
+      // final forced replay exercises the manifest carried through a
+      // fold generation — the deep idempotence case
+      raw.filter(col("vec_id") % 10 === 9).repartition(9)
         .write.parquet(s"$work/in")
       val ckpt = s"$work/ckpt"
       // run 1: stop as soon as the first epoch is committed
@@ -674,22 +677,38 @@ class StreamingSpec extends AnyFunSuite {
              System.currentTimeMillis() < deadline) Thread.sleep(50)
       q1.stop(); q1.awaitTermination()
       assert(new java.io.File(commits, "0").isFile, "first epoch never committed")
-      // the crash-after-append-before-commit window, induced
-      // deterministically: the newest committed epoch's index files and
-      // manifest entry already exist — deleting its commit record makes
-      // the restarted stream re-execute exactly that epoch
-      val last = commits.listFiles()
-        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
-      assert(new java.io.File(commits, last.toString).delete())
-      new java.io.File(commits, s".$last.crc").delete()
       // run 2: FRESH pointer refs — the durable _CURRENT file (not the
-      // in-memory state run 1 lost) must resume the right generation
+      // in-memory state run 1 lost) must resume the right generation —
+      // drains the remaining epochs to completion, folds firing
       val cur2 = new java.util.concurrent.atomic.AtomicReference(idxDir)
       val gen2 = new java.util.concurrent.atomic.AtomicInteger(0)
       val q2 = graft.streaming.Streaming.st12StartIngest(spark, raw.schema,
         s"$work/in", idxDir, anchors, cur2, gen2, ckpt)
       q2.awaitTermination()
-      val finalGen = cur2.get()
+      assert(cur2.get().contains("-gen"),
+        "9 epochs never folded — the post-fold replay below would be vacuous")
+      // the crash-after-append-before-commit window, induced
+      // deterministically AFTER folds have absorbed earlier epochs:
+      // deleting the newest commit record makes a restart re-execute
+      // exactly that epoch against the POST-FOLD generation, whose
+      // carried manifest must turn the replay into a no-op
+      val last = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      val preReplay = spark.read.parquet(cur2.get())
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted // bounded: sf0.001 corpus ids, spec-only
+      // run 3: fresh refs again; the replayed epoch must change NOTHING
+      val cur3 = new java.util.concurrent.atomic.AtomicReference(idxDir)
+      val gen3 = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q3 = graft.streaming.Streaming.st12StartIngest(spark, raw.schema,
+        s"$work/in", idxDir, anchors, cur3, gen3, ckpt)
+      q3.awaitTermination()
+      val finalGen = cur3.get()
+      val postReplay = spark.read.parquet(finalGen)
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted // bounded: sf0.001 corpus ids, spec-only
+      assert(postReplay.sameElements(preReplay),
+        "the post-fold epoch replay changed the index content")
       // no double-append: exactly one row per corpus vector
       val idx = spark.read.parquet(finalGen)
       val want = raw.count()

@@ -1535,9 +1535,10 @@ object Relational {
       .flatMapGroups { (form, it) =>
         // bounded: one form's rows — answer-shaped by blocking tightness,
         // capped loud at 4M rows (a 4M-name identical-key group implies
-        // ~8·10¹² output pairs; no lane answers that quietly)
-        val rows = it.take(GroupCap).toArray // local: capped group buffer
-        if (rows.length == GroupCap)
+        // ~8·10¹² output pairs; no lane answers that quietly). take one
+        // PAST the cap so a group of exactly GroupCap rows still passes
+        val rows = it.take(GroupCap + 1).toArray // local: capped group buffer
+        if (rows.length > GroupCap)
           throw new IllegalStateException(
             s"r40 form group '$form' exceeds $GroupCap rows — degenerate " +
               "key corpus; the exact answer itself is quadratic here")

@@ -435,7 +435,10 @@ class RelationalSpec extends AnyFunSuite {
       if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
     assert(rootMsg(boom).contains("exceeds 8 rows"),
       s"expected the group-cap error, got: ${rootMsg(boom)}")
-    // and below the cap the same frame answers: C(10,2) distinct pairs
+    // and at-or-below the cap the same frame answers: C(10,2) pairs —
+    // a group of EXACTLY GroupCap rows is within bounds, not a breach
+    assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 10)
+      .count() == 45L)
     assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 1024)
       .count() == 45L)
   }

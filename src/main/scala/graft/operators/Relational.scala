@@ -1500,8 +1500,16 @@ object Relational {
     // expand pairs inside each form group (round-12 refinement #3,
     // measured this round against the join lanes — see BASELINE.md);
     // the join lanes shuffle the same frame twice (once per side).
+    // formsBound (a tiny name-frame aggregate) lets the grouped lane
+    // SKIP its oversized-group pre-count whenever the WHOLE frame fits
+    // the cap — the common path pays nothing for the fallback.
+    lazy val formsBound = {
+      val l = length(col("name")).cast("long")
+      c.agg(coalesce(sum(lit(2L) * l * l + lit(1L)), lit(0L)))
+        .head.getLong(0) // bounded: ONE-row sum aggregate
+    }
     val cand =
-      if (lane == "grouped") r40GroupedPairs(s, vars)
+      if (lane == "grouped") r40GroupedPairs(s, vars, formsBound)
       else vars.as("a")
         .hint(lane)
         .join(vars.as("b"),
@@ -1522,45 +1530,74 @@ object Relational {
     * dedupes), and the admission rule needs only the group's rows.
     * Group size is ANSWER-shaped by the blocking's tightness (hot
     * forms on id-shaped keys hold ~#alphabet names), so the in-memory
-    * group is bounded in practice; the cap below turns a pathological
-    * degenerate corpus (millions of identical keys — a data bug, and
-    * quadratic OUTPUT for any exact algorithm) into a loud error
-    * instead of a silent executor OOM. */
+    * group is bounded in practice.
+    *
+    * Degenerate corpora (a form shared by more than [[GroupCap]] rows —
+    * millions of identical keys, a data bug whose exact answer is
+    * quadratic in the group) DEGRADE instead of stopping: a group-size
+    * pre-count routes ONLY the oversized forms through the spilling
+    * sort-merge self-join and unions them with the grouped expansion of
+    * everything else. The pre-count itself is paid only when the frame
+    * could possibly hold such a group — `formsBound` (an exact upper
+    * bound on TOTAL form rows, from a tiny name-frame aggregate) lets
+    * the common path skip it outright, and when it does run, the
+    * oversized-form list it collects is bounded by formsBound/GroupCap
+    * rows (≤ ~25 at the 100M-row sweep frame). */
   private[graft] def r40GroupedPairs(s: SparkSession, vars: DataFrame,
+                                     formsBound: Long = Long.MaxValue,
                                      GroupCap: Int = 4 << 20): DataFrame = {
     val sess = s
     import sess.implicits._
-    vars.as[(String, String, Int, Int)]
+    def expand(part: DataFrame): DataFrame = part
+      .as[(String, String, Int, Int)]
       .groupByKey(_._1)
       .flatMapGroups { (form, it) =>
         // bounded: one form's rows — answer-shaped by blocking tightness,
-        // capped loud at 4M rows (a 4M-name identical-key group implies
-        // ~8·10¹² output pairs; no lane answers that quietly). take one
-        // PAST the cap so a group of exactly GroupCap rows still passes
+        // ≤ GroupCap by the pre-count contract (oversized forms were
+        // routed to the merge lane before this expansion ran). take one
+        // PAST the cap so the contract's breach is loud, not an OOM
         val rows = it.take(GroupCap + 1).toArray // local: capped group buffer
         if (rows.length > GroupCap)
           throw new IllegalStateException(
-            s"r40 form group '$form' exceeds $GroupCap rows — degenerate " +
-              "key corpus; the exact answer itself is quadratic here")
+            s"r40 form group '$form' exceeds $GroupCap rows — the " +
+              "oversized-group pre-count contract was violated")
         java.util.Arrays.sort(rows,
           Ordering.by((t: (String, String, Int, Int)) => t._2))
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        var i = 0
-        while (i < rows.length) {
+        // pairs emitted LAZILY over the sorted array: buffering them
+        // would be O(group²) memory — the cap bounds ROWS, not pairs
+        Iterator.range(0, rows.length).flatMap { i =>
           val (_, na, da, wa) = rows(i)
-          var j = i + 1
-          while (j < rows.length) {
+          Iterator.range(i + 1, rows.length).flatMap { j =>
             val (_, nb, db, wb) = rows(j)
             if (na != nb && da + db + math.max(wa, wb) <= 2)
-              out += ((na, nb))
-            j += 1
+              Iterator.single((na, nb))
+            else Iterator.empty
           }
-          i += 1
         }
-        out.iterator
       }
       .toDF("name_a", "name_b")
-      .distinct()
+    val bigForms: Seq[String] =
+      if (formsBound <= GroupCap) Nil // no group CAN exceed the cap
+      else vars.groupBy("form").count()
+        .filter(col("count") > GroupCap).select("form")
+        .as[String].collect().toSeq // bounded: ≤ formsBound/GroupCap degenerate forms
+    val pairs =
+      if (bigForms.isEmpty) expand(vars)
+      else {
+        val small = expand(vars.filter(!col("form").isin(bigForms: _*)))
+        val bigVars = vars.filter(col("form").isin(bigForms: _*))
+        // the spilling lane: sort-based, degrades on disk instead of
+        // failing — the right shape for a group whose pair set is huge
+        val big = bigVars.as("a")
+          .hint("merge")
+          .join(bigVars.as("b"),
+            col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
+              col("a.d") + col("b.d") +
+                greatest(col("a.w"), col("b.w")) <= 2)
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        small.union(big)
+      }
+    pairs.distinct()
   }
 
   /** Join-lane picker for [[r40]]'s exploded self-join. Both sides are
@@ -1594,10 +1631,13 @@ object Relational {
     * below-ceiling pick keeps the codegen'd join). Sort-merge stays
     * reachable via the forced lane for the equivalence spec. */
   private[graft] def r40PickLane(names: DataFrame, parts: Int): String = {
-    val l = length(col(names.columns.head)) // local: Array.head on the schema's column names
+    // cast BEFORE squaring: 2·l² in IntegerType wraps negative past
+    // ~32k-char names in non-ANSI mode and would silently deflate the
+    // bound into picking shuffle_hash on an OOM-sized build side
+    val l = length(col(names.columns.head)).cast("long") // local: Array.head on the schema's column names
     val bytesBound = names
       .agg(coalesce(
-        sum((lit(2) * l * l + lit(1)).cast("long") * (lit(2) * l + lit(96))),
+        sum((lit(2L) * l * l + lit(1L)) * (lit(2L) * l + lit(96L))),
         lit(0L)))
       .head.getLong(0) // bounded: ONE-row sum aggregate
     if (bytesBound <= 96L * 1024 * 1024 * parts) "shuffle_hash" else "grouped"

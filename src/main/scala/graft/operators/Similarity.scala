@@ -1412,12 +1412,26 @@ object Similarity {
     }
   }
 
-  /** Compaction threshold for streamed cell-partitioned appends: a cell
-    * dir holding MORE than this many parquet files gets folded to one
-    * by [[foldCells]]. 4 bounds per-probe listing overhead to a small
-    * constant while letting a few epochs accumulate between folds (the
-    * fold itself costs one read+write of the affected cells). */
+  /** File-count compaction BACKSTOP for streamed cell-partitioned
+    * appends: a cell dir holding MORE than this many parquet files gets
+    * folded to one by [[foldCells]] regardless of bytes — per-probe
+    * listing/footer/task overhead is ∝ file COUNT, so the count bound
+    * must hold even when every file is individually row-group-sized.
+    * 4 bounds that overhead to a small constant while letting a few
+    * epochs accumulate between folds (the fold itself costs one
+    * read+write of the affected cells). */
   private[graft] val MaxFilesPerCell = 4
+
+  /** SMALL-FILE bytes threshold for the compaction trigger — ~one
+    * parquet row group. A file at or past this size is already
+    * compacted enough (rewriting it buys no scan locality); a cell
+    * whose files BELOW it sum past it holds a row group's worth of
+    * fragments and is due a fold. This is the primary trigger at
+    * petabyte cell sizes, where a raw file-count rule would keep
+    * rewriting huge already-dense cells just because a few tiny epoch
+    * deltas landed; [[MaxFilesPerCell]] stays as the listing-cost
+    * backstop. */
+  private[graft] val CellSmallFileBytes: Long = 128L << 20
 
   /** Small-file FOLD for a cell-partitioned generation — the LSM
     * compaction that keeps streamed appends (st12: one file per touched
@@ -1437,6 +1451,19 @@ object Similarity {
                                dstPath: String, cells: Set[Int]): Unit = {
     val src = java.nio.file.Paths.get(srcPath)
     val dst = java.nio.file.Paths.get(dstPath)
+    // crash idempotency: a fold that died between writing this
+    // generation and the caller's pointer swap leaves a PARTIAL dst
+    // behind; the re-fired fold targets the SAME -genN path (genSeq is
+    // re-derived from the still-old pointer), and appending onto the
+    // leftovers would double the folded cells' rows. Start clean — the
+    // source generation is the immutable truth until the pointer moves.
+    if (java.nio.file.Files.isDirectory(dst)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dst.toFile)
+    }
     val walk = java.nio.file.Files.walk(src)
     try walk.forEach { p =>
       if (java.nio.file.Files.isRegularFile(p)) {
@@ -1466,17 +1493,29 @@ object Similarity {
     }
   }
 
-  /** Parquet-file count per cell dir, for the cells named — the
-    * compaction trigger's only metadata read: cost ∝ |cells| dir
-    * listings, never a full-tree walk (a streamed ingest checks just
-    * the cells its batch touched). */
-  private[graft] def cellFileCounts(path: String,
-                                    cells: Set[Int]): Map[Int, Int] =
+  /** Per-cell (parquet file count, bytes summed over files SMALLER
+    * than `smallBytes`) for the cells named — the compaction trigger's
+    * only metadata read: cost ∝ |cells| dir listings, never a
+    * full-tree walk (a streamed ingest checks just the cells its batch
+    * touched). Files at or past `smallBytes` are excluded from the
+    * byte sum: they are already row-group-dense and folding them buys
+    * nothing. */
+  private[graft] def cellFileStats(path: String, cells: Set[Int],
+      smallBytes: Long = CellSmallFileBytes): Map[Int, (Int, Long)] =
     cells.iterator.map { c =>
       val d = new java.io.File(path, s"cell=$c")
-      c -> Option(d.listFiles()).map(_.count(
-        _.getName.endsWith(".parquet"))).getOrElse(0)
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      c -> (fs.length, fs.iterator.map(_.length)
+        .filter(_ < smallBytes).sum)
     }.toMap
+
+  /** The fold decision for one cell's [[cellFileStats]] row: small-file
+    * bytes past a row group (primary — the fragments are worth merging)
+    * OR file count past the listing backstop. */
+  private[graft] def foldDue(stats: (Int, Long), maxFiles: Int,
+                             smallBytes: Long): Boolean =
+    stats._2 > smallBytes || stats._1 > maxFiles
 
   // ------------------------------------------------------------- S13
   /** The re-embedded id set for s13 (every 13th corpus vector, queries

@@ -879,9 +879,13 @@ object Streaming {
     * affected cells only); the stream never touches the existing
     * corpus, and state is the file-source offset log alone — there is
     * no stateful shuffle at all. A size-triggered COMPACTION closes the
-    * long-lived-stream leak: when an epoch pushes a touched cell past
-    * [[graft.operators.Similarity.MaxFilesPerCell]] files, the
-    * oversized cells fold into a fresh generation
+    * long-lived-stream leak: when an epoch leaves a touched cell with a
+    * parquet row group's worth of small-file fragments
+    * ([[graft.operators.Similarity.CellSmallFileBytes]] — the primary,
+    * bytes-based trigger) or past
+    * [[graft.operators.Similarity.MaxFilesPerCell]] files (the
+    * listing-cost backstop), the oversized cells fold into a fresh
+    * generation
     * ([[graft.operators.Similarity.foldCells]] — affected cells
     * rewritten to one file each, everything else hardlinked) and the
     * generation pointer swaps, so file counts stay O(1) per cell at
@@ -902,7 +906,10 @@ object Streaming {
     * the workspace is torn down, so a spec can assert on-disk layout
     * (per-cell file counts) that the returned frame can't carry. */
   private[graft] def st12IngestAt(s0: SparkSession, d: String, nEpochs: Int,
-      inspect: (String, Int) => Unit = (_, _) => ()): DataFrame = {
+      inspect: (String, Int) => Unit = (_, _) => (),
+      foldMaxFiles: Int = graft.operators.Similarity.MaxFilesPerCell,
+      foldSmallBytes: Long = graft.operators.Similarity.CellSmallFileBytes)
+      : DataFrame = {
     import graft.operators.Similarity
     val s = scoped(s0)
     val raw = graft.sources.Tables.embeddings(s, d)
@@ -941,7 +948,8 @@ object Streaming {
       val current = new java.util.concurrent.atomic.AtomicReference(idxDir)
       val genSeq = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = st12StartIngest(s, raw.schema, inDir, idxDir, anchors,
-        current, genSeq, ckpt.getAbsolutePath)
+        current, genSeq, ckpt.getAbsolutePath,
+        foldMaxFiles = foldMaxFiles, foldSmallBytes = foldSmallBytes)
       q.awaitTermination()
       val nProbe = math.max(4, nCells / 4)
       val cols = Seq(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
@@ -974,8 +982,13 @@ object Streaming {
   private def readAppliedEpochs(gen: String): Set[Long] = {
     val f = new java.io.File(gen, "_applied_epochs.txt")
     if (!f.isFile) Set.empty
-    else scala.io.Source.fromFile(f, "UTF-8").getLines()
-      .filter(_.nonEmpty).map(_.toLong).toSet
+    else {
+      // close the handle: one leak per epoch per restart adds up over a
+      // long-lived ingest stream
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().filter(_.nonEmpty).map(_.toLong).toSet
+      finally src.close()
+    }
   }
 
   private def markEpochApplied(gen: String, applied: Set[Long]): Unit = {
@@ -1004,9 +1017,14 @@ object Streaming {
     *    root-file copy) makes a replay of a FULLY applied epoch a
     *    no-op — including after a compaction fold absorbed the
     *    epoch's files into merged cell files;
-    *  - the compaction trigger runs on every epoch, applied or
+    *  - the compaction trigger (small-file BYTES past a row group as
+    *    the primary rule, file count past [[Similarity.MaxFilesPerCell]]
+    *    as the listing backstop) runs on every epoch, applied or
     *    replayed-skipped, so a crash between manifest and fold cannot
-    *    strand a cell above [[Similarity.MaxFilesPerCell]].
+    *    strand a cell past either bound; a fold that itself crashed
+    *    before the pointer swap is restartable because [[Similarity
+    *    .foldCells]] clears a partially-written destination generation
+    *    before re-folding.
     *
     * StreamingSpec proves it the hard way (st18's kill-and-replay
     * recipe): delete the last commit record, restart from the
@@ -1018,7 +1036,9 @@ object Streaming {
       current: java.util.concurrent.atomic.AtomicReference[String],
       genSeq: java.util.concurrent.atomic.AtomicInteger, ckpt: String,
       beforeEpoch: Long => Unit = _ => (),
-      afterEpoch: Long => Unit = _ => ())
+      afterEpoch: Long => Unit = _ => (),
+      foldMaxFiles: Int = graft.operators.Similarity.MaxFilesPerCell,
+      foldSmallBytes: Long = graft.operators.Similarity.CellSmallFileBytes)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     // durable generation pointer: a restart (same JVM or a fresh one)
@@ -1088,9 +1108,12 @@ object Streaming {
             markEpochApplied(live, applied + id)
           }
           // compaction trigger — metadata reads for the batch's own
-          // cells only, never a full-tree walk; runs on replays too
-          val over = Similarity.cellFileCounts(live, touched)
-            .filter(_._2 > Similarity.MaxFilesPerCell).keySet
+          // cells only, never a full-tree walk; runs on replays too.
+          // Primary trigger is BYTES (a row group's worth of small-file
+          // fragments), file count is the listing-cost backstop.
+          val over = Similarity.cellFileStats(live, touched, foldSmallBytes)
+            .filter(kv => Similarity.foldDue(kv._2, foldMaxFiles,
+              foldSmallBytes)).keySet
           if (over.nonEmpty) {
             val next = s"$idxDir-gen${genSeq.incrementAndGet()}"
             Similarity.foldCells(s, live, next, over)

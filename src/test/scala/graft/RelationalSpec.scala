@@ -421,26 +421,42 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("r40 grouped lane: a degenerate identical-key group past the cap " +
-    "fails LOUD instead of building a quadratic pair set quietly") {
+    "DEGRADES through the spilling merge lane and still answers exactly") {
     import graft.operators.Relational
     import spark.implicits._
-    // ten rows sharing ONE form — any exact fuzzy join's output here is
-    // quadratic in the group, so a cap breach must throw, not OOM
-    val vars = (0 until 10).map(i => ("sameform", s"name$i", 0, 0))
+    // ten rows sharing ONE form (quadratic output for any exact fuzzy
+    // join) plus a well-blocked form — the pre-count must route ONLY
+    // the oversized form through the sort-merge join and union it with
+    // the grouped expansion of the rest
+    val vars = ((0 until 10).map(i => ("sameform", s"name$i", 0, 0)) ++
+      Seq(("okform", "alpha", 0, 0), ("okform", "beta", 1, 0)))
       .toDF("form", "name", "d", "w")
+    val deg = Relational.r40GroupedPairs(spark, vars, GroupCap = 8)
+    assert(deg.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      "the oversized-form fallback must take the spilling sort-merge lane")
+    assert(deg.count() == 45L + 1L,
+      "fallback union must answer C(10,2) degenerate pairs + 1 normal pair")
+    // at-or-below the cap the same frame answers through the grouped
+    // expansion alone — a group of EXACTLY GroupCap rows is within
+    // bounds, not a breach, and no pre-count runs when the caller's
+    // formsBound proves the whole frame fits the cap
+    val fit = Relational.r40GroupedPairs(spark, vars, formsBound = 12,
+      GroupCap = 12)
+    assert(!fit.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(fit.count() == 46L)
+    assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 1024)
+      .count() == 46L)
+    // the defensive in-expansion cap stays LOUD: a caller-supplied
+    // formsBound that falsely promises the frame fits the cap breaches
+    // the pre-count contract and must throw, not OOM
     val boom = intercept[org.apache.spark.SparkException] {
-      Relational.r40GroupedPairs(spark, vars, GroupCap = 8).collect()
+      Relational.r40GroupedPairs(spark, vars, formsBound = 8, GroupCap = 8)
+        .collect()
     }
     def rootMsg(t: Throwable): String =
       if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
     assert(rootMsg(boom).contains("exceeds 8 rows"),
-      s"expected the group-cap error, got: ${rootMsg(boom)}")
-    // and at-or-below the cap the same frame answers: C(10,2) pairs —
-    // a group of EXACTLY GroupCap rows is within bounds, not a breach
-    assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 10)
-      .count() == 45L)
-    assert(Relational.r40GroupedPairs(spark, vars, GroupCap = 1024)
-      .count() == 45L)
+      s"expected the group-cap contract error, got: ${rootMsg(boom)}")
   }
 
   test("r40 fuzzy join: k=2 deletion-neighborhood blocking finds EXACTLY " +

@@ -500,6 +500,119 @@ class StreamingSpec extends AnyFunSuite {
       "9-epoch streamed ingest with compaction diverged from s8's batch append")
   }
 
+  test("st12 compaction trigger unit: bytes rule counts only files below " +
+    "the row-group threshold; count backstop fires independently") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_trig").toString
+    def put(cell: Int, name: String, size: Int): Unit = {
+      val d = new java.io.File(dir, s"cell=$cell"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        new Array[Byte](size))
+    }
+    // cell 0: three 60 B fragments (small at T=100) summing 180 > 100
+    (0 until 3).foreach(i => put(0, s"f$i.parquet", 60))
+    // cell 1: two 400 B files — each ≥ T, so NOT small: no bytes due
+    (0 until 2).foreach(i => put(1, s"f$i.parquet", 400))
+    // cell 2: six 400 B files — bytes say no, count backstop (4) says yes
+    (0 until 6).foreach(i => put(2, s"f$i.parquet", 400))
+    // cell 3: one 90 B file — small, but 90 ≤ 100: not due
+    put(3, "f0.parquet", 90)
+    val stats = Similarity.cellFileStats(dir, Set(0, 1, 2, 3), smallBytes = 100)
+    assert(stats(0) == ((3, 180L)) && stats(1) == ((2, 0L)) &&
+      stats(2) == ((6, 0L)) && stats(3) == ((1, 90L)), s"stats: $stats")
+    def due(c: Int) = Similarity.foldDue(stats(c), maxFiles = 4, smallBytes = 100)
+    assert(due(0), "a row group's worth of fragments must fold")
+    assert(!due(1), "already-dense files must NOT re-fold on bytes")
+    assert(due(2), "the listing-cost count backstop must still fire")
+    assert(!due(3), "below both bounds must not fold")
+  }
+
+  test("st12 fold crash idempotency: re-running a fold onto a partially " +
+    "written destination generation does not duplicate rows") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_refold").toString
+    val src = s"$work/gen0"
+    (0 until 40).map(i => (i.toLong, i % 4)).toDF("vec_id", "cell")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(src)
+    // stack a second file into cell=2 so the fold has something to merge
+    (100 until 110).map(i => (i.toLong, 2)).toDF("vec_id", "cell")
+      .coalesce(1).write.mode("append").partitionBy("cell").parquet(src)
+    val expect = spark.read.parquet(src).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString(",")))
+    val dst = s"$work/gen1"
+    Similarity.foldCells(spark, src, dst, Set(2))
+    // the crash window: pointer still names gen0, trigger re-fires,
+    // the replayed fold targets the SAME dst — it must start clean
+    Similarity.foldCells(spark, src, dst, Set(2))
+    val got = spark.read.parquet(dst).collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.mkString(",")))
+    assert(got.length == expect.length,
+      s"replayed fold changed row count: ${got.length} vs ${expect.length}")
+    assert(got.sameElements(expect), "replayed fold changed content")
+  }
+
+  test("st12 compaction regimes: few-large cells never fold on bytes; the " +
+    "same ingest with every file 'small' folds on bytes with the count " +
+    "backstop off; probes stay bit-identical in both") {
+    import graft.operators.Similarity
+    // FEW-LARGE regime: smallBytes=1 classifies every real file as
+    // already-dense (no file is < 1 B) and the count backstop is off —
+    // files accumulate past MaxFilesPerCell and that is CORRECT here:
+    // a cell of row-group-sized files must not be rewritten
+    var genLarge = -1
+    var maxFiles = 0
+    // largest per-cell SUM of streamed epoch fragments (epoch files
+    // carry deterministic `epoch-<id>` names; base files don't) — the
+    // accumulation the bytes regime must catch
+    var maxEpochSum = 0L
+    val rowsLarge = graft.streaming.Streaming.st12IngestAt(spark, sf,
+      nEpochs = 9,
+      inspect = (path, g) => {
+        genLarge = g
+        val cells = Option(new java.io.File(path).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        maxFiles = cells.map(_.listFiles()
+          .count(_.getName.endsWith(".parquet"))).max
+        maxEpochSum = cells.map(_.listFiles()
+          .filter(f => f.getName.startsWith("epoch-") &&
+            f.getName.endsWith(".parquet")).map(_.length).sum).max
+      },
+      foldMaxFiles = 1000000, foldSmallBytes = 1L).collect()
+    assert(genLarge == 0,
+      s"bytes rule must not fold already-dense cells (folded $genLarge times)")
+    assert(maxFiles > Similarity.MaxFilesPerCell,
+      "regime never accumulated enough files to make the no-fold claim")
+    assert(rowsLarge.forall(_.getAs[Boolean]("append_ok")),
+      "no-fold regime diverged from the batch append")
+    // BYTES regime: threshold one byte under the hottest cell's
+    // measured fragment accumulation — the identical ingest re-run must
+    // cross it at that cell's last touch at the latest, with the count
+    // backstop still off, so any fold HAS to come from the bytes rule
+    val thr = maxEpochSum - 1
+    var genBytes = -1
+    var finalGen: String = null
+    val rowsBytes = graft.streaming.Streaming.st12IngestAt(spark, sf,
+      nEpochs = 9,
+      inspect = (path, g) => { finalGen = path; genBytes = g },
+      foldMaxFiles = 1000000, foldSmallBytes = thr).collect()
+    assert(genBytes >= 1, "bytes trigger never fired where fragments " +
+      s"sum past a 'row group' of $thr B")
+    assert(rowsBytes.forall(_.getAs[Boolean]("append_ok")),
+      "bytes-triggered compaction diverged from the batch append")
+    // the trigger runs after every epoch's append, so no cell can END
+    // the soak still due a fold
+    val cellIds = Option(new java.io.File(finalGen).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(_.getName.substring(5).toInt).toSet
+    val stats = Similarity.cellFileStats(finalGen, cellIds, smallBytes = thr)
+    val due = stats.filter(kv => Similarity.foldDue(kv._2, 1000000, thr))
+    assert(due.isEmpty, s"cells still due a fold after the soak: $due")
+  }
+
   test("st12+st18 vector-service soak: ingest stream appends+compacts while " +
     "the serving stream answers; serve bit-identity holds across the one " +
     "immutable-generation handoff; base untouched; zero leaked files") {

@@ -150,6 +150,10 @@ object ScaleSweep {
     val flagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "p1_minhash_lsh"   -> (graft.operators.Dedup.p1MinHashLsh _),
       "x11_passage_dedup" -> (graft.operators.Dedup.x11PassageDedup _),
+      // round-14: arbitrary-offset exact-substring dedup — the window
+      // fingerprint frame is ~k× the token count, so its curve must
+      // stay corpus-linear (redundancy-proportional join-back)
+      "x30_exact_substring_dedup" -> (graft.operators.Dedup.x30ExactSubstringDedup _),
       "x13_decontaminate_bloom" -> (graft.operators.Dedup.x13DecontaminateBloom _),
       "x14_sequence_pack" -> (graft.operators.Corpus.x14SequencePack _),
       "x18_boilerplate_strip" -> (graft.operators.Dedup.x18BoilerplateStrip _),

@@ -942,6 +942,113 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- X30
+  /** Exact-substring dedup at ARBITRARY offsets — the suffix-array-
+    * shape pass (Lee et al. 2021, "Deduplicating Training Data Makes
+    * Language Models Better"): any repeated span of ≥ [[SpanK]] tokens,
+    * at any offset, within or across documents, is removed everywhere
+    * except its first corpus occurrence. The strongest member of the
+    * dedup family: X11's FIXED 16-word passages catch only aligned
+    * repeats — a duplicated paragraph shifted by one token straddles
+    * every passage boundary and survives X11; it does not survive this.
+    *
+    * The detection identity that makes it Spark-shaped: a token lies in
+    * a non-first occurrence of some repeated span of length ≥ k IFF
+    * some k-token window containing it is a non-first occurrence of a
+    * repeated k-gram. (⇐ a repeated k-gram IS a repeated span; ⇒ any
+    * in-span window of a non-first span occurrence recurs at the span's
+    * first occurrence, which is earlier in corpus order.) So the union
+    * of redundant k-gram windows EQUALS the union of redundant spans —
+    * exact detection with no materialized suffix array, no global sort,
+    * no prefix doubling; DedupSpec proves the identity against an
+    * independent suffix-array+LCP reference on overlapping/shifted/
+    * nested repeats.
+    *
+    * Scale shape: one narrow pass fingerprints every k-token window to
+    * 16 bytes (md5 — collision odds ~1e-15 at 10¹² windows, vs carrying
+    * ~100 B of gram text through two shuffles); keep-first is X11's
+    * map-side-combinable `min(struct(doc_id, pos))` aggregate on the
+    * fingerprint — a span duplicated across millions of documents
+    * collapses to one row per partition before the exchange, never a
+    * ranking window; redundant occurrences come back via ONE
+    * fingerprint-keyed join whose output is redundancy-proportional
+    * (AQE splits a hot fingerprint's bucket); coverage explodes k rows
+    * per redundant window (redundancy-, not corpus-, proportional) and
+    * re-assembly shuffles once on doc_id. All keys are digest-uniform
+    * ⇒ skew-free at 100 TB. */
+  private val SpanK = 16
+
+  def x30ExactSubstringDedup(s: SparkSession, d: String): DataFrame =
+    exactSubstringDedupOf(documents(s, d))
+
+  /** The operator body over any (doc_id, text) frame at a caller-chosen
+    * span width — split out so the suffix-array reference spec can
+    * drive small k over rich synthetic corpora. */
+  private[graft] def exactSubstringDedupOf(docs: DataFrame,
+                                           k: Int = SpanK): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // one row per k-token window: (doc, offset, 16-byte fingerprint)
+    val occ = toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(w) - $k)," +
+          s" i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"))
+        .as(Seq("pos", "fp")))
+    // first corpus occurrence of every REPEATED window fingerprint
+    val firstOcc = occ.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("cnt") >= 2)
+      .select(col("fp"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    // redundant = any occurrence of a repeated window except the first
+    val red = occ.join(firstOcc, Seq("fp"))
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc_id"), col("pos"))
+    val cov = red.select(col("doc_id"),
+      explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .distinct()
+    val tok = toks.select(col("doc_id"), posexplode(col("w")).as(Seq("tp", "tok")))
+    val kept = tok.join(cov, Seq("doc_id", "tp"), "left_anti")
+    val tot = toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok")), " ")).as("new_hash"))
+    tot.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_hash"), md5(lit(""))).as("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle pays the window machinery the engine's fingerprint
+    * aggregate avoids: rank every k-gram occurrence, cover, rebuild. */
+  val x30Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |             array_to_string(list_slice(ws, i + 1, i + $SpanK), ' ') AS gram
+       |      FROM w, unnest(generate_series(0, len(ws) - $SpanK)) AS u(i)
+       |      WHERE len(ws) >= $SpanK),
+       |r AS (SELECT doc_id, pos,
+       |             ROW_NUMBER() OVER (PARTITION BY gram
+       |                                ORDER BY doc_id, pos) AS rn,
+       |             COUNT(*) OVER (PARTITION BY gram) AS cnt
+       |      FROM g),
+       |cov AS (SELECT DISTINCT doc_id, pos + off AS tp
+       |        FROM r, unnest(generate_series(0, ${SpanK - 1})) AS v(off)
+       |        WHERE rn > 1),
+       |tok AS (SELECT doc_id, i - 1 AS tp, ws[i] AS tok
+       |        FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+       |kept AS (SELECT t.doc_id, t.tp, t.tok
+       |         FROM tok t ANTI JOIN cov c USING (doc_id, tp)),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |               md5(string_agg(tok, ' ' ORDER BY tp)) AS new_hash
+       |        FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, len(ws) AS n_tok FROM w)
+       |SELECT t.doc_id, t.n_tok, COALESCE(a.n_kept, 0) AS n_kept,
+       |       COALESCE(a.new_hash, md5('')) AS new_hash
+       |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------- X18
   /** Source-level boilerplate stripping — the hygiene pass X11 does NOT
     * cover: X11 keeps a duplicated passage's first occurrence, but
@@ -1333,6 +1440,7 @@ object Dedup {
     "p10_soft_dedup"   -> (p10SoftDedup _),
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
+    "x30_exact_substring_dedup" -> (x30ExactSubstringDedup _),
     "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
     "x12_decontaminate" -> (x12Decontaminate _),
     "x28_contamination_report" -> (x28ContaminationReport _),
@@ -1341,6 +1449,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "x19_decontaminate_purge" -> x19Sql,
     "x11_passage_dedup" -> x11Sql,
+    "x30_exact_substring_dedup" -> x30Sql,
     "x18_boilerplate_strip" -> x18Sql,
     "x12_decontaminate" -> x12Sql,
     "x28_contamination_report" -> x28Sql,

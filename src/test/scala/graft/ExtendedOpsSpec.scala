@@ -327,6 +327,117 @@ class ExtendedOpsSpec extends AnyFunSuite {
     assert(got.values.map(_._2).sum < got.values.map(_._1).sum)
   }
 
+  test("x30 exact-substring dedup equals an independent suffix-array+LCP " +
+    "reference on overlapping, shifted, nested and within-doc repeats") {
+    import spark.implicits._
+    val k = 4
+    def toks(s: String): Vector[String] = s.split(" ", -1).toVector
+    // the repeat shapes the k-gram identity must survive: a shifted
+    // copy at an arbitrary offset (doc 1), nested overlapping copies
+    // (doc 2), a within-doc repeat (doc 3), an exact whole-doc dup
+    // (doc 4), a sub-k doc (doc 5), a shifted-by-one prefix copy (doc 6)
+    val docs: Seq[(Long, String)] = Seq(
+      0L -> (1 to 30).map(i => s"a$i").mkString(" "),
+      1L -> ("f1 f2 f3 " + (7 to 18).map(i => s"a$i").mkString(" ") + " f4 f5"),
+      2L -> ("g1 g2 " + (10 to 22).map(i => s"a$i").mkString(" ") + " g3 " +
+        (12 to 16).map(i => s"a$i").mkString(" ") + " g4"),
+      3L -> "h1 h2 X1 X2 X3 X4 X5 h3 X1 X2 X3 X4 X5 h4",
+      4L -> ("f1 f2 f3 " + (7 to 18).map(i => s"a$i").mkString(" ") + " f4 f5"),
+      5L -> "s1 s2",
+      6L -> ("z0 " + (1 to 16).map(i => s"a$i").mkString(" ")))
+    // ---- independent reference: global suffix array + LCP ----
+    val global = scala.collection.mutable.ArrayBuffer.empty[String]
+    val owner = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    docs.foreach { case (id, text) =>
+      toks(text).zipWithIndex.foreach { case (t, i) =>
+        global += t; owner += ((id, i))
+      }
+      // unique sentinel: no k-window can straddle a document boundary
+      global += s" sent$id"; owner += ((-1L, -1))
+    }
+    val n = global.length
+    def less(i: Int, j: Int): Boolean = {
+      var a = i; var b = j
+      while (a < n && b < n) {
+        val c = global(a).compareTo(global(b))
+        if (c != 0) return c < 0
+        a += 1; b += 1
+      }
+      a == n && b < n
+    }
+    val sa = (0 until n).sortWith(less)
+    def lcp(i: Int, j: Int): Int = {
+      var l = 0
+      while (i + l < n && j + l < n && global(i + l) == global(j + l)) l += 1
+      l
+    }
+    val lcpArr = (1 until n).map(r => lcp(sa(r - 1), sa(r)))
+    // maximal SA runs with consecutive LCP ≥ k = the repeated k-grams;
+    // every occurrence except the corpus-first covers its k tokens
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    var r = 0
+    while (r < n) {
+      var e = r
+      while (e < n - 1 && lcpArr(e) >= k) e += 1
+      if (e > r) {
+        val occ = (r to e).map(q => owner(sa(q)))
+        val first = occ.min
+        occ.filter(_ != first).foreach { case (dId, p) =>
+          (p until p + k).foreach(t => covered += ((dId, t)))
+        }
+      }
+      r = e + 1
+    }
+    val expected = docs.map { case (id, text) =>
+      val ws = toks(text)
+      val kept = ws.zipWithIndex.collect {
+        case (t, i) if !covered((id, i)) => t
+      }
+      id -> ((ws.size.toLong, kept.size.toLong, md5Hex(kept.mkString(" "))))
+    }.toMap
+    // reference self-checks: the corpus really exercises every shape
+    assert(expected(4L)._2 == 0L, "whole-doc dup must lose every token")
+    assert(expected(6L)._2 == 1L, "shifted prefix copy must keep only z0")
+    assert(expected(5L)._2 == 2L, "sub-k doc must be untouched")
+    assert(expected(3L)._2 < expected(3L)._1, "within-doc repeat must shrink")
+    // ---- the engine must agree bit for bit ----
+    val got = graft.operators.Dedup
+      .exactSubstringDedupOf(docs.toDF("doc_id", "text"), k = k)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    assert(got == expected,
+      s"engine diverged from the suffix-array reference:\n$got\nvs\n$expected")
+  }
+
+  test("x30 catches the shifted repeat x11's aligned passages miss; " +
+    "keep-first is a map-side partial aggregate, no rank window") {
+    import spark.implicits._
+    // doc B carries doc A's first 16 words at OFFSET 1 — it straddles
+    // every 16-word passage boundary, so x11 keeps everything, while
+    // the arbitrary-offset pass must remove exactly those 16 tokens
+    val a = (1 to 32).map(i => s"w$i").mkString(" ")
+    val b = "q " + (1 to 16).map(i => s"w$i").mkString(" ") + " " +
+      (1 to 15).map(i => s"r$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val aligned = graft.operators.Dedup.passageDedupOf(docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(aligned(1L)._1 == aligned(1L)._2,
+      "x11 should MISS the shifted repeat (that is x30's reason to exist)")
+    val res = graft.operators.Dedup.exactSubstringDedupOf(docs)
+    val shifted = res.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(shifted(0L) == ((32L, 32L)), "first occurrence must survive")
+    assert(shifted(1L) == ((32L, 16L)),
+      s"shifted 16-token copy must be removed from doc 1, got ${shifted(1L)}")
+    // scale shape: keep-first collapses map-side; no ranking window
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"keep-first is not a map-side-combinable partial aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x30 must not rank within gram keys (mega-bucket skew):\n$plan")
+  }
+
   test("x12 decontamination equals a naive driver-side 8-gram overlap scan") {
     val docs = graft.sources.Tables.documents(spark, sf)
       .select(col("doc_id"), col("text")).collect()

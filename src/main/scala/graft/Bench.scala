@@ -123,8 +123,14 @@ object Bench {
     // pass — distinguishable from a code regression, which moves both
     // passes together. (Best-of-2 is also the steadier engine estimate:
     // co-tenant noise on this box is strictly additive.)
+    // host-load samples bracket each pass: `host.passN.other_busy_frac`
+    // in the artifact is what lets a reader adjudicate an inflated pass
+    // as co-tenant contention WITHOUT a re-run (see [[HostLoad]])
+    val h0 = HostLoad.sample()
     val (pass1, errs1) = sweep()
+    val h1 = HostLoad.sample()
     val (pass2, errs2) = sweep()
+    val h2 = HostLoad.sample()
     val results = pass1.map { case (k, v1) =>
       val v2 = pass2.getOrElse(k, -1.0)
       // a query that failed in EITHER pass reports -1: min-of-passes
@@ -204,10 +210,17 @@ object Bench {
         "\"" + n + "\":" + parts.mkString("{", ",", "}")
       }.mkString(",\"errors\":{", ",", "}")
     }
+    //  - `host.passN` = before/after host-load deltas per pass
+    //    (co-tenant busy fraction, iowait, steal, loadavg) — the
+    //    contention signature, readable off the artifact alone.
+    val hostJson =
+      s"""{"pass1":${HostLoad.json(HostLoad.delta(h0, h1))},""" +
+        s""""pass2":${HostLoad.json(HostLoad.delta(h1, h2))}}"""
     val fullJson =
       s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":${qmap(results, 6)},""" +
       s""""pass1":${qmap(pass1, 6)},"pass2":${qmap(pass2, 6)},""" +
-      s""""warmup":$warmupJson,"order":"family-interleaved","passes":2$failed$errJson,"sf":$sfNum}"""
+      s""""warmup":$warmupJson,"host":$hostJson,""" +
+      s""""order":"family-interleaved","passes":2$failed$errJson,"sf":$sfNum}"""
     // RUN-SCOPED evidence file: a third party (judge, CI) running the
     // bench must NOT clobber the committed BENCH_FULL.json in the
     // working tree. Each run writes BENCH_FULL.<pid>.json (or the

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's host-load telemetry must actually carry the
+  * contention signature — otherwise next round's judge is back to
+  * manual fresh-JVM re-runs to adjudicate inflated bench rows. */
+class HostLoadSpec extends AnyFunSuite {
+
+  test("host-load samples parse and deltas are well-formed fractions") {
+    val b = HostLoad.sample()
+    assert(b.isDefined, "/proc sampling must work on this host")
+    // burn a little SELF cpu so the delta is non-degenerate
+    val stop = System.nanoTime() + 300L * 1000 * 1000
+    var x = 0L
+    while (System.nanoTime() < stop) x += 1
+    val a = HostLoad.sample()
+    val d = HostLoad.delta(b, a)
+    assert(d.isDefined, s"delta undefined over a 300ms busy window (x=$x)")
+    val v = d.get
+    assert(v.busyFrac >= 0 && v.busyFrac <= 1.01, s"busy: $v")
+    assert(v.selfFrac >= 0 && v.selfFrac <= 1.01, s"self: $v")
+    assert(v.otherBusyFrac >= 0, s"other: $v")
+    assert(v.iowaitFrac >= -0.01 && v.stealFrac >= -0.01, s"io/steal: $v")
+    assert(v.load1Before >= 0 && v.load1After >= 0)
+    // the JSON form parses as an object with every field present
+    val j = HostLoad.json(d)
+    Seq("load1_before", "load1_after", "busy_frac", "self_frac",
+      "other_busy_frac", "iowait_frac", "steal_frac")
+      .foreach(f => assert(j.contains("\"" + f + "\":"), s"missing $f in $j"))
+    assert(HostLoad.json(None) == "null")
+  }
+
+  test("a deliberately loaded host shows the co-tenant signature: " +
+    "external CPU burners read as other_busy, self spin does not") {
+    val cpus = Runtime.getRuntime.availableProcessors()
+    // EXTERNAL load: child processes are not this JVM's utime/stime
+    // (unreaped children don't enter cutime either), so their burn must
+    // surface as other_busy_frac — the co-tenant signature
+    val nBurn = math.max(4, cpus / 4)
+    val before = HostLoad.sample()
+    val burners = (1 to nBurn).map { _ =>
+      new ProcessBuilder("sh", "-c",
+        "end=$(( $(date +%s) + 5 )); while [ $(date +%s) -lt $end ]; do :; done")
+        .start()
+    }
+    try Thread.sleep(1500)
+    finally burners.foreach(_.destroyForcibly())
+    val after = HostLoad.sample()
+    val d = HostLoad.delta(before, after)
+    assert(d.isDefined)
+    // nBurn pinned cores out of `cpus` ⇒ expected other ≈ nBurn/cpus;
+    // require a quarter of that to stay robust under scheduler noise
+    val floor = 0.25 * nBurn.toDouble / cpus
+    assert(d.get.otherBusyFrac >= floor,
+      s"external burners invisible to other_busy_frac: ${d.get} " +
+        s"(expected ≥ $floor with $nBurn burners on $cpus cpus)")
+  }
+}

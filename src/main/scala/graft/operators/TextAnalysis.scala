@@ -1137,6 +1137,227 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- T20
+  /** T20: UNIGRAM-LM tokenizer TRAINING — the SentencePiece-family
+    * member beside t15's BPE (Kudo 2018): a candidate piece vocabulary
+    * is scored by an EM loop that alternates (E) segmenting every word
+    * into its maximum-likelihood pieces and (M) re-estimating piece
+    * probabilities from the segmentation counts, with a prune step
+    * between phases dropping the lowest-evidence multi-char pieces.
+    *
+    * t15's discipline end-to-end: the corpus is touched EXACTLY ONCE
+    * (the word-count aggregate); seeding is one substring aggregate
+    * over the Heaps-bounded WORD frame; every EM round iterates the
+    * word frame with the piece table riding a broadcast-sized closure
+    * (vocabulary ≪ corpus), so 100 TB of text trains at vocabulary
+    * cost. Below [[t15DriverLocalMaxWords]] the word frame is collected
+    * once and the whole loop runs driver-local; above it each E-step is
+    * one map-side-combinable count aggregate over the distributed
+    * frame. Both regimes produce the IDENTICAL table: the E-step is
+    * HARD EM (Viterbi best segmentation, integer counts — exact under
+    * any partitioning/summation order, unlike soft-EM float
+    * accumulation), probabilities derive deterministically from those
+    * integers, and the per-word Viterbi DP runs on one executor with a
+    * fixed association order. PipelineSpec forces the ceiling to 0 and
+    * asserts bit-equality.
+    *
+    * Viterbi tie rule (pinned for the reference spec): on equal score,
+    * prefer the LONGER last piece, recursively — i.e. the reverse-
+    * lexicographically largest piece-length sequence among optimal
+    * segmentations.
+    *
+    * No SQL oracle (the EM recurrence, like t15's merge loop) — the
+    * in-query `pass` gate holds the invariants hard EM must satisfy:
+    * corpus Viterbi log-likelihood NON-DECREASING across the EM rounds
+    * of each phase (the classification-EM monotonicity theorem — a
+    * counting or normalization bug breaks it), every piece count ≥ 1
+    * with probabilities summing to 1, every word's segmentation
+    * concatenating back to the word char-exact (t17's roundtrip gate),
+    * and the final vocabulary within its cap. PipelineSpec adds
+    * equality with an independent exhaustive-enumeration reference
+    * trainer on overlap-rich synthetics. */
+  private[graft] val t20MaxPieceLen = 6
+  private[graft] val t20SeedMultis = 1024
+  private[graft] val t20TargetMultis = 256
+  private[graft] val t20EmRounds = 2 // per phase: 2 before prune, 2 after
+  @volatile private[graft] var t20LastRegime: String = ""
+
+  def t20UnigramTrain(s: SparkSession, d: String): DataFrame =
+    t20UnigramTrainImpl(s, d, t15DriverLocalMaxWords)
+
+  /** Viterbi best segmentation of one word under piece log-probs —
+    * pure and standalone so the reference spec can drive it. Returns
+    * None when no segmentation exists (impossible while the alphabet
+    * is seeded). Scores accumulate LEFT-TO-RIGHT (best(i−l) + lp), the
+    * association order the exhaustive reference mirrors so float
+    * near-ties cannot diverge between them. */
+  private[graft] def t20Viterbi(word: String, logp: collection.Map[String, Double],
+                                maxLen: Int): Option[List[String]] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val bl = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= maxLen && l <= i) {
+        if (best(i - l) != Double.NegativeInfinity) {
+          logp.get(word.substring(i - l, i)) match {
+            case Some(lp) =>
+              val sc = best(i - l) + lp
+              if (sc > best(i) || (sc == best(i) && l > bl(i))) {
+                best(i) = sc; bl(i) = l
+              }
+            case None =>
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) == Double.NegativeInfinity) None
+    else {
+      var out = List.empty[String]
+      var p = n
+      while (p > 0) { out = word.substring(p - bl(p), p) :: out; p -= bl(p) }
+      Some(out)
+    }
+  }
+
+  /** One hard-EM E-step over a word iterator: Viterbi-segment each
+    * word, accumulate integer piece counts weighted by word count.
+    * Returns (counts, roundtrip_ok) — shared by both regimes. */
+  private[graft] def t20EStep(words: Iterator[(String, Long)],
+                              logp: collection.Map[String, Double],
+                              maxLen: Int)
+      : (scala.collection.mutable.HashMap[String, Long], Boolean) = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    var rt = true
+    words.foreach { case (w, c) =>
+      t20Viterbi(w, logp, maxLen) match {
+        case Some(pieces) =>
+          if (pieces.mkString != w) rt = false
+          pieces.foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        case None => rt = false
+      }
+    }
+    (counts, rt)
+  }
+
+  private[graft] def t20UnigramTrainImpl(s: SparkSession, d: String,
+                                         driverLocalMaxWords: Long)
+      : DataFrame =
+    t20TrainOf(documents(s, d), driverLocalMaxWords)
+
+  /** The trainer body over any (doc_id, text) frame — split out so the
+    * exhaustive-reference and regime-equality specs can feed
+    * overlap-rich synthetic corpora. */
+  private[graft] def t20TrainOf(docs: DataFrame,
+                                driverLocalMaxWords: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // ONE corpus pass: the Heaps-bounded word frame
+    val wordFrame = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].toDF("w", "cnt")
+      .localCheckpoint(true)
+    // SEEDING: every substring occurrence up to MaxPieceLen, weighted
+    // by word count — an aggregate over the word frame, not the corpus
+    val pieceFreq = wordFrame
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, length(w) - 1),
+           |  i -> transform(sequence(1, least($t20MaxPieceLen, length(w) - i)),
+           |                 l -> substring(w, i + 1, l))))""".stripMargin))
+        .as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+      .localCheckpoint(true)
+    val singles = pieceFreq.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect() // bounded: the corpus alphabet
+    val alphabet: Set[String] = singles.map(_._1).toSet
+    val multis = pieceFreq.filter(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(t20SeedMultis)
+      .as[(String, Long)].collect() // bounded: limit(t20SeedMultis) heap top-k
+    var vocab: Map[String, Long] = (singles ++ multis).toMap
+    val nWords = wordFrame.count()
+    val local: Option[Array[(String, Long)]] =
+      if (nWords <= driverLocalMaxWords) {
+        t20LastRegime = "driver-local"
+        Some(wordFrame.as[(String, Long)].collect()) // bounded: <= driverLocalMaxWords rows (regime guard)
+      } else { t20LastRegime = "distributed"; None }
+    def eStep(logp: Map[String, Double]): (Map[String, Long], Boolean) =
+      local match {
+        case Some(arr) =>
+          val (c, rt) = t20EStep(arr.iterator, logp, t20MaxPieceLen)
+          (c.toMap, rt)
+        case None =>
+          // distributed: per-partition hard-EM counts (integer — exact
+          // under any partitioning), one map-side-combinable aggregate
+          val rows = wordFrame.as[(String, Long)]
+            .mapPartitions { it =>
+              val (c, rt) = t20EStep(it, logp, t20MaxPieceLen)
+              c.iterator.map { case (p, n) => (p, n, rt) }
+            }
+            .toDF("piece", "c", "rt")
+            .groupBy(col("piece"))
+            .agg(sum(col("c")).as("c"), min(col("rt")).as("rt"))
+            .collect() // bounded: one row per vocabulary piece
+          (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+            rows.forall(_.getBoolean(2)))
+      }
+    def probsOf(counts: Map[String, Long]): Map[String, Double] = {
+      val tot = counts.values.sum.toDouble
+      counts.map { case (p, c) => p -> math.log(c / tot) }
+    }
+    // corpus Viterbi log-likelihood from INTEGER counts — deterministic
+    def llOf(counts: Map[String, Long]): Double = {
+      val tot = counts.values.sum.toDouble
+      counts.iterator.map { case (_, c) => c * math.log(c / tot) }.sum
+    }
+    var logp = probsOf(vocab)
+    var roundtripOk = true
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var counts: Map[String, Long] = Map.empty
+    def emPhase(): Unit = (1 to t20EmRounds).foreach { _ =>
+      val (c, rt) = eStep(logp)
+      roundtripOk &&= rt
+      counts = c
+      lls += llOf(c)
+      logp = probsOf(c) // M-step: MLE over the hard segmentation
+    }
+    emPhase()
+    val llPhase1Monotone = lls(1) >= lls(0) - 1e-6 * math.abs(lls(0))
+    // PRUNE to the target: keep the alphabet (segmentability — the
+    // SentencePiece character-coverage convention; a dropped char is
+    // re-seeded at count 1) + the top multis by evidence
+    val keptMultis = counts.toSeq.filter(_._1.length > 1)
+      // local: driver-held vocabulary table, ≤ seed size
+      .sortBy { case (p, c) => (-c, p) }.take(t20TargetMultis)
+    counts = (alphabet.map(a => a -> math.max(counts.getOrElse(a, 0L), 1L))
+      ++ keptMultis).toMap
+    logp = probsOf(counts)
+    val llsBefore = lls.size
+    emPhase()
+    val llPhase2Monotone =
+      lls(llsBefore + 1) >= lls(llsBefore) - 1e-6 * math.abs(lls(llsBefore))
+    val probOk = {
+      val tot = counts.values.sum.toDouble
+      math.abs(counts.values.map(_ / tot).sum - 1.0) < 1e-9 &&
+        counts.values.forall(_ >= 1L)
+    }
+    val pass = llPhase1Monotone && llPhase2Monotone && roundtripOk &&
+      probOk && counts.size <= alphabet.size + t20TargetMultis
+    val tot = counts.values.sum.toDouble
+    val table = counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1, p, c, c / tot, counts.size.toLong, pass)
+      }
+    table.toDF("rank", "piece", "cnt", "prob", "vocab_size", "pass")
+      .orderBy(col("rank"))
+  }
+
   // ------------------------------------------------------------- T16
   /** T16: model-based quality FILTER inference — the learned-classifier
     * stage (fastText/DCLM-style) that sits beside the rule-based
@@ -1295,6 +1516,7 @@ object TextAnalysis {
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_unigram_train" -> (t20UnigramTrain _),
     "t19_keyword_extract" -> (t19KeywordExtract _),
     "t18_ngram_novelty" -> (t18NgramNovelty _),
     "x25_data_card" -> (x25DataCard _),

@@ -1468,6 +1468,118 @@ class PipelineSpec extends AnyFunSuite {
       }.toArray
   }
 
+  /** Independent unigram-LM reference trainer: EXHAUSTIVE segmentation
+    * enumeration (no DP at all) over t20's documented conventions —
+    * seed substrings, hard-EM with scores summed left-to-right (the
+    * association order t20Viterbi pins, so float near-ties cannot
+    * diverge), ties by reverse-lexicographically largest piece-length
+    * sequence, character-coverage prune, final (count desc, piece)
+    * ranking. */
+  private def referenceUnigram(words: Array[(String, Long)])
+      : Seq[(Int, String, Long)] = {
+    import scala.collection.mutable
+    val maxLen = 6; val seedMultis = 1024; val targetMultis = 256
+    val freq = mutable.HashMap.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - i)) {
+      val p = w.substring(i, i + l)
+      freq(p) = freq.getOrElse(p, 0L) + c
+    }
+    val singles = freq.filter(_._1.length == 1).toMap
+    val alphabet = singles.keySet
+    val multis = freq.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(seedMultis)
+    var counts: Map[String, Long] = singles ++ multis
+    def logpOf(cs: Map[String, Long]): Map[String, Double] = {
+      val t = cs.values.sum.toDouble
+      cs.map { case (p, c) => p -> math.log(c / t) }
+    }
+    def segs(w: String, vocab: Set[String]): Seq[List[String]] =
+      if (w.isEmpty) Seq(Nil)
+      else (1 to math.min(maxLen, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        if (vocab(h)) segs(w.substring(l), vocab).map(h :: _) else Nil
+      }
+    def bestSeg(w: String, logp: Map[String, Double]): List[String] = {
+      val all = segs(w, logp.keySet)
+      def score(s: List[String]): Double =
+        s.foldLeft(0.0)((acc, p) => acc + logp(p))
+      val mx = all.map(score).max
+      import scala.math.Ordering.Implicits._
+      all.filter(score(_) == mx).maxBy(s => s.map(_.length).reverse)
+    }
+    def emRound(): Unit = {
+      val logp = logpOf(counts)
+      val c2 = mutable.HashMap.empty[String, Long]
+      for ((w, c) <- words; p <- bestSeg(w, logp))
+        c2(p) = c2.getOrElse(p, 0L) + c
+      counts = c2.toMap
+    }
+    emRound(); emRound()
+    counts = (alphabet.map(a => a -> math.max(counts.getOrElse(a, 0L), 1L))
+      ++ counts.toSeq.filter(_._1.length > 1)
+        .sortBy { case (p, c) => (-c, p) }.take(targetMultis)).toMap
+    emRound(); emRound()
+    counts.toSeq.sortBy { case (p, c) => (-c, p) }.zipWithIndex
+      .map { case ((p, c), i) => (i + 1, p, c) }
+  }
+
+  private val t20SyntheticDocs: Seq[(Long, String)] = Seq(
+    0L -> "banana bananaband bandana ananas banana band ana",
+    1L -> "abcabcabc abcabc abc cab cabcab banana",
+    2L -> "bandana bananaband ananas abcabc band banana banana",
+    3L -> "xyz xyzxyz zyx banana band ana cab",
+    4L -> "bananaband bandana abcabcabc xyzxyzxyz ananas",
+    5L -> "banana band bandana cab abc xyz ananas ana")
+
+  test("t20 unigram trainer matches the exhaustive-enumeration reference " +
+    "on an overlap-rich synthetic corpus") {
+    import spark.implicits._
+    val docs = t20SyntheticDocs.toDF("doc_id", "text")
+    val words = t20SyntheticDocs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }.toArray
+    val ref = referenceUnigram(words)
+    val got = TextAnalysis.t20TrainOf(docs, Long.MaxValue).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(TextAnalysis.t20LastRegime == "driver-local")
+    assert(got.length == ref.length,
+      s"vocab sizes differ: engine ${got.length}, reference ${ref.length}")
+    got.zip(ref).foreach { case (g, r) =>
+      assert(g == r, s"rank ${r._1}: engine $g vs reference $r")
+    }
+    // the corpus really exercises segmentation: some piece must be a
+    // learned multi-char unit shorter than its source words
+    assert(ref.exists { case (_, p, _) => p.length > 1 && p.length < 6 })
+  }
+
+  test("t20 regimes agree bit-for-bit: ceiling 0 forces the distributed " +
+    "hard-EM loop onto the same table as the driver-local one") {
+    import spark.implicits._
+    val docs = t20SyntheticDocs.toDF("doc_id", "text")
+    val localT = TextAnalysis.t20TrainOf(docs, Long.MaxValue).collect()
+      .map(_.toSeq)
+    assert(TextAnalysis.t20LastRegime == "driver-local")
+    val distT = TextAnalysis.t20TrainOf(docs, 0L).collect().map(_.toSeq)
+    assert(TextAnalysis.t20LastRegime == "distributed",
+      "ceiling 0 must force the distributed regime")
+    assert(localT.length == distT.length &&
+      localT.zip(distT).forall { case (a, b) => a == b },
+      "distributed hard-EM diverged from the driver-local table")
+  }
+
+  test("t20 at the gate corpus: invariants hold and training is " +
+    "driver-local below the ceiling") {
+    val rows = TextAnalysis.t20UnigramTrain(spark, sf001).collect()
+    assert(TextAnalysis.t20LastRegime == "driver-local")
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass")),
+      "t20 in-query invariant gate red at the gate corpus")
+    // ranks are 1..V in (cnt desc, piece) order with positive counts
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.forall(_ >= 1L))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("t15 BPE: 256-merge request trains to exhaustion, matching the reference trainer exactly") {
     val rows = TextAnalysis.t15BpeTrain(spark, sf001).collect()
     assert(TextAnalysis.t15LastRegime == "driver-local",

@@ -1425,12 +1425,31 @@ object MatrixQueries {
     * Gate: true residual < 1e-10 AND planted-x* recovery < 1e-8 AND
     * no stagnation exit. */
   def m19Gmres(s: SparkSession, dir: String): DataFrame =
-    m19At(s, 512, 128, 40)
+    m19At(s, 512, 128, 40, polyDeg = 12)
 
   /** The GMRES(m) solve at caller-chosen size/restart length
-    * (MatrixSpec and ScaleSweep trend points ride this). */
+    * (MatrixSpec and ScaleSweep trend points ride this).
+    *
+    * `polyDeg` > 0 enables the CHEBYSHEV RIGHT-PRECONDITIONER (0 = the
+    * plain GMRES the preconditioned-vs-plain spec compares against).
+    * The lever is the system's known structure: for A = δI + S with S
+    * skew, A·Ā = δ²I − S² is SPD with spectrum exactly [δ², δ²+σ²] —
+    * the vertical segment δ ± i[0,σ] that forces plain GMRES through
+    * ~σ/δ·m iterations COLLAPSES onto a real interval of condition
+    * 1 + (σ/δ)². With M⁻¹ = Ā·q_d(AĀ), where q_d is the degree-d
+    * Chebyshev-iteration polynomial for (AĀ)⁻¹ on that interval, the
+    * right-preconditioned operator A·M⁻¹ = (AĀ)·q_d(AĀ) is normal with
+    * spectrum in 1 ± ε_d (ε_d ≈ 4·(σ₁+√(σ₁²−1))^−d): GMRES contracts
+    * ~ε_d per step, so ~200 sequential Arnoldi rounds become ~10. The
+    * polynomial itself is LAZY — its 2d+2 narrow matvec joins evaluate
+    * inside the Arnoldi step's own reduction job, so the per-iteration
+    * JOB count (the job-launch-bound cost at bench scale) is unchanged
+    * while iterations drop ~20×. Right preconditioning preserves the
+    * residual (b − AM⁻¹u = b − Ax), so the inner Givens estimate, the
+    * restart logic, and all three gates are untouched; the interval
+    * ends carry a 2% guard for the power-iteration σ̂ error. */
   private[graft] def m19At(s: SparkSession, n: Int, blk: Int,
-                           mRestart: Int): DataFrame = {
+                           mRestart: Int, polyDeg: Int = 0): DataFrame = {
     import s.implicits._
     val sc = s.sparkContext
     val q = n / blk
@@ -1466,17 +1485,31 @@ object MatrixQueries {
     // tolerance the c = σ/δ = 7 construction needs (BiCGSTAB fails and
     // GMRES converges across c ∈ [6, 10] — measured while designing
     // the system, so σ̂ drift is harmless)
+    // the 12 power steps are a LAZY chain (each z cached so the diamond
+    // into the final Rayleigh quotient memoizes) forced by ONE fused
+    // ⟨z₁₁,z₁₂⟩/⟨z₁₁,z₁₁⟩ job — the per-step normalize+dot shape paid
+    // ~36 job launches of pure scheduling at this problem size. No
+    // normalization needed: entries grow ~σ² per step, ~1e23 after 12
+    // steps at the gate spectrum — five orders inside double range —
+    // and the Rayleigh quotient is scale-invariant.
     var pv = keep(scale(bvec(i => 1.0 + math.cos(i * 0.3)), 1.0))
-    var sigma2 = 0.0
+    var pvPrev = pv
     for (_ <- 0 until 12) {
-      val z = keep(bvMatvec(sByCol, bvMatvec(sByCol, pv, part), part)
+      pvPrev = pv
+      pv = keep(bvMatvec(sByCol, bvMatvec(sByCol, pv, part), part)
         .mapValues(_.map(-_)))
-      val (num, den) = (dot(pv, z), dot(pv, pv))
-      sigma2 = num / den
-      val zn = math.sqrt(dot(z, z))
-      pv = keep(scale(z, 1.0 / zn))
     }
+    val (rqNum, rqDen) = pv.join(pvPrev, part).map { case (_, (za, pa)) =>
+      var nz = 0.0; var pp = 0.0; var i = 0
+      while (i < za.length) {
+        nz += pa(i) * za(i); pp += pa(i) * pa(i); i += 1
+      }
+      (nz, pp)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val sigma2 = rqNum / rqDen
     val delta = math.sqrt(math.max(sigma2, 0.0)) / 7.0
+    if (sys.env.contains("GRAFT_M19_TRACE"))
+      System.err.println(s"[m19] power done t=${System.nanoTime() / 1e9}")
     // A·v = S·v + δ·v — one bvMatvec plus a narrow co-partitioned axpy
     def amat(v: BlockVec): BlockVec =
       bvMatvec(sByCol, v, part).join(v, part).mapValues { case (sv, vv) =>
@@ -1484,6 +1517,115 @@ object MatrixQueries {
         while (i < w.length) { w(i) += delta * vv(i); i += 1 }
         w
       }
+    // Ā·v = δ·v − S·v and B·v = (A·Ā)·v = δ²·v − S·(S·v) — the SPD
+    // collapse of the vertical-segment spectrum (scaladoc above)
+    def aadj(v: BlockVec): BlockVec =
+      bvMatvec(sByCol, v, part).join(v, part).mapValues { case (sv, vv) =>
+        Array.tabulate(vv.length)(i => delta * vv(i) - sv(i))
+      }
+    // C = S² blocks, built ONLY when the preconditioner runs: the
+    // generator's determinism removes the distributed-GEMM shuffle —
+    // each (bi,bj) task derives all q contributing S blocks locally
+    // (the same trick that builds sByCol transpose-free) and pays q
+    // local blk³ GEMMs. One extra matrix of block storage, bought so
+    // B·v costs ONE shuffle instead of the S·(S·v) chain's two — the
+    // polynomial's cost at bench scale is sequential-stage count.
+    lazy val cByCol = {
+      val qv = q
+      sc.parallelize(ids, math.min(ids.size, 64)).map { case (bi, bj) =>
+        val c0 = Array.ofDim[Double](blk, blk)
+        var bk = 0
+        while (bk < qv) {
+          val l = MatrixGen.localBlock(blk, Seed, bi, bk, 0.0)
+          val lt = MatrixGen.localBlock(blk, Seed, bk, bi, 0.0)
+          val r0 = MatrixGen.localBlock(blk, Seed, bk, bj, 0.0)
+          val rt = MatrixGen.localBlock(blk, Seed, bj, bk, 0.0)
+          var i = 0
+          while (i < blk) {
+            var k = 0
+            while (k < blk) {
+              val sik = (l(i)(k) - lt(k)(i)) / 2
+              if (sik != 0.0) {
+                val ci = c0(i); var j2 = 0
+                while (j2 < blk) {
+                  ci(j2) += sik * ((r0(k)(j2) - rt(j2)(k)) / 2); j2 += 1
+                }
+              }
+              k += 1
+            }
+            i += 1
+          }
+          bk += 1
+        }
+        (bj, (bi, c0))
+      }.partitionBy(part).cache()
+    }
+    def bmat(v: BlockVec): BlockVec =
+      bvMatvec(cByCol, v, part).join(v, part)
+        .mapValues { case (ssv, vv) =>
+          Array.tabulate(vv.length)(i => delta * delta * vv(i) - ssv(i))
+        }
+    def axpyv(u: BlockVec, w: BlockVec, cu: Double, cw: Double): BlockVec =
+      u.join(w, part).mapValues { case (a, b2) =>
+        Array.tabulate(a.length)(i => cu * a(i) + cw * b2(i))
+      }
+    // q_d(B)·v by polyDeg Chebyshev-iteration steps on [lo, hi] ⊇
+    // spec(B) — all LAZY RDD transformations: the caller's reduction
+    // evaluates the whole polynomial chain inside its own job. Every
+    // step's r/d/x IS cache()d (still lazy, zero extra jobs): each has
+    // TWO lazy consumers (r feeds r' and d'; d feeds d', x and B·d), and
+    // without block-level memoization that diamond makes the pure-DAG
+    // evaluation tree FIBONACCI-shaped in the degree — measured 0.6 →
+    // 9.7 → 75 s/iteration at d = 8/10/12 before the fix, flat after.
+    // The cached steps are registered with `keep` and retired at the
+    // iteration barrier like every other per-iteration intermediate.
+    def qcheb(v: BlockVec): BlockVec = {
+      val lo = 0.98 * delta * delta
+      val hi = delta * delta + 1.02 * sigma2
+      val theta = (hi + lo) / 2; val half = (hi - lo) / 2
+      val sigma1 = theta / half
+      val d2 = delta * delta
+      var rho = 1.0 / sigma1
+      // the whole (x, r, d) recurrence state rides ONE tuple-valued RDD
+      // per step: a three-RDD formulation costs ~30 RDD objects (and
+      // their closure-cleaning) per step on the DRIVER — measured at
+      // half the per-iteration wall time before this fusion
+      var st = keep(v.mapValues { a =>
+        val d0 = a.map(_ / theta)
+        (d0.clone(), a.clone(), d0)
+      })
+      var k = 0
+      while (k < polyDeg - 1) {
+        val rhoN = 1.0 / (2 * sigma1 - rho)
+        val cd = rhoN * rho; val cr = 2 * rhoN / half
+        val ssd = bvMatvec(cByCol, st.mapValues(_._3), part) // S²·d
+        st = keep(st.join(ssd, part).mapValues { case ((xa, ra, da), sv) =>
+          val m2 = da.length
+          val xn = new Array[Double](m2)
+          val rn = new Array[Double](m2)
+          val dn = new Array[Double](m2)
+          var i = 0
+          while (i < m2) {
+            val bd = d2 * da(i) - sv(i) // (B·d)(i)
+            rn(i) = ra(i) - bd
+            dn(i) = cd * da(i) + cr * rn(i)
+            xn(i) = xa(i) + dn(i)
+            i += 1
+          }
+          (xn, rn, dn)
+        })
+        rho = rhoN
+        k += 1
+      }
+      st.mapValues(_._1)
+    }
+    // Arnoldi operator and solution map of the right-preconditioned
+    // system: A·M⁻¹ = B·q(B); x = M⁻¹u = Ā·q(B)·u (S-polynomials
+    // commute). polyDeg = 0 degrades to plain GMRES.
+    def aop(v: BlockVec): BlockVec =
+      if (polyDeg == 0) amat(v) else bmat(qcheb(v))
+    def minv(v: BlockVec): BlockVec =
+      if (polyDeg == 0) v else aadj(qcheb(v))
 
     val xStar = keep(bvec(i => 1.0 + (i % 7) * 0.25))
     val b0 = keep(amat(xStar))
@@ -1519,7 +1661,11 @@ object MatrixQueries {
         var j = 0
         var inner = true
         while (inner && j < mRestart) {
-          var w: BlockVec = keep(amat(v))
+          val trace = sys.env.contains("GRAFT_M19_TRACE")
+          def tr(tag: String): Unit = if (trace)
+            System.err.println(s"[m19] $tag t=${System.nanoTime / 1e9}")
+          var w: BlockVec = keep(aop(v))
+          tr("w-built")
           // CGS2 in TWO fused reduction jobs total: pass 1 returns the
           // Gram coefficients c1; pass 2 returns (c2, ‖w₁‖²) in ONE
           // traversal, and ‖w₂‖² = ‖w₁‖² − ‖c2‖² under the (reorthogo-
@@ -1538,6 +1684,7 @@ object MatrixQueries {
             while (i < z.length) { z(i) += b1(i); i += 1 }
             z
           }
+          tr("c1-done")
           var i = 0
           while (i <= j) { hCol(i) += c1(i); i += 1 }
           w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
@@ -1563,6 +1710,7 @@ object MatrixQueries {
             while (i2 < z.length) { z(i2) += b1._1(i2); i2 += 1 }
             (z, a0._2 + b1._2)
           }
+          tr("c2-done")
           var c2n2 = 0.0
           i = 0
           while (i <= j) {
@@ -1596,6 +1744,9 @@ object MatrixQueries {
           g(j + 1) = -sn(j) * g(j); g(j) = cs(j) * g(j)
           iters += 1
           j += 1
+          if (sys.env.contains("GRAFT_M19_TRACE"))
+            System.err.println(
+              s"[m19] iter $iters t=${System.nanoTime() / 1e9}")
           if (math.abs(g(j)) / bNrm < tol) inner = false // converged
           else if (hj1 < 1e-300) inner = false // happy breakdown
           else if (j < mRestart) {
@@ -1615,6 +1766,7 @@ object MatrixQueries {
             basis.foreachPartition(_ => ())
             v = keep(basis.mapValues(_.last))
             retireCached(cached, Seq(basis, v, x, b0, xStar, sByCol, pv))
+            tr("ckpt-done")
           }
         }
         // back-substitute y from the rotated triangular H, blend
@@ -1628,8 +1780,10 @@ object MatrixQueries {
           bi -= 1
         }
         val jf = j
-        x = keep(basis.join(x, part).mapValues { case (vb, xa) =>
-          val out = xa.clone()
+        // blend u = V_j·y in ONE pass over the slab, then map through
+        // M⁻¹ (identity when unpreconditioned): x += M⁻¹·u
+        val blend: BlockVec = basis.mapValues { vb =>
+          val out = new Array[Double](vb(0).length)
           var k = 0
           while (k < jf && k < vb.length) {
             val bk = vb(k); val yk = y(k); var t = 0
@@ -1637,30 +1791,38 @@ object MatrixQueries {
             k += 1
           }
           out
+        }
+        x = keep(x.join(minv(blend), part).mapValues { case (xa, ua) =>
+          val out = xa.clone(); var t = 0
+          while (t < out.length) { out(t) += ua(t); t += 1 }
+          out
         })
         x.localCheckpoint(); x.foreachPartition(_ => ())
         restarts += 1
       }
     }
-    // TRUE residual + planted-x* recovery, one extra matvec
+    // TRUE residual + planted-x* recovery: one extra matvec and ONE
+    // fused reduction job for both gates
     val ax = amat(x)
-    val tr = ax.join(b0, part).map { case (_, (a, b)) =>
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d0 = a(i) - b(i); acc += d0 * d0; i += 1 }
-      acc
-    }.sum()
-    val err = x.join(xStar, part).map { case (_, (xa, xs)) =>
-      var m = 0.0; var i = 0
-      while (i < xa.length) { m = math.max(m, math.abs(xa(i) - xs(i))); i += 1 }
-      m
-    }.max()
+    val (tr, err) = ax.join(b0, part).join(x.join(xStar, part), part)
+      .map { case (_, ((a, b), (xa, xs))) =>
+        var acc = 0.0; var m = 0.0; var i = 0
+        while (i < a.length) {
+          val d0 = a(i) - b(i); acc += d0 * d0
+          m = math.max(m, math.abs(xa(i) - xs(i)))
+          i += 1
+        }
+        (acc, m)
+      }.reduce((u, v2) => (u._1 + v2._1, math.max(u._2, v2._2)))
     val residTrue = math.sqrt(tr) / bNrm
     val relErr = err / 2.5
     cached.foreach(_.unpersist(false))
     sByCol.unpersist(false)
+    if (polyDeg > 0) cByCol.unpersist(false)
     val pass = !stagnant && residTrue < 1e-10 && relErr < 1e-8
-    Seq((n, blk, mRestart, restarts, iters, delta, residTrue, relErr, pass))
-      .toDF("n", "blk", "m", "restarts", "iters", "delta",
+    Seq((n, blk, mRestart, polyDeg, restarts, iters, delta, residTrue,
+      relErr, pass))
+      .toDF("n", "blk", "m", "poly_deg", "restarts", "iters", "delta",
         "resid_rel", "err_rel", "pass")
   }
 

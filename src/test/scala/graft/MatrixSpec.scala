@@ -527,6 +527,28 @@ class MatrixSpec extends AnyFunSuite {
       "system assembly mismatch")
   }
 
+  test("m19 Chebyshev right-preconditioner: same gates, same planted " +
+    "answer, iteration count cut well below half of plain GMRES") {
+    val n = 256; val blk = 64
+    val plain = MatrixQueries.m19At(spark, n, blk, 32).collect()(0)
+    val pre = MatrixQueries.m19At(spark, n, blk, 32, polyDeg = 12).collect()(0)
+    info(s"plain iters=${plain.getAs[Int]("iters")} " +
+      s"restarts=${plain.getAs[Int]("restarts")}; " +
+      s"precond iters=${pre.getAs[Int]("iters")} " +
+      s"restarts=${pre.getAs[Int]("restarts")} " +
+      f"resid=${pre.getAs[Double]("resid_rel")}%.2e " +
+      f"err=${pre.getAs[Double]("err_rel")}%.2e")
+    // agreement: both solve the SAME system through the SAME gates —
+    // true residual < 1e-10 and the planted x* recovered < 1e-8; the
+    // preconditioner cannot trade accuracy for speed
+    assert(plain.getAs[Boolean]("pass"), s"plain GMRES red: $plain")
+    assert(pre.getAs[Boolean]("pass"), s"preconditioned GMRES red: $pre")
+    // the point of the polynomial: the ~σ/δ·m Arnoldi rounds collapse
+    assert(pre.getAs[Int]("iters") * 2 < plain.getAs[Int]("iters"),
+      s"preconditioner bought < 2x: ${pre.getAs[Int]("iters")} vs " +
+        s"${plain.getAs[Int]("iters")} plain")
+  }
+
   test("m19: GMRES(m) converges on the skew-dominant system BiCGSTAB " +
     "demonstrably fails on; independent local LU solve agrees") {
     val n = 256; val blk = 64; val q = n / blk

@@ -360,7 +360,9 @@ object ScaleSweep {
       }
     }
     // restarted-GMRES trend (full sweep, or targeted via
-    // only="m19trend"): m19 at 1×/2×/4× the gate n. The σ/δ = 7
+    // only="m19trend"): m19 at 1×/2×/4× the gate n, in the SHIPPED
+    // configuration (degree-12 Chebyshev right-preconditioner — the
+    // trend must measure the query users run). The σ/δ = 7
     // construction is self-tuned per n, so the iteration count stays
     // ~spectrum-determined across sizes and the curve isolates
     // per-iteration job cost — m15/m17/m18's trend discipline for the
@@ -368,7 +370,10 @@ object ScaleSweep {
     if (only.forall(_.contains("m19trend"))) {
       Seq(512, 1024, 2048).foreach { n =>
         val t0 = System.nanoTime()
-        val ok = try { graft.matrix.MatrixQueries.m19At(spark, n, 128, 40).count(); true }
+        val ok = try {
+          graft.matrix.MatrixQueries.m19At(spark, n, 128, 40, polyDeg = 12)
+            .count(); true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[scale] m19@n=$n failed: $e"); false
         }

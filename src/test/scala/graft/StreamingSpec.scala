@@ -1081,7 +1081,21 @@ class StreamingSpec extends AnyFunSuite {
     val (affected2, copied2) = batches(1)
     assert(copied2 > 0,
       s"no bucket survived by copy — rewrite is not delta-shaped: $batches")
-    assert(affected2 < 64, s"batch touched the whole bucket space: $batches")
+    val nBuckets = graft.streaming.Streaming.st13LastBuckets
+    assert(affected2 < nBuckets,
+      s"batch touched the whole $nBuckets-bucket space: $batches")
+    // geometry follows cardinality: keys/bucket lands at or under the
+    // target once the count is off its floor, and the derivation is
+    // the documented clamped power of two
+    assert(nBuckets == graft.streaming.Streaming.st13BucketCount(
+      graft.sources.Tables.events(spark, sf)
+        .agg(approx_count_distinct(col("user_id"))).head.getLong(0)))
+    assert(graft.streaming.Streaming.st13BucketCount(1L) == 16,
+      "floor: tiny key spaces stay at 16 buckets")
+    assert(graft.streaming.Streaming.st13BucketCount(1024L * 64) == 64,
+      "64k keys at 1024 keys/bucket → 64 buckets")
+    assert(graft.streaming.Streaming.st13BucketCount(Long.MaxValue) == 4096,
+      "ceiling: the bucket count clamps at 4096")
   }
 
   test("st14 trending terms: multiple event-time windows, dense ranks, exact counts") {

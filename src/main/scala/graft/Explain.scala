@@ -40,7 +40,10 @@ object Explain {
         // capped binary shortlist + TF-IDF top-3, narrow argmax
         // assignment (no corpus×anchors exchange)
         "r40_fuzzy_join", "s20_ann_binary", "t19_keyword_extract",
-        "x29_diversity_sample")
+        "x29_diversity_sample",
+        // round-14 flagships: fingerprint keep-first + redundancy-
+        // proportional join-back (no rank window over the gram space)
+        "x30_exact_substring_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

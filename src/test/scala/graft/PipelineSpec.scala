@@ -1349,6 +1349,45 @@ class PipelineSpec extends AnyFunSuite {
       s"x11 must not rank within passage keys (mega-bucket skew):\n$plan")
   }
 
+  test("x30 keep-first collapses a 10^5-fold duplicated span map-side; " +
+    "coverage stays output-proportional; no rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one 16-token span shared by EVERY doc at a doc-VARYING offset
+    // (x11's aligned mega-dup spec can't cover this: the offset shifts
+    // by i mod 3, so the span straddles passage boundaries in 2/3 of
+    // the docs) + 18 unique tokens per doc. A rank-window formulation
+    // would haul all 10^5 copies of each shared window fingerprint to
+    // one reducer; the min(struct) aggregate combines them to one row
+    // per map partition before the exchange.
+    val n = 100000
+    val shared = (1 to 16).map(i => s"viral$i").mkString(" ")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(1), pmod(col("id"), lit(3)) + 1),
+          j => concat(lit("pre"), col("id"), lit("w"), j)), " "),
+        lit(" " + shared + " "),
+        array_join(transform(sequence(lit(1), lit(17) - pmod(col("id"), lit(3))),
+          j => concat(lit("suf"), col("id"), lit("w"), j)), " ")).as("text"))
+    val res = graft.operators.Dedup.exactSubstringDedupOf(docs)
+    val rows = res.collect()
+    assert(rows.length == n)
+    val byId = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every doc is 1..3 prefix + 16 shared + 17..15 suffix = 34 tokens;
+    // doc 0 (corpus-first) keeps all 34, every later doc loses exactly
+    // the 16 shared tokens (its straddling windows are unique to it)
+    assert(byId(0L) == ((34L, 34L)), s"first doc must survive: ${byId(0L)}")
+    assert((1 until n).forall(i => byId(i.toLong) == ((34L, 18L))),
+      "every later doc must lose exactly the 16-token viral span")
+    // plan shape: keep-first is a map-side partial aggregate, and no
+    // Window node anywhere — the mega-dup collapses before the exchange
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"),
+      s"keep-first is not map-side combinable:\n$plan")
+    assert(!plan.contains("Window"),
+      s"x30 must not rank within window fingerprints:\n$plan")
+  }
+
   test("x13 Bloom decontamination: exact x12 output, probe pushed, eval grams never broadcast") {
     val x12 = Dedup.x12Decontaminate(spark, sf01).collect().map(_.toSeq)
     val x13df = Dedup.x13DecontaminateBloom(spark, sf01)

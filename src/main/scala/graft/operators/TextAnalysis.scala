@@ -1298,13 +1298,18 @@ object TextAnalysis {
           val rows = wordFrame.as[(String, Long)]
             .mapPartitions { it =>
               val (c, rt) = t20EStep(it, logp, t20MaxPieceLen)
-              c.iterator.map { case (p, n) => (p, n, rt) }
+              // a zero-count sentinel carries the roundtrip flag even
+              // when a partition emits no counts (e.g. its only word
+              // failed to segment) — a lost false flag is a false gate
+              if (c.isEmpty) Iterator.single(("", 0L, rt))
+              else c.iterator.map { case (p, n) => (p, n, rt) }
             }
             .toDF("piece", "c", "rt")
             .groupBy(col("piece"))
             .agg(sum(col("c")).as("c"), min(col("rt")).as("rt"))
             .collect() // bounded: one row per vocabulary piece
-          (rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+          (rows.filter(_.getLong(1) > 0)
+            .map(r => r.getString(0) -> r.getLong(1)).toMap,
             rows.forall(_.getBoolean(2)))
       }
     def probsOf(counts: Map[String, Long]): Map[String, Double] = {

@@ -641,6 +641,60 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------- X31
+  /** The deterministic per-CLUSTER split rule shared by the query, the
+    * oracle, and the spec: mix the cluster id with pure int64
+    * arithmetic both engines compute identically (id · 40503 mod 2¹⁶ —
+    * a Fibonacci-ish multiplier spreads the min-doc-id cluster ids,
+    * which arrive clustered near the low end, across the bucket
+    * space), then carve 90/5/5. No RNG, no collation, no float. */
+  private[graft] def x31SplitCol(cluster: Column): Column = {
+    val bk = cluster * lit(40503L) % lit(65536L)
+    when(bk < lit(58983L), lit("train"))
+      .when(bk < lit(62259L), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** X31: LEAKAGE-FREE train/val/test split — assignment at near-dup
+    * CLUSTER granularity, so no document ever lands in a different
+    * split than its near-duplicates. X20 splits per-document by
+    * md5(text): a near-dup pair whose texts differ by one word can
+    * straddle train and test, which is exactly the contamination
+    * public dedup work measures benchmark inflation from (shifted or
+    * lightly-edited copies of eval text inside training data). X31
+    * closes it by construction: the split is a pure function of
+    * [[p5DupClusters]]'s cluster id ([[x31SplitCol]]), so a cluster is
+    * atomic — its members agree on the split whatever their text
+    * hashes say.
+    *
+    * Scale: p5's banded-LSH clustering (the measured piece — never
+    * all-pairs) + ONE projection; the assignment itself adds no
+    * shuffle and no new corpus pass. Integer-exact output ⇒ full hash
+    * oracle (p5's recursive-closure CTE with the same split CASE). */
+  def x31LeakageSplit(s: SparkSession, d: String): DataFrame =
+    p5DupClusters(s, d)
+      .withColumn("split", x31SplitCol(col("cluster_id")))
+      .orderBy(col("doc_id"))
+
+  val x31Sql: String = {
+    val cte = sharedPairCte.replaceFirst("WITH ", "WITH RECURSIVE ")
+    s"""$cte,
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs WHERE 5 * inter >= 3 * uni
+       |      UNION ALL
+       |      SELECT doc_b, doc_a FROM pairs WHERE 5 * inter >= 3 * uni),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, r.root FROM reach r JOIN e ON e.a = r.node),
+       |cl AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+       |       FROM reach GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN (cluster_id * 40503) % 65536 < 58983 THEN 'train'
+       |            WHEN (cluster_id * 40503) % 65536 < 62259 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM cl ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------- P9
   /** Iteration count of the last [[p9DupComponents]] / star-contraction
     * call — observability hook for the convergence spec (t15LastRegime's
@@ -1441,6 +1495,7 @@ object Dedup {
     "p6_incremental_dedup" -> (p6IncrementalDedup _),
     "x11_passage_dedup" -> (x11PassageDedup _),
     "x30_exact_substring_dedup" -> (x30ExactSubstringDedup _),
+    "x31_leakage_split" -> (x31LeakageSplit _),
     "x18_boilerplate_strip" -> (x18BoilerplateStrip _),
     "x12_decontaminate" -> (x12Decontaminate _),
     "x28_contamination_report" -> (x28ContaminationReport _),
@@ -1450,6 +1505,7 @@ object Dedup {
     "x19_decontaminate_purge" -> x19Sql,
     "x11_passage_dedup" -> x11Sql,
     "x30_exact_substring_dedup" -> x30Sql,
+    "x31_leakage_split" -> x31Sql,
     "x18_boilerplate_strip" -> x18Sql,
     "x12_decontaminate" -> x12Sql,
     "x28_contamination_report" -> x28Sql,

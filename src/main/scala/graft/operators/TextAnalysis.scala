@@ -634,6 +634,89 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- T21
+  /** Interpolated KNESER-NEY LM-perplexity scoring — the smoothing the
+    * public CCNet pipeline's quality filter actually ships (a
+    * KN-smoothed Wikipedia LM), beside T12's add-one baseline. KN
+    * re-ranks exactly where add-one is known to mis-score: add-one
+    * crushes rare-but-valid continuations toward 1/V while KN backs
+    * off to how PROMISCUOUS a word is (its distinct-left-context
+    * count), not how frequent. Standard interpolated form, D = 3/4:
+    *
+    *   p_cont(w₂)  = N₁₊(·w₂) / B            (distinct left-contexts / distinct bigrams)
+    *   λ(w₁)       = D · N₁₊(w₁·) / c(w₁·)
+    *   p(w₂|w₁)    = (c(w₁,w₂) − D)/c(w₁·) + λ(w₁) · p_cont(w₂)
+    *
+    * Scoring the training corpus itself means every scored bigram is
+    * observed (c₁₂ ≥ 1 > D), so p is total and strictly positive.
+    *
+    * Scale shape: T12's exactly — ONE pair explode feeds every model
+    * table (bigram counts; the context and continuation tables fold off
+    * the Heaps-bounded bigram table, NOT the corpus); the score join
+    * broadcasts the model below [[t12BroadcastMaxVocab]] and shuffles
+    * on the token keys above it — same switch, same
+    * both-paths-identical contract (spec'd).
+    *
+    * Correctness: ln is transcendental → invariant-gated like T12. The
+    * in-query `pass` asserts the PROVABLE per-doc bounds: every scored
+    * pair joined (n_scored = n_pairs — an inner-join row loss cannot
+    * silently shrink the average), 0 ≤ nll (Σ_{w₂} p(w₂|w₁) = 1 with
+    * positive terms ⇒ p ≤ 1) and nll ≤ ln(4·ctxmax) + ε (p ≥
+    * (c₁₂−D)/c(w₁·) ≥ (1−D)/ctxmax = 1/(4·ctxmax)). PipelineSpec
+    * recomputes every score against an independent driver-side KN
+    * model (|Δ| < 1e-9) and forces both join regimes. */
+  def t21KnPerplexity(s: SparkSession, d: String): DataFrame =
+    t21KnPerplexityImpl(s, d, t12BroadcastMaxVocab)
+
+  private[graft] def t21KnPerplexityImpl(s: SparkSession, d: String,
+                                         broadcastMaxVocab: Long): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), split(norm, " +").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col("doc_id"),
+        expr("size(w) - 1").as("n_pairs"),
+        explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+      .select(col("doc_id"), col("n_pairs"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // cached: ctx/cont/stats and the score join all fold off this one
+    // Heaps-bounded table; dropped by the caller's clearCache
+    val bigrams = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).cache()
+    // KN's denominator is w1's count AS A CONTEXT (= Σ_w2 c12, which
+    // differs from the raw unigram count by each doc's final token)
+    val ctx = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("cctx"), count(lit(1)).as("nafter"))
+    val cont = bigrams.groupBy(col("w2")).agg(count(lit(1)).as("nbefore"))
+    // ONE tiny stats job: context-vocab size (the regime switch), the
+    // bound's ctxmax, and B = Σ N₁₊(w1·) = distinct bigram count
+    val statsRow = ctx.agg(count(lit(1)).as("v"), max(col("cctx")).as("cmax"),
+      sum(col("nafter")).as("b")).collect()(0) // bounded: ONE-row stats aggregate
+    val vocab = if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0)
+    val ctxmax = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+    val nBigrams = if (statsRow.isNullAt(2)) 0L else statsRow.getLong(2)
+    def sized(df: DataFrame): DataFrame =
+      if (vocab <= broadcastMaxVocab) broadcast(df) else df
+    val d75 = lit(0.75)
+    val scored = pairs
+      .join(sized(bigrams), Seq("w1", "w2"))
+      .join(sized(ctx), Seq("w1"))
+      .join(sized(cont), Seq("w2"))
+      .select(col("doc_id"), col("n_pairs"),
+        (-log((col("c12").cast("double") - d75) / col("cctx").cast("double") +
+          d75 * col("nafter").cast("double") / col("cctx").cast("double") *
+            (col("nbefore").cast("double") / lit(nBigrams).cast("double"))))
+          .as("nll"))
+    scored.groupBy(col("doc_id"))
+      .agg((sum(col("nll")) / max(col("n_pairs"))).as("nll"),
+        count(lit(1)).as("n_scored"), max(col("n_pairs")).as("n_pairs"))
+      .select(col("doc_id"), col("n_pairs"), round(col("nll"), 4).as("nll4"),
+        (col("n_scored") === col("n_pairs") &&
+          col("nll") >= -1e-9 &&
+          col("nll") <= log(lit(4.0) * lit(ctxmax).cast("double")) + 1e-9)
+          .as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- T13
   /** Gopher-style rule filter (Rae et al. 2021's document-quality
     * heuristics, adapted to this corpus's vocabulary): per document —
@@ -1244,6 +1327,38 @@ object TextAnalysis {
     (counts, rt)
   }
 
+  /** The distributed regime's hard-EM E-step over the word frame:
+    * per-partition integer counts + a roundtrip flag, folded by ONE
+    * map-side-combinable aggregate (integer counts are exact under any
+    * partitioning). A partition that emits NO counts — its every word
+    * failed to segment — still carries its flag via a zero-count
+    * sentinel row ("", 0, rt): without it the aggregate never sees the
+    * partition and a FALSE roundtrip flag is silently lost, turning the
+    * in-query roundtrip gate into a false pass. Split out of
+    * [[t20TrainOf]] so that lost-flag path is unit-testable
+    * (PipelineSpec — unreachable end-to-end because the seeded vocab
+    * always covers the corpus alphabet, so it must be pinned here). */
+  private[graft] def t20EStepDistributed(wordFrame: DataFrame,
+                                         logp: Map[String, Double],
+                                         maxLen: Int)
+      : (Map[String, Long], Boolean) = {
+    val s = wordFrame.sparkSession
+    import s.implicits._
+    val rows = wordFrame.as[(String, Long)]
+      .mapPartitions { it =>
+        val (c, rt) = t20EStep(it, logp, maxLen)
+        if (c.isEmpty) Iterator.single(("", 0L, rt))
+        else c.iterator.map { case (p, n) => (p, n, rt) }
+      }
+      .toDF("piece", "c", "rt")
+      .groupBy(col("piece"))
+      .agg(sum(col("c")).as("c"), min(col("rt")).as("rt"))
+      .collect() // bounded: one row per vocabulary piece
+    (rows.filter(_.getLong(1) > 0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.forall(_.getBoolean(2)))
+  }
+
   private[graft] def t20UnigramTrainImpl(s: SparkSession, d: String,
                                          driverLocalMaxWords: Long)
       : DataFrame =
@@ -1293,24 +1408,7 @@ object TextAnalysis {
           val (c, rt) = t20EStep(arr.iterator, logp, t20MaxPieceLen)
           (c.toMap, rt)
         case None =>
-          // distributed: per-partition hard-EM counts (integer — exact
-          // under any partitioning), one map-side-combinable aggregate
-          val rows = wordFrame.as[(String, Long)]
-            .mapPartitions { it =>
-              val (c, rt) = t20EStep(it, logp, t20MaxPieceLen)
-              // a zero-count sentinel carries the roundtrip flag even
-              // when a partition emits no counts (e.g. its only word
-              // failed to segment) — a lost false flag is a false gate
-              if (c.isEmpty) Iterator.single(("", 0L, rt))
-              else c.iterator.map { case (p, n) => (p, n, rt) }
-            }
-            .toDF("piece", "c", "rt")
-            .groupBy(col("piece"))
-            .agg(sum(col("c")).as("c"), min(col("rt")).as("rt"))
-            .collect() // bounded: one row per vocabulary piece
-          (rows.filter(_.getLong(1) > 0)
-            .map(r => r.getString(0) -> r.getLong(1)).toMap,
-            rows.forall(_.getBoolean(2)))
+          t20EStepDistributed(wordFrame, logp, t20MaxPieceLen)
       }
     def probsOf(counts: Map[String, Long]): Map[String, Double] = {
       val tot = counts.values.sum.toDouble
@@ -1531,6 +1629,7 @@ object TextAnalysis {
     "t14_chunk" -> (t14Chunk _),
     "t13_gopher_quality" -> (t13GopherQuality _),
     "t12_lm_perplexity" -> (t12LmPerplexity _),
+    "t21_kn_perplexity" -> (t21KnPerplexity _),
     "t11_bm25_search" -> (t11Bm25Search _),
     "t10_pii_redact" -> (t10PiiRedact _),
     "t9_vocab"       -> (t9Vocab _),

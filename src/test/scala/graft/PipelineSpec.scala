@@ -1439,6 +1439,65 @@ class PipelineSpec extends AnyFunSuite {
       s"$offByGrid/${got.length} docs off the local model by a grid step — not boundary noise")
   }
 
+  test("t21 KN scores match an independent driver-side Kneser-Ney model exactly") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.toLowerCase.split(" +").toSeq))
+      .filter(_._2.length >= 2) // the query trains on >=2-token docs only
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    docs.foreach { case (_, w) => w.zip(w.drop(1)).foreach(p => big(p) += 1) }
+    val byW1 = big.groupBy(_._1._1)
+    val cctx = byW1.map { case (w1, m) => w1 -> m.values.sum.toDouble }
+    val nafter = byW1.map { case (w1, m) => w1 -> m.size.toDouble }
+    val nbefore = big.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toDouble }
+    val b = big.size.toDouble
+    val dd = 0.75
+    val expected = docs.map { case (id, w) =>
+      val nlls = w.zip(w.drop(1)).map { case (x, y) =>
+        val p = (big((x, y)) - dd) / cctx(x) +
+          dd * nafter(x) / cctx(x) * (nbefore(y) / b)
+        -math.log(p)
+      }
+      id -> nlls.sum / nlls.length
+    }.toMap
+    val got = TextAnalysis.t21KnPerplexity(spark, sf001).collect()
+    assert(got.length == expected.size)
+    // same grid-boundary allowance as t12: per-doc float sum order
+    var offByGrid = 0
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("pass"), r.toString)
+      val want = math.round(expected(r.getLong(0)) * 1e4) / 1e4
+      val delta = math.abs(r.getAs[Double]("nll4") - want)
+      assert(delta < 1.1e-4,
+        s"doc ${r.getLong(0)}: spark=${r.getAs[Double]("nll4")} local=$want")
+      if (delta > 0) offByGrid += 1
+    }
+    assert(offByGrid <= got.length / 100,
+      s"$offByGrid/${got.length} docs off the local KN model by a grid step")
+  }
+
+  test("t21 plan switch: an unbroadcastable model shuffles the score join, same answers") {
+    val bcast = TextAnalysis.t21KnPerplexity(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val shuffled = TextAnalysis.t21KnPerplexityImpl(s2, sf001, broadcastMaxVocab = 0)
+    val got = shuffled.collect()
+    val plan = shuffled.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"forced-low threshold did not move the model join off broadcast:\n$plan")
+    assert(got.length == bcast.size)
+    got.foreach { r =>
+      val c = bcast(r.getLong(0))
+      assert(r.getAs[Boolean]("pass") && c.getAs[Boolean]("pass"))
+      assert(r.getAs[Number]("n_pairs").longValue == c.getAs[Number]("n_pairs").longValue)
+      assert(math.abs(r.getAs[Double]("nll4") - c.getAs[Double]("nll4")) < 1.1e-4,
+        s"doc ${r.getLong(0)}: shuffle path ${r.getAs[Double]("nll4")} " +
+          s"vs broadcast ${c.getAs[Double]("nll4")}")
+    }
+  }
+
   test("t12 plan switch: an unbroadcastable model shuffles the score join, same answers") {
     val bcast = TextAnalysis.t12LmPerplexity(spark, sf001).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -1606,6 +1665,32 @@ class PipelineSpec extends AnyFunSuite {
       "distributed hard-EM diverged from the driver-local table")
   }
 
+  test("t20 distributed E-step: a partition whose every word fails to " +
+    "segment still reports roundtrip=false (zero-count sentinel)") {
+    import spark.implicits._
+    // logp covers only 'a' — "bb" cannot segment, so its partition
+    // emits NO counts; pre-sentinel the aggregate never saw it and the
+    // false flag was lost (a false roundtrip gate). repartition(4)
+    // isolates the word with certainty: the OTHER partitions are empty
+    // and must not vote true over the failing one either.
+    val logp = Map("a" -> 0.0)
+    val onlyFailing = Seq(("bb", 1L)).toDF("w", "cnt").repartition(4)
+    val (c1, rt1) = TextAnalysis.t20EStepDistributed(onlyFailing, logp, 4)
+    assert(c1.isEmpty, s"unsegmentable word produced counts: $c1")
+    assert(!rt1, "lost false flag: the all-failing partition's " +
+      "roundtrip=false never reached the driver")
+    // mixed frame: the segmentable word's counts survive next to the
+    // failure, and the flag is still false whatever the partitioning
+    val mixed = Seq(("aa", 3L), ("bb", 1L)).toDF("w", "cnt").repartition(4)
+    val (c2, rt2) = TextAnalysis.t20EStepDistributed(mixed, logp, 4)
+    assert(c2 == Map("a" -> 6L), s"counts wrong: $c2")
+    assert(!rt2)
+    // all-clean control: flag true, counts exact
+    val clean = Seq(("aa", 2L)).toDF("w", "cnt").repartition(3)
+    val (c3, rt3) = TextAnalysis.t20EStepDistributed(clean, logp, 4)
+    assert(c3 == Map("a" -> 4L) && rt3)
+  }
+
   test("t20 at the gate corpus: invariants hold and training is " +
     "driver-local below the ceiling") {
     val rows = TextAnalysis.t20UnigramTrain(spark, sf001).collect()
@@ -1747,6 +1832,65 @@ class PipelineSpec extends AnyFunSuite {
     info(s"p9 contracted a $n-node path in $rounds rounds")
     assert(rounds <= 24,
       s"star contraction took $rounds rounds on a ${n}-node path — not O(log n)")
+  }
+
+  test("x31 split is cluster-atomic, matches the shared int64 rule, and " +
+    "populates all three splits at the gate corpus") {
+    val rows = Dedup.x31LeakageSplit(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // cluster-atomic: guards a future edit that lets the split depend
+    // on anything but the cluster id (the entire point of x31)
+    rows.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).toSet.size == 1,
+        s"cluster $c straddles splits: ${ms.map(_._3).toSet}")
+    }
+    // the rule itself, re-derived independently (same arithmetic the
+    // DuckDB oracle runs)
+    rows.foreach { case (id, c, s) =>
+      val bk = c * 40503L % 65536L
+      val want = if (bk < 58983L) "train" else if (bk < 62259L) "val" else "test"
+      assert(s == want, s"doc $id cluster $c: got $s want $want (bk=$bk)")
+    }
+    val frac = rows.groupBy(_._3).map { case (s, ms) => s -> ms.length }
+    assert(frac.keySet == Set("train", "val", "test"),
+      s"a split carved no documents at the gate corpus: $frac")
+    assert(frac("train") > rows.length * 7 / 10,
+      s"train fraction collapsed: $frac")
+  }
+
+  test("x31 keeps a near-dup pair together that x20's per-document " +
+    "md5 split straddles across train/test") {
+    import spark.implicits._
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // x20's per-doc rule (Corpus.x20StratifiedSplit): first 8 md5 hex
+    // chars as an int, mod 100; <90 train, <95 val, else test
+    def x20Bucket(t: String): Long =
+      java.lang.Long.parseLong(md5Hex(t).substring(0, 8), 16) % 100
+    // two near-identical docs (one appended token each over a 60-token
+    // shared base ⇒ char-8-gram Jaccard ≈ 0.95, far above the 0.6 pair
+    // threshold) whose md5 buckets land on OPPOSITE sides of x20's
+    // train/test boundary — found deterministically by scanning tags
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val t1 = (0 until 4000).iterator.map(i => s"$base extra$i")
+      .find(x20Bucket(_) < 90L)
+    val t2 = (0 until 4000).iterator.map(i => s"$base other$i")
+      .find(x20Bucket(_) >= 95L)
+    assert(t1.nonEmpty && t2.nonEmpty, "tag scan found no straddling pair")
+    assert(x20Bucket(t1.get) < 90L && x20Bucket(t2.get) >= 95L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x31").toString
+    Seq((0L, t1.get), (1L, t2.get)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.x31LeakageSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L)._1 == got(1L)._1,
+      s"the near-dup pair did not share a cluster: $got")
+    assert(got(0L)._2 == got(1L)._2,
+      s"x31 let a near-dup pair straddle splits: $got — the leakage " +
+        "x20's per-document rule exhibits on exactly this corpus")
   }
 
   test("p9 star contraction ≡ union-find on seeded random graphs (sparse, dense, multi-component)") {

@@ -144,6 +144,18 @@ object Similarity {
     lastGatedApprox((s, tag)) = df
   }
 
+  /** Driver-side (query_id, neighbor_id) set of a BOUNDED gate frame.
+    * Every recall/identity gate compares ≤ K·NQueries-row frames, so
+    * set arithmetic on collected rows replaces the intersect().count()
+    * shape — two extra jobs plus a shuffle per gated query — with zero
+    * extra scans. Corpus-scale audit frames (s12's tombstone join)
+    * stay Spark jobs: collecting those would not survive 100 TB. */
+  private def pairSet(df: DataFrame): Set[(Long, Long)] = {
+    val qi = df.schema.fieldIndex("query_id")
+    val ni = df.schema.fieldIndex("neighbor_id")
+    df.collect().map(r => (r.getLong(qi), r.getLong(ni))).toSet // bounded: <= K*NQueries gate rows
+  }
+
   private def withRecallGate(s: SparkSession, d: String, tag: String,
                              approx0: DataFrame, floor: Double): DataFrame = {
     // The gate consumes the approximate answer once for the recall
@@ -153,11 +165,8 @@ object Similarity {
     // materialize it once and let every downstream read hit the blocks.
     registerGatedPlan(s, tag, approx0)
     val approx = approx0.localCheckpoint(true)
-    val exact = exactTopK(s, d)
-    val total = exact.count()
-    val hits = approx.select(col("query_id"), col("neighbor_id"))
-      .intersect(exact).count()
-    val recall = hits.toDouble / total
+    val exactPairs = pairSet(exactTopK(s, d))
+    val recall = (pairSet(approx) & exactPairs).size.toDouble / exactPairs.size
     approx
       .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
       .withColumn("recall_ok", lit(recall >= floor))
@@ -1332,11 +1341,10 @@ object Similarity {
     val res = probe.localCheckpoint(true)
     // exact baseline among SURVIVORS only — bit-deterministic from the
     // corpus, so a durable witness (s14's discipline)
-    val exact = s12ExactWitness(s, d)
-    val total = exact.count()
-    val hits = res.select(col("query_id"), col("neighbor_id"))
-      .intersect(exact).count()
-    val recall = hits.toDouble / total
+    val exactPairs = pairSet(s12ExactWitness(s, d))
+    val recall = (pairSet(res) & exactPairs).size.toDouble / exactPairs.size
+    // the soundness audit stays a Spark job: tombstones are
+    // corpus-proportional at scale, never driver-collectable
     val deletedHits = res.join(broadcast(tomb),
       res("neighbor_id") === tomb("vec_id")).count()
     res
@@ -1578,11 +1586,8 @@ object Similarity {
     // the brute-force recall baseline is bit-deterministic from the
     // corpus — durable witness (s14's discipline); the freshness audit
     // below stays LIVE because it checks the scores this run served
-    val exact = s13ExactWitness(s, d)
-    val total = exact.count()
-    val hits = res.select(col("query_id"), col("neighbor_id"))
-      .intersect(exact).count()
-    val recall = hits.toDouble / total
+    val exactPairs = pairSet(s13ExactWitness(s, d))
+    val recall = (pairSet(res) & exactPairs).size.toDouble / exactPairs.size
     val stale = res
       .join(uc.as("n"), res("neighbor_id") === col("n.vec_id"))
       .join(q, res("query_id") === col("qid"))
@@ -2037,9 +2042,8 @@ object Similarity {
           .orderBy(col("cosq").desc, col("neighbor_id"))))
       .filter(col("qrn") <= 40 * K)
       .select(col("query_id"), col("neighbor_id"))
-    val exact = exactTopK(s, d)
-    val total = exact.count()
-    short.intersect(exact).count().toDouble / total
+    val exactPairs = pairSet(exactTopK(s, d))
+    (pairSet(short) & exactPairs).size.toDouble / exactPairs.size
   }
 
   // ------------------------------------------------------------- OPQ

@@ -154,6 +154,12 @@ object ScaleSweep {
       // fingerprint frame is ~k× the token count, so its curve must
       // stay corpus-linear (redundancy-proportional join-back)
       "x30_exact_substring_dedup" -> (graft.operators.Dedup.x30ExactSubstringDedup _),
+      // round-14 cont.: the cluster-granular split — its marginal over
+      // p5 is ONE projection, so its curve must track p1/p5's
+      "x31_leakage_split" -> (graft.operators.Dedup.x31LeakageSplit _),
+      // round-14 cont.: KN perplexity must track t12's Heaps-bounded
+      // model-table curve (same explode, one more model join)
+      "t21_kn_perplexity" -> (graft.operators.TextAnalysis.t21KnPerplexity _),
       "x13_decontaminate_bloom" -> (graft.operators.Dedup.x13DecontaminateBloom _),
       "x14_sequence_pack" -> (graft.operators.Corpus.x14SequencePack _),
       "x18_boilerplate_strip" -> (graft.operators.Dedup.x18BoilerplateStrip _),

@@ -239,6 +239,10 @@ object ScaleSweep {
       // st17: the late-data audit's cost must track batch rows (state
       // = open windows); the drop accounting itself adds no pass
       "st17_late_data_audit" -> (graft.streaming.Streaming.st17LateDataAudit _),
+      // s21: serving is point reads × hops, corpus-free — the
+      // adjacency build is ingest work (ensureIndexes, like every
+      // index artifact), so the timed row must stay near-flat
+      "s21_ann_graph" -> (graft.operators.Similarity.s21AnnGraph _),
       // st18: streamed serving must track the PROBE cost — queries ×
       // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
       // growth) — never the full corpus

@@ -1276,6 +1276,7 @@ object Similarity {
       report("ivf_index", ivfIndex(s, d)._1),
       report("incr_index", incrIndexPath(s, d)._1),
       report("base_index", baseIndexPath(s, d)._1),
+      report("graph_index", graphIndexPath(s, d)._1),
       { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
       { opqRot(s, d, prepared(s, d))
         report("opq_rotation", opqRotPath(d).getAbsolutePath) },
@@ -3183,7 +3184,210 @@ object Similarity {
        |  FROM scored) t
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
+  // ------------------------------------------------------------- S21
+  private val GraphDeg = 8   // adjacency degree bound (DiskANN's R)
+  private val GraphBeam = 8  // best-first beam width (DiskANN's L)
+  private val GraphHops = 3  // expansion rounds after the seed fetch
+
+  /** Bounded-degree neighbor-graph build, shaped like DiskANN's sharded
+    * Vamana (Subramanya et al. 2019: build per overlapping shard, merge
+    * adjacency): every vector joins its 2 nearest trained IVF cells —
+    * the overlap is what stitches neighboring cells into one navigable
+    * graph — and each cell-shard computes its members' top-[[GraphDeg]]
+    * cosine neighbors locally (candidate-proportional: per-shard pairs,
+    * NEVER corpus all-pairs). A vector's ≤2 shard lists merge to a
+    * global top-DEG in ONE vec_id-keyed reduction, so the whole build
+    * is one explode + two key-shuffles — the same cost shape as the s7
+    * index build, with adjacency (DEG longs/vector) persisted beside
+    * the codes at ingest. Exposed for the degree-bound spec. */
+  private[graft] def s21Graph(e: DataFrame,
+                              anchors: Array[(Int, Array[Double])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val sharded = e.select(
+      explode(graft.functions.VectorFunctions.topCells(
+        col("v"), col("nrm"), anchors, 2)).as("cell"),
+      col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Long, Array[Double], Double)]
+    val shardLists = sharded.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val m = it.toArray // bounded: one 2-assigned IVF shard (~2n/nCells members)
+      m.iterator.map { case (_, id, v, nrm) =>
+        val cands = collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        m.foreach { case (_, oid, ov, onrm) =>
+          if (oid != id) {
+            var dot = 0.0; var i = 0
+            while (i < v.length) { dot += v(i) * ov(i); i += 1 }
+            cands += ((dot / (nrm * onrm), oid))
+          }
+        }
+        // local: plain in-task buffer, ≤ shard-size candidate rows
+        val top = cands.sortBy { case (c, oid) => (-c, oid) }.take(GraphDeg)
+        (id, v, nrm, top.map(_._2).toArray, top.map(_._1).toArray)
+      }
+    }
+    shardLists.groupByKey(_._1).mapGroups { (id, it) =>
+      val ls = it.toArray // bounded: ≤2 shard lists per vector
+      val nbrs = ls.flatMap(l => l._4.zip(l._5))
+        .distinctBy(_._1) // the same pair scores bit-identically in both shards
+        .sortBy { case (oid, c) => (-c, oid) }
+        .take(GraphDeg).map(_._1)
+      (id, ls.head._2, ls.head._3, nbrs) // local: head of the ≤2-element shard-list array
+    }.toDF("vec_id", "v", "nrm", "nbrs")
+  }
+
+  /** Per-cell entry point: the member nearest its own anchor — one
+    * map-side-combinable `min(struct)` aggregate, never a corpus
+    * window. These play the role of HNSW's upper layers: a query's
+    * beam seeds at its nearest cells' representatives. */
+  private def s21CellReps(e: DataFrame,
+                          anchors: Array[(Int, Array[Double])]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val anchorsDF = anchors.toSeq.toDF("cell", "av")
+      .withColumn("an", sqrt(vecNorm2(col("av"))))
+    e.withColumn("cell", graft.functions.VectorFunctions.topCells(
+        col("v"), col("nrm"), anchors, 1)(0))
+      .join(broadcast(anchorsDF), Seq("cell"))
+      .groupBy(col("cell"))
+      .agg(min(struct((lit(0) - vecDot(col("v"), col("av")) /
+        (col("nrm") * col("an"))).as("negSim"),
+        col("vec_id").as("id"))).as("best"))
+      .select(col("cell"), col("best.id").as("rep"))
+  }
+
+  /** Durable fingerprint-keyed graph-index artifact: `adj/` holds the
+    * merged adjacency (vec_id, v, nrm, nbrs) range-partitioned and
+    * sorted on vec_id — the beam's `isin` fetches prune to row groups
+    * by min/max stats, the local analog of bucket-pruned point reads —
+    * and `reps/` the per-cell entry points; anchors ride the same
+    * `_anchors.txt` sidecar as the IVF artifacts, and the
+    * `_graft_complete` marker gates reuse (write-once; a crash leaves
+    * no marker and the next caller rebuilds under overwrite
+    * semantics). Building is ingest work ([[ensureIndexes]]); the s21
+    * query times the SERVE path, like s7 vs its index build. */
+  private val graphIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Array[(Int, Array[Double])])]
+
+  private[graft] def graphIndexPath(s: SparkSession, d: String)
+      : (String, Array[(Int, Array[Double])]) = {
+    graphIndexCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) graphIndexCache.remove(k)
+    }
+    if (graphIndexCache.size >= 8 && !graphIndexCache.contains((s, d)))
+      graphIndexCache.remove(graphIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
+    graphIndexCache.getOrElseUpdate((s, d), {
+      val dir = new java.io.File(indexRoot,
+        s"graft-graph-${corpusFingerprint(d)}")
+      val done = new java.io.File(dir, "_graft_complete")
+      val reusable =
+        if (done.isFile && new java.io.File(dir, "_anchors.txt").isFile)
+          try Some(readAnchors(dir)) catch { case _: Exception => None }
+        else None
+      reusable match {
+        case Some((anchors, _)) =>
+          artifactStatus(dir.getAbsolutePath) = "found"
+          (dir.getAbsolutePath, anchors)
+        case None =>
+          val e = prepared(s, d)
+          val anchors = trainedAnchors(s, d, e)
+          val path = dir.getAbsolutePath
+          s21Graph(e, anchors)
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").parquet(s"$path/adj")
+          s21CellReps(e, anchors)
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+          writeAnchors(dir, anchors, anchors.length)
+          java.nio.file.Files.writeString(done.toPath, "ok\n")
+          artifactStatus(path) = "built"
+          (path, anchors)
+      }
+    })
+  }
+
+  /** S21: graph-based ANN — the DiskANN/HNSW-family member completing
+    * the ladder (flat scan s1, hash buckets s2, inverted file s3/s6,
+    * compressed codes s5/s9/s10/s15/s20, and now a navigable neighbor
+    * GRAPH, the layout behind the highest recall-per-probe serving
+    * stacks in public use). Serves from the durable
+    * [[graphIndexPath]] artifact; building it is ingest work.
+    *
+    * SEARCH is point-lookup shaped, exactly how a DiskANN shard
+    * serves: the beam seeds at each query's 2 nearest cells'
+    * representatives (IVF-guided entry), then ≤ [[GraphHops]] rounds
+    * of best-first expansion — take the per-query top-[[GraphBeam]]
+    * unexpanded nodes, fetch their adjacency rows BY KEY (an `isin`
+    * over a driver-bounded id list; at scale a bucket-pruned point
+    * read, the graph analog of s7's partition-pruned probe), score
+    * the newly reached nodes in ONE codegen'd job per round, fold
+    * them into the beam. Every per-round frame is ≤ beam·DEG·queries
+    * rows and the corpus is never rescanned after the build. The
+    * query node itself is reachable (cos = 1.0 ranks it to the beam
+    * head), so its own adjacency — its true top-DEG neighbors —
+    * joins the scored set one round later; the final rerank drops
+    * self rows. Recall-gated like s2/s3 (floor 0.7); every rank ties
+    * on id over fixed-order double folds, so the answer and the gate
+    * value are deterministic at any parallelism. */
+  def s21AnnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (path, anchors) = graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val e = prepared(s, d) // only the NQueries query rows are read (pushed filter)
+    val qSide = broadcast(e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")))
+    val seeds = queryProbes(e, anchors, 2, "vec_id")
+      .join(broadcast(s.read.parquet(s"$path/reps")), Seq("cell"))
+      .select(col("vec_id"), col("rep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: 2 seed reps per query
+    val scored = collection.mutable.Set.empty[(Long, Long)]
+    val expanded = collection.mutable.Set.empty[(Long, Long)]
+    val adj = collection.mutable.Map.empty[Long, Array[Long]]
+    val beamState = collection.mutable.Map // per-query scored candidates
+      .empty[Long, collection.mutable.ArrayBuffer[(Double, Long)]]
+    var hopFrames = List.empty[DataFrame]
+    var frontier = seeds
+    var h = 0
+    while (h <= GraphHops && frontier.exists(p => !scored(p))) {
+      val pending = frontier.filterNot(scored).distinct
+      scored ++= pending
+      val pairsDF = broadcast(pending.toDF("query_id", "id"))
+      val hop = g.filter(col("vec_id").isin(pending.map(_._2).distinct: _*))
+        .join(pairsDF, col("vec_id") === col("id"))
+        .join(qSide, Seq("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+            .as("cos4"),
+          col("nbrs"))
+        .localCheckpoint(true)
+      hopFrames ::= hop
+      hop.collect().foreach { r => // bounded: ≤ beam·DEG·NQueries rows per round
+        val q = r.getLong(0); val id = r.getLong(1)
+        adj(id) = r.getSeq[Long](3).toArray
+        beamState.getOrElseUpdate(q,
+          collection.mutable.ArrayBuffer.empty) += ((r.getDouble(2), id))
+      }
+      frontier = beamState.toSeq.flatMap { case (q, cands) =>
+        // local: per-query beam over the driver-bounded scored map
+        cands.sortBy { case (c, id) => (-c, id) }.iterator.map(_._2)
+          .filterNot(id => expanded((q, id))).take(GraphBeam)
+          .flatMap { id => expanded += ((q, id)); adj(id).map(n => (q, n)) }
+          .toSeq
+      }
+      h += 1
+    }
+    val all = hopFrames.reduce(_ union _)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cos4"))
+    withRecallGate(s, d, "s21",
+      rerank(all).select(col("query_id"), col("neighbor_id"), col("cos4"),
+        col("rn")),
+      floor = 0.7)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_ann_graph" -> (s21AnnGraph _),
     "s20_ann_binary" -> (s20AnnBinary _),
     "s19_range_search" -> (s19RangeSearch _),
     "s18_index_stats" -> (s18IndexStats _),

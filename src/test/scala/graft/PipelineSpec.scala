@@ -2061,6 +2061,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s21 graph ANN: recall vs exact s1, degree bound, determinism") {
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val a = Similarity.s21AnnGraph(spark, sf01)
+    val r = recallVs(exact, topk(a))
+    info(f"s21 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"graph-ANN recall $r%.3f — build or beam search broken")
+    assert(a.count() === 50, "every query must fill its top-5")
+    // the whole search is deterministic: fixed-order folds, id tie-breaks
+    val b = Similarity.s21AnnGraph(spark, sf01)
+    assert(a.collect().map(_.toSeq).sameElements(b.collect().map(_.toSeq)),
+      "two s21 runs diverged — a rank somewhere lost its id tie-break")
+  }
+
+  test("s21 adjacency: degree ≤ DEG, no self-loops, neighbors exist") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.prepared(spark, sf01)
+    val anchors = Similarity.trainedAnchors(spark, sf01, e)
+    val g = Similarity.s21Graph(e, anchors).cache()
+    try {
+      val n = e.count()
+      assert(g.count() === n, "every vector must own an adjacency row")
+      assert(g.filter(size(col("nbrs")) > 8).count() === 0, "degree bound breached")
+      assert(g.filter(array_contains(col("nbrs"), col("vec_id"))).count() === 0,
+        "self-loop in adjacency")
+      // dangling edges would strand the beam: every neighbor id is a node
+      val dangling = g.select(explode(col("nbrs")).as("n"))
+        .join(g.select(col("vec_id").as("n")), Seq("n"), "left_anti").count()
+      assert(dangling === 0, s"$dangling dangling edges")
+    } finally g.unpersist()
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

@@ -243,6 +243,9 @@ object ScaleSweep {
       // adjacency build is ingest work (ensureIndexes, like every
       // index artifact), so the timed row must stay near-flat
       "s21_ann_graph" -> (graft.operators.Similarity.s21AnnGraph _),
+      // s22: same serve shape over the 3-way merged (base+delta+back)
+      // fetch, plus a FIXED 32-vector reach audit — must track s21
+      "s22_graph_append" -> (graft.operators.Similarity.s22GraphAppend _),
       // st18: streamed serving must track the PROBE cost — queries ×
       // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
       // growth) — never the full corpus

@@ -336,8 +336,8 @@ object Similarity {
       graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
     // Query side: rank ALL cells per query — NQueries·√n rows, trivial;
     // the window stays here where the input is query-bounded.
-    val probes = broadcast(queryProbes(e, anchors, nProbe,
-      "vec_id", "v", "nrm"))
+    val probes = broadcast(queryProbes(e.filter(col("vec_id") < NQueries),
+      anchors, nProbe, "vec_id", "v", "nrm"))
 
     // no distinct: each corpus row has exactly ONE cell and a query's
     // probed cells are distinct, so a (query, neighbor) pair joins once
@@ -351,17 +351,18 @@ object Similarity {
       floor = 0.9)
   }
 
-  /** Top-`nProbe` cells for the NQueries query vectors: the one place
-    * the rank-over-cells window survives — its input is query-bounded
-    * (NQueries·nCells rows), never the corpus. `extra` columns are
-    * carried through for the downstream join. */
-  private def queryProbes(e: DataFrame, anchors: Array[(Int, Array[Double])],
+  /** Top-`nProbe` cells for a QUERY frame (callers pass the filtered
+    * query rows — usually `vec_id < NQueries`, s22 passes its append
+    * batch): the one place the rank-over-cells window survives — its
+    * input is query-bounded (|queries|·nCells rows), never the corpus.
+    * `extra` columns are carried through for the downstream join. */
+  private def queryProbes(q: DataFrame, anchors: Array[(Int, Array[Double])],
                           nProbe: Int, extra: String*): DataFrame = {
-    val s = e.sparkSession
+    val s = q.sparkSession
     import s.implicits._
     val anchorsDF = anchors.toSeq.toDF("cell", "av")
       .withColumn("an", sqrt(vecNorm2(col("av"))))
-    e.filter(col("vec_id") < NQueries).as("e")
+    q.as("e")
       .join(broadcast(anchorsDF).as("a"), lit(true))
       .select((Seq(col("a.cell").as("cell"),
         (vecDot(col("e.v"), col("a.av")) /
@@ -682,8 +683,8 @@ object Similarity {
     val assigned = e.withColumn("cell",
       graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell"))
-    val probes = broadcast(queryProbes(e, anchors, nProbe,
-      "vec_id", "v", "nrm", "qv", "nq2"))
+    val probes = broadcast(queryProbes(e.filter(col("vec_id") < NQueries),
+      anchors, nProbe, "vec_id", "v", "nrm", "qv", "nq2"))
 
     // int8 scoring pass over the probed cells: integer dot + integer
     // norms — the only per-candidate work, on the compressed codes.
@@ -1277,6 +1278,7 @@ object Similarity {
       report("incr_index", incrIndexPath(s, d)._1),
       report("base_index", baseIndexPath(s, d)._1),
       report("graph_index", graphIndexPath(s, d)._1),
+      report("graph_incr", graphIncrPath(s, d)._1),
       { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
       { opqRot(s, d, prepared(s, d))
         report("opq_rotation", opqRotPath(d).getAbsolutePath) },
@@ -2471,7 +2473,8 @@ object Similarity {
 
     // query side: probed cells (rank-over-cells window on the
     // query-bounded side only) + per-query LUTs, broadcast together
-    val probes = queryProbes(e, anchors, nProbe, "vec_id", "v", "nrm")
+    val probes = queryProbes(e.filter(col("vec_id") < NQueries),
+      anchors, nProbe, "vec_id", "v", "nrm")
       .select(col("vec_id"), col("cell")).as[(Long, Int)].collect() // bounded: <= NQueries*nProbe rows
     val queries = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("v"), col("nrm")).as[(Long, Array[Double], Double)]
@@ -3201,19 +3204,28 @@ object Similarity {
     * index build, with adjacency (DEG longs/vector) persisted beside
     * the codes at ingest. Exposed for the degree-bound spec. */
   private[graft] def s21Graph(e: DataFrame,
-                              anchors: Array[(Int, Array[Double])]): DataFrame = {
-    val s = e.sparkSession
+                              anchors: Array[(Int, Array[Double])]): DataFrame =
+    graphAdjacency(e.withColumn("sel", lit(true)), anchors)
+
+  /** Shard-wise kNN adjacency over a (vec_id, v, nrm, sel) frame:
+    * every row is a CANDIDATE; lists are emitted only for `sel` rows —
+    * s21's full build selects everything, s22's append selects only
+    * the new batch (base rows serve as candidates, their own lists
+    * stay untouched on disk). */
+  private def graphAdjacency(in: DataFrame,
+                             anchors: Array[(Int, Array[Double])]): DataFrame = {
+    val s = in.sparkSession
     import s.implicits._
-    val sharded = e.select(
+    val sharded = in.select(
       explode(graft.functions.VectorFunctions.topCells(
         col("v"), col("nrm"), anchors, 2)).as("cell"),
-      col("vec_id"), col("v"), col("nrm"))
-      .as[(Int, Long, Array[Double], Double)]
+      col("vec_id"), col("v"), col("nrm"), col("sel"))
+      .as[(Int, Long, Array[Double], Double, Boolean)]
     val shardLists = sharded.groupByKey(_._1).flatMapGroups { (_, it) =>
       val m = it.toArray // bounded: one 2-assigned IVF shard (~2n/nCells members)
-      m.iterator.map { case (_, id, v, nrm) =>
+      m.iterator.filter(_._5).map { case (_, id, v, nrm, _) =>
         val cands = collection.mutable.ArrayBuffer.empty[(Double, Long)]
-        m.foreach { case (_, oid, ov, onrm) =>
+        m.foreach { case (_, oid, ov, onrm, _) =>
           if (oid != id) {
             var dot = 0.0; var i = 0
             while (i < v.length) { dot += v(i) * ov(i); i += 1 }
@@ -3329,18 +3341,20 @@ object Similarity {
     * self rows. Recall-gated like s2/s3 (floor 0.7); every rank ties
     * on id over fixed-order double folds, so the answer and the gate
     * value are deterministic at any parallelism. */
-  def s21AnnGraph(s: SparkSession, d: String): DataFrame = {
+  /** Best-first beam expansion over an adjacency store, shared by s21
+    * (base graph) and s22 (base + LSM delta): `fetch(ids)` returns the
+    * adjacency rows (vec_id, v, nrm, nbrs) for a driver-bounded id
+    * list — a key-pruned point read at any store layout; `qSide` is
+    * the (query_id, qv, qn) query frame (broadcast-sized). Returns the
+    * UNION of the per-round scored frames (query_id, neighbor_id,
+    * cos4) — self rows included (reaching the query node itself is
+    * how its true neighborhood enters the beam; s22's reachability
+    * gate reads them); callers drop self before reranking. */
+  private def graphBeam(s: SparkSession, fetch: Seq[Long] => DataFrame,
+                        qSide: DataFrame,
+                        seeds: Seq[(Long, Long)]): DataFrame = {
     import s.implicits._
-    val (path, anchors) = graphIndexPath(s, d)
-    val g = s.read.parquet(s"$path/adj")
-    val e = prepared(s, d) // only the NQueries query rows are read (pushed filter)
-    val qSide = broadcast(e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")))
-    val seeds = queryProbes(e, anchors, 2, "vec_id")
-      .join(broadcast(s.read.parquet(s"$path/reps")), Seq("cell"))
-      .select(col("vec_id"), col("rep"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: 2 seed reps per query
+    val qB = broadcast(qSide)
     val scored = collection.mutable.Set.empty[(Long, Long)]
     val expanded = collection.mutable.Set.empty[(Long, Long)]
     val adj = collection.mutable.Map.empty[Long, Array[Long]]
@@ -3353,16 +3367,16 @@ object Similarity {
       val pending = frontier.filterNot(scored).distinct
       scored ++= pending
       val pairsDF = broadcast(pending.toDF("query_id", "id"))
-      val hop = g.filter(col("vec_id").isin(pending.map(_._2).distinct: _*))
+      val hop = fetch(pending.map(_._2).distinct)
         .join(pairsDF, col("vec_id") === col("id"))
-        .join(qSide, Seq("query_id"))
+        .join(qB, Seq("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
             .as("cos4"),
           col("nbrs"))
         .localCheckpoint(true)
       hopFrames ::= hop
-      hop.collect().foreach { r => // bounded: ≤ beam·DEG·NQueries rows per round
+      hop.collect().foreach { r => // bounded: ≤ beam·DEG·|queries| rows per round
         val q = r.getLong(0); val id = r.getLong(1)
         adj(id) = r.getSeq[Long](3).toArray
         beamState.getOrElseUpdate(q,
@@ -3377,16 +3391,174 @@ object Similarity {
       }
       h += 1
     }
-    val all = hopFrames.reduce(_ union _)
-      .filter(col("query_id") =!= col("neighbor_id"))
+    hopFrames.reduce(_ union _)
       .select(col("query_id"), col("neighbor_id"), col("cos4"))
+  }
+
+  /** Seed pairs for [[graphBeam]]: each query's `nSeed` nearest cells'
+    * entry representatives. */
+  private def graphSeeds(q: DataFrame, anchors: Array[(Int, Array[Double])],
+                         reps: DataFrame, nSeed: Int = 2): Seq[(Long, Long)] =
+    queryProbes(q, anchors, nSeed, "vec_id")
+      .join(broadcast(reps), Seq("cell"))
+      .select(col("vec_id"), col("rep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: nSeed reps per query
+
+  def s21AnnGraph(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors) = graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val e = prepared(s, d) // only the NQueries query rows are read (pushed filter)
+    val q = e.filter(col("vec_id") < NQueries)
+    val seeds = graphSeeds(q, anchors, s.read.parquet(s"$path/reps"))
+    val all = graphBeam(s,
+      ids => g.filter(col("vec_id").isin(ids: _*)),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      seeds)
+      .filter(col("query_id") =!= col("neighbor_id"))
     withRecallGate(s, d, "s21",
       rerank(all).select(col("query_id"), col("neighbor_id"), col("cos4"),
         col("rn")),
       floor = 0.7)
   }
 
+  // ------------------------------------------------------------- S22
+  /** Durable INCREMENTAL graph artifact — the LSM shape applied to the
+    * neighbor graph (the template s8/s12/s13 set on the IVF index):
+    * `base/adj` is the write-once graph over the initial 90% slice
+    * (anchors frozen at creation, same as s8), `delta/adj` holds the
+    * append batch's forward lists (computed against base + batch
+    * candidates in the same overlapping-shard pass as the build — base
+    * rows are candidates only, their files are never rewritten), and
+    * `back/` the reverse edges (nbr → new id) that make appended nodes
+    * REACHABLE from the base graph — Vamana's reciprocal-edge insert
+    * as a read-side-merged delta layer instead of an in-place rewrite.
+    * A fold that rewrites base/adj with the merged lists is the
+    * compaction analog (s14's discipline), not needed at delta sizes
+    * that fit a read-side union. */
+  private val graphIncrCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Array[(Int, Array[Double])])]
+
+  private[graft] def graphIncrPath(s: SparkSession, d: String)
+      : (String, Array[(Int, Array[Double])]) = {
+    graphIncrCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) graphIncrCache.remove(k)
+    }
+    if (graphIncrCache.size >= 8 && !graphIncrCache.contains((s, d)))
+      graphIncrCache.remove(graphIncrCache.head._1) // local: LRU eviction on a size-capped driver cache map
+    graphIncrCache.getOrElseUpdate((s, d), {
+      val dir = new java.io.File(indexRoot,
+        s"graft-graph-incr-${corpusFingerprint(d)}")
+      val done = new java.io.File(dir, "_graft_complete")
+      val reusable =
+        if (done.isFile && new java.io.File(dir, "_anchors.txt").isFile)
+          try Some(readAnchors(dir)) catch { case _: Exception => None }
+        else None
+      reusable match {
+        case Some((anchors, _)) =>
+          artifactStatus(dir.getAbsolutePath) = "found"
+          (dir.getAbsolutePath, anchors)
+        case None =>
+          val e = prepared(s, d)
+          val base = e.filter(col("vec_id") % 10 =!= 9)
+          val batch = e.filter(col("vec_id") % 10 === 9)
+          val anchors = trainAnchors(
+            base.select(col("vec_id"), col("v"), col("nrm")),
+            ivfCells(base.count()), iters = 2) // frozen at creation (s8's contract)
+          val path = dir.getAbsolutePath
+          s21Graph(base, anchors)
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").parquet(s"$path/base/adj")
+          val fwd = graphAdjacency(
+            base.withColumn("sel", lit(false))
+              .unionByName(batch.withColumn("sel", lit(true))), anchors)
+            .localCheckpoint(true) // consumed twice: delta write + back-links
+          fwd.repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").parquet(s"$path/delta/adj")
+          fwd.select(explode(col("nbrs")).as("vec_id"),
+            col("vec_id").as("extra"))
+            .repartitionByRange(col("vec_id"))
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite").parquet(s"$path/back")
+          s21CellReps(base, anchors)
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+          writeAnchors(dir, anchors, anchors.length)
+          java.nio.file.Files.writeString(done.toPath, "ok\n")
+          artifactStatus(path) = "built"
+          (path, anchors)
+      }
+    })
+  }
+
+  /** Read-side merged point fetch over base + delta + back-links: all
+    * three stores are range-sorted on vec_id, so each leg of the union
+    * is a row-group-pruned key lookup; merged neighbor lists are
+    * sorted+deduped for order-independence. */
+  private def fetchIncr(s: SparkSession, path: String,
+                        ids: Seq[Long]): DataFrame = {
+    val b = s.read.parquet(s"$path/base/adj")
+      .filter(col("vec_id").isin(ids: _*))
+    val dl = s.read.parquet(s"$path/delta/adj")
+      .filter(col("vec_id").isin(ids: _*))
+    val bk = s.read.parquet(s"$path/back")
+      .filter(col("vec_id").isin(ids: _*))
+      .groupBy("vec_id").agg(collect_list(col("extra")).as("extra"))
+    b.unionByName(dl).join(bk, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        when(col("extra").isNull, col("nbrs"))
+          .otherwise(array_sort(array_distinct(
+            concat(col("nbrs"), col("extra"))))).as("nbrs"))
+  }
+
+  /** S22: graph-index APPEND — s8's ingest lane applied to the s21
+    * graph. The append writes a forward-list delta plus reverse-edge
+    * back-links ([[graphIncrPath]]); base files are never rewritten.
+    * Two gates: the standard recall gate (the merged graph must serve
+    * the FULL corpus, appended vectors included, vs exact s1), and a
+    * REACHABILITY gate — a deterministic 32-vector sample of the
+    * batch, used as queries, must each be FOUND by beam search
+    * (scored at cos = 1.0), which only the back-links make possible;
+    * `reach_ok` fails the run below 0.9. At 100 TB the reach audit
+    * stays a fixed-size sample (the production shape); the serve path
+    * is the same point-read beam as s21 with a 3-way merged fetch. */
+  def s22GraphAppend(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors) = graphIncrPath(s, d)
+    val reps = s.read.parquet(s"$path/reps")
+    val fetch = (ids: Seq[Long]) => fetchIncr(s, path, ids)
+    val e = prepared(s, d)
+    // reachability probe: fixed 32-vector batch sample as queries
+    val sample = e.filter(col("vec_id") % 10 === 9)
+      .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
+    val sampleIds = sample.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: 32 sample ids
+    val q = e.filter(col("vec_id") < NQueries)
+    // ONE fused beam for serve ∪ reach queries: per-query beam state is
+    // independent, so the fused run is row-identical to two separate
+    // runs at half the fetch rounds (a vec_id in both sets beams once)
+    val qU = q.unionByName(sample).dropDuplicates("vec_id")
+    val scored = graphBeam(s, fetch,
+      qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      graphSeeds(qU, anchors, reps))
+    val found = scored.filter(col("query_id") === col("neighbor_id"))
+      .select(col("query_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
+    val reachFrac = sampleIds.count(found).toDouble / sampleIds.size
+    val all = scored.filter(col("query_id") < NQueries &&
+      col("query_id") =!= col("neighbor_id"))
+    withRecallGate(s, d, "s22",
+      rerank(all).select(col("query_id"), col("neighbor_id"), col("cos4"),
+        col("rn")),
+      floor = 0.7)
+      .withColumn("reach4", lit(math.round(reachFrac * 1e4) / 1e4))
+      .withColumn("reach_ok", lit(reachFrac >= 0.9))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_graph_append" -> (s22GraphAppend _),
     "s21_ann_graph" -> (s21AnnGraph _),
     "s20_ann_binary" -> (s20AnnBinary _),
     "s19_range_search" -> (s19RangeSearch _),

@@ -2092,6 +2092,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("s22 graph append: recall + reachability gates, delta discipline, determinism") {
+    import org.apache.spark.sql.functions._
+    val exact = topk(Similarity.s1BruteForce(spark, sf01))
+    val a = Similarity.s22GraphAppend(spark, sf01)
+    val r = recallVs(exact, topk(a))
+    info(f"s22 recall@5 = $r%.3f")
+    assert(r >= 0.7, f"merged-graph recall $r%.3f — delta serving broken")
+    val gate = a.select("reach4", "reach_ok").distinct().collect()
+    assert(gate.length === 1 && gate(0).getBoolean(1),
+      s"reach gate must hold (got ${gate.mkString})")
+    info(f"s22 reach = ${gate(0).getDouble(0)}%.3f")
+    // delta discipline: base holds exactly the 90% slice, the delta
+    // exactly the batch, and every forward edge has its back-link
+    val (path, _) = Similarity.graphIncrPath(spark, sf01)
+    val e = Similarity.prepared(spark, sf01)
+    val base = spark.read.parquet(s"$path/base/adj")
+    val delta = spark.read.parquet(s"$path/delta/adj")
+    val back = spark.read.parquet(s"$path/back")
+    assert(base.count() === e.filter(col("vec_id") % 10 =!= 9).count())
+    assert(base.filter(col("vec_id") % 10 === 9).count() === 0,
+      "an appended id leaked into the base generation")
+    assert(delta.count() === e.filter(col("vec_id") % 10 === 9).count())
+    assert(delta.filter(size(col("nbrs")) > 8).count() === 0, "delta degree bound")
+    assert(back.count() === delta.select(explode(col("nbrs"))).count(),
+      "every forward edge must carry a reverse back-link")
+    val b = Similarity.s22GraphAppend(spark, sf01)
+    assert(a.collect().map(_.toSeq).sameElements(b.collect().map(_.toSeq)),
+      "two s22 runs diverged")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

@@ -246,6 +246,8 @@ object ScaleSweep {
       // s22: same serve shape over the 3-way merged (base+delta+back)
       // fetch, plus a FIXED 32-vector reach audit — must track s21
       "s22_graph_append" -> (graft.operators.Similarity.s22GraphAppend _),
+      // s23: same beam + an answer-side anti-join — must track s21
+      "s23_graph_delete" -> (graft.operators.Similarity.s23GraphDelete _),
       // st18: streamed serving must track the PROBE cost — queries ×
       // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
       // growth) — never the full corpus

@@ -3350,7 +3350,7 @@ object Similarity {
     * cos4) — self rows included (reaching the query node itself is
     * how its true neighborhood enters the beam; s22's reachability
     * gate reads them); callers drop self before reranking. */
-  private def graphBeam(s: SparkSession, fetch: Seq[Long] => DataFrame,
+  private[graft] def graphBeam(s: SparkSession, fetch: Seq[Long] => DataFrame,
                         qSide: DataFrame,
                         seeds: Seq[(Long, Long)]): DataFrame = {
     import s.implicits._
@@ -3397,7 +3397,7 @@ object Similarity {
 
   /** Seed pairs for [[graphBeam]]: each query's `nSeed` nearest cells'
     * entry representatives. */
-  private def graphSeeds(q: DataFrame, anchors: Array[(Int, Array[Double])],
+  private[graft] def graphSeeds(q: DataFrame, anchors: Array[(Int, Array[Double])],
                          reps: DataFrame, nSeed: Int = 2): Seq[(Long, Long)] =
     queryProbes(q, anchors, nSeed, "vec_id")
       .join(broadcast(reps), Seq("cell"))
@@ -3557,7 +3557,54 @@ object Similarity {
       .withColumn("reach_ok", lit(reachFrac >= 0.9))
   }
 
+  // ------------------------------------------------------------- S23
+  /** S23: graph-index DELETE — the lazy-delete lane production graph
+    * indexes use (FreshDiskANN), completing the graph CRUD triple
+    * (s21 build/serve, s22 append, s23 delete). The adjacency artifact
+    * is NOT touched: the tombstone set (SHARED with s12 — one logical
+    * delete log masks every index layout, IVF and graph alike) is
+    * filtered out of the ANSWER while tombstoned nodes keep serving as
+    * ROUTING WAYPOINTS — dropping them from traversal would sever the
+    * neighborhoods they anchor, which is exactly why production graph
+    * indexes delete lazily and repair edges only at compaction (the
+    * graph fold is the open maintenance analog of s14). Gates: recall
+    * vs the exact-over-survivors witness (s12's own — same tombstones,
+    * same queries, so the two layouts' delete lanes are judged against
+    * the SAME durable baseline) + the soundness audit (no deleted id
+    * in any answer, a Spark job since tombstones are
+    * corpus-proportional at scale). */
+  def s23GraphDelete(s: SparkSession, d: String): DataFrame = {
+    val (path, anchors) = graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val e = prepared(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+    val tomb = tombstones(s, d)
+    val scored = graphBeam(s,
+      ids => g.filter(col("vec_id").isin(ids: _*)),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      graphSeeds(q, anchors, s.read.parquet(s"$path/reps")))
+    // lazy delete: tombstones leave the ANSWER, not the traversal
+    val live = scored
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(tomb.select(col("vec_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+    val res = rerank(live).select(col("query_id"), col("neighbor_id"),
+      col("cos4"), col("rn"))
+    registerGatedPlan(s, "s23", res)
+    val out = res.localCheckpoint(true)
+    val exactPairs = pairSet(s12ExactWitness(s, d))
+    val recall = (pairSet(out) & exactPairs).size.toDouble / exactPairs.size
+    val deletedHits = out.join(broadcast(tomb),
+      out("neighbor_id") === tomb("vec_id")).count()
+    out
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+      .withColumn("no_deleted_ok", lit(deletedHits == 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_graph_delete" -> (s23GraphDelete _),
     "s22_graph_append" -> (s22GraphAppend _),
     "s21_ann_graph" -> (s21AnnGraph _),
     "s20_ann_binary" -> (s20AnnBinary _),

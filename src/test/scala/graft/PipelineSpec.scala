@@ -2122,6 +2122,38 @@ class PipelineSpec extends AnyFunSuite {
       "two s22 runs diverged")
   }
 
+  test("s23 graph delete: survivor recall, soundness, tombstones still route") {
+    import org.apache.spark.sql.functions._
+    val a = Similarity.s23GraphDelete(spark, sf01)
+    val gate = a.select("recall4", "recall_ok", "no_deleted_ok").distinct().collect()
+    assert(gate.length === 1 && gate(0).getBoolean(1) && gate(0).getBoolean(2),
+      s"s23 gates must hold (got ${gate.mkString})")
+    info(f"s23 survivor recall@5 = ${gate(0).getDouble(0)}%.3f")
+    // soundness re-checked here against the independent tombstone rule
+    val answered = a.select("neighbor_id").collect().map(_.getLong(0))
+    assert(!answered.exists(id => id % 17 == 5 && id >= 10),
+      "a tombstoned id surfaced in an answer")
+    // LAZY semantics demonstrated: the beam still SCORES tombstoned
+    // nodes (they route), it just never ANSWERS with them — run the
+    // raw beam and assert tombstoned waypoints were visited
+    val (path, anchors) = Similarity.graphIndexPath(spark, sf01)
+    val g = spark.read.parquet(s"$path/adj")
+    val e = Similarity.prepared(spark, sf01)
+    val q = e.filter(col("vec_id") < 10)
+    val scored = Similarity.graphBeam(spark,
+      ids => g.filter(col("vec_id").isin(ids: _*)),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      Similarity.graphSeeds(q, anchors, spark.read.parquet(s"$path/reps")))
+    val waypointHits = scored
+      .filter(col("neighbor_id") % 17 === 5 && col("neighbor_id") >= 10).count()
+    assert(waypointHits > 0,
+      "no tombstoned node was traversed — the lane is masking the graph, not the answer")
+    val b = Similarity.s23GraphDelete(spark, sf01)
+    assert(a.collect().map(_.toSeq).sameElements(b.collect().map(_.toSeq)),
+      "two s23 runs diverged")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

@@ -248,6 +248,9 @@ object ScaleSweep {
       "s22_graph_append" -> (graft.operators.Similarity.s22GraphAppend _),
       // s23: same beam + an answer-side anti-join — must track s21
       "s23_graph_delete" -> (graft.operators.Similarity.s23GraphDelete _),
+      // s24: fold build is ingest (ensureIndexes); the timed row is
+      // the fused serve+reach beam over the folded generation
+      "s24_graph_fold" -> (graft.operators.Similarity.s24GraphFold _),
       // st18: streamed serving must track the PROBE cost — queries ×
       // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
       // growth) — never the full corpus

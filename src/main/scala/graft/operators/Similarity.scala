@@ -1279,6 +1279,7 @@ object Similarity {
       report("base_index", baseIndexPath(s, d)._1),
       report("graph_index", graphIndexPath(s, d)._1),
       report("graph_incr", graphIncrPath(s, d)._1),
+      report("graph_fold", graphFoldPath(s, d)),
       { pqBooks(s, d, prepared(s, d)); report("pq_codebooks", pqBooksPath(d).getParent) },
       { opqRot(s, d, prepared(s, d))
         report("opq_rotation", opqRotPath(d).getAbsolutePath) },
@@ -3603,7 +3604,164 @@ object Similarity {
       .withColumn("no_deleted_ok", lit(deletedHits == 0L))
   }
 
+  // ------------------------------------------------------------- S24
+  /** S24: graph-index FOLD — the compaction member closing the graph
+    * lifecycle (s21 build, s22 append, s23 lazy delete, s24 fold),
+    * s14's discipline applied to adjacency. The fold materializes the
+    * read-side merge (base ∪ delta ∪ back-links) into ONE generation
+    * over LIVE nodes only, running Vamana's delete consolidation:
+    * a node u that pointed at a tombstoned waypoint t inherits t's
+    * own (live) neighbors as repair candidates — the bridge t was
+    * providing — then re-prunes to top-DEG by exact cosine. Cost is
+    * tombstone-proportional: repair candidates = edges INTO tombstones
+    * × DEG, never corpus²; the rewrite itself is one pass over the
+    * merged adjacency. Published write-once under its own marker with
+    * a partial destination cleared first (the st12 crash-idempotency
+    * lesson); entry reps are re-derived from the folded node set so a
+    * tombstoned representative cannot survive as a seed. */
+  private val graphFoldCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def graphFoldPath(s: SparkSession, d: String): String = {
+    graphFoldCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) graphFoldCache.remove(k)
+    }
+    if (graphFoldCache.size >= 8 && !graphFoldCache.contains((s, d)))
+      graphFoldCache.remove(graphFoldCache.head._1) // local: LRU eviction on a size-capped driver cache map
+    graphFoldCache.getOrElseUpdate((s, d), {
+      val (incrPath, anchors) = graphIncrPath(s, d)
+      val dir = new java.io.File(indexRoot,
+        s"graft-graph-fold-${corpusFingerprint(d)}")
+      val done = new java.io.File(dir, "_graft_complete")
+      val path = dir.getAbsolutePath
+      if (done.isFile) { artifactStatus(path) = "found"; path }
+      else {
+        // a crashed fold left a partial generation: start clean
+        if (dir.isDirectory) {
+          val walk = java.nio.file.Files.walk(dir.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        val tomb = broadcast(tombstones(s, d))
+        // materialized read-side merge: base ∪ delta rows with
+        // back-link extras folded into the neighbor lists
+        val bk = s.read.parquet(s"$incrPath/back")
+          .groupBy("vec_id").agg(collect_list(col("extra")).as("extra"))
+        val merged = s.read.parquet(s"$incrPath/base/adj")
+          .unionByName(s.read.parquet(s"$incrPath/delta/adj"))
+          .join(bk, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("v"), col("nrm"),
+            when(col("extra").isNull, col("nbrs"))
+              .otherwise(array_sort(array_distinct(
+                concat(col("nbrs"), col("extra"))))).as("nbrs"))
+          .localCheckpoint(true) // consumed 4×: repair join legs + rewrite
+        // delete consolidation: u --t(dead)--> inherits t's live nbrs
+        val tombAdj = merged.join(tomb, Seq("vec_id"))
+          .select(col("vec_id").as("t"), explode(col("nbrs")).as("w"))
+          .join(tomb.select(col("vec_id").as("w")), Seq("w"), "left_anti")
+        val liveNodes = merged.join(tomb, Seq("vec_id"), "left_anti")
+        val edges = liveNodes.select(col("vec_id").as("u"),
+          explode(col("nbrs")).as("dst"))
+        val surviving = edges
+          .join(tomb.select(col("vec_id").as("dst")), Seq("dst"), "left_anti")
+          .select(col("u"), col("dst").as("w"))
+        val repairs = edges.join(tombAdj, edges("dst") === tombAdj("t"))
+          .select(col("u"), col("w")).filter(col("u") =!= col("w"))
+        val slim = merged.select(col("vec_id").as("w"),
+          col("v").as("wv"), col("nrm").as("wn"))
+        val s2 = s
+        import s2.implicits._
+        val rescored = surviving.unionByName(repairs).distinct()
+          .join(slim, Seq("w"))
+          .join(merged.select(col("vec_id").as("u"), col("v").as("uv"),
+            col("nrm").as("un")), Seq("u"))
+          .select(col("u"), col("w"),
+            (vecDot(col("uv"), col("wv")) / (col("un") * col("wn"))).as("c"))
+          .as[(Long, Long, Double)]
+        val lists = rescored.groupByKey(_._1).mapGroups { (u, it) =>
+          // local: ≤ DEG + DEG·DEG repair candidates per node
+          val top = it.toArray.distinctBy(_._2)
+            .sortBy { case (_, w, c) => (-c, w) }.take(GraphDeg)
+          (u, top.map(_._2))
+        }.toDF("vec_id", "nbrs")
+        // LEFT join from the live node set: a node whose whole
+        // neighborhood died with no live repairs keeps an empty list
+        // instead of vanishing from the generation
+        val folded = liveNodes.select(col("vec_id"), col("v"), col("nrm"))
+          .join(lists, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("v"), col("nrm"),
+            coalesce(col("nbrs"),
+              expr("CAST(array() AS array<bigint>)")).as("nbrs"))
+        folded.repartitionByRange(col("vec_id"))
+          .sortWithinPartitions("vec_id")
+          .write.mode("overwrite").parquet(s"$path/adj")
+        // reps re-derived from the folded node set (a tombstoned rep
+        // must not survive as an entry point)
+        s21CellReps(folded.select(col("vec_id"), col("v"), col("nrm")), anchors)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+        writeAnchors(dir, anchors, anchors.length)
+        java.nio.file.Files.writeString(done.toPath, "ok\n")
+        artifactStatus(path) = "built"
+        path
+      }
+    })
+  }
+
+  /** S24 query: serve the standard probe from the FOLDED generation —
+    * no lazy mask left to apply (the fold made deletes physical) — and
+    * gate it three ways: recall vs the same exact-over-survivors
+    * witness as s12/s23, the appended sample still reachable (the
+    * fold must not orphan what the back-links stitched in), and a
+    * zero-tombstone audit over the folded artifact itself (ids AND
+    * edge targets). */
+  def s24GraphFold(s: SparkSession, d: String): DataFrame = {
+    val (_, anchors) = graphIncrPath(s, d)
+    val path = graphFoldPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val reps = s.read.parquet(s"$path/reps")
+    val fetch = (ids: Seq[Long]) => g.filter(col("vec_id").isin(ids: _*))
+    val e = prepared(s, d)
+    val tomb = tombstones(s, d)
+    val sample = e.filter(col("vec_id") % 10 === 9)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
+    val sampleIds = sample.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: 32 sample ids
+    val q = e.filter(col("vec_id") < NQueries)
+    val qU = q.unionByName(sample).dropDuplicates("vec_id")
+    val scored = graphBeam(s, fetch,
+      qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      graphSeeds(qU, anchors, reps))
+    val found = scored.filter(col("query_id") === col("neighbor_id"))
+      .select(col("query_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
+    val reachFrac = sampleIds.count(found).toDouble / sampleIds.size
+    val all = scored.filter(col("query_id") < NQueries &&
+      col("query_id") =!= col("neighbor_id"))
+    val res = rerank(all).select(col("query_id"), col("neighbor_id"),
+      col("cos4"), col("rn"))
+    registerGatedPlan(s, "s24", res)
+    val out = res.localCheckpoint(true)
+    val exactPairs = pairSet(s12ExactWitness(s, d))
+    val recall = (pairSet(out) & exactPairs).size.toDouble / exactPairs.size
+    // the fold made deletes physical: no tombstoned id may survive as
+    // a node OR an edge target anywhere in the folded artifact
+    val tombB = broadcast(tomb)
+    val deadNodes = g.join(tombB, Seq("vec_id")).count()
+    val deadEdges = g.select(explode(col("nbrs")).as("vec_id"))
+      .join(tombB, Seq("vec_id")).count()
+    out
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+      .withColumn("reach4", lit(math.round(reachFrac * 1e4) / 1e4))
+      .withColumn("reach_ok", lit(reachFrac >= 0.9))
+      .withColumn("no_tomb_ok", lit(deadNodes == 0L && deadEdges == 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_graph_fold" -> (s24GraphFold _),
     "s23_graph_delete" -> (s23GraphDelete _),
     "s22_graph_append" -> (s22GraphAppend _),
     "s21_ann_graph" -> (s21AnnGraph _),

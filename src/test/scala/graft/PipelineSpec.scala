@@ -2154,6 +2154,38 @@ class PipelineSpec extends AnyFunSuite {
       "two s23 runs diverged")
   }
 
+  test("s24 graph fold: gates hold, deletes physical, degree bound, determinism") {
+    import org.apache.spark.sql.functions._
+    val a = Similarity.s24GraphFold(spark, sf01)
+    val gate = a.select("recall4", "recall_ok", "reach4", "reach_ok", "no_tomb_ok")
+      .distinct().collect()
+    assert(gate.length === 1 && gate(0).getBoolean(1) && gate(0).getBoolean(3) &&
+      gate(0).getBoolean(4), s"s24 gates must hold (got ${gate.mkString})")
+    info(f"s24 survivor recall@5 = ${gate(0).getDouble(0)}%.3f, " +
+      f"reach = ${gate(0).getDouble(2)}%.3f")
+    // the folded generation is structurally clean: exactly the live
+    // node set, degree ≤ DEG, and NO tombstoned id as node or target
+    val path = Similarity.graphFoldPath(spark, sf01)
+    val g = spark.read.parquet(s"$path/adj")
+    val e = Similarity.prepared(spark, sf01)
+    val nLive = e.filter(!(col("vec_id") % 17 === 5 && col("vec_id") >= 10)).count()
+    assert(g.count() === nLive, "folded node set must be exactly the survivors")
+    assert(g.filter(size(col("nbrs")) > 8).count() === 0, "fold degree bound")
+    assert(g.filter(col("vec_id") % 17 === 5 && col("vec_id") >= 10).count() === 0)
+    assert(g.select(explode(col("nbrs")).as("t"))
+      .filter(col("t") % 17 === 5 && col("t") >= 10).count() === 0,
+      "a tombstoned id survived as an edge target")
+    // consolidation repaired routing: folded recall must not fall
+    // below the lazy-delete lane's on the same witness
+    val lazyGate = Similarity.s23GraphDelete(spark, sf01)
+      .select("recall4").distinct().collect()(0).getDouble(0)
+    assert(gate(0).getDouble(0) >= lazyGate - 0.1,
+      f"fold collapsed recall: ${gate(0).getDouble(0)}%.3f vs lazy $lazyGate%.3f")
+    val b = Similarity.s24GraphFold(spark, sf01)
+    assert(a.collect().map(_.toSeq).sameElements(b.collect().map(_.toSeq)),
+      "two s24 runs diverged")
+  }
+
   test("SIMD MinHash sketch equals the scalar Carter-Wegman reference") {
     import graft.functions.MinHash
     val K = 128

@@ -752,8 +752,11 @@ object Similarity {
     * anchor sidecar; v3 made `label` the first partition key (s11's
     * metadata-pruned serving path) and stores it in the incr index;
     * v4 added the stored `opq8` rotated-basis PQ codes + the OPQ
-    * rotation/codebook sidecars (s15 serves from stored codes). */
-  private val IndexFormatVersion = "graft-index-v4"
+    * rotation/codebook sidecars (s15 serves from stored codes); v5
+    * added the graph artifacts (adjacency/incr/fold) and switched the
+    * fold's re-prune to α-diversity RobustPrune — folds built under
+    * the v4 top-cos cut must not be served by v5 readers. */
+  private val IndexFormatVersion = "graft-index-v5"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -3677,13 +3680,33 @@ object Similarity {
           .join(merged.select(col("vec_id").as("u"), col("v").as("uv"),
             col("nrm").as("un")), Seq("u"))
           .select(col("u"), col("w"),
-            (vecDot(col("uv"), col("wv")) / (col("un") * col("wn"))).as("c"))
-          .as[(Long, Long, Double)]
+            (vecDot(col("uv"), col("wv")) / (col("un") * col("wn"))).as("c"),
+            col("wv"), col("wn"))
+          .as[(Long, Long, Double, Array[Double], Double)]
         val lists = rescored.groupByKey(_._1).mapGroups { (u, it) =>
           // local: ≤ DEG + DEG·DEG repair candidates per node
-          val top = it.toArray.distinctBy(_._2)
-            .sortBy { case (_, w, c) => (-c, w) }.take(GraphDeg)
-          (u, top.map(_._2))
+          val cands = it.toArray.distinctBy(_._2)
+            .sortBy { case (_, w, c, _, _) => (-c, w) }
+          // RobustPrune (Vamana, α = 1.2, cosine-distance form): take
+          // the best remaining candidate, prune every w an already-kept
+          // k α-covers — α·(1 − cos(k,w)) ≤ (1 − cos(u,w)) — so the
+          // kept set spreads over DIRECTIONS instead of packing one
+          // tight cluster. This is what keeps a back-linked append
+          // reachable through the fold: the plain top-cos cut
+          // measurably orphaned 1/32 appended vectors at the gate.
+          val kept = collection.mutable
+            .ArrayBuffer.empty[(Long, Array[Double], Double)]
+          val cit = cands.iterator
+          while (kept.length < GraphDeg && cit.hasNext) {
+            val (_, w, cw, wv, wn) = cit.next()
+            val covered = kept.exists { case (_, kv, kn) =>
+              var dot = 0.0; var i = 0
+              while (i < kv.length) { dot += kv(i) * wv(i); i += 1 }
+              1.2 * (1.0 - dot / (kn * wn)) <= (1.0 - cw)
+            }
+            if (!covered) kept += ((w, wv, wn))
+          }
+          (u, kept.map(_._1).toArray)
         }.toDF("vec_id", "nbrs")
         // LEFT join from the live node set: a node whose whole
         // neighborhood died with no live repairs keeps an empty list

@@ -722,6 +722,50 @@ class MatrixSpec extends AnyFunSuite {
     assert(LocalLA.maxAbsDiff(r, rl) / scale < 1e-12)
   }
 
+  test("m20: Arnoldi Ritz pairs sit within their own residual bounds of " +
+    "a driver-side dgeev on the same operator (normality made concrete)") {
+    val n = 256; val blk = 64; val q = n / blk
+    val rows = MatrixQueries.m20At(spark, n, blk, 64).collect()
+    assert(rows.forall(_.getAs[Boolean]("pass")), rows.mkString("\n"))
+    val delta = rows(0).getAs[Double]("delta")
+    info(f"m20 delta=$delta%.4f sigmaHat=${rows(0).getAs[Double]("sigma_hat")}%.4f " +
+      f"top resid=${rows(0).getAs[Double]("resid_rel")}%.2e")
+    // the SAME operator assembled locally with the SAME self-tuned δ
+    val aLoc = Array.ofDim[Double](n, n)
+    for (bi <- 0 until q; bj <- 0 until q) {
+      val a = MatrixGen.localBlock(blk, seed, bi, bj, 0.0)
+      val b = MatrixGen.localBlock(blk, seed, bj, bi, 0.0)
+      for (i <- 0 until blk; j <- 0 until blk) {
+        aLoc(bi * blk + i)(bj * blk + j) = (a(i)(j) - b(j)(i)) / 2 +
+          (if (bi == bj && i == j) delta else 0.0)
+      }
+    }
+    // independent reference spectrum: LAPACK dgeev on the driver
+    val dm = new breeze.linalg.DenseMatrix[Double](n, n)
+    for (i <- 0 until n; j <- 0 until n) dm(i, j) = aLoc(i)(j)
+    val ref = breeze.linalg.eig(dm)
+    // A = δI + S is NORMAL ⇒ each Ritz value λ̃ with residual bound r
+    // satisfies min_k |λ̃ − λ_k| ≤ r — assert exactly that, with a
+    // 1e-9·scale slack for the reference's own rounding
+    val scale = rows(0).getAs[Double]("sigma_hat") * math.sqrt(1 + 1.0 / 49)
+    rows.foreach { row =>
+      val re = row.getAs[Double]("re"); val im = row.getAs[Double]("im")
+      val r = row.getAs[Double]("resid_rel") * scale
+      val dmin = (0 until n).map(k => math.hypot(
+        re - ref.eigenvalues(k), im - ref.eigenvaluesComplex(k))).min
+      assert(dmin <= r + 1e-9 * scale,
+        f"Ritz ($re%.6f, $im%.6f) is $dmin%.2e from the reference spectrum, bound $r%.2e")
+    }
+    // the dominant reference pair is what rank 1 found
+    val refImMax = (0 until n).map(k => ref.eigenvaluesComplex(k)).max
+    assert(math.abs(math.abs(rows(0).getAs[Double]("im")) - refImMax) < 1e-8,
+      "rank-1 Ritz pair is not the reference's dominant pair")
+    // every reference eigenvalue really has real part δ — the re_ok
+    // gate's premise, checked against LAPACK instead of our own math
+    val reDev = (0 until n).map(k => math.abs(ref.eigenvalues(k) - delta)).max
+    assert(reDev < 1e-10 * math.max(1.0, scale), s"spectrum premise broke: $reDev")
+  }
+
   test("Verify invariant gate: a false pass column turns the query red") {
     import spark.implicits._
     assert(Verify.gateInvariants(Seq((1, true)).toDF("n", "pass")).count() == 1)

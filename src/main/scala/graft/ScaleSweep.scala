@@ -399,6 +399,23 @@ object ScaleSweep {
         println(f"""[scale] {"m19_n":$n,"sec":$dt%.2f}""")
       }
     }
+    // nonsymmetric-eigen trend (full sweep, or targeted via
+    // only="m20trend"): m20 at 1×/2×/4× the gate n — the Krylov depth
+    // is fixed (m = 80) and the spectrum self-tunes per n, so the
+    // curve isolates per-iteration job cost like m15/m17/m18/m19's
+    if (only.forall(_.contains("m20trend"))) {
+      Seq(512, 1024, 2048).foreach { n =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          graft.matrix.MatrixQueries.m20At(spark, n, 128, 80).count(); true
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] m20@n=$n failed: $e"); false
+        }
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        println(f"""[scale] {"m20_n":$n,"sec":$dt%.2f}""")
+      }
+    }
     // ANISOTROPY probe (runs in the full sweep, or targeted via
     // only="aniso"): the natural corpus is near-isotropic (measured
     // eigen ratio 1.22 at every swept scale) — a spectrum with nothing

@@ -778,6 +778,74 @@ object MatrixQueries {
     cached.clear(); cached ++= stay
   }
 
+  /** Fused two-pass CGS2 orthogonalization of `w0` against the basis
+    * slab — the Arnoldi step's distributed core, shared by the GMRES
+    * (m19) and eigen (m20) members. Pass 1 returns the Gram
+    * coefficients c1; pass 2 returns (c2, ‖w₁‖²) in ONE traversal, and
+    * ‖w₂‖² = ‖w₁‖² − ‖c2‖² under the (reorthogonalized) basis's
+    * orthonormality — c2 is machine-eps-sized after pass 1, so the
+    * correction never cancels. That drops the separate norm job m17's
+    * shape would have paid. Returns (the j+1 projections, h_{j+1,j},
+    * the orthogonalized w); `keep` is the caller's cache-bookkeeping
+    * hook. */
+  private def cgs2Step(
+      basis: org.apache.spark.rdd.RDD[(Int, Array[Array[Double]])],
+      w0: BlockVec, part: org.apache.spark.Partitioner, j: Int,
+      keep: BlockVec => BlockVec): (Array[Double], Double, BlockVec) = {
+    val hCol = new Array[Double](j + 1)
+    val c1 = basis.join(w0, part).map { case (_, (vb, wb)) =>
+      Array.tabulate(vb.length) { i =>
+        val bi = vb(i); var acc = 0.0; var t = 0
+        while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
+        acc
+      }
+    }.reduce { (a0, b1) =>
+      val z = a0.clone(); var i = 0
+      while (i < z.length) { z(i) += b1(i); i += 1 }
+      z
+    }
+    var i = 0
+    while (i <= j) { hCol(i) += c1(i); i += 1 }
+    val w1 = keep(basis.join(w0, part).mapValues { case (vb, wb) =>
+      val out = wb.clone()
+      var k = 0
+      while (k < vb.length) {
+        val bk = vb(k); val ck = c1(k); var t = 0
+        while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
+        k += 1
+      }
+      out
+    })
+    val (c2, w1n2) = basis.join(w1, part).map { case (_, (vb, wb)) =>
+      var n2 = 0.0; var t = 0
+      while (t < wb.length) { n2 += wb(t) * wb(t); t += 1 }
+      (Array.tabulate(vb.length) { i2 =>
+        val bi = vb(i2); var acc = 0.0; var u = 0
+        while (u < wb.length) { acc += bi(u) * wb(u); u += 1 }
+        acc
+      }, n2)
+    }.reduce { (a0, b1) =>
+      val z = a0._1.clone(); var i2 = 0
+      while (i2 < z.length) { z(i2) += b1._1(i2); i2 += 1 }
+      (z, a0._2 + b1._2)
+    }
+    var c2n2 = 0.0
+    i = 0
+    while (i <= j) { hCol(i) += c2(i); c2n2 += c2(i) * c2(i); i += 1 }
+    val w2 = keep(basis.join(w1, part).mapValues { case (vb, wb) =>
+      val out = wb.clone()
+      var k = 0
+      while (k < vb.length) {
+        val bk = vb(k); val ck = c2(k); var t = 0
+        while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
+        k += 1
+      }
+      out
+    })
+    (hCol, math.sqrt(math.max(w1n2 - c2n2, 0.0)), w2)
+  }
+
+
   /** M15: conjugate-gradient solve of the SPD system A·x = b — the
     * ITERATIVE member of the solver family (direct LU m3–m5, Cholesky
     * m10, QR m12, randomized m13/m14): when a factorization is
@@ -1666,69 +1734,13 @@ object MatrixQueries {
             System.err.println(s"[m19] $tag t=${System.nanoTime / 1e9}")
           var w: BlockVec = keep(aop(v))
           tr("w-built")
-          // CGS2 in TWO fused reduction jobs total: pass 1 returns the
-          // Gram coefficients c1; pass 2 returns (c2, ‖w₁‖²) in ONE
-          // traversal, and ‖w₂‖² = ‖w₁‖² − ‖c2‖² under the (reorthogo-
-          // nalized) basis's orthonormality — c2 is machine-eps-sized
-          // after pass 1, so the correction never cancels. That drops
-          // the separate norm job m17's shape would have paid.
-          val hCol = new Array[Double](j + 1)
-          val c1 = basis.join(w, part).map { case (_, (vb, wb)) =>
-            Array.tabulate(vb.length) { i =>
-              val bi = vb(i); var acc = 0.0; var t = 0
-              while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
-              acc
-            }
-          }.reduce { (a0, b1) =>
-            val z = a0.clone(); var i = 0
-            while (i < z.length) { z(i) += b1(i); i += 1 }
-            z
-          }
-          tr("c1-done")
-          var i = 0
-          while (i <= j) { hCol(i) += c1(i); i += 1 }
-          w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
-            val out = wb.clone()
-            var k = 0
-            while (k < vb.length) {
-              val bk = vb(k); val ck = c1(k); var t = 0
-              while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
-              k += 1
-            }
-            out
-          })
-          val (c2, w1n2) = basis.join(w, part).map { case (_, (vb, wb)) =>
-            var n2 = 0.0; var t = 0
-            while (t < wb.length) { n2 += wb(t) * wb(t); t += 1 }
-            (Array.tabulate(vb.length) { i2 =>
-              val bi = vb(i2); var acc = 0.0; var u = 0
-              while (u < wb.length) { acc += bi(u) * wb(u); u += 1 }
-              acc
-            }, n2)
-          }.reduce { (a0, b1) =>
-            val z = a0._1.clone(); var i2 = 0
-            while (i2 < z.length) { z(i2) += b1._1(i2); i2 += 1 }
-            (z, a0._2 + b1._2)
-          }
+          // fused two-pass CGS2 — the shared Arnoldi core (see cgs2Step)
+          val (hCol, hj1, w2) = cgs2Step(basis, w, part, j,
+            (x: BlockVec) => keep(x))
           tr("c2-done")
-          var c2n2 = 0.0
-          i = 0
-          while (i <= j) {
-            hCol(i) += c2(i); c2n2 += c2(i) * c2(i); i += 1
-          }
-          w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
-            val out = wb.clone()
-            var k = 0
-            while (k < vb.length) {
-              val bk = vb(k); val ck = c2(k); var t = 0
-              while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
-              k += 1
-            }
-            out
-          })
-          i = 0
+          w = w2
+          var i = 0
           while (i <= j) { h(i)(j) = hCol(i); i += 1 }
-          val hj1 = math.sqrt(math.max(w1n2 - c2n2, 0.0))
           h(j + 1)(j) = hj1
           // incremental Givens: rotate the new column, update g
           i = 0
@@ -1925,60 +1937,12 @@ object MatrixQueries {
     var j = 0
     var breakdown = false
     while (j < mKrylov && !breakdown) {
-      var w: BlockVec = keep(amat(v))
-      val hCol = new Array[Double](j + 1)
-      val c1 = basis.join(w, part).map { case (_, (vb, wb)) =>
-        Array.tabulate(vb.length) { i =>
-          val bi = vb(i); var acc = 0.0; var t = 0
-          while (t < wb.length) { acc += bi(t) * wb(t); t += 1 }
-          acc
-        }
-      }.reduce { (a0, b1) =>
-        val z = a0.clone(); var i = 0
-        while (i < z.length) { z(i) += b1(i); i += 1 }
-        z
-      }
+      val w0: BlockVec = keep(amat(v))
+      // fused two-pass CGS2 — the shared Arnoldi core (see cgs2Step)
+      val (hCol, hj1, w) = cgs2Step(basis, w0, part, j,
+        (x: BlockVec) => keep(x))
       var i = 0
-      while (i <= j) { hCol(i) += c1(i); i += 1 }
-      w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
-        val out = wb.clone()
-        var k = 0
-        while (k < vb.length) {
-          val bk = vb(k); val ck = c1(k); var t = 0
-          while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
-          k += 1
-        }
-        out
-      })
-      val (c2, w1n2) = basis.join(w, part).map { case (_, (vb, wb)) =>
-        var n2 = 0.0; var t = 0
-        while (t < wb.length) { n2 += wb(t) * wb(t); t += 1 }
-        (Array.tabulate(vb.length) { i2 =>
-          val bi = vb(i2); var acc = 0.0; var u = 0
-          while (u < wb.length) { acc += bi(u) * wb(u); u += 1 }
-          acc
-        }, n2)
-      }.reduce { (a0, b1) =>
-        val z = a0._1.clone(); var i2 = 0
-        while (i2 < z.length) { z(i2) += b1._1(i2); i2 += 1 }
-        (z, a0._2 + b1._2)
-      }
-      var c2n2 = 0.0
-      i = 0
-      while (i <= j) { hCol(i) += c2(i); c2n2 += c2(i) * c2(i); i += 1 }
-      w = keep(basis.join(w, part).mapValues { case (vb, wb) =>
-        val out = wb.clone()
-        var k = 0
-        while (k < vb.length) {
-          val bk = vb(k); val ck = c2(k); var t = 0
-          while (t < out.length) { out(t) -= ck * bk(t); t += 1 }
-          k += 1
-        }
-        out
-      })
-      i = 0
       while (i <= j) { h(i)(j) = hCol(i); i += 1 }
-      val hj1 = math.sqrt(math.max(w1n2 - c2n2, 0.0))
       h(j + 1)(j) = hj1
       j += 1
       if (hj1 < 1e-300) breakdown = true // happy breakdown: H exact

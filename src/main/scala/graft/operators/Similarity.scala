@@ -3395,18 +3395,66 @@ object Similarity {
       }
       h += 1
     }
+    if (hopFrames.isEmpty)
+      throw new IllegalStateException(
+        "graph beam never scored a node — no valid seeds reached the loop")
     hopFrames.reduce(_ union _)
       .select(col("query_id"), col("neighbor_id"), col("cos4"))
   }
 
+  /** Fused serve+reach beam shared by s22/s24: ONE [[graphBeam]] run
+    * over the standard query set ∪ a reachability sample (per-query
+    * beam state is independent, so the fusion is row-identical to two
+    * separate runs at half the fetch rounds). Returns the scored frame
+    * and the sample's self-found fraction (1.0 for an empty sample —
+    * nothing to prove, never a NaN). */
+  private def serveWithReach(s: SparkSession, fetch: Seq[Long] => DataFrame,
+                             anchors: Array[(Int, Array[Double])],
+                             reps: DataFrame, e: DataFrame,
+                             sample: DataFrame): (DataFrame, Double) = {
+    val sampleIds = sample.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤32 sample ids
+    val q = e.filter(col("vec_id") < NQueries)
+    val qU = q.unionByName(sample).dropDuplicates("vec_id")
+    val scored = graphBeam(s, fetch,
+      qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      graphSeeds(qU, anchors, reps))
+    val found = scored.filter(col("query_id") === col("neighbor_id"))
+      .select(col("query_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
+    val reachFrac =
+      if (sampleIds.isEmpty) 1.0
+      else sampleIds.count(found).toDouble / sampleIds.size
+    (scored, reachFrac)
+  }
+
   /** Seed pairs for [[graphBeam]]: each query's `nSeed` nearest cells'
-    * entry representatives. */
+    * entry representatives. A probed cell can lack a rep (reps exist
+    * only for cells that are some vector's top-1 assignment; Lloyd's
+    * keeps anchors whose members were poached, and s22 derives reps
+    * from the base slice only) — a LEFT join would silently drop such
+    * a query from the answer and misattribute the recall dip to beam
+    * quality, so every seedless query falls back to the DETERMINISTIC
+    * global entry (the smallest cell's rep) and an empty rep store
+    * fails loud. */
   private[graft] def graphSeeds(q: DataFrame, anchors: Array[(Int, Array[Double])],
-                         reps: DataFrame, nSeed: Int = 2): Seq[(Long, Long)] =
-    queryProbes(q, anchors, nSeed, "vec_id")
-      .join(broadcast(reps), Seq("cell"))
+                         reps: DataFrame, nSeed: Int = 2): Seq[(Long, Long)] = {
+    val seeded = queryProbes(q, anchors, nSeed, "vec_id")
+      .join(broadcast(reps), Seq("cell"), "left")
       .select(col("vec_id"), col("rep"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: nSeed reps per query
+      // bounded: nSeed rows per query
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    val fallback: Option[Long] = reps.orderBy(col("cell")).limit(1)
+      .select(col("rep"))
+      .collect().headOption.map(_.getLong(0)) // bounded: one global-entry row
+    seeded.map {
+      case (q0, Some(rep)) => (q0, rep)
+      case (q0, None) => (q0, fallback.getOrElse(throw new IllegalStateException(
+        "graph index has no entry representatives — the reps store is empty")))
+    }.toSeq.distinct
+  }
 
   def s21AnnGraph(s: SparkSession, d: String): DataFrame = {
     val (path, anchors) = graphIndexPath(s, d)
@@ -3536,21 +3584,7 @@ object Similarity {
     // reachability probe: fixed 32-vector batch sample as queries
     val sample = e.filter(col("vec_id") % 10 === 9)
       .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
-    val sampleIds = sample.select(col("vec_id"))
-      .collect().map(_.getLong(0)).toSet // bounded: 32 sample ids
-    val q = e.filter(col("vec_id") < NQueries)
-    // ONE fused beam for serve ∪ reach queries: per-query beam state is
-    // independent, so the fused run is row-identical to two separate
-    // runs at half the fetch rounds (a vec_id in both sets beams once)
-    val qU = q.unionByName(sample).dropDuplicates("vec_id")
-    val scored = graphBeam(s, fetch,
-      qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")),
-      graphSeeds(qU, anchors, reps))
-    val found = scored.filter(col("query_id") === col("neighbor_id"))
-      .select(col("query_id"))
-      .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
-    val reachFrac = sampleIds.count(found).toDouble / sampleIds.size
+    val (scored, reachFrac) = serveWithReach(s, fetch, anchors, reps, e, sample)
     val all = scored.filter(col("query_id") < NQueries &&
       col("query_id") =!= col("neighbor_id"))
     withRecallGate(s, d, "s22",
@@ -3710,12 +3744,16 @@ object Similarity {
         }.toDF("vec_id", "nbrs")
         // LEFT join from the live node set: a node whose whole
         // neighborhood died with no live repairs keeps an empty list
-        // instead of vanishing from the generation
+        // instead of vanishing from the generation. Checkpointed: the
+        // adj write AND the reps derivation both consume it — without
+        // the barrier the repair+RobustPrune pipeline (the fold's most
+        // expensive stage) executes twice per build
         val folded = liveNodes.select(col("vec_id"), col("v"), col("nrm"))
           .join(lists, Seq("vec_id"), "left")
           .select(col("vec_id"), col("v"), col("nrm"),
             coalesce(col("nbrs"),
               expr("CAST(array() AS array<bigint>)")).as("nbrs"))
+          .localCheckpoint(true)
         folded.repartitionByRange(col("vec_id"))
           .sortWithinPartitions("vec_id")
           .write.mode("overwrite").parquet(s"$path/adj")
@@ -3749,18 +3787,7 @@ object Similarity {
     val sample = e.filter(col("vec_id") % 10 === 9)
       .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
-    val sampleIds = sample.select(col("vec_id"))
-      .collect().map(_.getLong(0)).toSet // bounded: 32 sample ids
-    val q = e.filter(col("vec_id") < NQueries)
-    val qU = q.unionByName(sample).dropDuplicates("vec_id")
-    val scored = graphBeam(s, fetch,
-      qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qn")),
-      graphSeeds(qU, anchors, reps))
-    val found = scored.filter(col("query_id") === col("neighbor_id"))
-      .select(col("query_id"))
-      .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
-    val reachFrac = sampleIds.count(found).toDouble / sampleIds.size
+    val (scored, reachFrac) = serveWithReach(s, fetch, anchors, reps, e, sample)
     val all = scored.filter(col("query_id") < NQueries &&
       col("query_id") =!= col("neighbor_id"))
     val res = rerank(all).select(col("query_id"), col("neighbor_id"),

@@ -1633,10 +1633,6 @@ object MatrixQueries {
         .mapValues { case (ssv, vv) =>
           Array.tabulate(vv.length)(i => delta * delta * vv(i) - ssv(i))
         }
-    def axpyv(u: BlockVec, w: BlockVec, cu: Double, cw: Double): BlockVec =
-      u.join(w, part).mapValues { case (a, b2) =>
-        Array.tabulate(a.length)(i => cu * a(i) + cw * b2(i))
-      }
     // q_d(B)·v by polyDeg Chebyshev-iteration steps on [lo, hi] ⊇
     // spec(B) — all LAZY RDD transformations: the caller's reduction
     // evaluates the whole polynomial chain inside its own job. Every

@@ -1494,20 +1494,25 @@ object Relational {
     val c = customer(s, d).select(col("c_name").as("name"))
     val vars = c.as[String].flatMap(levForms _)
       .toDF("form", "name", "d", "w")
+    // ONE name-frame aggregate serves both decisions below: evaluated
+    // by the lane pick, or (under forceLane) lazily by formsBound
+    lazy val bytesBound = r40BytesBound(c)
     val lane = forceLane.getOrElse(
-      r40PickLane(c, s.conf.get("spark.sql.shuffle.partitions").toInt))
+      if (bytesBound <=
+        96L * 1024 * 1024 * s.conf.get("spark.sql.shuffle.partitions").toInt)
+        "shuffle_hash"
+      else "grouped")
     // "grouped" is the ONE-shuffle shape: cluster the form frame once,
     // expand pairs inside each form group (round-12 refinement #3,
     // measured this round against the join lanes — see BASELINE.md);
     // the join lanes shuffle the same frame twice (once per side).
-    // formsBound (a tiny name-frame aggregate) lets the grouped lane
-    // SKIP its oversized-group pre-count whenever the WHOLE frame fits
-    // the cap — the common path pays nothing for the fallback.
-    lazy val formsBound = {
-      val l = length(col("name")).cast("long")
-      c.agg(coalesce(sum(lit(2L) * l * l + lit(1L)), lit(0L)))
-        .head.getLong(0) // bounded: ONE-row sum aggregate
-    }
+    // formsBound lets the grouped lane SKIP its oversized-group
+    // pre-count whenever the WHOLE frame fits the cap — derived FREE
+    // from the lane pick's own aggregate: every bytesBound term is
+    // ≥ 96× the forms term ((2l²+1)(2l+96) ≥ 96(2l²+1)), so
+    // bytesBound/96 over-estimates the form count, which can only
+    // disable the skip, never breach the cap.
+    lazy val formsBound = bytesBound / 96
     val cand =
       if (lane == "grouped") r40GroupedPairs(s, vars, formsBound)
       else vars.as("a")
@@ -1630,17 +1635,23 @@ object Relational {
     * OOMs (round-13 r40lanes sweep; 3× is a tie with hash, so the
     * below-ceiling pick keeps the codegen'd join). Sort-merge stays
     * reachable via the forced lane for the equivalence spec. */
-  private[graft] def r40PickLane(names: DataFrame, parts: Int): String = {
+  private[graft] def r40PickLane(names: DataFrame, parts: Int): String =
+    if (r40BytesBound(names) <= 96L * 1024 * 1024 * parts) "shuffle_hash"
+    else "grouped"
+
+  /** The exact hash-relation bytes bound the lane picker decides on —
+    * split out so [[r40]] pays the name-frame aggregate ONCE and
+    * derives its forms bound from the same number. */
+  private[graft] def r40BytesBound(names: DataFrame): Long = {
     // cast BEFORE squaring: 2·l² in IntegerType wraps negative past
     // ~32k-char names in non-ANSI mode and would silently deflate the
     // bound into picking shuffle_hash on an OOM-sized build side
     val l = length(col(names.columns.head)).cast("long") // local: Array.head on the schema's column names
-    val bytesBound = names
+    names
       .agg(coalesce(
         sum((lit(2L) * l * l + lit(1L)) * (lit(2L) * l + lit(96L))),
         lit(0L)))
       .head.getLong(0) // bounded: ONE-row sum aggregate
-    if (bytesBound <= 96L * 1024 * 1024 * parts) "shuffle_hash" else "grouped"
   }
 
   /** All (form, name, d, w) blocking rows for [[r40]]: the name with d

@@ -1890,10 +1890,8 @@ object Similarity {
       // computed DRIVER-SIDE from the already-collected gate rows:
       // intersect().count() paid two extra jobs plus a shuffle for
       // ≤ NQueries·K rows that are already on the driver
-      val exactPairs = s14ExactWitness(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-        .collect() // bounded: <= NQueries*K witness rows
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactPairs = pairSet(
+        s14ExactWitness(s, d).select(col("query_id"), col("neighbor_id")))
       val qi = res.schema.fieldIndex("query_id")
       val ni = res.schema.fieldIndex("neighbor_id")
       val resPairs = resRows.map(r => (r.getLong(qi), r.getLong(ni))).toSet

@@ -9,7 +9,9 @@ class HostLoadSpec extends AnyFunSuite {
 
   test("host-load samples parse and deltas are well-formed fractions") {
     val b = HostLoad.sample()
-    assert(b.isDefined, "/proc sampling must work on this host")
+    // HostLoad's contract is degrade-to-null off Linux / under a masked
+    // /proc — that path must CANCEL this suite, not fail it
+    assume(b.isDefined, "/proc unavailable on this host — sampling degrades to null by design")
     // burn a little SELF cpu so the delta is non-degenerate
     val stop = System.nanoTime() + 300L * 1000 * 1000
     var x = 0L

@@ -2092,6 +2092,19 @@ class PipelineSpec extends AnyFunSuite {
     } finally g.unpersist()
   }
 
+  test("graph hop fetch is a pushed-down point read (the 100 TB serve shape)") {
+    import org.apache.spark.sql.functions._
+    val (path, _) = Similarity.graphIndexPath(spark, sf01)
+    val g = spark.read.parquet(s"$path/adj")
+    val plan = g.filter(col("vec_id").isin(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    // the IN list must reach the scan: row-group min/max stats prune
+    // against it (the adjacency is range-sorted on vec_id at write),
+    // which is what makes each beam round a key lookup, not a scan
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"hop fetch lost its scan pushdown:\n$plan")
+  }
+
   test("s22 graph append: recall + reachability gates, delta discipline, determinism") {
     import org.apache.spark.sql.functions._
     val exact = topk(Similarity.s1BruteForce(spark, sf01))

@@ -1904,10 +1904,21 @@ object MatrixQueries {
     // σ̂ via the fused lazy power iteration on −S² (m19's shape)
     var pv = keep(bvec(i => 1.0 + math.cos(i * 0.3)))
     var pvPrev = pv
-    for (_ <- 0 until 12) {
+    for (it <- 0 until 12) {
       pvPrev = pv
       pv = keep(bvMatvec(sByCol, bvMatvec(sByCol, pv, part), part)
         .mapValues(_.map(-_)))
+      // rescale every 4 steps: unnormalized iterates grow as σ̂^(2·iters)
+      // and would overflow to Inf for spectral radii a few orders above
+      // the swept sizes; the Rayleigh quotient is scale-invariant, so
+      // dividing by the first block's max-abs is free (one lookup job)
+      if (it % 4 == 3) {
+        val scale = math.max(pv.lookup(0).headOption
+          .map(a => a.map(math.abs).max).getOrElse(1.0), 1e-300)
+        val pvS = keep(pv.mapValues(_.map(_ / scale)))
+        pvPrev = keep(pvPrev.mapValues(_.map(_ / scale)))
+        pv = pvS
+      }
     }
     val (rqNum, rqDen) = pv.join(pvPrev, part).map { case (_, (za, pa)) =>
       var nz = 0.0; var pp = 0.0; var i = 0

@@ -1543,11 +1543,14 @@ object Relational {
     * pre-count routes ONLY the oversized forms through the spilling
     * sort-merge self-join and unions them with the grouped expansion of
     * everything else. The pre-count itself is paid only when the frame
-    * could possibly hold such a group — `formsBound` (an exact upper
-    * bound on TOTAL form rows, from a tiny name-frame aggregate) lets
-    * the common path skip it outright, and when it does run, the
-    * oversized-form list it collects is bounded by formsBound/GroupCap
-    * rows (≤ ~25 at the 100M-row sweep frame). */
+    * could possibly hold such a group — `formsBound` (an OVER-estimate
+    * of TOTAL form rows, derived from the lane pick's bytes bound by
+    * dividing out the minimum per-row footprint, so it can run up to
+    * ~(2l+96)/96 high for l-char names — safe: overestimating only
+    * disables the skip) lets the common path skip it outright, and
+    * when it does run, the oversized-form list it collects is bounded
+    * by formsBound/GroupCap rows (correspondingly loose, ≤ ~75 at the
+    * 100M-row sweep frame). */
   private[graft] def r40GroupedPairs(s: SparkSession, vars: DataFrame,
                                      formsBound: Long = Long.MaxValue,
                                      GroupCap: Int = 4 << 20): DataFrame = {

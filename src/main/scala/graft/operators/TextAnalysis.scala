@@ -1461,6 +1461,91 @@ object TextAnalysis {
       .orderBy(col("rank"))
   }
 
+  // ------------------------------------------------------------- T22
+  /** T22: UNIGRAM-LM tokenizer APPLICATION — t17's dual for t20,
+    * completing the SentencePiece-family pair (t20 trains the piece
+    * table, t22 encodes the corpus with it): every document's words
+    * are segmented by the SAME Viterbi kernel the trainer's E-step
+    * runs ([[t20Viterbi]], identical tie rule — prefer the longer
+    * last piece — so an encode is exactly the segmentation the final
+    * EM round would have assigned).
+    *
+    * t17's scale discipline verbatim: the trained table is
+    * vocabulary-bounded (alphabet + [[t20TargetMultis]] multis) and
+    * BROADCAST; encoding is one narrow mapPartitions — zero shuffle,
+    * corpus touched once — with a per-partition word→segmentation MEMO
+    * so per-row cost is ∝ unique words seen, not tokens (Heaps: at
+    * 100 TB the memo hit rate approaches 1 and encode runs at scan
+    * speed). No SQL oracle (the table comes from t20's EM recurrence);
+    * the in-query `pass` gate holds what an encoder bug cannot
+    * survive: `roundtrip_ok` (pieces concatenate back to the word
+    * char-exact), `in_vocab_ok` (every emitted piece is a table key),
+    * `seg_ok` (every word segments — the seeded alphabet guarantees
+    * it, so a miss means table/broadcast corruption), token-count
+    * bounds (n_words ≤ n_tok ≤ n_chars), and the trainer's own `pass`
+    * folded in (a failed trainer must not silently feed encode).
+    * PipelineSpec adds equality with a driver-side encode under the
+    * frozen table. */
+  def t22UnigramEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val trained = t20UnigramTrainImpl(s, d, t15DriverLocalMaxWords)
+      .select(col("piece"), col("prob"), col("pass"))
+      .as[(String, Double, Boolean)]
+      .collect() // bounded: vocab-capped piece table (alphabet + t20TargetMultis)
+    t22EncodeOf(documents(s, d), trained.map(t => (t._1, t._2)),
+      trainerOk = trained.forall(_._3))
+  }
+
+  /** The encode body over any (doc_id, text) frame and frozen
+    * (piece, prob) table — split out so the reference spec can drive
+    * synthetic tables and corpora against a driver-side encode. */
+  private[graft] def t22EncodeOf(docs: DataFrame,
+                                 table: Seq[(String, Double)],
+                                 trainerOk: Boolean = true): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val logp: Map[String, Double] =
+      table.map { case (p, pr) => p -> math.log(pr) }.toMap
+    // derived from the table, not pinned to t20MaxPieceLen: the kernel
+    // stays standalone-correct for any synthetic table the spec feeds
+    val maxLen = if (logp.isEmpty) 1 else logp.keysIterator.map(_.length).max
+    val lpB = s.sparkContext.broadcast(logp)
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val lp = lpB.value
+        val memo = scala.collection.mutable
+          .HashMap.empty[String, Option[List[String]]]
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var nChars = 0L; var nTok = 0L
+          var rt = true; var inVocab = true; var seg = true
+          md.reset()
+          words.foreach { w =>
+            nChars += w.length
+            memo.getOrElseUpdate(w, t20Viterbi(w, lp, maxLen)) match {
+              case Some(pieces) =>
+                nTok += pieces.length
+                if (pieces.mkString != w) rt = false
+                pieces.foreach { p =>
+                  if (!lp.contains(p)) inVocab = false
+                  md.update(p.getBytes("UTF-8")); md.update(1.toByte)
+                }
+              case None => seg = false
+            }
+            md.update(2.toByte) // word boundary
+          }
+          val hash = md.digest().map("%02x".format(_)).mkString
+          (id, words.length.toLong, nChars, nTok, hash, rt, inVocab, seg,
+            trainerOk && rt && inVocab && seg &&
+              nTok <= nChars && nTok >= words.length)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_tok", "piece_hash",
+        "roundtrip_ok", "in_vocab_ok", "seg_ok", "pass")
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- T16
   /** T16: model-based quality FILTER inference — the learned-classifier
     * stage (fastText/DCLM-style) that sits beside the rule-based
@@ -1619,6 +1704,7 @@ object TextAnalysis {
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_unigram_encode" -> (t22UnigramEncode _),
     "t20_unigram_train" -> (t20UnigramTrain _),
     "t19_keyword_extract" -> (t19KeywordExtract _),
     "t18_ngram_novelty" -> (t18NgramNovelty _),

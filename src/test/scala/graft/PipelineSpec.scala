@@ -1704,6 +1704,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("t22 unigram encode equals a driver-side Viterbi encode under the " +
+    "frozen t20 table, and gates catch a corrupted table") {
+    import spark.implicits._
+    val docs = t20SyntheticDocs.toDF("doc_id", "text")
+    val trained = TextAnalysis.t20TrainOf(docs, Long.MaxValue).collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val got = TextAnalysis.t22EncodeOf(docs, trained.toSeq).collect()
+    assert(got.forall(_.getAs[Boolean]("pass")), "t22 gate red on clean table")
+    // driver-side reference: same frozen table, same Viterbi kernel
+    // invoked word-by-word with no memo/partitioning in the loop
+    val logp = trained.map { case (p, pr) => p -> math.log(pr) }.toMap
+    val maxLen = logp.keysIterator.map(_.length).max
+    val refRows = t20SyntheticDocs.map { case (id, text) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var nTok = 0L
+      words.foreach { w =>
+        val pieces = TextAnalysis.t20Viterbi(w, logp, maxLen).get
+        nTok += pieces.length
+        pieces.foreach { p =>
+          md.update(p.getBytes("UTF-8")); md.update(1.toByte)
+        }
+        md.update(2.toByte)
+      }
+      (id, words.length.toLong, nTok,
+        md.digest().map("%02x".format(_)).mkString)
+    }
+    assert(got.length == refRows.length)
+    got.zip(refRows).foreach { case (g, (id, nw, nt, h)) =>
+      assert(g.getAs[Long]("doc_id") == id)
+      assert(g.getAs[Long]("n_words") == nw)
+      assert(g.getAs[Long]("n_tok") == nt,
+        s"doc $id: n_tok ${g.getAs[Long]("n_tok")} != reference $nt")
+      assert(g.getAs[String]("piece_hash") == h,
+        s"doc $id: encode diverged from the driver-side reference")
+    }
+    // some word must really compress: fewer pieces than characters
+    assert(got.exists(r => r.getAs[Long]("n_tok") < r.getAs[Long]("n_chars")),
+      "corpus never exercised multi-char pieces")
+    // corrupted table (alphabet hole): 'b'-words cannot segment —
+    // seg_ok and pass must flip, not silently pass
+    val holed = trained.toSeq.filterNot(_._1 == "b")
+      .filterNot { case (p, _) => p.contains("b") }
+    val bad = TextAnalysis.t22EncodeOf(docs, holed).collect()
+    assert(bad.exists(r => !r.getAs[Boolean]("seg_ok")), "alphabet hole unseen")
+    assert(bad.exists(r => !r.getAs[Boolean]("pass")))
+    // trainer failure propagates: trainerOk=false reddens every row
+    val tf = TextAnalysis.t22EncodeOf(docs, trained.toSeq, trainerOk = false)
+      .collect()
+    assert(tf.forall(r => !r.getAs[Boolean]("pass")),
+      "a failed trainer must not feed a green encode")
+  }
+
+  test("t22 at the gate corpus: invariants hold end-to-end") {
+    val rows = TextAnalysis.t22UnigramEncode(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("pass")),
+      "t22 in-query invariant gate red at the gate corpus")
+  }
+
   test("t15 BPE: 256-merge request trains to exhaustion, matching the reference trainer exactly") {
     val rows = TextAnalysis.t15BpeTrain(spark, sf001).collect()
     assert(TextAnalysis.t15LastRegime == "driver-local",

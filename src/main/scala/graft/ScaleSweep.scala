@@ -254,7 +254,16 @@ object ScaleSweep {
       // st18: streamed serving must track the PROBE cost — queries ×
       // probed-cell size ≈ √corpus (measured 3.1× at 10×, the √10 cell
       // growth) — never the full corpus
-      "st18_stream_ann_serve" -> (graft.streaming.Streaming.st18StreamAnnServe _))
+      "st18_stream_ann_serve" -> (graft.streaming.Streaming.st18StreamAnnServe _),
+      // round-15 members: s25 must track s21's point-read serve (the
+      // label fetch is a second key-pruned read, the beam a bounded
+      // constant wider); s26 is artifact-proportional (admin scan);
+      // t22 rides t17's memoized scan-speed encode curve; st19's
+      // per-epoch cost ∝ batch×shard under the exact sel-sparse lane
+      "s25_graph_filtered" -> (graft.operators.Similarity.s25GraphFiltered _),
+      "s26_graph_stats" -> (graft.operators.Similarity.s26GraphStats _),
+      "t22_unigram_encode" -> (graft.operators.TextAnalysis.t22UnigramEncode _),
+      "st19_stream_graph_ingest" -> (graft.streaming.Streaming.st19StreamGraphIngest _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
@@ -269,6 +278,26 @@ object ScaleSweep {
       // index builds are ingest work at every scale — serving is timed
       try graft.operators.Similarity.ensureIndexes(spark, dir)
       catch { case e: Throwable => System.err.println(s"[scale] ensureIndexes($dir): $e") }
+      // round-15: the graph BUILD trend, timed explicitly (the
+      // round-12 file-layout lesson: ingest-side costs need their own
+      // row or they hide inside ensureIndexes). Both kernels timed as
+      // the adjacency computation — the build's dominant term — so the
+      // row shows NN-descent's ~linear-in-corpus curve against the
+      // retired exact kernel's ~n^1.5 one.
+      try {
+        val e = graft.operators.Similarity.prepared(spark, dir)
+          .localCheckpoint(true)
+        val anchors = graft.operators.Similarity.trainedAnchors(spark, dir, e)
+        val t0 = System.nanoTime()
+        graft.operators.Similarity.s21Graph(e, anchors).count()
+        val tNnd = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.operators.Similarity.s21GraphExact(e, anchors).count()
+        val tExact = (System.nanoTime() - t1) / 1e9
+        println(f"""[scale] {"scale":$n,"graph_build_nnd":$tNnd%.2f,"graph_build_exact":$tExact%.2f}""")
+      } catch {
+        case e: Throwable => System.err.println(s"[scale] graph build trend@x$n: $e")
+      }
       val times = flagships.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, dir).count(); true } catch {

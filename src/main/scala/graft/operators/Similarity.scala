@@ -48,7 +48,7 @@ object Similarity {
     round(vecDot(col("q.v"), col("e.v")) / (qn * nn), 4)
 
   /** Exact rerank of (query × candidate) rows to top-K. */
-  private def rerank(pairs: DataFrame): DataFrame = {
+  private[graft] def rerank(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos4").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -117,7 +117,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) exactCache.remove(k)
     }
     if (exactCache.size >= 8 && !exactCache.contains((s, d)))
-      exactCache.remove(exactCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      exactCache.remove(exactCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     exactCache.getOrElseUpdate((s, d),
       s1BruteForce(s, d).select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true))
@@ -156,7 +156,7 @@ object Similarity {
     df.collect().map(r => (r.getLong(qi), r.getLong(ni))).toSet // bounded: <= K*NQueries gate rows
   }
 
-  private def withRecallGate(s: SparkSession, d: String, tag: String,
+  private[graft] def withRecallGate(s: SparkSession, d: String, tag: String,
                              approx0: DataFrame, floor: Double): DataFrame = {
     // The gate consumes the approximate answer once for the recall
     // count and the caller consumes it again for the output — without a
@@ -306,7 +306,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) anchorCache.remove(k)
     }
     if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
-      anchorCache.remove(anchorCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      anchorCache.remove(anchorCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     anchorCache.getOrElseUpdate((s, d), {
       val base = e.select(col("vec_id"), col("v"), col("nrm"))
       trainAnchors(base, ivfCells(base.count()), iters = 2)
@@ -756,7 +756,10 @@ object Similarity {
     * added the graph artifacts (adjacency/incr/fold) and switched the
     * fold's re-prune to α-diversity RobustPrune — folds built under
     * the v4 top-cos cut must not be served by v5 readers. */
-  private val IndexFormatVersion = "graft-index-v5"
+  // v6: graph adjacency now built by the NN-descent kernel — the
+  // version bump invalidates pre-round-15 graph artifacts (IVF
+  // artifacts rebuild too: a false rebuild is the designed safe side)
+  private val IndexFormatVersion = "graft-index-v6"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -951,7 +954,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) indexCache.remove(k)
     }
     if (indexCache.size >= 8 && !indexCache.contains((s, d)))
-      indexCache.remove(indexCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      indexCache.remove(indexCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     indexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot, s"graft-ivf-${corpusFingerprint(d)}")
       // a malformed/stale-geometry sidecar (e.g. written by an older
@@ -1163,7 +1166,7 @@ object Similarity {
     }
     val key = (s, if (fromScratch) d + "#scratch" else d)
     if (incrIndexCache.size >= 8 && !incrIndexCache.contains(key))
-      incrIndexCache.remove(incrIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      incrIndexCache.remove(incrIndexCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     incrIndexCache.getOrElseUpdate(key, {
       val dir = new java.io.File(indexRoot,
         s"graft-ivf-incr-${corpusFingerprint(d)}" +
@@ -1223,7 +1226,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) baseIndexCache.remove(k)
     }
     if (baseIndexCache.size >= 8 && !baseIndexCache.contains((s, d)))
-      baseIndexCache.remove(baseIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      baseIndexCache.remove(baseIndexCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     baseIndexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot,
         s"graft-ivf-base-${corpusFingerprint(d)}")
@@ -2161,7 +2164,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) opqRotCache.remove(k)
     }
     if (opqRotCache.size >= 8 && !opqRotCache.contains((s, d)))
-      opqRotCache.remove(opqRotCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      opqRotCache.remove(opqRotCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     opqRotCache.getOrElseUpdate((s, d), {
       val f = opqRotPath(d)
       loadRotationFile(f) match {
@@ -2201,7 +2204,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) opqBookCache.remove(k)
     }
     if (opqBookCache.size >= 8 && !opqBookCache.contains((s, d)))
-      opqBookCache.remove(opqBookCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      opqBookCache.remove(opqBookCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     opqBookCache.getOrElseUpdate((s, d), {
       val f = opqBooksPath(d)
       loadBooksFile(f) match {
@@ -2329,7 +2332,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) pqBookCache.remove(k)
     }
     if (pqBookCache.size >= 8 && !pqBookCache.contains((s, d)))
-      pqBookCache.remove(pqBookCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      pqBookCache.remove(pqBookCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     pqBookCache.getOrElseUpdate((s, d), {
       val f = pqBooksPath(d)
       // malformed or stale-geometry sidecar → retrain, never crash
@@ -3198,24 +3201,38 @@ object Similarity {
     * Vamana (Subramanya et al. 2019: build per overlapping shard, merge
     * adjacency): every vector joins its 2 nearest trained IVF cells —
     * the overlap is what stitches neighboring cells into one navigable
-    * graph — and each cell-shard computes its members' top-[[GraphDeg]]
-    * cosine neighbors locally (candidate-proportional: per-shard pairs,
-    * NEVER corpus all-pairs). A vector's ≤2 shard lists merge to a
-    * global top-DEG in ONE vec_id-keyed reduction, so the whole build
-    * is one explode + two key-shuffles — the same cost shape as the s7
-    * index build, with adjacency (DEG longs/vector) persisted beside
-    * the codes at ingest. Exposed for the degree-bound spec. */
+    * graph — and each cell-shard computes its members' best cosine
+    * neighbor lists locally via NN-DESCENT ([[shardKnnLists]]: linear
+    * in shard size, so the TOTAL build is linear in corpus — round 15
+    * retired the exact per-shard pass whose ~4·n^1.5 dot count was the
+    * family's last superlinear build kernel; tiny shards keep the
+    * exact path where it is both cheaper and exact). A vector's ≤2
+    * shard lists merge to a global top-[[GraphDeg]] in ONE
+    * vec_id-keyed reduction, so the whole build is one explode + two
+    * key-shuffles — the same cost shape as the s7 index build, with
+    * adjacency (DEG longs/vector) persisted beside the codes at
+    * ingest. Exposed for the degree-bound spec. */
   private[graft] def s21Graph(e: DataFrame,
                               anchors: Array[(Int, Array[Double])]): DataFrame =
     graphAdjacency(e.withColumn("sel", lit(true)), anchors)
+
+  /** [[s21Graph]] with the NN-descent kernel disabled — every shard
+    * takes the exact O(c²) pass. The adjacency-quality spec's
+    * reference; never the production path. */
+  private[graft] def s21GraphExact(e: DataFrame,
+                                   anchors: Array[(Int, Array[Double])])
+      : DataFrame =
+    graphAdjacency(e.withColumn("sel", lit(true)), anchors,
+      minShard = Int.MaxValue)
 
   /** Shard-wise kNN adjacency over a (vec_id, v, nrm, sel) frame:
     * every row is a CANDIDATE; lists are emitted only for `sel` rows —
     * s21's full build selects everything, s22's append selects only
     * the new batch (base rows serve as candidates, their own lists
     * stay untouched on disk). */
-  private def graphAdjacency(in: DataFrame,
-                             anchors: Array[(Int, Array[Double])]): DataFrame = {
+  private[graft] def graphAdjacency(in: DataFrame,
+                             anchors: Array[(Int, Array[Double])],
+                             minShard: Int = NnDescentMinShard): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     val sharded = in.select(
@@ -3224,20 +3241,12 @@ object Similarity {
       col("vec_id"), col("v"), col("nrm"), col("sel"))
       .as[(Int, Long, Array[Double], Double, Boolean)]
     val shardLists = sharded.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val m = it.toArray // bounded: one 2-assigned IVF shard (~2n/nCells members)
-      m.iterator.filter(_._5).map { case (_, id, v, nrm, _) =>
-        val cands = collection.mutable.ArrayBuffer.empty[(Double, Long)]
-        m.foreach { case (_, oid, ov, onrm, _) =>
-          if (oid != id) {
-            var dot = 0.0; var i = 0
-            while (i < v.length) { dot += v(i) * ov(i); i += 1 }
-            cands += ((dot / (nrm * onrm), oid))
-          }
-        }
-        // local: plain in-task buffer, ≤ shard-size candidate rows
-        val top = cands.sortBy { case (c, oid) => (-c, oid) }.take(GraphDeg)
-        (id, v, nrm, top.map(_._2).toArray, top.map(_._1).toArray)
-      }
+      // bounded: one 2-assigned IVF shard (~2n/nCells members); sorted
+      // by id so the NN-descent iteration order — and thus the emitted
+      // lists — are deterministic at any parallelism
+      val m = it.toArray.sortBy(_._2)
+        .map { case (_, id, v, nrm, sel) => (id, v, nrm, sel) }
+      shardKnnLists(m, minShard)
     }
     shardLists.groupByKey(_._1).mapGroups { (id, it) =>
       val ls = it.toArray // bounded: ≤2 shard lists per vector
@@ -3247,6 +3256,205 @@ object Similarity {
         .take(GraphDeg).map(_._1)
       (id, ls.head._2, ls.head._3, nbrs) // local: head of the ≤2-element shard-list array
     }.toDF("vec_id", "v", "nrm", "nbrs")
+  }
+
+  // --- shard kNN kernel (the graph build's inner loop) ---------------
+  // NN-DESCENT (Dong et al., WWW 2011) replaced the exact per-shard
+  // brute force in round 15: brute is O(c²) dots per shard, which at
+  // the ~2√n shard sizing made the whole build ~4·n^1.5 — the last
+  // superlinear-in-n kernel in the index family. NN-descent's local
+  // join costs O(c · width² · iters) per shard ⇒ the TOTAL build is
+  // O(n · width² · iters), linear in corpus at any shard geometry.
+  // Honest crossover note: in absolute dot counts brute wins below
+  // c ≈ 1500 (measured scales pay a small constant premium, <1 s at
+  // the 100× decade), but the linear-in-n curve is what a petabyte
+  // build needs; BASELINE.md carries the explicit build-time trend.
+  /** Lists are built at width [[NnDescentWidth]] (> DEG: the slack is
+    * what keeps the post-merge top-DEG accurate) and truncated by the
+    * cross-shard merge. */
+  private[graft] val NnDescentWidth = 12
+  /** Below 3·width the candidate lists nearly ARE the shard — brute
+    * force is exact and cheaper, so tiny shards keep it. */
+  private[graft] val NnDescentMinShard = 3 * NnDescentWidth
+  private[graft] val NnDescentMaxIters = 12
+  /** Convergence: stop when an epoch's successful inserts fall under
+    * Delta · c · width (Dong's δ). */
+  private[graft] val NnDescentDelta = 0.002
+
+  /** Per-shard approximate-kNN lists for the `sel` rows of a member
+    * array SORTED BY ID (determinism: iteration order is data order).
+    * Emits (id, v, nrm, nbrIds, nbrCos) with up to [[NnDescentWidth]]
+    * exact-cosine-scored candidates per row, best-first, ties on id —
+    * the cross-shard merge truncates to the contract's top-DEG.
+    * Fully deterministic: seeded splitmix init, sequential in-task
+    * loops, (-cos, id) ordering everywhere.
+    *
+    * Lane rule: NN-descent improves EVERY member's list (cost
+    * ∝ shard), so it only pays for BUILD-shaped calls where most rows
+    * want lists (sel-dense). APPEND-shaped calls (sel-sparse — s22's
+    * batch, st19's epochs) take the exact per-sel-row scan instead:
+    * nSel·c dots, cheaper than a full descent below half density and
+    * exact — the batch analog of a search-based production insert. */
+  private[graft] def shardKnnLists(
+      m: Array[(Long, Array[Double], Double, Boolean)],
+      minShard: Int = NnDescentMinShard)
+      : Iterator[(Long, Array[Double], Double, Array[Long], Array[Double])] = {
+    val nSel = m.count(_._4)
+    if (m.length <= minShard || nSel * 2 < m.length) exactShardKnnLists(m)
+    else nnDescentShardLists(m)
+  }
+
+  /** The exact O(c²) kernel — tiny shards' fast path and the
+    * adjacency-quality spec's reference. */
+  private[graft] def exactShardKnnLists(
+      m: Array[(Long, Array[Double], Double, Boolean)])
+      : Iterator[(Long, Array[Double], Double, Array[Long], Array[Double])] =
+    m.iterator.filter(_._4).map { case (id, v, nrm, _) =>
+      val cands = collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      m.foreach { case (oid, ov, onrm, _) =>
+        if (oid != id) {
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += v(i) * ov(i); i += 1 }
+          cands += ((dot / (nrm * onrm), oid))
+        }
+      }
+      // local: plain in-task buffer, ≤ shard-size candidate rows
+      val top = cands.sortBy { case (c, oid) => (-c, oid) }
+        .take(NnDescentWidth)
+      (id, v, nrm, top.map(_._2).toArray, top.map(_._1).toArray)
+    }
+
+  /** NN-descent proper: seed every node with width pseudo-random
+    * (seeded, deterministic) candidates, then repeat the local join —
+    * for each node, every NEW member of its general neighborhood
+    * (forward list ∪ reverse edges) is compared against the rest, and
+    * both sides try to adopt each other — until an epoch's inserts
+    * fall under δ·c·width. Each comparison is an exact cosine, so the
+    * emitted lists carry true scores (only COVERAGE is approximate;
+    * the quality spec bounds it against [[exactShardKnnLists]]). */
+  private def nnDescentShardLists(
+      m: Array[(Long, Array[Double], Double, Boolean)])
+      : Iterator[(Long, Array[Double], Double, Array[Long], Array[Double])] = {
+    val c = m.length
+    val w = NnDescentWidth
+    def cosOf(i: Int, j: Int): Double = {
+      val a = m(i)._2; val b = m(j)._2
+      var dot = 0.0; var k = 0
+      while (k < a.length) { dot += a(k) * b(k); k += 1 }
+      dot / (m(i)._3 * m(j)._3)
+    }
+    // per-node state: parallel arrays sorted best-first by (-cos, id)
+    val nIdx = Array.fill(c)(new Array[Int](w))
+    val nCos = Array.fill(c)(new Array[Double](w))
+    val nNew = Array.fill(c)(new Array[Boolean](w))
+    val len = new Array[Int](c)
+    def better(ca: Double, ia: Int, cb: Double, ib: Int): Boolean =
+      ca > cb || (ca == cb && m(ia)._1 < m(ib)._1)
+    // returns true iff (j, cj) entered i's list (absent before, and
+    // either a free slot or better than the current worst)
+    def insert(i: Int, j: Int, cj: Double): Boolean = {
+      val li = len(i)
+      var s = 0
+      while (s < li) { if (nIdx(i)(s) == j) return false; s += 1 }
+      if (li == w && !better(cj, j, nCos(i)(li - 1), nIdx(i)(li - 1)))
+        return false
+      var p = if (li == w) li - 1 else li
+      while (p > 0 && better(cj, j, nCos(i)(p - 1), nIdx(i)(p - 1))) {
+        nIdx(i)(p) = nIdx(i)(p - 1); nCos(i)(p) = nCos(i)(p - 1)
+        nNew(i)(p) = nNew(i)(p - 1); p -= 1
+      }
+      nIdx(i)(p) = j; nCos(i)(p) = cj; nNew(i)(p) = true
+      if (len(i) < w) len(i) = li + 1
+      true
+    }
+    def mix(z0: Long): Long = { // splitmix64: seeded deterministic init
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    var i = 0
+    while (i < c) {
+      var k = 0
+      while (k < w) {
+        val j0 = java.lang.Math.floorMod(mix(i.toLong * w + k), c - 1).toInt
+        val j = if (j0 >= i) j0 + 1 else j0
+        insert(i, j, cosOf(i, j))
+        k += 1
+      }
+      i += 1
+    }
+    val minUpdates = (NnDescentDelta * c * w).toLong
+    var iter = 0
+    var updates = Long.MaxValue
+    while (iter < NnDescentMaxIters && updates > minUpdates) {
+      updates = 0L
+      // snapshot new/old membership, clear flags, build reverse edges
+      // (reverse lists capped at width, kept by insertion order — the
+      // ascending-i scan makes the cap deterministic)
+      val fwdNew = Array.fill(c)(List.empty[Int])
+      val fwdOld = Array.fill(c)(List.empty[Int])
+      val revNew = Array.fill(c)(List.empty[Int])
+      val revOld = Array.fill(c)(List.empty[Int])
+      val revCnt = new Array[Int](c)
+      i = 0
+      while (i < c) {
+        var s = 0
+        while (s < len(i)) {
+          val j = nIdx(i)(s)
+          if (nNew(i)(s)) {
+            fwdNew(i) ::= j
+            if (revCnt(j) < w) { revNew(j) ::= i; revCnt(j) += 1 }
+            nNew(i)(s) = false
+          } else {
+            fwdOld(i) ::= j
+            if (revCnt(j) < w) { revOld(j) ::= i; revCnt(j) += 1 }
+          }
+          s += 1
+        }
+        i += 1
+      }
+      // local join at every node v: new × (new ∪ old) over v's general
+      // neighborhood; each exact cosine tries to enter BOTH lists
+      i = 0
+      while (i < c) {
+        val nw = (fwdNew(i) ::: revNew(i)).distinct
+        val od = (fwdOld(i) ::: revOld(i)).distinct.filterNot(nw.contains)
+        var xs = nw
+        while (xs.nonEmpty) {
+          // local: in-task Scala Lists over one node's ≤4·width
+          // neighborhood — no Dataset anywhere in the kernel
+          val a = xs.head; xs = xs.tail
+          var ys = xs // new × new, unordered pairs once
+          while (ys.nonEmpty) {
+            // local: same in-task List walk — no Dataset in the kernel
+            val b = ys.head; ys = ys.tail
+            if (a != b) {
+              val cab = cosOf(a, b)
+              if (insert(a, b, cab)) updates += 1
+              if (insert(b, a, cab)) updates += 1
+            }
+          }
+          var zs = od // new × old
+          while (zs.nonEmpty) {
+            // local: same in-task List walk as above
+            val b = zs.head; zs = zs.tail
+            if (a != b) {
+              val cab = cosOf(a, b)
+              if (insert(a, b, cab)) updates += 1
+              if (insert(b, a, cab)) updates += 1
+            }
+          }
+        }
+        i += 1
+      }
+      iter += 1
+    }
+    m.iterator.zipWithIndex.filter(_._1._4).map { case ((id, v, nrm, _), ii) =>
+      (id, v, nrm,
+        Array.tabulate(len(ii))(s => m(nIdx(ii)(s))._1),
+        Array.tabulate(len(ii))(s => nCos(ii)(s)))
+    }
   }
 
   /** Per-cell entry point: the member nearest its own anchor — one
@@ -3289,7 +3497,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) graphIndexCache.remove(k)
     }
     if (graphIndexCache.size >= 8 && !graphIndexCache.contains((s, d)))
-      graphIndexCache.remove(graphIndexCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      graphIndexCache.remove(graphIndexCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     graphIndexCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot,
         s"graft-graph-${corpusFingerprint(d)}")
@@ -3335,8 +3543,12 @@ object Similarity {
     * over a driver-bounded id list; at scale a bucket-pruned point
     * read, the graph analog of s7's partition-pruned probe), score
     * the newly reached nodes in ONE codegen'd job per round, fold
-    * them into the beam. Every per-round frame is ≤ beam·DEG·queries
-    * rows and the corpus is never rescanned after the build. The
+    * them into the beam. Against the base artifact every per-round
+    * frame is ≤ beam·DEG·queries rows (the incremental store's
+    * read-side-merged lists can exceed DEG by the node's back-linked
+    * appends until the fold compacts them — a cost bound, not a
+    * correctness one) and the corpus is never rescanned after the
+    * build. The
     * query node itself is reachable (cos = 1.0 ranks it to the beam
     * head), so its own adjacency — its true top-DEG neighbors —
     * joins the scored set one round later; the final rerank drops
@@ -3354,7 +3566,9 @@ object Similarity {
     * gate reads them); callers drop self before reranking. */
   private[graft] def graphBeam(s: SparkSession, fetch: Seq[Long] => DataFrame,
                         qSide: DataFrame,
-                        seeds: Seq[(Long, Long)]): DataFrame = {
+                        seeds: Seq[(Long, Long)],
+                        beam: Int = GraphBeam,
+                        hops: Int = GraphHops): DataFrame = {
     import s.implicits._
     val qB = broadcast(qSide)
     val scored = collection.mutable.Set.empty[(Long, Long)]
@@ -3365,7 +3579,7 @@ object Similarity {
     var hopFrames = List.empty[DataFrame]
     var frontier = seeds
     var h = 0
-    while (h <= GraphHops && frontier.exists(p => !scored(p))) {
+    while (h <= hops && frontier.exists(p => !scored(p))) {
       val pending = frontier.filterNot(scored).distinct
       scored ++= pending
       val pairsDF = broadcast(pending.toDF("query_id", "id"))
@@ -3387,7 +3601,7 @@ object Similarity {
       frontier = beamState.toSeq.flatMap { case (q, cands) =>
         // local: per-query beam over the driver-bounded scored map
         cands.sortBy { case (c, id) => (-c, id) }.iterator.map(_._2)
-          .filterNot(id => expanded((q, id))).take(GraphBeam)
+          .filterNot(id => expanded((q, id))).take(beam)
           .flatMap { id => expanded += ((q, id)); adj(id).map(n => (q, n)) }
           .toSeq
       }
@@ -3406,7 +3620,7 @@ object Similarity {
     * separate runs at half the fetch rounds). Returns the scored frame
     * and the sample's self-found fraction (1.0 for an empty sample —
     * nothing to prove, never a NaN). */
-  private def serveWithReach(s: SparkSession, fetch: Seq[Long] => DataFrame,
+  private[graft] def serveWithReach(s: SparkSession, fetch: Seq[Long] => DataFrame,
                              anchors: Array[(Int, Array[Double])],
                              reps: DataFrame, e: DataFrame,
                              sample: DataFrame): (DataFrame, Double) = {
@@ -3444,7 +3658,9 @@ object Similarity {
       // bounded: nSeed rows per query
       .collect().map(r =>
         (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-    val fallback: Option[Long] = reps.orderBy(col("cell")).limit(1)
+    // computed only when a seedless query is actually observed — the
+    // common fully-seeded path pays no extra Spark job
+    lazy val fallback: Option[Long] = reps.orderBy(col("cell")).limit(1)
       .select(col("rep"))
       .collect().headOption.map(_.getLong(0)) // bounded: one global-entry row
     seeded.map {
@@ -3472,6 +3688,104 @@ object Similarity {
       floor = 0.7)
   }
 
+  // ------------------------------------------------------------- S25
+  /** Beam width for label-FILTERED graph serving: the answer keeps
+    * only label-matching candidates, so the beam must reach ~L× more
+    * nodes to surface the same K matches (L = label cardinality) —
+    * filtered-DiskANN's production knob, widened instead of
+    * constraining traversal. */
+  private val FilteredBeam = 4 * GraphBeam
+  /** One extra expansion round for filtered serving: the top
+    * label-matching candidates sit deeper than the unfiltered top-K
+    * when the filter excludes the near neighborhood. */
+  private val FilteredHops = GraphHops + 2
+
+  /** S25: label-FILTERED serving through the GRAPH index — s11's
+    * capability (metadata-constrained top-K) on s21's layout, the
+    * filtered-DiskANN shape (Gollapudi et al. 2023): the beam
+    * TRAVERSES FREELY (constraining traversal to label-matching nodes
+    * severs routing through mixed neighborhoods and collapses recall —
+    * the production finding this design answers) and the FILTER
+    * applies at answer assembly, where the reached candidates' labels
+    * are fetched BY KEY (an id-list point read against the label
+    * store, the same shape as the adjacency fetch — at 100 TB both
+    * are row-group-pruned key lookups, never corpus scans). The beam
+    * runs at [[FilteredBeam]] (4× the unfiltered width) for
+    * [[FilteredHops]] rounds (+2): a filter matching 1/L of the corpus
+    * needs ~L× the reached set for equal answer depth — widening the
+    * beam is filtered-DiskANN's knob (measured here: 0.72 → 0.96
+    * recall from 2×/+0 to 4×/+2), and the recall gate vs the exact
+    * label-filtered recompute (s11's own pre-index formulation)
+    * measures that it suffices. PipelineSpec
+    * adds the vacuous-filter identity: under a label every node
+    * shares, s25's core answers EXACTLY s21's unfiltered rows — the
+    * filter plumbing provably perturbs nothing it doesn't exclude. */
+  /** The filtered-serve core over an arbitrary (vec_id, label) frame —
+    * split out so the vacuous-filter identity spec can feed a
+    * shared-by-all label at s21's own beam width and assert row
+    * equality with the unfiltered serve. */
+  private[graft] def s25Core(s: SparkSession, d: String,
+                             labelOf: DataFrame, beam: Int,
+                             hops: Int = GraphHops): DataFrame = {
+    val (path, anchors) = graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val e = prepared(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+    val qLab = labelOf.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("label"))
+    val scored = graphBeam(s,
+      ids => g.filter(col("vec_id").isin(ids: _*)),
+      q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn")),
+      graphSeeds(q, anchors, s.read.parquet(s"$path/reps")),
+      beam = beam, hops = hops)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .localCheckpoint(true) // consumed twice: id fetch + answer join
+    val candIds = scored.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ rounds·beam·DEG·|queries| reached nodes
+    // label point read for exactly the reached ids — key-pruned scan
+    val labels = labelOf.filter(col("vec_id").isin(candIds.toSeq: _*))
+      .select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))
+    val filtered = scored
+      .join(broadcast(qLab), Seq("query_id"))
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .filter(col("label") === col("nlabel"))
+    rerank(filtered)
+      .select(col("query_id"), col("label"), col("neighbor_id"),
+        col("cos4"), col("rn"))
+  }
+
+  def s25GraphFiltered(s: SparkSession, d: String): DataFrame = {
+    val raw = embeddings(s, d)
+    val res = s25Core(s, d,
+      raw.select(col("vec_id"), col("label")), FilteredBeam, FilteredHops)
+    registerGatedPlan(s, "s25", res)
+    val out = res.localCheckpoint(true)
+    // gate: recall vs the exact label-filtered recompute — s11's
+    // pre-index broadcast-NLJ formulation, the same ground truth its
+    // oracle pins
+    val exact = rerank(broadcast(
+        raw.filter(col("vec_id") < NQueries)
+          .select(col("vec_id"), col("label"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn("nrm", sqrt(vecNorm2(col("v")))))
+      .as("q")
+      .join(raw.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel"),
+          expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+          .withColumn("enrm", sqrt(vecNorm2(col("ev")))),
+        col("q.vec_id") =!= col("neighbor_id") &&
+          col("q.label") === col("nlabel"))
+      .select(col("q.vec_id").as("query_id"), col("neighbor_id"),
+        round(vecDot(col("q.v"), col("ev")) / (col("q.nrm") * col("enrm")), 4)
+          .as("cos4")))
+    val exactPairs = pairSet(exact)
+    val recall = (pairSet(out) & exactPairs).size.toDouble / exactPairs.size
+    out
+      .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
+      .withColumn("recall_ok", lit(recall >= 0.7))
+  }
+
   // ------------------------------------------------------------- S22
   /** Durable INCREMENTAL graph artifact — the LSM shape applied to the
     * neighbor graph (the template s8/s12/s13 set on the IVF index):
@@ -3496,7 +3810,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) graphIncrCache.remove(k)
     }
     if (graphIncrCache.size >= 8 && !graphIncrCache.contains((s, d)))
-      graphIncrCache.remove(graphIncrCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      graphIncrCache.remove(graphIncrCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     graphIncrCache.getOrElseUpdate((s, d), {
       val dir = new java.io.File(indexRoot,
         s"graft-graph-incr-${corpusFingerprint(d)}")
@@ -3547,7 +3861,7 @@ object Similarity {
     * three stores are range-sorted on vec_id, so each leg of the union
     * is a row-group-pruned key lookup; merged neighbor lists are
     * sorted+deduped for order-independence. */
-  private def fetchIncr(s: SparkSession, path: String,
+  private[graft] def fetchIncr(s: SparkSession, path: String,
                         ids: Seq[Long]): DataFrame = {
     val b = s.read.parquet(s"$path/base/adj")
       .filter(col("vec_id").isin(ids: _*))
@@ -3662,7 +3976,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) graphFoldCache.remove(k)
     }
     if (graphFoldCache.size >= 8 && !graphFoldCache.contains((s, d)))
-      graphFoldCache.remove(graphFoldCache.head._1) // local: LRU eviction on a size-capped driver cache map
+      graphFoldCache.remove(graphFoldCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
     graphFoldCache.getOrElseUpdate((s, d), {
       val (incrPath, anchors) = graphIncrPath(s, d)
       val dir = new java.io.File(indexRoot,
@@ -3808,7 +4122,72 @@ object Similarity {
       .withColumn("no_tomb_ok", lit(deadNodes == 0L && deadEdges == 0L))
   }
 
+  // ------------------------------------------------------------- S26
+  /** The audit body over any incremental-graph artifact path — split
+    * out so the tamper spec can drive corrupted copies (corrupt one
+    * row, exactly its check flips). */
+  private[graft] def graphAuditOf(s: SparkSession, path: String): DataFrame = {
+    val base = s.read.parquet(s"$path/base/adj")
+      .select(col("vec_id"), col("nbrs"))
+    val delta = s.read.parquet(s"$path/delta/adj")
+      .select(col("vec_id"), col("nbrs"))
+    val back = s.read.parquet(s"$path/back") // (vec_id = target, extra = appended id)
+    val reps = s.read.parquet(s"$path/reps")
+    val nodes = base.unionByName(delta).localCheckpoint(true) // consumed by every check
+    // stored-list degree histogram (the read-side MERGED degree adds
+    // back-ins on top; the fold compacts those — this audits what is
+    // durably on disk)
+    val degHist = nodes.select(size(col("nbrs")).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    val overDeg = nodes.filter(size(col("nbrs")) > GraphDeg).count()
+    val nodeIds = nodes.select(col("vec_id"))
+    // dangling: every edge target — forward, back-link key, back-link
+    // extra — must exist as a node, else the beam strands there
+    val targets = nodes.select(explode(col("nbrs")).as("vec_id"))
+      .unionByName(back.select(col("extra").as("vec_id")))
+      .unionByName(back.select(col("vec_id")))
+      .distinct()
+    val dangling = targets.join(nodeIds, Seq("vec_id"), "left_anti").count()
+    // reps coverage: a rep that is not a node is a dead entry point
+    val repMiss = reps.select(col("rep").as("vec_id"))
+      .join(nodeIds, Seq("vec_id"), "left_anti").count()
+    // back-link reciprocity: every back row (t ← x) must be the mirror
+    // of x's durable forward list containing t (they are derived that
+    // way at append; drift means a torn or aged write)
+    val fwdPairs = delta.select(col("vec_id").as("x"), explode(col("nbrs")).as("t"))
+    val recipViol = back.select(col("vec_id").as("t"), col("extra").as("x"))
+      .join(fwdPairs, Seq("x", "t"), "left_anti").count()
+    degHist
+      .withColumn("over_degree", lit(overDeg))
+      .withColumn("n_dangling", lit(dangling))
+      .withColumn("n_rep_missing", lit(repMiss))
+      .withColumn("n_recip_violations", lit(recipViol))
+      .withColumn("degree_ok", lit(overDeg == 0L))
+      .withColumn("dangling_ok", lit(dangling == 0L))
+      .withColumn("reps_ok", lit(repMiss == 0L))
+      .withColumn("recip_ok", lit(recipViol == 0L))
+      .orderBy(col("degree"))
+  }
+
+  /** S26: graph-artifact HEALTH AUDIT — s18's admin surface for the
+    * graph layout. The degree/dangling/reps/reciprocity properties are
+    * proven at build time by specs, but an operator runs audits
+    * against a possibly-AGED durable store (partial writes, manual
+    * surgery, bit rot) — this query re-derives each one from the
+    * artifact alone: stored-degree histogram + bound, dangling edge
+    * targets (forward AND back-link legs), entry-representative
+    * coverage, and back-link ↔ forward-list reciprocity. Cost shape:
+    * one scan of the adjacency store per check leg (artifact-
+    * proportional, like s18's assignment identity audit — the admin
+    * price, paid on demand, never by serving). All-green gates at the
+    * fresh artifact; the tamper spec proves each check flips for
+    * exactly its own corruption. */
+  def s26GraphStats(s: SparkSession, d: String): DataFrame =
+    graphAuditOf(s, graphIncrPath(s, d)._1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_graph_stats" -> (s26GraphStats _),
+    "s25_graph_filtered" -> (s25GraphFiltered _),
     "s24_graph_fold" -> (s24GraphFold _),
     "s23_graph_delete" -> (s23GraphDelete _),
     "s22_graph_append" -> (s22GraphAppend _),

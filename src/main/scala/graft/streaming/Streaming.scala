@@ -1824,7 +1824,177 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  // ------------------------------------------------------------- ST19
+  /** ST19: streamed GRAPH-index ingest — st12's exactly-once lane for
+    * the s21/s22 graph artifact, closing the symmetry the round-14
+    * verdict named (the IVF layout had a streaming ingest; the graph
+    * layout's append was batch-only). The stream drains the append
+    * slice as epoch micro-batches; each epoch computes its rows'
+    * forward lists against base + the APPLIED epochs' rows (s22's
+    * kernel — the exact sel-sparse lane, so epoch lists are
+    * deterministic functions of the applied state) plus the reverse
+    * back-link delta, and publishes both as DETERMINISTIC
+    * `epoch-<id>.parquet` files moved in with REPLACE_EXISTING, with
+    * the applied-epochs manifest updated by atomic rename AFTER the
+    * move — st12's exactly-once recipe verbatim: a replay of a crash
+    * between move and manifest recomputes against the SAME pre-epoch
+    * state (unapplied files are excluded from the candidate read) and
+    * rewrites identical bytes over themselves.
+    *
+    * Epoch-order note (FreshDiskANN semantics): an epoch's rows see
+    * base + earlier epochs as candidates, later arrivals reach them
+    * through back-links — insert-against-current-state, the order
+    * dependence production graph indexes accept and the fold (s24)
+    * smooths. A SINGLE-epoch stream sees exactly s22's candidate set,
+    * so its delta is content-identical to the batch append — the
+    * spec's append-identity proof; the declared 3-epoch run gates on
+    * exactly-once (`append_ok`: every batch id in the delta store
+    * exactly once, nothing foreign), reachability (back-links make
+    * the streamed sample findable, floor 0.9) and recall vs exact
+    * (floor 0.7, the same witness family as s22). */
+  def st19StreamGraphIngest(s0: SparkSession, d: String): DataFrame =
+    st19IngestAt(s0, d, nEpochs = 3)
+
+  private[graft] def st19IngestAt(s0: SparkSession, d: String, nEpochs: Int)
+      : DataFrame = {
+    import graft.operators.Similarity
+    val s = scoped(s0)
+    val raw = graft.sources.Tables.embeddings(s, d)
+    val (incrPath, anchors) = Similarity.graphIncrPath(s, d)
+    withWorkspace("st19") { (work, ckpt) =>
+      val gDir = s"$work/graph"
+      // hardlink the immutable base generation + entry reps into the
+      // workspace (st12's staging; links cost metadata only and the
+      // shared durable artifact is never written through)
+      Seq("base/adj", "reps").foreach { leg =>
+        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
+        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
+        val walk = java.nio.file.Files.walk(src)
+        try walk.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val out = dst.resolve(src.relativize(p).toString)
+            java.nio.file.Files.createDirectories(out.getParent)
+            try java.nio.file.Files.createLink(out, p)
+            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
+          }
+        } finally walk.close()
+      }
+      val inDir = s"$work/in"
+      raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
+        .write.parquet(inDir)
+      val q = st19StartIngest(s, raw.schema, inDir, gDir, anchors,
+        ckpt.getAbsolutePath)
+      q.awaitTermination()
+      // exactly-once audit: the delta store holds every batch id
+      // exactly once and nothing else
+      val batchIds = raw.filter(col("vec_id") % 10 === 9).select(col("vec_id"))
+      val deltaIds = s.read.parquet(s"$gDir/delta/adj").select(col("vec_id"))
+      val nBatch = batchIds.count()
+      val appendedOk = deltaIds.count() == nBatch &&
+        deltaIds.distinct().count() == nBatch &&
+        deltaIds.join(batchIds, Seq("vec_id"), "left_anti").count() == 0
+      // serve through the streamed artifact: the same 3-way merged
+      // point fetch + fused serve/reach beam as s22
+      val e = Similarity.prepared(s, d)
+      val sample = e.filter(col("vec_id") % 10 === 9)
+        .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
+      val reps = s.read.parquet(s"$gDir/reps")
+      val (scored, reachFrac) = Similarity.serveWithReach(s,
+        ids => Similarity.fetchIncr(s, gDir, ids), anchors, reps, e, sample)
+      val all = scored.filter(col("query_id") < Similarity.nQueries &&
+        col("query_id") =!= col("neighbor_id"))
+      Similarity.withRecallGate(s, d, "st19",
+        Similarity.rerank(all).select(col("query_id"), col("neighbor_id"),
+          col("cos4"), col("rn")),
+        floor = 0.7)
+        .withColumn("reach4", lit(math.round(reachFrac * 1e4) / 1e4))
+        .withColumn("reach_ok", lit(reachFrac >= 0.9))
+        .withColumn("append_ok", lit(appendedOk))
+        .localCheckpoint(true) // eager: the workspace dies with the return
+    }
+  }
+
+  /** Starts (or RESTARTS, from the same checkpoint) st19's graph
+    * ingest stream. Sink contract as documented on
+    * [[st19StreamGraphIngest]]; `beforeEpoch`/`afterEpoch` are the
+    * spec's kill-window hooks (st12's pattern). */
+  private[graft] def st19StartIngest(s: SparkSession, schema: StructType,
+      inDir: String, gDir: String,
+      anchors: Array[(Int, Array[Double])], ckpt: String,
+      beforeEpoch: Long => Unit = _ => (),
+      afterEpoch: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.vecNorm2
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        beforeEpoch(id)
+        val applied = readAppliedEpochs(gDir)
+        if (!applied.contains(id)) {
+          // candidate state = base + APPLIED epochs only: a replay of
+          // a crash between the move and the manifest must recompute
+          // against the same pre-epoch state (the half-published
+          // epoch's own files are excluded), making the rewrite
+          // byte-identical
+          val base = s.read.parquet(s"$gDir/base/adj")
+            .select(col("vec_id"), col("v"), col("nrm"))
+            .withColumn("sel", lit(false))
+          val deltaDir = new java.io.File(s"$gDir/delta/adj")
+          val epochFile = "^epoch-(\\d+)\\.parquet$".r
+          val appliedFiles = Option(deltaDir.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => epochFile.findFirstMatchIn(f.getName)
+              .exists(mm => applied.contains(mm.group(1).toLong)))
+            .map(_.getAbsolutePath)
+          val prev =
+            if (appliedFiles.isEmpty) base.limit(0)
+            else s.read.parquet(appliedFiles.toIndexedSeq: _*)
+              .select(col("vec_id"), col("v"), col("nrm"))
+              .withColumn("sel", lit(false))
+          val bprep = batch.select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+            .withColumn("sel", lit(true))
+          val fwd = Similarity.graphAdjacency(
+            base.unionByName(prev).unionByName(bprep), anchors)
+            .localCheckpoint(true) // consumed twice: delta + back staging
+          // stage with Spark, publish by deterministic-name move
+          val stage = s"$gDir.stage-epoch-$id"
+          fwd.coalesce(1).write.mode("overwrite").parquet(s"$stage/delta")
+          fwd.select(explode(col("nbrs")).as("vec_id"),
+              col("vec_id").as("extra"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$stage/back")
+          def publish(leg: String, dstDir: String): Unit = {
+            val parts = new java.io.File(s"$stage/$leg").listFiles()
+              .filter(_.getName.endsWith(".parquet")) // local: the ONE coalesced part file
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dstDir))
+            parts.foreach { f =>
+              java.nio.file.Files.move(f.toPath,
+                java.nio.file.Paths.get(dstDir, s"epoch-$id.parquet"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+          publish("delta", s"$gDir/delta/adj")
+          publish("back", s"$gDir/back")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(stage))
+          markEpochApplied(gDir, applied + id)
+        }
+        afterEpoch(id)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_stream_graph_ingest" -> (st19StreamGraphIngest _),
     "st18_stream_ann_serve" -> (st18StreamAnnServe _),
     "st17_late_data_audit" -> (st17LateDataAudit _),
     "st16_stream_funnel" -> (st16StreamFunnel _),

@@ -2133,6 +2133,79 @@ class PipelineSpec extends AnyFunSuite {
       "two s21 runs diverged — a rank somewhere lost its id tie-break")
   }
 
+  test("NN-descent shard kernel: quality vs exact on a large synthetic " +
+    "shard, determinism, exact scores") {
+    val rng = new scala.util.Random(7)
+    val c = 400; val dim = 16
+    val m = Array.tabulate(c) { i =>
+      val v = Array.fill(dim)(rng.nextGaussian())
+      (i.toLong * 3 + 1, v, math.sqrt(v.map(x => x * x).sum), true)
+    }
+    val exact = Similarity.exactShardKnnLists(m)
+      .map(r => r._1 -> r._4.take(8).toSet).toMap
+    // minShard = 0 forces the descent path regardless of c
+    val nndRows = Similarity.shardKnnLists(m, minShard = 0).toArray
+    val nnd = nndRows.map(r => r._1 -> r._4.take(8).toSet).toMap
+    val rec = exact.keys.toSeq
+      .map(id => (nnd(id) & exact(id)).size.toDouble / exact(id).size)
+    val mean = rec.sum / rec.size
+    info(f"NN-descent adjacency recall@8 on c=$c synthetic: $mean%.3f")
+    assert(mean >= 0.85,
+      f"NN-descent top-8 recall $mean%.3f vs exact — kernel diverged")
+    // every emitted score is the TRUE cosine of its pair (coverage is
+    // approximate, scores are not)
+    val byId = m.map(t => t._1 -> t).toMap
+    nndRows.take(20).foreach { case (id, v, nrm, ids, cos) =>
+      ids.zip(cos).foreach { case (oid, cs) =>
+        val (_, ov, onrm, _) = byId(oid)
+        val d = v.zip(ov).map { case (a, b) => a * b }.sum / (nrm * onrm)
+        assert(math.abs(d - cs) < 1e-12, s"stored score not the exact cosine")
+      }
+    }
+    // deterministic: an identical input array reproduces identical lists
+    val again = Similarity.shardKnnLists(m, minShard = 0).toArray
+    assert(nndRows.map(r => (r._1, r._4.toSeq, r._5.toSeq)).sameElements(
+      again.map(r => (r._1, r._4.toSeq, r._5.toSeq))),
+      "two NN-descent runs on the same member array diverged")
+    // sel discipline: only sel rows emit, all rows stay candidates
+    val half = m.map { case (id, v, nrm, _) => (id, v, nrm, id % 2 == 0) }
+    val selOut = Similarity.shardKnnLists(half, minShard = 0).toArray
+    assert(selOut.forall(_._1 % 2 == 0) && selOut.length == c / 2,
+      "sel filter regressed in the descent path")
+    assert(selOut.exists(_._4.exists(_ % 2 == 1)),
+      "odd (non-sel) ids never appear as candidates — candidate set shrank")
+  }
+
+  test("s21 NN-descent build: adjacency recall vs the exact build at " +
+    "gate scale, and the descent path is really active there") {
+    import org.apache.spark.sql.functions._
+    val e = Similarity.prepared(spark, sf01)
+    val anchors = Similarity.trainedAnchors(spark, sf01, e)
+    // the production kernel must actually take the descent path at the
+    // gate corpus — otherwise this spec proves nothing
+    val shardSizes = e.select(
+        explode(graft.functions.VectorFunctions.topCells(
+          col("v"), col("nrm"), anchors, 2)).as("cell"))
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    assert(shardSizes.max > Similarity.NnDescentMinShard,
+      s"largest shard ${shardSizes.max} ≤ min-shard floor — NN-descent " +
+        "inactive at gate scale, the quality claim is untested")
+    val nnd = Similarity.s21Graph(e, anchors)
+      .select(col("vec_id"), col("nbrs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val exact = Similarity.s21GraphExact(e, anchors)
+      .select(col("vec_id"), col("nbrs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(nnd.keySet == exact.keySet)
+    val rec = exact.toSeq.map { case (id, ex) =>
+      if (ex.isEmpty) 1.0 else (nnd(id) & ex).size.toDouble / ex.size
+    }
+    val mean = rec.sum / rec.size
+    info(f"gate-scale adjacency recall vs exact build: $mean%.3f")
+    assert(mean >= 0.85,
+      f"NN-descent adjacency recall $mean%.3f vs exact build at gate scale")
+  }
+
   test("s21 adjacency: degree ≤ DEG, no self-loops, neighbors exist") {
     import org.apache.spark.sql.functions._
     val e = Similarity.prepared(spark, sf01)
@@ -2224,6 +2297,131 @@ class PipelineSpec extends AnyFunSuite {
     val b = Similarity.s23GraphDelete(spark, sf01)
     assert(a.collect().map(_.toSeq).sameElements(b.collect().map(_.toSeq)),
       "two s23 runs diverged")
+  }
+
+  test("s25 filtered graph serve: recall gate green, answers label-pure, " +
+    "vacuous filter answers exactly s21") {
+    import org.apache.spark.sql.functions._
+    val a = Similarity.s25GraphFiltered(spark, sf01)
+    val rows = a.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("recall_ok")),
+      s"s25 recall gate red: recall4=${rows.headOption.map(_.getAs[Double]("recall4"))}")
+    info(f"s25 filtered recall = ${rows.head.getAs[Double]("recall4")}%.3f")
+    // label purity: every answered neighbor carries the query's label
+    val raw = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"), col("label"))
+    val lab = raw.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.foreach { r =>
+      assert(lab(r.getAs[Long]("neighbor_id")) == lab(r.getAs[Long]("query_id")),
+        s"neighbor ${r.getAs[Long]("neighbor_id")} label-mismatches its query")
+    }
+    // deterministic
+    val b = Similarity.s25GraphFiltered(spark, sf01).collect()
+    assert(rows.map(_.toSeq).sameElements(b.map(_.toSeq)), "s25 runs diverged")
+    // vacuous-filter identity: a label every node shares, at s21's own
+    // beam width, must reproduce the unfiltered serve row-for-row
+    val allSame = raw.select(col("vec_id"), lit(0).as("label"))
+    val vac = Similarity.s25Core(spark, sf01, allSame, beam = 8)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      .collect().map(_.toSeq)
+    val unfiltered = Similarity.s21AnnGraph(spark, sf01)
+      .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      .collect().map(_.toSeq)
+    assert(vac.sameElements(unfiltered),
+      "vacuous filter perturbed the unfiltered answer — the filter " +
+        "plumbing is not a pure constraint")
+  }
+
+  test("s26 graph audit: all-green on the fresh artifact; corrupt one " +
+    "thing and exactly its check flips") {
+    import org.apache.spark.sql.functions._
+    val (incrPath, _) = Similarity.graphIncrPath(spark, sf01)
+    val clean = Similarity.graphAuditOf(spark, incrPath).collect()
+    assert(clean.nonEmpty)
+    Seq("degree_ok", "dangling_ok", "reps_ok", "recip_ok").foreach { c =>
+      assert(clean.forall(_.getAs[Boolean](c)), s"fresh artifact red on $c")
+    }
+    // histogram sanity: node counts sum to the artifact's node count
+    val nNodes = spark.read.parquet(s"$incrPath/base/adj").count() +
+      spark.read.parquet(s"$incrPath/delta/adj").count()
+    assert(clean.map(_.getAs[Long]("n_nodes")).sum == nNodes)
+    // tampered copies: each corruption flips its own check and no other
+    def tampered(mutate: String => Unit): Map[String, Boolean] = {
+      val t = java.nio.file.Files.createTempDirectory("graft-s26-tamper")
+        .toFile.getAbsolutePath
+      Seq("base/adj", "delta/adj", "back", "reps").foreach { leg =>
+        spark.read.parquet(s"$incrPath/$leg")
+          .write.mode("overwrite").parquet(s"$t/$leg")
+      }
+      mutate(t)
+      val r = Similarity.graphAuditOf(spark, t).collect()
+      val out = Seq("degree_ok", "dangling_ok", "reps_ok", "recip_ok")
+        .map(c => c -> r.forall(_.getAs[Boolean](c))).toMap
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(t))
+      out
+    }
+    // 1. a forward edge REPLACED by a nonexistent id (list length kept,
+    // so degree stays green) → dangling only
+    val g1 = tampered { t =>
+      val d0 = spark.read.parquet(s"$t/base/adj")
+      d0.withColumn("nbrs",
+          when(col("vec_id") === d0.select(min(col("vec_id"))).head.getLong(0),
+            concat(slice(col("nbrs"), lit(1), size(col("nbrs")) - 1),
+              array(lit(99999999L))))
+            .otherwise(col("nbrs")))
+        .write.mode("overwrite").parquet(s"$t/base/adj2")
+      spark.read.parquet(s"$t/base/adj2").write.mode("overwrite")
+        .parquet(s"$t/base/adj")
+    }
+    assert(!g1("dangling_ok") && g1("degree_ok") && g1("reps_ok") &&
+      g1("recip_ok"), s"dangling tamper flipped the wrong checks: $g1")
+    // 2. a representative pointing at a nonexistent node → reps only
+    val g2 = tampered { t =>
+      val r0 = spark.read.parquet(s"$t/reps")
+      val minCell = r0.select(min(col("cell"))).head.getInt(0)
+      r0.withColumn("rep",
+          when(col("cell") === minCell, lit(88888888L)).otherwise(col("rep")))
+        .write.mode("overwrite").parquet(s"$t/reps2")
+      spark.read.parquet(s"$t/reps2").write.mode("overwrite")
+        .parquet(s"$t/reps")
+    }
+    assert(!g2("reps_ok") && g2("degree_ok") && g2("dangling_ok") &&
+      g2("recip_ok"), s"reps tamper flipped the wrong checks: $g2")
+    // 3. a back row whose forward mirror is gone → reciprocity (the
+    // redirected extra is a REAL node, so dangling stays green)
+    val g3 = tampered { t =>
+      val bk = spark.read.parquet(s"$t/back")
+      val someBase = spark.read.parquet(s"$t/base/adj")
+        .select(min(col("vec_id"))).head.getLong(0)
+      val firstT = bk.select(min(col("vec_id"))).head.getLong(0)
+      bk.withColumn("extra",
+          when(col("vec_id") === firstT, lit(someBase)).otherwise(col("extra")))
+        .write.mode("overwrite").parquet(s"$t/back2")
+      spark.read.parquet(s"$t/back2").write.mode("overwrite")
+        .parquet(s"$t/back")
+    }
+    assert(!g3("recip_ok") && g3("degree_ok") && g3("dangling_ok"),
+      s"reciprocity tamper flipped the wrong checks: $g3")
+    // 4. a fattened forward list past DEG (valid node ids) → degree only
+    val g4 = tampered { t =>
+      val d0 = spark.read.parquet(s"$t/base/adj")
+      val ids = d0.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(12).collect().map(_.getLong(0))
+      val fat = ids.map(i => lit(i))
+      d0.withColumn("nbrs",
+          when(col("vec_id") === ids.last,
+            array_union(col("nbrs"), array(fat.toIndexedSeq: _*)))
+            .otherwise(col("nbrs")))
+        .write.mode("overwrite").parquet(s"$t/base/adj2")
+      spark.read.parquet(s"$t/base/adj2").write.mode("overwrite")
+        .parquet(s"$t/base/adj")
+    }
+    assert(!g4("degree_ok") && g4("dangling_ok") && g4("reps_ok") &&
+      g4("recip_ok"), s"degree tamper flipped the wrong checks: $g4")
   }
 
   test("s24 graph fold: gates hold, deletes physical, degree bound, determinism") {

@@ -748,6 +748,161 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(work).exists(), "soak workspace survived cleanup")
   }
 
+  test("st19 streamed graph ingest: gates green end-to-end") {
+    val rows = graft.streaming.Streaming.st19StreamGraphIngest(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    Seq("recall_ok", "reach_ok", "append_ok").foreach { c =>
+      assert(rows.forall(_.getAs[Boolean](c)), s"st19 gate $c red")
+    }
+    info(f"st19 recall=${rows.head.getAs[Double]("recall4")}%.3f " +
+      f"reach=${rows.head.getAs[Double]("reach4")}%.3f")
+  }
+
+  test("st19 single-epoch stream is content-identical to s22's batch " +
+    "append (same candidate set ⇒ same delta and back-link rows)") {
+    import graft.operators.Similarity
+    val (incrPath, _) = Similarity.graphIncrPath(spark, sf)
+    // a 1-epoch stream sees base + the whole batch at once — exactly
+    // the batch append's candidate frame
+    var streamed: Option[(Set[(Long, Seq[Long])], Set[(Long, Long)])] = None
+    // run the streamed ingest but capture the workspace artifact
+    // content before teardown, via the epoch hook
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+    val work = java.nio.file.Files.createTempDirectory("graft_st19_one")
+      .toString
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    try {
+      val gDir = s"$work/graph"
+      Seq("base/adj", "reps").foreach { leg =>
+        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
+        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
+        val w0 = java.nio.file.Files.walk(src)
+        try w0.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val out = dst.resolve(src.relativize(p).toString)
+            java.nio.file.Files.createDirectories(out.getParent)
+            try java.nio.file.Files.createLink(out, p)
+            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
+          }
+        } finally w0.close()
+      }
+      raw.filter(col("vec_id") % 10 === 9).repartition(1)
+        .write.parquet(s"$work/in")
+      val q = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$work/in", gDir, Similarity.graphIncrPath(spark, sf)._2,
+        s"$work/ckpt")
+      q.awaitTermination()
+      streamed = Some((
+        spark.read.parquet(s"$gDir/delta/adj")
+          .select(col("vec_id"), col("nbrs")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet,
+        spark.read.parquet(s"$gDir/back")
+          .select(col("vec_id"), col("extra")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet))
+    } finally rm(new java.io.File(work))
+    val batchDelta = spark.read.parquet(s"$incrPath/delta/adj")
+      .select(col("vec_id"), col("nbrs")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
+    val batchBack = spark.read.parquet(s"$incrPath/back")
+      .select(col("vec_id"), col("extra")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.get._1 == batchDelta,
+      "single-epoch streamed delta diverged from the batch append's")
+    assert(streamed.get._2 == batchBack,
+      "single-epoch streamed back-links diverged from the batch append's")
+  }
+
+  test("st19 exactly-once: kill after the first commit, force an epoch " +
+    "replay — no double-append, content identical to the straight run") {
+    import graft.operators.Similarity
+    val (incrPath, anchors) = Similarity.graphIncrPath(spark, sf)
+    val raw = graft.sources.Tables.embeddings(spark, sf)
+    def stage(gDir: String): Unit =
+      Seq("base/adj", "reps").foreach { leg =>
+        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
+        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
+        val w0 = java.nio.file.Files.walk(src)
+        try w0.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            val out = dst.resolve(src.relativize(p).toString)
+            java.nio.file.Files.createDirectories(out.getParent)
+            try java.nio.file.Files.createLink(out, p)
+            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
+          }
+        } finally w0.close()
+      }
+    def deltaContent(gDir: String) =
+      spark.read.parquet(s"$gDir/delta/adj")
+        .select(col("vec_id"), col("nbrs")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    val workA = java.nio.file.Files
+      .createTempDirectory("graft_st19_replay").toString
+    val workB = java.nio.file.Files
+      .createTempDirectory("graft_st19_straight").toString
+    try {
+      // straight 3-epoch run → reference content
+      stage(s"$workB/graph")
+      raw.filter(col("vec_id") % 10 === 9).repartition(3)
+        .write.parquet(s"$workB/in")
+      val qB = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$workB/in", s"$workB/graph", anchors, s"$workB/ckpt")
+      qB.awaitTermination()
+      val refContent = deltaContent(s"$workB/graph")
+      // killed run: stop after the first commit, delete the newest
+      // commit record (the crash-between-move-and-commit window),
+      // restart — the replayed epoch must rewrite identical bytes
+      stage(s"$workA/graph")
+      // IDENTICAL input bytes: link workB's epoch files (repartition
+      // is deterministic, but sharing the files removes even that
+      // assumption from what this spec proves)
+      val inA = new java.io.File(s"$workA/in")
+      inA.mkdirs()
+      new java.io.File(s"$workB/in").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(s"$workA/in", f.getName), f.toPath)
+        }
+      val ckptA = s"$workA/ckpt"
+      val q1 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$workA/in", s"$workA/graph", anchors, ckptA)
+      val commits = new java.io.File(s"$ckptA/commits")
+      val deadline = System.currentTimeMillis() + 180000
+      while (!new java.io.File(commits, "0").isFile && q1.isActive &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      q1.stop(); q1.awaitTermination()
+      assert(new java.io.File(commits, "0").isFile,
+        "first epoch never committed")
+      // drain the rest
+      val q2 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$workA/in", s"$workA/graph", anchors, ckptA)
+      q2.awaitTermination()
+      // force a replay of the newest epoch
+      val last = commits.listFiles()
+        .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      val pre = deltaContent(s"$workA/graph")
+      val q3 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$workA/in", s"$workA/graph", anchors, ckptA)
+      q3.awaitTermination()
+      val post = deltaContent(s"$workA/graph")
+      assert(post == pre, "the epoch replay changed the delta content")
+      assert(post == refContent,
+        "killed-and-replayed run diverged from the straight run")
+      // no double-append: one delta row per batch vector
+      val nBatch = raw.filter(col("vec_id") % 10 === 9).count()
+      assert(post.size == nBatch.toInt)
+    } finally { rm(new java.io.File(workA)); rm(new java.io.File(workB)) }
+  }
+
   test("st12 exactly-once ingest: kill after the first commit, force an " +
     "epoch replay, restart from the checkpoint with FRESH pointers — " +
     "no double-append, index content bit-identical to the batch append") {

@@ -3614,6 +3614,86 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos4"))
   }
 
+  /** Executor-side variant of [[graphBeam]] for LARGE query batches —
+    * the structure a 10⁶-query serving tier needs (the round-14
+    * verdict's watch item): per-query beam state lives in DataFrames
+    * keyed by query_id instead of driver maps, and each round's beam
+    * step (top-`beam` unexpanded candidates per query) runs as a
+    * `groupByKey.flatMapGroups` ON THE EXECUTORS — driver traffic per
+    * round is only the DISTINCT node-id list for the point-read fetch
+    * (queries' frontiers overlap heavily, so the id set collapses far
+    * below |queries|·beam; the fetch stays the driver-bounded
+    * key-pruned read the artifact layout is built for). Row-identical
+    * to [[graphBeam]] by construction — same (-cos4, id) ordering,
+    * same expansion bookkeeping, the same rounds — and the equality
+    * spec proves it on the gate corpus at 1× and 6.4× the gate query
+    * set. The declared queries keep the driver loop (NQueries = 10 is
+    * far under [[GraphBeamExecMinQueries]]); a batch caller past the
+    * threshold takes this path. */
+  private[graft] val GraphBeamExecMinQueries = 64
+
+  private[graft] def graphBeamExec(s: SparkSession,
+                        fetch: Seq[Long] => DataFrame,
+                        qSide: DataFrame,
+                        seeds: Seq[(Long, Long)],
+                        beam: Int = GraphBeam,
+                        hops: Int = GraphHops): DataFrame = {
+    import s.implicits._
+    val qB = broadcast(qSide)
+    var scoredState: DataFrame = null // (query_id, neighbor_id, cos4, nbrs)
+    var expanded: DataFrame = null    // (query_id, neighbor_id)
+    var pending: DataFrame = seeds.toDF("query_id", "id").distinct()
+    var h = 0
+    var done = false
+    while (h <= hops && !done) {
+      val ids = pending.select(col("id")).distinct()
+        .collect().map(_.getLong(0)).toSeq // bounded: DISTINCT fetched node ids per round (frontier overlap collapses across queries)
+      if (ids.isEmpty) done = true
+      else {
+        val hop = fetch(ids)
+          .join(pending, col("vec_id") === col("id"))
+          .join(qB, Seq("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
+              .as("cos4"),
+            col("nbrs"))
+          .localCheckpoint(true)
+        scoredState =
+          (if (scoredState == null) hop else scoredState.unionByName(hop))
+            .localCheckpoint(true)
+        val exp =
+          if (expanded == null)
+            scoredState.limit(0).select(col("query_id"), col("neighbor_id"))
+          else expanded
+        // the beam step, executor-side: each query's unexpanded scored
+        // rows sort locally and the top `beam` expand
+        val selected = scoredState
+          .join(exp, Seq("query_id", "neighbor_id"), "left_anti")
+          .select(col("query_id"), col("neighbor_id"), col("cos4"),
+            col("nbrs"))
+          .as[(Long, Long, Double, Array[Long])]
+          .groupByKey(_._1).flatMapGroups { (q, it) =>
+            // local: one query's unexpanded rows, ≤ rounds·beam·DEG
+            it.toArray.sortBy { case (_, id, c, _) => (-c, id) }.take(beam)
+              .iterator.map { case (_, id, _, nbrs) => (q, id, nbrs) }
+          }.toDF("query_id", "neighbor_id", "nbrs")
+          .localCheckpoint(true)
+        expanded = exp
+          .unionByName(selected.select(col("query_id"), col("neighbor_id")))
+          .localCheckpoint(true)
+        pending = selected
+          .select(col("query_id"), explode(col("nbrs")).as("id")).distinct()
+          .join(scoredState.select(col("query_id"),
+            col("neighbor_id").as("id")), Seq("query_id", "id"), "left_anti")
+      }
+      h += 1
+    }
+    if (scoredState == null)
+      throw new IllegalStateException(
+        "graph beam never scored a node — no valid seeds reached the loop")
+    scoredState.select(col("query_id"), col("neighbor_id"), col("cos4"))
+  }
+
   /** Fused serve+reach beam shared by s22/s24: ONE [[graphBeam]] run
     * over the standard query set ∪ a reachability sample (per-query
     * beam state is independent, so the fusion is row-identical to two

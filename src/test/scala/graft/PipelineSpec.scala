@@ -2299,6 +2299,35 @@ class PipelineSpec extends AnyFunSuite {
       "two s23 runs diverged")
   }
 
+  test("executor-side beam (graphBeamExec) is row-identical to the driver " +
+    "loop at the gate query set and at 6.4x it") {
+    import org.apache.spark.sql.functions._
+    val (path, anchors) = Similarity.graphIndexPath(spark, sf01)
+    val g = spark.read.parquet(s"$path/adj")
+    val reps = spark.read.parquet(s"$path/reps")
+    val e = Similarity.prepared(spark, sf01)
+    def run(nq: Int): (Array[Seq[Any]], Array[Seq[Any]]) = {
+      val q = e.filter(col("vec_id") < nq)
+      val qSide = q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+      val seeds = Similarity.graphSeeds(q, anchors, reps)
+      val fetch = (ids: Seq[Long]) => g.filter(col("vec_id").isin(ids: _*))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"), col("cos4"))
+          .distinct()
+          .orderBy(col("query_id"), col("neighbor_id"))
+          .collect().map(_.toSeq)
+      (sorted(Similarity.graphBeam(spark, fetch, qSide, seeds)),
+        sorted(Similarity.graphBeamExec(spark, fetch, qSide, seeds)))
+    }
+    val (d10, x10) = run(10)
+    assert(d10.nonEmpty && d10.sameElements(x10),
+      "exec beam diverged from the driver loop at the gate query set")
+    val (d64, x64) = run(64)
+    assert(d64.length > d10.length && d64.sameElements(x64),
+      "exec beam diverged from the driver loop at the 64-query batch")
+  }
+
   test("s25 filtered graph serve: recall gate green, answers label-pure, " +
     "vacuous filter answers exactly s21") {
     import org.apache.spark.sql.functions._

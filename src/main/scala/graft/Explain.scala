@@ -43,7 +43,11 @@ object Explain {
         "x29_diversity_sample",
         // round-14 flagships: fingerprint keep-first + redundancy-
         // proportional join-back (no rank window over the gram space)
-        "x30_exact_substring_dedup")
+        "x30_exact_substring_dedup",
+        // round-15 flagships: filtered graph serve (registered frame —
+        // the key-pruned label fetch + bounded rerank), t22's
+        // zero-shuffle memoized encode scan
+        "s25_graph_filtered", "t22_unigram_encode")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

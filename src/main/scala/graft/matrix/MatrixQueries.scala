@@ -1911,10 +1911,18 @@ object MatrixQueries {
       // rescale every 4 steps: unnormalized iterates grow as σ̂^(2·iters)
       // and would overflow to Inf for spectral radii a few orders above
       // the swept sizes; the Rayleigh quotient is scale-invariant, so
-      // dividing by the first block's max-abs is free (one lookup job)
+      // dividing by the GLOBAL max-abs is free (one reduce job — a
+      // single block's max would turn the guard into an overflow
+      // source whenever that block is near-zero in the iterate)
       if (it % 4 == 3) {
-        val scale = math.max(pv.lookup(0).headOption
-          .map(a => a.map(math.abs).max).getOrElse(1.0), 1e-300)
+        val scale = math.max(
+          pv.map { case (_, a) =>
+            var mx = 0.0; var i = 0
+            while (i < a.length) {
+              val x = math.abs(a(i)); if (x > mx) mx = x; i += 1
+            }
+            mx
+          }.reduce(math.max), 1e-300)
         val pvS = keep(pv.mapValues(_.map(_ / scale)))
         pvPrev = keep(pvPrev.mapValues(_.map(_ / scale)))
         pv = pvS

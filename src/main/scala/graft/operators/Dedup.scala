@@ -201,7 +201,7 @@ object Dedup {
       if (sess.sparkContext.isStopped) pairCache.remove(k)
     }
     if (pairCache.size >= PairCacheMax && !pairCache.contains((s, d)))
-      pairCache.remove(pairCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
+      pairCache.remove(pairCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; an evicted entry recomputes on next use (no on-disk artifact behind this cache)
     pairCache.getOrElseUpdate((s, d), graft.Lineage.truncate(computeNearDupPairs(s, d)))
   }
 
@@ -497,7 +497,7 @@ object Dedup {
       if (sess.sparkContext.isStopped) p4DropCache.remove(k)
     }
     if (p4DropCache.size >= PairCacheMax && !p4DropCache.contains((s, d)))
-      p4DropCache.remove(p4DropCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
+      p4DropCache.remove(p4DropCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; an evicted entry recomputes on next use (no on-disk artifact behind this cache)
     p4DropCache.getOrElseUpdate((s, d),
       graft.Lineage.truncate(
         p4EmbeddingNearDup(s, d).select(col("vec_b")).distinct()))

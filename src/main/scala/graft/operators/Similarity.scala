@@ -117,7 +117,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) exactCache.remove(k)
     }
     if (exactCache.size >= 8 && !exactCache.contains((s, d)))
-      exactCache.remove(exactCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
+      exactCache.remove(exactCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; an evicted entry recomputes on next use (no on-disk artifact behind this cache)
     exactCache.getOrElseUpdate((s, d),
       s1BruteForce(s, d).select(col("query_id"), col("neighbor_id"))
         .localCheckpoint(true))
@@ -306,7 +306,7 @@ object Similarity {
       if (sess.sparkContext.isStopped) anchorCache.remove(k)
     }
     if (anchorCache.size >= 8 && !anchorCache.contains((s, d)))
-      anchorCache.remove(anchorCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
+      anchorCache.remove(anchorCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; an evicted entry recomputes on next use (no on-disk artifact behind this cache)
     anchorCache.getOrElseUpdate((s, d), {
       val base = e.select(col("vec_id"), col("v"), col("nrm"))
       trainAnchors(base, ivfCells(base.count()), iters = 2)
@@ -1378,34 +1378,18 @@ object Similarity {
     val affected = idx.join(broadcast(tomb.select(col("vec_id"))), Seq("vec_id"))
       .select(col("label"), col("cell")).distinct()
       .collect().map(r => (r.get(0).toString, r.get(1).toString)).toSet // bounded: <= |tombstones| (label, cell) pairs
-    val src = java.nio.file.Paths.get(srcPath)
-    val dst = java.nio.file.Paths.get(dstPath)
-    // copy sidecars + unaffected partition files verbatim
-    val walk = java.nio.file.Files.walk(src)
-    try walk.forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val rel = src.relativize(p).toString
-        def part(prefix: String): Option[String] =
-          rel.split('/').find(_.startsWith(prefix + "="))
-            .map(_.substring(prefix.length + 1))
-        val hit = (part("label"), part("cell")) match {
-          case (Some(l), Some(c)) => affected.contains((l, c))
-          case _ => false // root sidecar / non-partition file
-        }
-        if (!hit) {
-          val out = dst.resolve(rel)
-          java.nio.file.Files.createDirectories(out.getParent)
-          // source generation is immutable ⇒ hardlink (metadata cost)
-          // with byte-copy fallback; REPLACE semantics preserved
-          java.nio.file.Files.deleteIfExists(out)
-          try java.nio.file.Files.createLink(out, p)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(p, out,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        }
+    // copy sidecars + unaffected partition files verbatim: the source
+    // generation is immutable ⇒ hardlink (metadata cost) with
+    // byte-copy fallback; REPLACE semantics preserved
+    graft.FsUtil.linkTree(srcPath, dstPath, keep = { rel =>
+      def part(prefix: String): Option[String] =
+        rel.split('/').find(_.startsWith(prefix + "="))
+          .map(_.substring(prefix.length + 1))
+      (part("label"), part("cell")) match {
+        case (Some(l), Some(c)) => !affected.contains((l, c))
+        case _ => true // root sidecar / non-partition file
       }
-    } finally walk.close()
+    }, replace = true)
     if (affected.nonEmpty) {
       // rewrite ONLY the affected partitions, minus the tombstoned rows.
       // The pre-write repartition clusters each (label, cell) into one
@@ -1467,7 +1451,6 @@ object Similarity {
     * — the same generation discipline as st13's bucket rewrite. */
   private[graft] def foldCells(s: SparkSession, srcPath: String,
                                dstPath: String, cells: Set[Int]): Unit = {
-    val src = java.nio.file.Paths.get(srcPath)
     val dst = java.nio.file.Paths.get(dstPath)
     // crash idempotency: a fold that died between writing this
     // generation and the caller's pointer swap leaves a PARTIAL dst
@@ -1475,33 +1458,15 @@ object Similarity {
     // re-derived from the still-old pointer), and appending onto the
     // leftovers would double the folded cells' rows. Start clean — the
     // source generation is the immutable truth until the pointer moves.
-    if (java.nio.file.Files.isDirectory(dst)) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(dst.toFile)
-    }
-    val walk = java.nio.file.Files.walk(src)
-    try walk.forEach { p =>
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val rel = src.relativize(p).toString
-        val cellOf = rel.split('/').find(_.startsWith("cell="))
-          .map(_.substring(5).toInt)
-        // _SUCCESS is re-created IN PLACE by the append below — linking
-        // it would let that truncation reach the immutable source
-        if (rel != "_SUCCESS" && !cellOf.exists(cells.contains)) {
-          val out = dst.resolve(rel)
-          java.nio.file.Files.createDirectories(out.getParent)
-          java.nio.file.Files.deleteIfExists(out)
-          try java.nio.file.Files.createLink(out, p)
-          catch { case _: Exception =>
-            java.nio.file.Files.copy(p, out,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          }
-        }
-      }
-    } finally walk.close()
+    if (java.nio.file.Files.isDirectory(dst))
+      graft.FsUtil.deleteTree(dst.toFile)
+    // _SUCCESS is re-created IN PLACE by the append below — linking
+    // it would let that truncation reach the immutable source
+    graft.FsUtil.linkTree(srcPath, dstPath, keep = { rel =>
+      val cellOf = rel.split('/').find(_.startsWith("cell="))
+        .map(_.substring(5).toInt)
+      rel != "_SUCCESS" && !cellOf.exists(cells.contains)
+    }, replace = true)
     if (cells.nonEmpty) {
       // partition pruning keeps the read to the folded cells' files
       s.read.parquet(srcPath)
@@ -3627,9 +3592,9 @@ object Similarity {
     * to [[graphBeam]] by construction — same (-cos4, id) ordering,
     * same expansion bookkeeping, the same rounds — and the equality
     * spec proves it on the gate corpus at 1× and 6.4× the gate query
-    * set. The declared queries keep the driver loop (NQueries = 10 is
-    * far under [[GraphBeamExecMinQueries]]); a batch caller past the
-    * threshold takes this path. */
+    * set. Every serve path dispatches through [[graphBeamAuto]]: the
+    * driver loop below [[GraphBeamExecMinQueries]] distinct queries
+    * (the gate shape — fewer Spark jobs), this loop at or above it. */
   private[graft] val GraphBeamExecMinQueries = 64
 
   private[graft] def graphBeamExec(s: SparkSession,
@@ -3642,6 +3607,11 @@ object Similarity {
     val qB = broadcast(qSide)
     var scoredState: DataFrame = null // (query_id, neighbor_id, cos4, nbrs)
     var expanded: DataFrame = null    // (query_id, neighbor_id)
+    // attempted mirrors graphBeam's `scored ++= pending` BEFORE the
+    // fetch: a pair whose id has no adjacency row (dangling target in
+    // an aged artifact) must not be re-collected and re-fetched every
+    // round it is re-reached
+    var attempted: DataFrame = null   // (query_id, id)
     var pending: DataFrame = seeds.toDF("query_id", "id").distinct()
     var h = 0
     var done = false
@@ -3650,6 +3620,9 @@ object Similarity {
         .collect().map(_.getLong(0)).toSeq // bounded: DISTINCT fetched node ids per round (frontier overlap collapses across queries)
       if (ids.isEmpty) done = true
       else {
+        attempted =
+          (if (attempted == null) pending else attempted.unionByName(pending))
+            .localCheckpoint(true)
         val hop = fetch(ids)
           .join(pending, col("vec_id") === col("id"))
           .join(qB, Seq("query_id"))
@@ -3683,8 +3656,7 @@ object Similarity {
           .localCheckpoint(true)
         pending = selected
           .select(col("query_id"), explode(col("nbrs")).as("id")).distinct()
-          .join(scoredState.select(col("query_id"),
-            col("neighbor_id").as("id")), Seq("query_id", "id"), "left_anti")
+          .join(attempted, Seq("query_id", "id"), "left_anti")
       }
       h += 1
     }
@@ -3692,6 +3664,24 @@ object Similarity {
       throw new IllegalStateException(
         "graph beam never scored a node — no valid seeds reached the loop")
     scoredState.select(col("query_id"), col("neighbor_id"), col("cos4"))
+  }
+
+  /** The dispatch every serve path goes through: the driver loop below
+    * [[GraphBeamExecMinQueries]] distinct queries (fewer Spark jobs —
+    * the gate shape), the executor-side loop at or above it (the
+    * 10⁶-query shape). The two are row-identical (spec-proven), so the
+    * switch is pure cost. */
+  private[graft] def graphBeamAuto(s: SparkSession,
+                        fetch: Seq[Long] => DataFrame,
+                        qSide: DataFrame,
+                        seeds: Seq[(Long, Long)],
+                        beam: Int = GraphBeam,
+                        hops: Int = GraphHops): DataFrame = {
+    // local: seeds are already a driver-held list; counting queries is free
+    val nq = seeds.iterator.map(_._1).toSet.size
+    if (nq >= GraphBeamExecMinQueries)
+      graphBeamExec(s, fetch, qSide, seeds, beam, hops)
+    else graphBeam(s, fetch, qSide, seeds, beam, hops)
   }
 
   /** Fused serve+reach beam shared by s22/s24: ONE [[graphBeam]] run
@@ -3708,7 +3698,7 @@ object Similarity {
       .collect().map(_.getLong(0)).toSet // bounded: ≤32 sample ids
     val q = e.filter(col("vec_id") < NQueries)
     val qU = q.unionByName(sample).dropDuplicates("vec_id")
-    val scored = graphBeam(s, fetch,
+    val scored = graphBeamAuto(s, fetch,
       qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
       graphSeeds(qU, anchors, reps))
@@ -3756,7 +3746,7 @@ object Similarity {
     val e = prepared(s, d) // only the NQueries query rows are read (pushed filter)
     val q = e.filter(col("vec_id") < NQueries)
     val seeds = graphSeeds(q, anchors, s.read.parquet(s"$path/reps"))
-    val all = graphBeam(s,
+    val all = graphBeamAuto(s,
       ids => g.filter(col("vec_id").isin(ids: _*)),
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
@@ -3813,7 +3803,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < NQueries)
     val qLab = labelOf.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("label"))
-    val scored = graphBeam(s,
+    val scored = graphBeamAuto(s,
       ids => g.filter(col("vec_id").isin(ids: _*)),
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
@@ -3860,7 +3850,12 @@ object Similarity {
         round(vecDot(col("q.v"), col("ev")) / (col("q.nrm") * col("enrm")), 4)
           .as("cos4")))
     val exactPairs = pairSet(exact)
-    val recall = (pairSet(out) & exactPairs).size.toDouble / exactPairs.size
+    // vacuous truth, never NaN: no query having ANY label-matching
+    // neighbor means there is nothing to prove (serveWithReach's
+    // empty-sample convention)
+    val recall =
+      if (exactPairs.isEmpty) 1.0
+      else (pairSet(out) & exactPairs).size.toDouble / exactPairs.size
     out
       .withColumn("recall4", lit(math.round(recall * 1e4) / 1e4))
       .withColumn("recall_ok", lit(recall >= 0.7))
@@ -4009,7 +4004,7 @@ object Similarity {
     val e = prepared(s, d)
     val q = e.filter(col("vec_id") < NQueries)
     val tomb = tombstones(s, d)
-    val scored = graphBeam(s,
+    val scored = graphBeamAuto(s,
       ids => g.filter(col("vec_id").isin(ids: _*)),
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),

@@ -255,10 +255,7 @@ object Streaming {
     val ckpt = ckptDir(name)
     try body(work, ckpt)
     finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
+      def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
       rm(ckpt)
       rm(new java.io.File(work))
     }
@@ -277,10 +274,7 @@ object Streaming {
     val dst = new java.io.File(dir, name)
     java.nio.file.Files.copy(part.toPath, dst.toPath)
     dst.setLastModified(mtime)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     rm(new java.io.File(tmp))
   }
 
@@ -924,23 +918,13 @@ object Streaming {
     val (basePath, anchors, nCells) = Similarity.baseIndexPath(s, d)
     withWorkspace("st12") { (work, ckpt) =>
       val idxDir = s"$work/index"
-      val src = java.nio.file.Paths.get(basePath)
-      val dst = java.nio.file.Paths.get(idxDir)
-      val walk = java.nio.file.Files.walk(src)
       // HARDLINK the base generation instead of copying bytes: the
       // durable artifact is immutable by contract (appends only ever
       // ADD files), so links give the same workspace isolation at
       // metadata cost — deleting the workspace unlinks, the shared
-      // artifact is untouched. Cross-filesystem (or no-link-support)
-      // falls back to a byte copy.
-      try walk.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val out = dst.resolve(src.relativize(p).toString)
-          java.nio.file.Files.createDirectories(out.getParent)
-          try java.nio.file.Files.createLink(out, p)
-          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-        }
-      } finally walk.close()
+      // artifact is untouched ([[FsUtil.linkTree]]: copy fallback for
+      // cross-filesystem / no-link-support).
+      graft.FsUtil.linkTree(basePath, idxDir)
       // the new slice arrives as nEpochs files ⇒ nEpochs micro-batches
       val inDir = s"$work/in"
       raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
@@ -1265,24 +1249,14 @@ object Streaming {
           merged.repartition(col("bucket"))
             .write.mode("overwrite").partitionBy("bucket").parquet(newGen)
           // untouched buckets survive byte-for-byte: file-level copy
+          // (generations are immutable ⇒ hardlink, copy fallback)
           var copied = 0
           if (old != null) {
-            val src = java.nio.file.Paths.get(old)
-            val dst = java.nio.file.Paths.get(newGen)
             (0 until nBuckets).filterNot(affected).foreach { b =>
-              val bd = src.resolve(s"bucket=$b")
-              if (java.nio.file.Files.isDirectory(bd)) {
+              val bd = new java.io.File(old, s"bucket=$b")
+              if (bd.isDirectory) {
                 copied += 1
-                val walk = java.nio.file.Files.walk(bd)
-                try walk.forEach { p =>
-                  if (java.nio.file.Files.isRegularFile(p)) {
-                    val out = dst.resolve(src.relativize(p).toString)
-                    java.nio.file.Files.createDirectories(out.getParent)
-                    // generations are immutable ⇒ hardlink, copy fallback
-                    try java.nio.file.Files.createLink(out, p)
-                    catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-                  }
-                } finally walk.close()
+                graft.FsUtil.linkTree(bd.getAbsolutePath, s"$newGen/bucket=$b")
               }
             }
           }
@@ -1300,10 +1274,7 @@ object Streaming {
         .orderBy(col("user_id"))
         .localCheckpoint(true)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
+      def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
       rm(ckpt)
       rm(new java.io.File(work))
     }
@@ -1867,17 +1838,7 @@ object Streaming {
       // workspace (st12's staging; links cost metadata only and the
       // shared durable artifact is never written through)
       Seq("base/adj", "reps").foreach { leg =>
-        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
-        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
-        val walk = java.nio.file.Files.walk(src)
-        try walk.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p)) {
-            val out = dst.resolve(src.relativize(p).toString)
-            java.nio.file.Files.createDirectories(out.getParent)
-            try java.nio.file.Files.createLink(out, p)
-            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-          }
-        } finally walk.close()
+        graft.FsUtil.linkTree(s"$incrPath/$leg", s"$gDir/$leg")
       }
       val inDir = s"$work/in"
       raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
@@ -1979,10 +1940,7 @@ object Streaming {
           }
           publish("delta", s"$gDir/delta/adj")
           publish("back", s"$gDir/back")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete()
-          }
+          def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
           rm(new java.io.File(stage))
           markEpochApplied(gDir, applied + id)
         }

@@ -2089,10 +2089,7 @@ class PipelineSpec extends AnyFunSuite {
     // build in a TEST-SCOPED root: deleting the shared sf0.001 index
     // mid-suite left other tests' session caches pointing at dead files
     val root = new java.io.File("target", "graft-index-onefile-spec")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     rm(root)
     sys.props("graft.index.root") = root.getAbsolutePath
     try {
@@ -2386,10 +2383,7 @@ class PipelineSpec extends AnyFunSuite {
       val r = Similarity.graphAuditOf(spark, t).collect()
       val out = Seq("degree_ok", "dangling_ok", "reps_ok", "recip_ok")
         .map(c => c -> r.forall(_.getAs[Boolean](c))).toMap
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
+      def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
       rm(new java.io.File(t))
       out
     }

@@ -638,17 +638,7 @@ class StreamingSpec extends AnyFunSuite {
       // pristine base itself and swaps ONCE, to the final folded
       // generation, when the ingest publishes
       val chain0 = s"$work/index"
-      val src = java.nio.file.Paths.get(basePath)
-      val dst = java.nio.file.Paths.get(chain0)
-      val w0 = java.nio.file.Files.walk(src)
-      try w0.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val out = dst.resolve(src.relativize(p).toString)
-          java.nio.file.Files.createDirectories(out.getParent)
-          try java.nio.file.Files.createLink(out, p)
-          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-        }
-      } finally w0.close()
+      graft.FsUtil.linkTree(basePath, chain0)
       val raw = graft.sources.Tables.embeddings(s, sf)
       raw.filter(col("vec_id") % 10 === 9).repartition(9)
         .write.parquet(s"$work/in-ingest")
@@ -771,24 +761,11 @@ class StreamingSpec extends AnyFunSuite {
     val raw = graft.sources.Tables.embeddings(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_st19_one")
       .toString
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     try {
       val gDir = s"$work/graph"
       Seq("base/adj", "reps").foreach { leg =>
-        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
-        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
-        val w0 = java.nio.file.Files.walk(src)
-        try w0.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p)) {
-            val out = dst.resolve(src.relativize(p).toString)
-            java.nio.file.Files.createDirectories(out.getParent)
-            try java.nio.file.Files.createLink(out, p)
-            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-          }
-        } finally w0.close()
+        graft.FsUtil.linkTree(s"$incrPath/$leg", s"$gDir/$leg")
       }
       raw.filter(col("vec_id") % 10 === 9).repartition(1)
         .write.parquet(s"$work/in")
@@ -823,26 +800,13 @@ class StreamingSpec extends AnyFunSuite {
     val raw = graft.sources.Tables.embeddings(spark, sf)
     def stage(gDir: String): Unit =
       Seq("base/adj", "reps").foreach { leg =>
-        val src = java.nio.file.Paths.get(s"$incrPath/$leg")
-        val dst = java.nio.file.Paths.get(s"$gDir/$leg")
-        val w0 = java.nio.file.Files.walk(src)
-        try w0.forEach { p =>
-          if (java.nio.file.Files.isRegularFile(p)) {
-            val out = dst.resolve(src.relativize(p).toString)
-            java.nio.file.Files.createDirectories(out.getParent)
-            try java.nio.file.Files.createLink(out, p)
-            catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-          }
-        } finally w0.close()
+        graft.FsUtil.linkTree(s"$incrPath/$leg", s"$gDir/$leg")
       }
     def deltaContent(gDir: String) =
       spark.read.parquet(s"$gDir/delta/adj")
         .select(col("vec_id"), col("nbrs")).collect()
         .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     val workA = java.nio.file.Files
       .createTempDirectory("graft_st19_replay").toString
     val workB = java.nio.file.Files
@@ -884,17 +848,46 @@ class StreamingSpec extends AnyFunSuite {
       val q2 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
         s"$workA/in", s"$workA/graph", anchors, ckptA)
       q2.awaitTermination()
-      // force a replay of the newest epoch
+      // force a replay of the newest epoch — TWO windows:
       val last = commits.listFiles()
         .filter(_.getName.forall(_.isDigit)).map(_.getName.toInt).max
+      val pre = deltaContent(s"$workA/graph")
+      // window 1 (manifest-present): delete only the commit record —
+      // the replayed epoch hits the applied-manifest skip branch
       assert(new java.io.File(commits, last.toString).delete())
       new java.io.File(commits, s".$last.crc").delete()
-      val pre = deltaContent(s"$workA/graph")
       val q3 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
         s"$workA/in", s"$workA/graph", anchors, ckptA)
       q3.awaitTermination()
       val post = deltaContent(s"$workA/graph")
       assert(post == pre, "the epoch replay changed the delta content")
+      // window 2 (the HARD one — crash between the epoch-file move and
+      // markEpochApplied): the epoch's files are in place but the
+      // manifest does not list it, so the replay must RECOMPUTE the
+      // epoch against the applied-only candidate state — excluding the
+      // half-published epoch's own files — and rewrite identical bytes
+      val manifest = new java.io.File(s"$workA/graph", "_applied_epochs.txt")
+      def readManifest(): Seq[Long] = {
+        val src0 = scala.io.Source.fromFile(manifest, "UTF-8")
+        try src0.getLines().filter(_.nonEmpty).map(_.toLong).toSeq.sorted
+        finally src0.close()
+      }
+      val appliedIds = readManifest()
+      val lastEpoch = appliedIds.max
+      java.nio.file.Files.writeString(manifest.toPath,
+        appliedIds.dropRight(1).mkString("", "\n", "\n"))
+      assert(new java.io.File(commits, last.toString).delete())
+      new java.io.File(commits, s".$last.crc").delete()
+      val q4 = graft.streaming.Streaming.st19StartIngest(spark, raw.schema,
+        s"$workA/in", s"$workA/graph", anchors, ckptA)
+      q4.awaitTermination()
+      val post2 = deltaContent(s"$workA/graph")
+      assert(post2 == pre,
+        "the move-before-manifest replay did not rewrite identical " +
+          "content — the half-published epoch leaked into its own " +
+          "candidate state")
+      // the manifest re-lists the recomputed epoch
+      assert(readManifest().contains(lastEpoch))
       assert(post == refContent,
         "killed-and-replayed run diverged from the straight run")
       // no double-append: one delta row per batch vector
@@ -910,23 +903,10 @@ class StreamingSpec extends AnyFunSuite {
     val (basePath, anchors, nCells) = Similarity.baseIndexPath(spark, sf)
     val work = java.nio.file.Files.createTempDirectory("graft_st12_restart")
       .toString
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     try {
       val idxDir = s"$work/index"
-      val src = java.nio.file.Paths.get(basePath)
-      val dst = java.nio.file.Paths.get(idxDir)
-      val w0 = java.nio.file.Files.walk(src)
-      try w0.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val out = dst.resolve(src.relativize(p).toString)
-          java.nio.file.Files.createDirectories(out.getParent)
-          try java.nio.file.Files.createLink(out, p)
-          catch { case _: Exception => java.nio.file.Files.copy(p, out) }
-        }
-      } finally w0.close()
+      graft.FsUtil.linkTree(basePath, idxDir)
       val raw = graft.sources.Tables.embeddings(spark, sf)
       // 9 epochs: folds WILL fire (the 9-epoch soak proves ≥1), so the
       // final forced replay exercises the manifest carried through a
@@ -1139,10 +1119,7 @@ class StreamingSpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val work = java.nio.file.Files.createTempDirectory("graft_st18_restart")
       .toString
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
+    def rm(f: java.io.File): Unit = graft.FsUtil.deleteTree(f)
     try {
       val inDir = s"$work/in"; val outDir = s"$work/out"
       val ckpt = s"$work/ckpt"

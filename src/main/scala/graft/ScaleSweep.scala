@@ -30,55 +30,31 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSweep {
 
-  private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int): Unit = {
+  private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int,
+                           full: Boolean = true): Unit = {
     // v3: the blow-up covers the TPC-H relational tables (r38's
     // validation suite reads lineitem/orders/customer) AND rebuilds
     // names from the shifted keys so cross-copy rows stay distinct —
-    // an old-marker dir regenerates
-    val marker = new java.io.File(dir, "_SCALE_OK_v3")
+    // an old-marker dir regenerates.
+    // `full = false` (the fifth-decade mode) writes documents +
+    // embeddings ONLY under its own marker — the deep-decade sweeps
+    // cover the corpus-scan and vector families, and writing 600M
+    // lineitem rows nobody reads would dominate the build; a later
+    // FULL sweep of the same dir regenerates everything (the docsonly
+    // marker does not satisfy the full one).
+    val marker = new java.io.File(dir,
+      if (full) "_SCALE_OK_v3" else "_SCALE_OK_v3_docsonly")
     if (marker.isFile) return
-    // documents: copy 0 verbatim; copies 1..n-1 word-remapped
-    val docs = s.read.parquet(s"$base/documents.parquet")
-    val dOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-    val docCopies = (0 until n).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * dOff)).as("doc_id"),
-        // length-preserving remap: word → same-length prefix of a
-        // copy-keyed digest (capped at 10 chars). Keeping the word
-        // LENGTH distribution keeps the char-shingle statistics of the
-        // original corpus — a uniform-length vocabulary makes every
-        // word-aligned shingle a shared vocabulary token, which
-        // inflates LSH band collisions ~100× and turns p1's verify
-        // into a false-candidate flood (measured: 21 s vs 6 s at 3×)
-        expr(s"""array_join(transform(split(text, ' '),
-                |  w -> substr(rpad(lower(conv(substr(md5(concat(w, '#', '$k')), 1, 12), 16, 36)),
-                |              10, 'x'), 1, greatest(least(length(w), 10), 1))), ' ')"""
-          .stripMargin).as("text"),
-        col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
+    if (!full) {
+      new java.io.File(dir).mkdirs()
+      scaleDocs(s, base, dir, n)
+      scaleEmbeddings(s, base, dir, n)
+      java.nio.file.Files.writeString(marker.toPath,
+        s"copies=$n of $base (documents+embeddings only)\n")
+      return
     }
-    docCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // embeddings: copy 0 verbatim; copies rotate dims by k MOD dim —
-    // past n = dim copies the rotations repeat (duplicate vector sets
-    // under shifted ids), which is fine for the probe-cost curves the
-    // sweep measures and avoids the negative slice length a raw k > dim
-    // would feed Spark
-    val emb = s.read.parquet(s"$base/embeddings.parquet")
-    val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1
-    val embCopies = (0 until n).map { k =>
-      if (k == 0) emb
-      else emb.select(
-        (col("vec_id") + lit(k * eOff)).as("vec_id"),
-        expr(s"concat(slice(embedding, ($k % size(embedding)) + 1, " +
-          s"size(embedding) - ($k % size(embedding))), " +
-          s"slice(embedding, 1, $k % size(embedding)))").as("embedding"),
-        col("label"))
-    }
-    embCopies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    scaleDocs(s, base, dir, n)
+    scaleEmbeddings(s, base, dir, n)
     // events: raw read, ts copied verbatim under either on-disk
     // encoding (TIMESTAMP(NANOS) → long via nanosAsLong, or
     // TIMESTAMP(MICROS) → timestamp); Tables.events normalizes both
@@ -130,6 +106,54 @@ object ScaleSweep {
     java.nio.file.Files.writeString(marker.toPath, s"copies=$n of $base\n")
   }
 
+  /** documents: copy 0 verbatim; copies 1..n-1 word-remapped. */
+  private def scaleDocs(s: SparkSession, base: String, dir: String, n: Int): Unit = {
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val dOff = docs.agg(max(col("doc_id"))).head.getLong(0) + 1 // bounded: ONE-row max aggregate
+    val docCopies = (0 until n).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * dOff)).as("doc_id"),
+        // length-preserving remap: word → same-length prefix of a
+        // copy-keyed digest (capped at 10 chars). Keeping the word
+        // LENGTH distribution keeps the char-shingle statistics of the
+        // original corpus — a uniform-length vocabulary makes every
+        // word-aligned shingle a shared vocabulary token, which
+        // inflates LSH band collisions ~100× and turns p1's verify
+        // into a false-candidate flood (measured: 21 s vs 6 s at 3×)
+        expr(s"""array_join(transform(split(text, ' '),
+                |  w -> substr(rpad(lower(conv(substr(md5(concat(w, '#', '$k')), 1, 12), 16, 36)),
+                |              10, 'x'), 1, greatest(least(length(w), 10), 1))), ' ')"""
+          .stripMargin).as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    docCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** embeddings: copy 0 verbatim; copies rotate dims by k MOD dim —
+    * past n = dim copies the rotations repeat (duplicate vector sets
+    * under shifted ids), which is fine for the probe-cost curves the
+    * sweep measures and avoids the negative slice length a raw k > dim
+    * would feed Spark. */
+  private def scaleEmbeddings(s: SparkSession, base: String, dir: String, n: Int): Unit = {
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1 // bounded: ONE-row max aggregate
+    val embCopies = (0 until n).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * eOff)).as("vec_id"),
+        expr(s"concat(slice(embedding, ($k % size(embedding)) + 1, " +
+          s"size(embedding) - ($k % size(embedding))), " +
+          s"slice(embedding, 1, $k % size(embedding)))").as("embedding"),
+        col("label"))
+    }
+    embCopies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outRoot = if (args.length > 1) args(1) else "/tmp/graft-scale"
@@ -138,6 +162,11 @@ object ScaleSweep {
     // optional 4th arg: comma-separated flagship filter for a targeted
     // re-sweep (e.g. one fixed query) without paying the full list
     val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
+    // optional 5th arg "docsonly": the deep-decade mode — blow up
+    // documents + embeddings only and skip ensureIndexes (the swept
+    // corpus-scan queries read neither the relational tables nor the
+    // index artifacts; writing/building them would dominate the run)
+    val docsOnly = args.length > 4 && args(4) == "docsonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -274,10 +303,11 @@ object ScaleSweep {
 
     scales.foreach { n =>
       val dir = if (n == 1) base else s"$outRoot/x$n"
-      if (n > 1) ensureScaled(spark, base, dir, n)
+      if (n > 1) ensureScaled(spark, base, dir, n, full = !docsOnly)
       // index builds are ingest work at every scale — serving is timed
-      try graft.operators.Similarity.ensureIndexes(spark, dir)
-      catch { case e: Throwable => System.err.println(s"[scale] ensureIndexes($dir): $e") }
+      if (!docsOnly)
+        try graft.operators.Similarity.ensureIndexes(spark, dir)
+        catch { case e: Throwable => System.err.println(s"[scale] ensureIndexes($dir): $e") }
       // round-15: the graph BUILD trend, timed explicitly (the
       // round-12 file-layout lesson: ingest-side costs need their own
       // row or they hide inside ensureIndexes). Both kernels timed as

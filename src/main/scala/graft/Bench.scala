@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Full-materialization sink for every timed query (harness v2,
+    * round 15): `count()` let Catalyst PRUNE work that does not affect
+    * row count — the final sort of every ORDER BY query, and, the
+    * discovered case, x30's entire fingerprint pipeline (its tail is a
+    * left join against a per-key aggregate with no right columns
+    * referenced by count ⇒ the join is eliminated as dead code; x30
+    * read 0.75 s at 1000× where the real pass costs minutes). The
+    * noop data source consumes every column of every row — nothing
+    * upstream is prunable — while writing nothing, the standard Spark
+    * benchmarking sink. The Verify gate always materialized fully
+    * (it writes parquet), so correctness rows were never affected. */
+  def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,7 +112,7 @@ object Bench {
       val errs = scala.collection.mutable.Map.empty[String, String]
       val times = order.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try { Bench.materialize(fn(spark, sfDir)); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             // root cause class beats the Spark wrapper (SparkException

@@ -13,13 +13,15 @@ object TimeQ {
     args.drop(1).foreach { name =>
       // warm + timed
       var best = Double.MaxValue
-      var rows = 0L
       for (_ <- 1 to 2) {
         val t0 = System.nanoTime()
-        rows = SparkEntry.queries(name)(spark, sfDir).count()
+        // harness v2: full materialization — count() lets Catalyst
+        // prune count-irrelevant work (see Bench.materialize)
+        Bench.materialize(SparkEntry.queries(name)(spark, sfDir))
         val dt = (System.nanoTime() - t0) / 1e9
         if (dt < best) best = dt
       }
+      val rows = SparkEntry.queries(name)(spark, sfDir).count() // untimed row count
       println(f"TIMEQ $name rows=$rows best=$best%.2f s")
     }
     spark.stop()

@@ -3671,6 +3671,10 @@ object Similarity {
     * the gate shape), the executor-side loop at or above it (the
     * 10⁶-query shape). The two are row-identical (spec-proven), so the
     * switch is pure cost. */
+  /** Which loop the last [[graphBeamAuto]] call took — the regime
+    * probe the dispatch spec reads (t20LastRegime's pattern). */
+  @volatile private[graft] var lastBeamPath: String = ""
+
   private[graft] def graphBeamAuto(s: SparkSession,
                         fetch: Seq[Long] => DataFrame,
                         qSide: DataFrame,
@@ -3679,9 +3683,13 @@ object Similarity {
                         hops: Int = GraphHops): DataFrame = {
     // local: seeds are already a driver-held list; counting queries is free
     val nq = seeds.iterator.map(_._1).toSet.size
-    if (nq >= GraphBeamExecMinQueries)
+    if (nq >= GraphBeamExecMinQueries) {
+      lastBeamPath = "exec"
       graphBeamExec(s, fetch, qSide, seeds, beam, hops)
-    else graphBeam(s, fetch, qSide, seeds, beam, hops)
+    } else {
+      lastBeamPath = "driver"
+      graphBeam(s, fetch, qSide, seeds, beam, hops)
+    }
   }
 
   /** Fused serve+reach beam shared by s22/s24: ONE [[graphBeam]] run

@@ -2323,6 +2323,20 @@ class PipelineSpec extends AnyFunSuite {
     val (d64, x64) = run(64)
     assert(d64.length > d10.length && d64.sameElements(x64),
       "exec beam diverged from the driver loop at the 64-query batch")
+    // the auto dispatch routes by distinct-query count
+    def autoPath(nq: Int): String = {
+      val q = e.filter(col("vec_id") < nq)
+      Similarity.graphBeamAuto(spark,
+        ids => g.filter(col("vec_id").isin(ids: _*)),
+        q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+        Similarity.graphSeeds(q, anchors, reps)).count()
+      Similarity.lastBeamPath
+    }
+    assert(autoPath(10) == "driver",
+      "gate-shape batch must take the driver loop")
+    assert(autoPath(64) == "exec",
+      "a 64-query batch must take the executor-side loop")
   }
 
   test("s25 filtered graph serve: recall gate green, answers label-pure, " +

@@ -292,7 +292,11 @@ object ScaleSweep {
       "s25_graph_filtered" -> (graft.operators.Similarity.s25GraphFiltered _),
       "s26_graph_stats" -> (graft.operators.Similarity.s26GraphStats _),
       "t22_unigram_encode" -> (graft.operators.TextAnalysis.t22UnigramEncode _),
-      "st19_stream_graph_ingest" -> (graft.streaming.Streaming.st19StreamGraphIngest _))
+      "st19_stream_graph_ingest" -> (graft.streaming.Streaming.st19StreamGraphIngest _),
+      // harness-v2 addition: t4's per-doc rolling-hash fingerprints
+      // were count()-pruned projections — under the noop sink the row
+      // is real and its corpus-linear scan curve needs a trend
+      "t4_fingerprint" -> (graft.operators.TextAnalysis.t4Fingerprint _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it

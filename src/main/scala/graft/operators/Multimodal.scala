@@ -1089,6 +1089,11 @@ object Multimodal {
       }.toDF()
   }
 
+  /** [[audioHashes]] at gain 1, exposed for the artifact-identity
+    * spec (the durable banded store must equal a fresh codec pass). */
+  private[graft] def mm10HashesForSpec(s: SparkSession, d: String): DataFrame =
+    audioHashes(documents(s, d), gain = 1)
+
   def mm10AudioFingerprint(s: SparkSession, d: String): DataFrame = {
     val hashes = audioHashes(documents(s, d), gain = 1).localCheckpoint(true)
     val (verified, missed) = bandedVerify(hashes, "afp")
@@ -1112,26 +1117,99 @@ object Multimodal {
     * (driver-enforced): `match_ok` — the best hit has hamming 0;
     * `self_ok` — the source doc itself is among the hamming-0 hits.
     *
-    * Scale: the index side is mm10's one codec pass → 8 bytes/doc; the
-    * probe joins \|queries\|·4 band keys against the banded index —
-    * candidate-proportional work, the corpus is never Hamming-scanned. */
+    * Scale (round 15): the fingerprint frame is a DURABLE banded
+    * artifact ([[audioIndexPath]]) built once at ingest — the serve
+    * path decodes only the query clips and joins \|queries\|·4 band
+    * keys against the (band, sig)-sorted store, a row-group-pruned
+    * point read; the corpus is never re-decoded and never
+    * Hamming-scanned. (Pre-artifact, the serve re-ran the corpus
+    * codec pass and its honest decade was linear — BASELINE round-15;
+    * the artifact is what turns mm11 into the audio analog of the
+    * vector family's index serving.) */
   private val MmNQueries = 10
+
+  /** Content-version fingerprint of the DOCUMENTS table (the audio
+    * corpus's carrier) — Similarity.corpusFingerprint's recipe keyed
+    * to documents.parquet: MD5 over (relative path, length, mtime)
+    * file triples plus a layout-version string; metadata drift causes
+    * a FALSE REBUILD (safe), never a stale read. */
+  private def docsFingerprint(d: String): String = {
+    val root = new java.io.File(d, "documents.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName))
+          .getOrElse(Nil).flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update("graft-audio-v1\n".getBytes)
+    val rootPath = root.getAbsolutePath
+    walk(root).foreach { x =>
+      val rel = x.getAbsolutePath.stripPrefix(rootPath)
+      md.update(s"$rel:${x.length}:${x.lastModified}\n".getBytes)
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString.take(16) // local: String.take on a hex digest
+  }
+
+  /** 4×16-bit band keys of a 64-bit fingerprint column — shared by the
+    * durable-index build, the serve path, and the identity spec. */
+  private[graft] def bandFrameOf(df: DataFrame, idCol: String,
+                                 fp: String): DataFrame = {
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col(fp), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
+    df.select(col(idCol), col(fp), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col(fp), col("bk.band"), col("bk.sig"))
+  }
+
+  /** DURABLE banded audio-fingerprint artifact (round-15 refinement #4
+    * closed in-round): mm10's one codec pass, persisted fingerprint-
+    * keyed like the vector indexes (s7's discipline) so mm11's serve
+    * never re-decodes the corpus. Layout: `bands/` holds the exploded
+    * (band, sig, doc_id, afp) frame range-partitioned AND sorted on
+    * (band, sig) — a probe's ≤ 4·|queries| band keys prune to row
+    * groups by min/max stats, the same point-read shape as the graph
+    * adjacency fetch. Write-once under `_graft_complete`; building is
+    * ingest work ([[graft.operators.Similarity.ensureIndexes]] wires
+    * it into the bench warmup). */
+  private val audioIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def audioIndexPath(s: SparkSession, d: String): String = {
+    audioIdxCache.keys.foreach { case k @ (sess, _) =>
+      if (sess.sparkContext.isStopped) audioIdxCache.remove(k)
+    }
+    if (audioIdxCache.size >= 8 && !audioIdxCache.contains((s, d)))
+      audioIdxCache.remove(audioIdxCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
+    audioIdxCache.getOrElseUpdate((s, d), {
+      val dir = new java.io.File(graft.operators.Similarity.indexRoot,
+        s"graft-audio-${docsFingerprint(d)}")
+      val done = new java.io.File(dir, "_graft_complete")
+      val path = dir.getAbsolutePath
+      if (done.isFile) {
+        graft.operators.Similarity.artifactStatus(path) = "found"
+        path
+      } else {
+        bandFrameOf(audioHashes(documents(s, d), gain = 1), "doc_id", "afp")
+          .repartitionByRange(col("band"), col("sig"))
+          .sortWithinPartitions("band", "sig")
+          .write.mode("overwrite").parquet(s"$path/bands")
+        java.nio.file.Files.writeString(done.toPath, "ok\n")
+        graft.operators.Similarity.artifactStatus(path) = "built"
+        path
+      }
+    })
+  }
 
   def mm11AudioProbe(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val index = audioHashes(docs, gain = 1).localCheckpoint(true)
+    // serve side: the corpus codec pass is GONE — fingerprints come
+    // from the durable banded artifact; only the ≤ MmNQueries query
+    // clips are decoded (pushed-down doc_id filter)
+    val ib = s.read.parquet(s"${audioIndexPath(s, d)}/bands")
     val queries = audioHashes(
       docs.filter(col("doc_id") < MmNQueries), gain = 2)
       .withColumnRenamed("doc_id", "query_id")
       .withColumnRenamed("afp", "qfp")
-    def bandFrame(df: DataFrame, idCol: String, fp: String): DataFrame = {
-      val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftrightunsigned(col(fp), b * 16).bitwiseAND(lit(0xFFFFL)).as("sig")))
-      df.select(col(idCol), col(fp), explode(array(bandCols: _*)).as("bk"))
-        .select(col(idCol), col(fp), col("bk.band"), col("bk.sig"))
-    }
-    val qb = broadcast(bandFrame(queries, "query_id", "qfp"))
-    val ib = bandFrame(index, "doc_id", "afp")
+    val qb = broadcast(bandFrameOf(queries, "query_id", "qfp"))
     val cands = qb.join(ib, Seq("band", "sig"))
       .select(col("query_id"), col("doc_id"), col("qfp"), col("afp"))
       .distinct()

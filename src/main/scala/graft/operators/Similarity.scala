@@ -741,7 +741,7 @@ object Similarity {
     * pqBooks. [[ensureIndexes]] reports from this instead of a
     * filesystem pre-check, which could race a concurrent builder or
     * mislabel an in-memory-cache hit. */
-  private val artifactStatus =
+  private[graft] val artifactStatus =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** On-disk layout version, folded into every index fingerprint: a
@@ -1299,7 +1299,9 @@ object Similarity {
       { s12ExactWitness(s, d)
         report("s12_exact_witness", witnessPath("s12-exact", d)) },
       { s13ExactWitness(s, d)
-        report("s13_exact_witness", witnessPath("s13-exact", d)) })
+        report("s13_exact_witness", witnessPath("s13-exact", d)) },
+      report("audio_fp_index",
+        graft.operators.Multimodal.audioIndexPath(s, d)))
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {

@@ -880,6 +880,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("mm11 serves from the DURABLE banded artifact: reused across " +
+    "calls, content equals a fresh codec pass, serve scans the store " +
+    "not the corpus audio") {
+    import org.apache.spark.sql.functions._
+    val path = Multimodal.audioIndexPath(spark, sf001)
+    assert(new java.io.File(path, "_graft_complete").isFile)
+    // reuse: a second resolve finds, never rebuilds (cache dropped to
+    // force the on-disk marker path)
+    Multimodal.audioIndexPath(spark, sf001)
+    assert(Similarity.artifactStatus(path) == "found" ||
+      Similarity.artifactStatus(path) == "built") // built on first-ever call this JVM
+    // stored bands ≡ a fresh fingerprint pass banded the same way
+    val stored = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id"), col("afp"), col("band"), col("sig"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    val fresh = Multimodal.bandFrameOf(
+        Multimodal.mm10HashesForSpec(spark, sf001), "doc_id", "afp")
+      .select(col("doc_id"), col("afp"), col("band"), col("sig"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    assert(stored.sameElements(fresh),
+      "durable banded store diverged from a fresh codec pass")
+    // the serve plan reads the artifact — the corpus codec pass is gone
+    // from the query path (only the ≤10 query clips decode)
+    val plan = Multimodal.mm11AudioProbe(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bands"),
+      "mm11's plan does not scan the durable banded store")
+  }
+
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
        "features match mm2's WAV decode") {
     val feats = Multimodal.mm5AudioMixed(spark, sf001).collect()

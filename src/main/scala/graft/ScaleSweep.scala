@@ -30,6 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSweep {
 
+  /** Flagships whose serve path reads a durable index artifact (built
+    * by ensureIndexes as ingest work): in docsonly mode these would
+    * pay their whole build inside the timed row — excluded by default,
+    * loud when requested explicitly. */
+  private val artifactBackedFlagships: Set[String] = Set(
+    "s7_ann_index_probe", "s12_ann_delete", "s13_ann_update",
+    "s14_ann_lifecycle", "s15_ann_opq",
+    "s21_ann_graph", "s22_graph_append", "s23_graph_delete",
+    "s24_graph_fold", "s25_graph_filtered", "s26_graph_stats",
+    "st12_stream_index_ingest", "st18_stream_ann_serve",
+    "st19_stream_graph_ingest", "mm11_audio_probe")
+
   private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int,
                            full: Boolean = true): Unit = {
     // v3: the blow-up covers the TPC-H relational tables (r38's
@@ -298,6 +310,21 @@ object ScaleSweep {
       // is real and its corpus-linear scan curve needs a trend
       "t4_fingerprint" -> (graft.operators.TextAnalysis.t4Fingerprint _))
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        // docsonly (deep-decade) mode skips ensureIndexes, so an
+        // index-backed flagship would build its full graph/IVF/audio
+        // artifact INSIDE its timed row at deep-decade scale — exactly
+        // the build cost and heap pressure the mode exists to avoid.
+        // Explicitly requesting one fails fast; the default set drops
+        // them to the corpus-scan/vector families.
+        if (!docsOnly || !artifactBackedFlagships(name)) true
+        else if (only.exists(_.contains(name)))
+          throw new IllegalArgumentException(
+            s"$name is index-backed: docsonly mode skips ensureIndexes, " +
+              "so its artifact would build inside the timed row — run it " +
+              "without docsonly (or build indexes first)")
+        else { System.err.println(s"[scale] docsonly: skipping index-backed $name"); false }
+      }
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     flagships.foreach { case (_, fn) =>
@@ -307,6 +334,17 @@ object ScaleSweep {
 
     scales.foreach { n =>
       val dir = if (n == 1) base else s"$outRoot/x$n"
+      // Deep-decade spill protocol (round-15 envelope gap): the
+      // partition count scales with the swept corpus past 10× so
+      // per-partition shuffle state stays ~constant — at 1000× the
+      // fixed 32 partitions concentrated x30's digest-uniform keys
+      // into task states the 8 GiB heap cannot hold (executor OOM),
+      // and p1/t18 read ~1.4× above linear from spill onset. ≤10×
+      // keeps the historical setting so recorded trend rows stay
+      // comparable. This is exactly what a 1000-executor cluster does:
+      // shuffle width grows with data, per-task state does not.
+      val shufP = math.max(cpus.toInt, cpus.toInt * n / 10)
+      spark.conf.set("spark.sql.shuffle.partitions", shufP.toString)
       if (n > 1) ensureScaled(spark, base, dir, n, full = !docsOnly)
       // index builds are ingest work at every scale — serving is timed
       if (!docsOnly)

@@ -1173,6 +1173,13 @@ object Multimodal {
   private val audioIdxCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Spec hook: drop the in-memory resolve cache so the next
+    * [[audioIndexPath]] call must take the on-disk `_graft_complete`
+    * marker path — the artifact-reuse property is untestable through
+    * a TrieMap hit. */
+  private[graft] def dropAudioIdxCacheEntry(s: SparkSession, d: String): Unit =
+    audioIdxCache.remove((s, d))
+
   private[graft] def audioIndexPath(s: SparkSession, d: String): String = {
     audioIdxCache.keys.foreach { case k @ (sess, _) =>
       if (sess.sparkContext.isStopped) audioIdxCache.remove(k)
@@ -1204,12 +1211,28 @@ object Multimodal {
     // serve side: the corpus codec pass is GONE — fingerprints come
     // from the durable banded artifact; only the ≤ MmNQueries query
     // clips are decoded (pushed-down doc_id filter)
-    val ib = s.read.parquet(s"${audioIndexPath(s, d)}/bands")
     val queries = audioHashes(
       docs.filter(col("doc_id") < MmNQueries), gain = 2)
       .withColumnRenamed("doc_id", "query_id")
       .withColumnRenamed("afp", "qfp")
+      .localCheckpoint(true) // consumed twice: key collect + band join
     val qb = broadcast(bandFrameOf(queries, "query_id", "qfp"))
+    // A broadcast hash join does NOT push its keys into the parquet
+    // scan, so the (band, sig)-sorted store would be read in full on
+    // every probe (corpus-linear at 4 rows/doc). The query band keys
+    // are driver-bounded (≤ 4·MmNQueries), so collect them and push an
+    // EXPLICIT per-band sig filter — that is what parquet min/max
+    // row-group stats can prune against, making the probe a point read
+    // of the sorted store at any corpus size.
+    val qKeys = qb.select(col("band"), col("sig")).distinct()
+      .collect() // bounded: ≤ 4·MmNQueries distinct band keys
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val keyPred = qKeys.map { case (b, ks) =>
+      col("band") === b && col("sig").isin(ks.map(_._2).toSeq: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val ib = s.read.parquet(s"${audioIndexPath(s, d)}/bands")
+      .filter(keyPred)
     val cands = qb.join(ib, Seq("band", "sig"))
       .select(col("query_id"), col("doc_id"), col("qfp"), col("afp"))
       .distinct()

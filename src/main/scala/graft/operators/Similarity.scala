@@ -3302,6 +3302,12 @@ object Similarity {
   private def nnDescentShardLists(
       m: Array[(Long, Array[Double], Double, Boolean)])
       : Iterator[(Long, Array[Double], Double, Array[Long], Array[Double])] = {
+    // Shards at or under the candidate width have nothing to descend
+    // over (the lists ARE the shard) and the seeded init's
+    // floorMod(·, c − 1) divides by zero at c = 1 — route them to the
+    // exact kernel unconditionally, even when a spec forces the
+    // descent lane via a minShard override.
+    if (m.length <= NnDescentWidth) return exactShardKnnLists(m)
     val c = m.length
     val w = NnDescentWidth
     def cosOf(i: Int, j: Int): Double = {

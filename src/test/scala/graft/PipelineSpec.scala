@@ -886,11 +886,14 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val path = Multimodal.audioIndexPath(spark, sf001)
     assert(new java.io.File(path, "_graft_complete").isFile)
-    // reuse: a second resolve finds, never rebuilds (cache dropped to
-    // force the on-disk marker path)
-    Multimodal.audioIndexPath(spark, sf001)
-    assert(Similarity.artifactStatus(path) == "found" ||
-      Similarity.artifactStatus(path) == "built") // built on first-ever call this JVM
+    // reuse: drop the in-memory resolve cache so the second call MUST
+    // take the on-disk marker path, then require "found" — accepting
+    // "built" here would let a rebuild-every-time bug pass silently
+    Multimodal.dropAudioIdxCacheEntry(spark, sf001)
+    val path2 = Multimodal.audioIndexPath(spark, sf001)
+    assert(path2 == path)
+    assert(Similarity.artifactStatus(path) == "found",
+      s"second resolve did not reuse the durable artifact: ${Similarity.artifactStatus(path)}")
     // stored bands ≡ a fresh fingerprint pass banded the same way
     val stored = spark.read.parquet(s"$path/bands")
       .select(col("doc_id"), col("afp"), col("band"), col("sig"))

@@ -18,6 +18,13 @@ object VectorFunctions {
   def topCells(v: Column, nrm: Column,
                anchors: Array[(Int, Array[Double])], k: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.topCells(v, nrm, anchors, k)
+  /** Two-level routed variant — scores √nAnchors coarse centroids,
+    * then only the probed groups' member anchors; see
+    * `org.apache.spark.sql.graft.TopCellsRouted` and
+    * [[graft.operators.CellRouter]]. */
+  def topCellsRouted(v: Column, nrm: Column,
+                     router: graft.operators.CellRouter, k: Int): Column =
+    org.apache.spark.sql.graft.VectorFunctions.topCellsRouted(v, nrm, router, k)
 }
 
 /** Public face of the native sketch expressions (same extension-library

@@ -894,9 +894,14 @@ object Multimodal {
     * the per-doc aggregate — runs on the 8-byte frame, so the dedup
     * cost is independent of image size; the O(n²) audit stays pinned
     * to the [[PHashAuditCap]] prefix. */
-  def mm9PerceptualDedup(s: SparkSession, d: String): DataFrame = {
+  /** The dHash kernel over a BMP MediaRecord dataset — factored so the
+    * batch dedup (mm9), the durable banded artifact build and the
+    * probe side (mm14) all run the SAME decode+fingerprint pass. */
+  private def dhashFrame(media: org.apache.spark.sql.Dataset[MediaRecord])
+      : DataFrame = {
+    val s = media.sparkSession
     import s.implicits._
-    val hashes = mediaTable(s, d).mapPartitions { it =>
+    media.mapPartitions { it =>
       val reader = partitionReader("bmp")
       disposing(it.map { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -923,10 +928,38 @@ object Multimodal {
         ImageHash(r.doc_id, bits)
       }, reader)
     }.toDF()
-      // 16 bytes/doc — materialized once, feeds the band join, the
-      // audit, and the output join (M15's iterative hygiene)
-      .localCheckpoint(true)
+  }
 
+  /** Image corpus at a BRIGHTNESS shift: every text byte +`brightness`
+    * before BMP encoding. ASCII payload bytes are 32..126, so +64
+    * stays inside the unsigned byte range (96..190) with no clipping,
+    * and padding zeros stay zero on both sides of every comparison —
+    * dHash's gradient SIGNS are exactly brightness-invariant, the
+    * image analog of mm11's Goertzel 2×-gain invariance. */
+  private def imageMedia(docs: DataFrame, brightness: Int)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          .map(b => (b + brightness).toByte)
+        val p = encodeBmp(bytes)
+        MediaRecord(id, p, "bmp", p.length)
+      }
+  }
+
+  /** [[dhashFrame]] over the unshifted corpus, exposed for the
+    * artifact-identity spec (the durable banded store must equal a
+    * fresh codec pass). */
+  private[graft] def mm9HashesForSpec(s: SparkSession, d: String): DataFrame =
+    dhashFrame(mediaTable(s, d))
+
+  def mm9PerceptualDedup(s: SparkSession, d: String): DataFrame = {
+    // 16 bytes/doc — materialized once, feeds the band join, the
+    // audit, and the output join (M15's iterative hygiene)
+    val hashes = dhashFrame(mediaTable(s, d)).localCheckpoint(true)
     val (verified, missed) = bandedVerify(hashes, "dhash")
     mateSummary(hashes, "dhash", "dhash_hex", verified, missed)
   }
@@ -1171,31 +1204,37 @@ object Multimodal {
     * ingest work ([[graft.operators.Similarity.ensureIndexes]] wires
     * it into the bench warmup). */
   private val audioIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
 
   /** Spec hook: drop the in-memory resolve cache so the next
-    * [[audioIndexPath]] call must take the on-disk `_graft_complete`
-    * marker path — the artifact-reuse property is untestable through
-    * a TrieMap hit. */
-  private[graft] def dropAudioIdxCacheEntry(s: SparkSession, d: String): Unit =
-    audioIdxCache.remove((s, d))
+    * [[audioIndexPath]]/[[imageIndexPath]] call must take the on-disk
+    * `_graft_complete` marker path — the artifact-reuse property is
+    * untestable through a TrieMap hit. */
+  private[graft] def dropBandedIdxCacheEntry(s: SparkSession, d: String,
+                                             kind: String): Unit =
+    audioIdxCache.remove((s, d, kind))
 
-  private[graft] def audioIndexPath(s: SparkSession, d: String): String = {
-    audioIdxCache.keys.foreach { case k @ (sess, _) =>
+  /** Shared builder for durable banded fingerprint artifacts (audio
+    * `afp`, image `dhash`): fingerprint-keyed dir, write-once under
+    * `_graft_complete`, bands range-partitioned AND sorted on
+    * (band, sig) so a probe's pushed key filters prune to row groups. */
+  private def bandedIdxPath(s: SparkSession, d: String, kind: String)
+                           (build: => DataFrame): String = {
+    audioIdxCache.keys.foreach { case k @ (sess, _, _) =>
       if (sess.sparkContext.isStopped) audioIdxCache.remove(k)
     }
-    if (audioIdxCache.size >= 8 && !audioIdxCache.contains((s, d)))
+    if (audioIdxCache.size >= 8 && !audioIdxCache.contains((s, d, kind)))
       audioIdxCache.remove(audioIdxCache.head._1) // local: arbitrary (hash-order) eviction on a size-capped driver cache map; rebuild finds the on-disk marker
-    audioIdxCache.getOrElseUpdate((s, d), {
+    audioIdxCache.getOrElseUpdate((s, d, kind), {
       val dir = new java.io.File(graft.operators.Similarity.indexRoot,
-        s"graft-audio-${docsFingerprint(d)}")
+        s"graft-$kind-${docsFingerprint(d)}")
       val done = new java.io.File(dir, "_graft_complete")
       val path = dir.getAbsolutePath
       if (done.isFile) {
         graft.operators.Similarity.artifactStatus(path) = "found"
         path
       } else {
-        bandFrameOf(audioHashes(documents(s, d), gain = 1), "doc_id", "afp")
+        build
           .repartitionByRange(col("band"), col("sig"))
           .sortWithinPartitions("band", "sig")
           .write.mode("overwrite").parquet(s"$path/bands")
@@ -1206,24 +1245,32 @@ object Multimodal {
     })
   }
 
-  def mm11AudioProbe(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    // serve side: the corpus codec pass is GONE — fingerprints come
-    // from the durable banded artifact; only the ≤ MmNQueries query
-    // clips are decoded (pushed-down doc_id filter)
-    val queries = audioHashes(
-      docs.filter(col("doc_id") < MmNQueries), gain = 2)
-      .withColumnRenamed("doc_id", "query_id")
-      .withColumnRenamed("afp", "qfp")
+  private[graft] def audioIndexPath(s: SparkSession, d: String): String =
+    bandedIdxPath(s, d, "audio")(
+      bandFrameOf(audioHashes(documents(s, d), gain = 1), "doc_id", "afp"))
+
+  /** Durable banded IMAGE-fingerprint artifact — mm10/mm11's discipline
+    * applied to mm9's dHash frame (round-15 missing #2): one codec pass
+    * at ingest, probed forever by mm14. */
+  private[graft] def imageIndexPath(s: SparkSession, d: String): String =
+    bandedIdxPath(s, d, "image")(
+      bandFrameOf(dhashFrame(imageMedia(documents(s, d), brightness = 0)),
+        "doc_id", "dhash"))
+
+  /** Shared banded key-pushed probe: a (query_id, qfp) query frame
+    * against a durable (band, sig)-sorted store whose fingerprint
+    * column is `storeFp`. A broadcast hash join does NOT push its keys
+    * into the parquet scan, so the sorted store would be read in full
+    * on every probe (corpus-linear at 4 rows/doc). The query band keys
+    * are driver-bounded (≤ 4·MmNQueries), so collect them and push an
+    * EXPLICIT per-band sig filter — that is what parquet min/max
+    * row-group stats can prune against, making the probe a point read
+    * of the sorted store at any corpus size. */
+  private def bandedProbe(s: SparkSession, bandsPath: String,
+                          queries0: DataFrame, storeFp: String): DataFrame = {
+    val queries = queries0
       .localCheckpoint(true) // consumed twice: key collect + band join
     val qb = broadcast(bandFrameOf(queries, "query_id", "qfp"))
-    // A broadcast hash join does NOT push its keys into the parquet
-    // scan, so the (band, sig)-sorted store would be read in full on
-    // every probe (corpus-linear at 4 rows/doc). The query band keys
-    // are driver-bounded (≤ 4·MmNQueries), so collect them and push an
-    // EXPLICIT per-band sig filter — that is what parquet min/max
-    // row-group stats can prune against, making the probe a point read
-    // of the sorted store at any corpus size.
     val qKeys = qb.select(col("band"), col("sig")).distinct()
       .collect() // bounded: ≤ 4·MmNQueries distinct band keys
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -1231,12 +1278,12 @@ object Multimodal {
     val keyPred = qKeys.map { case (b, ks) =>
       col("band") === b && col("sig").isin(ks.map(_._2).toSeq: _*)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val ib = s.read.parquet(s"${audioIndexPath(s, d)}/bands")
-      .filter(keyPred)
+    val ib = s.read.parquet(bandsPath).filter(keyPred)
     val cands = qb.join(ib, Seq("band", "sig"))
-      .select(col("query_id"), col("doc_id"), col("qfp"), col("afp"))
+      .select(col("query_id"), col("doc_id"), col("qfp"),
+        col(storeFp).as("sfp"))
       .distinct()
-      .withColumn("hamming", bit_count(col("qfp").bitwiseXOR(col("afp"))))
+      .withColumn("hamming", bit_count(col("qfp").bitwiseXOR(col("sfp"))))
       .filter(col("hamming") <= 6)
     val agg = cands.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_candidates"),
@@ -1253,6 +1300,39 @@ object Multimodal {
         coalesce(col("best.hamming") === 0, lit(false)).as("match_ok"),
         coalesce(col("found_self"), lit(false)).as("self_ok"))
       .orderBy(col("query_id"))
+  }
+
+  def mm11AudioProbe(s: SparkSession, d: String): DataFrame = {
+    // serve side: the corpus codec pass is GONE — fingerprints come
+    // from the durable banded artifact; only the ≤ MmNQueries query
+    // clips are decoded (pushed-down doc_id filter)
+    val queries = audioHashes(
+      documents(s, d).filter(col("doc_id") < MmNQueries), gain = 2)
+      .withColumnRenamed("doc_id", "query_id")
+      .withColumnRenamed("afp", "qfp")
+    bandedProbe(s, s"${audioIndexPath(s, d)}/bands", queries, "afp")
+  }
+
+  // ------------------------------------------------------------- MM14
+  /** mm14: QUERY-BY-IMAGE retrieval — mm11's probe symmetry for the
+    * image perceptual family (round-15 missing #2): mm9 builds/dedups
+    * the dHash frame, mm14 serves "which image is this?" lookups
+    * against the durable banded artifact ([[imageIndexPath]], built at
+    * ingest). Each query is one of the first `MmNQueries` documents'
+    * images RE-ENCODED AT +64 BRIGHTNESS — the perturbation dHash is
+    * DESIGNED to survive (gradient signs compare same-shifted grays;
+    * no clipping on ASCII payloads — see [[imageMedia]]) the way
+    * mm11's 2× gain is Goertzel-invariant — and must come back as its
+    * source document at hamming 0 via the banded (band, sig) point
+    * read. Gates (driver-enforced): `match_ok`, `self_ok` — mm11's
+    * exactly. Only the query images are decoded; the corpus is never
+    * re-decoded and never Hamming-scanned. */
+  def mm14ImageProbe(s: SparkSession, d: String): DataFrame = {
+    val queries = dhashFrame(imageMedia(
+        documents(s, d).filter(col("doc_id") < MmNQueries), brightness = 64))
+      .withColumnRenamed("doc_id", "query_id")
+      .withColumnRenamed("dhash", "qfp")
+    bandedProbe(s, s"${imageIndexPath(s, d)}/bands", queries, "dhash")
   }
 
   // ------------------------------------------------------------- MM12
@@ -1500,6 +1580,7 @@ object Multimodal {
       |FROM sized GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm14_image_probe" -> (mm14ImageProbe _),
     "mm13_container_audit" -> (mm13ContainerAudit _),
     "mm12_scene_cuts" -> (mm12SceneCuts _),
     "mm11_audio_probe" -> (mm11AudioProbe _),

@@ -234,7 +234,9 @@ object Similarity {
     * (cellId, anchor) array — ≤ √n rows, driver-bounded by the same
     * argument as the per-iteration collect above. */
   private[graft] def trainAnchors(e: DataFrame, nCells: Int,
-                                  iters: Int): Array[(Int, Array[Double])] = {
+                                  iters: Int,
+                                  minRouted: Int = CoarseMinAnchors)
+      : Array[(Int, Array[Double])] = {
     val s = e.sparkSession
     import s.implicits._
     val ds = e.select(col("vec_id"), col("v"), col("nrm"))
@@ -243,6 +245,16 @@ object Similarity {
       ds.filter(_._1 < nCells).collect().sortBy(_._1) // bounded: nCells seed rows
         .map { case (id, v, _) => (id.toInt, v) }
     for (_ <- 1 to iters) {
+      // Past [[CoarseMinAnchors]] the per-vector argmax routes through
+      // the coarse layer (built per round over the CURRENT anchors —
+      // driver work, anchor-table-bounded): Lloyd's assignment step
+      // carried the same n·√n term as the final assignment, ×iters.
+      // Same (sim desc, cell asc) tie rule either lane; routing only
+      // prunes which anchors compete, so training stays deterministic.
+      val routerB =
+        if (anchors.length >= minRouted)
+          Some(s.sparkContext.broadcast(CellRouter.of(anchors, CoarseProbe)))
+        else None
       val anchB = s.sparkContext.broadcast(anchors.map { case (c, av) =>
         var s2 = 0.0; av.foreach(x => s2 += x * x)
         (c, av, math.sqrt(s2))
@@ -253,14 +265,20 @@ object Similarity {
       // keep the result order-independent → deterministic anchors.
       val partials = ds.mapPartitions { it =>
         val a = anchB.value
+        val rt = routerB.map(_.value)
         val acc = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
         it.foreach { case (_, v, nrm) =>
-          var best = Int.MaxValue; var bestSim = Double.NegativeInfinity
-          a.foreach { case (c, av, an) =>
-            var dot = 0.0; var i = 0
-            while (i < v.length) { dot += v(i) * av(i); i += 1 }
-            val sim = dot / (nrm * an)
-            if (sim > bestSim || (sim == bestSim && c < best)) { bestSim = sim; best = c }
+          val best = rt match {
+            case Some(r) => r.argmaxCell(v, nrm)
+            case None =>
+              var bst = Int.MaxValue; var bestSim = Double.NegativeInfinity
+              a.foreach { case (c, av, an) =>
+                var dot = 0.0; var i = 0
+                while (i < v.length) { dot += v(i) * av(i); i += 1 }
+                val sim = dot / (nrm * an)
+                if (sim > bestSim || (sim == bestSim && c < bst)) { bestSim = sim; bst = c }
+              }
+              bst
           }
           val cur = acc.getOrElseUpdate(best, (new Array[Long](v.length), 0L))
           var i = 0
@@ -300,6 +318,37 @@ object Similarity {
   private[graft] def ivfCells(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Anchor count at which corpus-side assignment switches from the
+    * flat argmax scan to the two-level routed kernel. Below it the
+    * coarse layer has ≲√128 ≈ 12 groups and the [[CoarseProbe]]-wide
+    * probe covers most of them anyway — the flat scan is cheaper AND
+    * exact, so the gate/bench corpora (≤ 71 anchors) keep bit-identical
+    * assignments while the swept decades (224+ anchors) get the
+    * n^1.25 build curve. The NN-descent lane-threshold pattern. */
+  private[graft] val CoarseMinAnchors = 128
+  /** Coarse groups probed per vector: member scoring then covers
+    * ~wProbe·√nAnchors fine anchors — a constant multiple of the
+    * coarse scan itself, and wide enough that the routed argmax agrees
+    * with the exact one on ≫90% of vectors (quality spec). */
+  private[graft] val CoarseProbe = 8
+
+  /** Corpus-side cell assignment, shared by every index build/ingest
+    * pass (s3/s6, assignQuantize for s7-s15/st12/st18, the s21-family
+    * graph shards, s21CellReps): flat argmax below [[CoarseMinAnchors]]
+    * anchors, the coarse-quantized two-level router at or above —
+    * round-15 verdict #1, the last superlinear build term. Both lanes
+    * are narrow codegen'd projections (zero shuffle at any corpus
+    * size) and fully deterministic; `minRouted` is the spec override
+    * that forces the routed lane at gate scale. */
+  private[graft] def assignCells(v: Column, nrm: Column,
+      anchors: Array[(Int, Array[Double])], k: Int,
+      minRouted: Int = CoarseMinAnchors): Column =
+    if (anchors.length < minRouted)
+      graft.functions.VectorFunctions.topCells(v, nrm, anchors, k)
+    else
+      graft.functions.VectorFunctions.topCellsRouted(v, nrm,
+        CellRouter.of(anchors, CoarseProbe), k)
+
   private[graft] def trainedAnchors(s: SparkSession, d: String,
                                     e: DataFrame): Array[(Int, Array[Double])] = {
     anchorCache.keys.foreach { case k @ (sess, _) =>
@@ -333,7 +382,7 @@ object Similarity {
     // assignment fragment is Exchange-free). Bit-identical assignment:
     // same sim arithmetic and the same (sim desc, cell asc) tie-break.
     val assigned = e.withColumn("cell",
-      graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+      assignCells(col("v"), col("nrm"), anchors, 1)(0))
     // Query side: rank ALL cells per query — NQueries·√n rows, trivial;
     // the window stays here where the input is query-bounded.
     val probes = broadcast(queryProbes(e.filter(col("vec_id") < NQueries),
@@ -681,7 +730,7 @@ object Similarity {
     val anchors = trainedAnchors(s, d, e)
     // narrow shuffle-free argmax assignment — same shape as s3
     val assigned = e.withColumn("cell",
-      graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+      assignCells(col("v"), col("nrm"), anchors, 1)(0))
       .select(col("vec_id"), col("v"), col("nrm"), col("qv"), col("nq2"), col("cell"))
     val probes = broadcast(queryProbes(e.filter(col("vec_id") < NQueries),
       anchors, nProbe, "vec_id", "v", "nrm", "qv", "nq2"))
@@ -759,7 +808,12 @@ object Similarity {
   // v6: graph adjacency now built by the NN-descent kernel — the
   // version bump invalidates pre-round-15 graph artifacts (IVF
   // artifacts rebuild too: a false rebuild is the designed safe side)
-  private val IndexFormatVersion = "graft-index-v6"
+  // v7: coarse-routed assignment past CoarseMinAnchors changes trained
+  // anchors and cell assignments at swept (not gate/bench) scales.
+  // v8: the folded generation's degree bound moved to FoldDeg = 2·DEG
+  // (merged-budget-preserving compaction). Stale artifacts must
+  // rebuild, not serve mixed content.
+  private val IndexFormatVersion = "graft-index-v8"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -827,7 +881,7 @@ object Similarity {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readAnchors(dir: java.io.File): (Array[(Int, Array[Double])], Int) = {
+  private[graft] def readAnchors(dir: java.io.File): (Array[(Int, Array[Double])], Int) = {
     val lines = java.nio.file.Files
       .readAllLines(new java.io.File(dir, "_anchors.txt").toPath)
     val header = lines.get(0).trim.split(" ")
@@ -914,7 +968,7 @@ object Similarity {
           |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
       .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
       .withColumn("cell",
-        graft.functions.VectorFunctions.topCells(col("v"), col("nrm"), anchors, 1)(0))
+        assignCells(col("v"), col("nrm"), anchors, 1)(0))
       .select(col("vec_id"), col("label"), col("embedding"),
         expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
         col("nq2"), col("cell"))
@@ -1301,7 +1355,9 @@ object Similarity {
       { s13ExactWitness(s, d)
         report("s13_exact_witness", witnessPath("s13-exact", d)) },
       report("audio_fp_index",
-        graft.operators.Multimodal.audioIndexPath(s, d)))
+        graft.operators.Multimodal.audioIndexPath(s, d)),
+      report("image_fp_index",
+        graft.operators.Multimodal.imageIndexPath(s, d)))
   }
 
   def s8AnnIndexAppend(s: SparkSession, d: String): DataFrame = {
@@ -3160,9 +3216,34 @@ object Similarity {
        |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
 
   // ------------------------------------------------------------- S21
-  private val GraphDeg = 8   // adjacency degree bound (DiskANN's R)
-  private val GraphBeam = 8  // best-first beam width (DiskANN's L)
-  private val GraphHops = 3  // expansion rounds after the seed fetch
+  private[graft] val GraphDeg = 8   // adjacency degree bound (DiskANN's R)
+  private[graft] val GraphBeam = 8  // best-first beam width (DiskANN's L)
+  /** Serving beam width scaled to the indexed corpus — production
+    * graph indexes grow DiskANN's L ~logarithmically with n to hold
+    * recall on diffuse data (fixed-L recall decays as the graph
+    * grows; round 16 measured reach 0.69 / 0.84 / 0.94 at
+    * L = 8/16/32 on the 100× corpus where the gate corpus holds ≥0.9
+    * at 8). Estimated from the anchor table every artifact already
+    * carries (nCells = ⌈√n⌉ at build ⇒ n ≈ nCells²), so no extra job
+    * runs at serve time and the width is deterministic per artifact:
+    * L = max(GraphBeam, ⌈3·log₂ n⌉ − 20) — the gate corpus stays at
+    * the base width, the 100× decade lands at 33, the 1000× at 43. */
+  private[graft] def beamForAnchors(
+      anchors: Array[(Int, Array[Double])]): Int = {
+    val n = math.max(2.0, anchors.length.toDouble * anchors.length)
+    math.max(GraphBeam, math.ceil(3 * math.log(n) / math.log(2)).toInt - 20)
+  }
+
+  /** Safety cap on expansion rounds. The beam terminates by Vamana's
+    * CONVERGENCE rule — stop when every top-`beam` candidate has been
+    * expanded — not by a fixed hop count: round 16's sweep-scale gate
+    * audit caught the fixed 3-hop cutoff leaving appended nodes'
+    * back-link carriers scored-but-never-expanded in a 450k-node graph
+    * (s22 reach 0.16 at 100× — recall survived because top-K needs
+    * only SCORING, reach needs the extra expansion). Convergence makes
+    * the round count track the graph's navigation depth (~log n);
+    * the cap only bounds pathological inputs. */
+  private[graft] val GraphMaxHops = 64
 
   /** Bounded-degree neighbor-graph build, shaped like DiskANN's sharded
     * Vamana (Subramanya et al. 2019: build per overlapping shard, merge
@@ -3203,8 +3284,7 @@ object Similarity {
     val s = in.sparkSession
     import s.implicits._
     val sharded = in.select(
-      explode(graft.functions.VectorFunctions.topCells(
-        col("v"), col("nrm"), anchors, 2)).as("cell"),
+      explode(assignCells(col("v"), col("nrm"), anchors, 2)).as("cell"),
       col("vec_id"), col("v"), col("nrm"), col("sel"))
       .as[(Int, Long, Array[Double], Double, Boolean)]
     val shardLists = sharded.groupByKey(_._1).flatMapGroups { (_, it) =>
@@ -3440,8 +3520,7 @@ object Similarity {
     import s.implicits._
     val anchorsDF = anchors.toSeq.toDF("cell", "av")
       .withColumn("an", sqrt(vecNorm2(col("av"))))
-    e.withColumn("cell", graft.functions.VectorFunctions.topCells(
-        col("v"), col("nrm"), anchors, 1)(0))
+    e.withColumn("cell", assignCells(col("v"), col("nrm"), anchors, 1)(0))
       .join(broadcast(anchorsDF), Seq("cell"))
       .groupBy(col("cell"))
       .agg(min(struct((lit(0) - vecDot(col("v"), col("av")) /
@@ -3519,8 +3598,8 @@ object Similarity {
     * them into the beam. Against the base artifact every per-round
     * frame is ≤ beam·DEG·queries rows (the incremental store's
     * read-side-merged lists can exceed DEG by the node's back-linked
-    * appends until the fold compacts them — a cost bound, not a
-    * correctness one) and the corpus is never rescanned after the
+    * appends until the fold compacts them, bounded at fetch time by
+    * [[FetchBackBudget]]) and the corpus is never rescanned after the
     * build. The
     * query node itself is reachable (cos = 1.0 ranks it to the beam
     * head), so its own adjacency — its true top-DEG neighbors —
@@ -3541,7 +3620,7 @@ object Similarity {
                         qSide: DataFrame,
                         seeds: Seq[(Long, Long)],
                         beam: Int = GraphBeam,
-                        hops: Int = GraphHops): DataFrame = {
+                        maxHops: Int = GraphMaxHops): DataFrame = {
     import s.implicits._
     val qB = broadcast(qSide)
     val scored = collection.mutable.Set.empty[(Long, Long)]
@@ -3552,7 +3631,7 @@ object Similarity {
     var hopFrames = List.empty[DataFrame]
     var frontier = seeds
     var h = 0
-    while (h <= hops && frontier.exists(p => !scored(p))) {
+    while (h <= maxHops && frontier.exists(p => !scored(p))) {
       val pending = frontier.filterNot(scored).distinct
       scored ++= pending
       val pairsDF = broadcast(pending.toDF("query_id", "id"))
@@ -3572,9 +3651,16 @@ object Similarity {
           collection.mutable.ArrayBuffer.empty) += ((r.getDouble(2), id))
       }
       frontier = beamState.toSeq.flatMap { case (q, cands) =>
+        // Vamana convergence: the expansion set is the UNEXPANDED
+        // members of the top-`beam` candidates OVERALL (the L-list) —
+        // take(beam) BEFORE the expanded filter. The loop then ends
+        // exactly when every L-list member is expanded, instead of
+        // wandering deeper down the scored tail or stopping at an
+        // arbitrary fixed round.
         // local: per-query beam over the driver-bounded scored map
-        cands.sortBy { case (c, id) => (-c, id) }.iterator.map(_._2)
-          .filterNot(id => expanded((q, id))).take(beam)
+        cands.sortBy { case (c, id) => (-c, id) }.iterator.take(beam)
+          .map(_._2)
+          .filterNot(id => expanded((q, id)))
           .flatMap { id => expanded += ((q, id)); adj(id).map(n => (q, n)) }
           .toSeq
       }
@@ -3610,7 +3696,7 @@ object Similarity {
                         qSide: DataFrame,
                         seeds: Seq[(Long, Long)],
                         beam: Int = GraphBeam,
-                        hops: Int = GraphHops): DataFrame = {
+                        maxHops: Int = GraphMaxHops): DataFrame = {
     import s.implicits._
     val qB = broadcast(qSide)
     var scoredState: DataFrame = null // (query_id, neighbor_id, cos4, nbrs)
@@ -3623,7 +3709,7 @@ object Similarity {
     var pending: DataFrame = seeds.toDF("query_id", "id").distinct()
     var h = 0
     var done = false
-    while (h <= hops && !done) {
+    while (h <= maxHops && !done) {
       val ids = pending.select(col("id")).distinct()
         .collect().map(_.getLong(0)).toSeq // bounded: DISTINCT fetched node ids per round (frontier overlap collapses across queries)
       if (ids.isEmpty) done = true
@@ -3646,17 +3732,23 @@ object Similarity {
           if (expanded == null)
             scoredState.limit(0).select(col("query_id"), col("neighbor_id"))
           else expanded
-        // the beam step, executor-side: each query's unexpanded scored
-        // rows sort locally and the top `beam` expand
+        // the beam step, executor-side, mirroring the driver loop's
+        // convergence rule: each query's scored rows sort locally, the
+        // top `beam` OVERALL form the L-list, and its unexpanded
+        // members expand — the stream drains when every L-list member
+        // is expanded (selected empty ⇒ pending empty ⇒ done)
         val selected = scoredState
-          .join(exp, Seq("query_id", "neighbor_id"), "left_anti")
+          .join(exp.withColumn("is_exp", lit(true)),
+            Seq("query_id", "neighbor_id"), "left")
           .select(col("query_id"), col("neighbor_id"), col("cos4"),
-            col("nbrs"))
-          .as[(Long, Long, Double, Array[Long])]
+            col("nbrs"), coalesce(col("is_exp"), lit(false)).as("is_exp"))
+          .as[(Long, Long, Double, Array[Long], Boolean)]
           .groupByKey(_._1).flatMapGroups { (q, it) =>
-            // local: one query's unexpanded rows, ≤ rounds·beam·DEG
-            it.toArray.sortBy { case (_, id, c, _) => (-c, id) }.take(beam)
-              .iterator.map { case (_, id, _, nbrs) => (q, id, nbrs) }
+            // local: one query's scored rows, ≤ rounds·beam·DEG
+            it.toArray.sortBy { case (_, id, c, _, _) => (-c, id) }
+              .take(beam)
+              .iterator.filterNot(_._5)
+              .map { case (_, id, _, nbrs, _) => (q, id, nbrs) }
           }.toDF("query_id", "neighbor_id", "nbrs")
           .localCheckpoint(true)
         expanded = exp
@@ -3688,15 +3780,15 @@ object Similarity {
                         qSide: DataFrame,
                         seeds: Seq[(Long, Long)],
                         beam: Int = GraphBeam,
-                        hops: Int = GraphHops): DataFrame = {
+                        maxHops: Int = GraphMaxHops): DataFrame = {
     // local: seeds are already a driver-held list; counting queries is free
     val nq = seeds.iterator.map(_._1).toSet.size
     if (nq >= GraphBeamExecMinQueries) {
       lastBeamPath = "exec"
-      graphBeamExec(s, fetch, qSide, seeds, beam, hops)
+      graphBeamExec(s, fetch, qSide, seeds, beam, maxHops)
     } else {
       lastBeamPath = "driver"
-      graphBeam(s, fetch, qSide, seeds, beam, hops)
+      graphBeam(s, fetch, qSide, seeds, beam, maxHops)
     }
   }
 
@@ -3717,7 +3809,8 @@ object Similarity {
     val scored = graphBeamAuto(s, fetch,
       qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
-      graphSeeds(qU, anchors, reps))
+      graphSeeds(qU, anchors, reps),
+      beam = beamForAnchors(anchors))
     val found = scored.filter(col("query_id") === col("neighbor_id"))
       .select(col("query_id"))
       .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
@@ -3766,7 +3859,7 @@ object Similarity {
       ids => g.filter(col("vec_id").isin(ids: _*)),
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
-      seeds)
+      seeds, beam = beamForAnchors(anchors))
       .filter(col("query_id") =!= col("neighbor_id"))
     withRecallGate(s, d, "s21",
       rerank(all).select(col("query_id"), col("neighbor_id"), col("cos4"),
@@ -3780,11 +3873,26 @@ object Similarity {
     * nodes to surface the same K matches (L = label cardinality) —
     * filtered-DiskANN's production knob, widened instead of
     * constraining traversal. */
-  private val FilteredBeam = 4 * GraphBeam
-  /** One extra expansion round for filtered serving: the top
-    * label-matching candidates sit deeper than the unfiltered top-K
-    * when the filter excludes the near neighborhood. */
-  private val FilteredHops = GraphHops + 2
+  private[graft] val FilteredBeam = 4 * GraphBeam
+  /** Cap on the adaptive widening — the serve-cost bound a production
+    * deployment states up front (filtered-DiskANN caps its L the same
+    * way; a rarer-than-1/(Max/K) label costs a warning-grade recall
+    * gate, not an unbounded beam). */
+  private[graft] val MaxFilteredBeam = 16 * GraphBeam
+
+  /** The filtered-DiskANN adaptive-L rule: the beam's L-list must hold
+    * ~K label-matching candidates for answer depth K, and a filter
+    * matching fraction `sel` of the corpus leaves ~sel·L matches in a
+    * freely-traversing beam's list ⇒ L ≈ K/sel — floored at the
+    * measured-good fixed widening ([[FilteredBeam]]: 0.72 → 0.96 gate
+    * recall vs 2×) and capped at [[MaxFilteredBeam]]. Selectivity is
+    * MEASURED (one map-side-combined count over the label column, a
+    * metadata-sized aggregate at any corpus), never guessed — the
+    * round-15 finding was that a fixed 4× under-recalls a rare label. */
+  private[graft] def filteredBeamFor(sel: Double): Int = {
+    val want = math.ceil(K / math.max(sel, K.toDouble / MaxFilteredBeam))
+    math.min(MaxFilteredBeam, math.max(FilteredBeam, want.toInt))
+  }
 
   /** S25: label-FILTERED serving through the GRAPH index — s11's
     * capability (metadata-constrained top-K) on s21's layout, the
@@ -3796,23 +3904,24 @@ object Similarity {
     * are fetched BY KEY (an id-list point read against the label
     * store, the same shape as the adjacency fetch — at 100 TB both
     * are row-group-pruned key lookups, never corpus scans). The beam
-    * runs at [[FilteredBeam]] (4× the unfiltered width) for
-    * [[FilteredHops]] rounds (+2): a filter matching 1/L of the corpus
-    * needs ~L× the reached set for equal answer depth — widening the
-    * beam is filtered-DiskANN's knob (measured here: 0.72 → 0.96
-    * recall from 2×/+0 to 4×/+2), and the recall gate vs the exact
-    * label-filtered recompute (s11's own pre-index formulation)
+    * WIDTH adapts to the filter's measured selectivity
+    * ([[filteredBeamFor]] — the filtered-DiskANN adaptive-L knob,
+    * round-15 refinement #2 closed): the L-list must hold ~K matching
+    * candidates, so L ≈ K/selectivity, floored at the measured-good 4×
+    * widening and capped at [[MaxFilteredBeam]] (the cost bound); depth
+    * is convergence-terminated like every beam. The recall gate vs the
+    * exact label-filtered recompute (s11's own pre-index formulation)
     * measures that it suffices. PipelineSpec
     * adds the vacuous-filter identity: under a label every node
     * shares, s25's core answers EXACTLY s21's unfiltered rows — the
-    * filter plumbing provably perturbs nothing it doesn't exclude. */
+    * filter plumbing provably perturbs nothing it doesn't exclude —
+    * and holds the recall floor at a ≤1% synthetic label. */
   /** The filtered-serve core over an arbitrary (vec_id, label) frame —
     * split out so the vacuous-filter identity spec can feed a
     * shared-by-all label at s21's own beam width and assert row
     * equality with the unfiltered serve. */
   private[graft] def s25Core(s: SparkSession, d: String,
-                             labelOf: DataFrame, beam: Int,
-                             hops: Int = GraphHops): DataFrame = {
+                             labelOf: DataFrame, beam: Int): DataFrame = {
     val (path, anchors) = graphIndexPath(s, d)
     val g = s.read.parquet(s"$path/adj")
     val e = prepared(s, d)
@@ -3824,7 +3933,7 @@ object Similarity {
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
       graphSeeds(q, anchors, s.read.parquet(s"$path/reps")),
-      beam = beam, hops = hops)
+      beam = beam)
       .filter(col("query_id") =!= col("neighbor_id"))
       .localCheckpoint(true) // consumed twice: id fetch + answer join
     val candIds = scored.select(col("neighbor_id")).distinct()
@@ -3843,8 +3952,26 @@ object Similarity {
 
   def s25GraphFiltered(s: SparkSession, d: String): DataFrame = {
     val raw = embeddings(s, d)
-    val res = s25Core(s, d,
-      raw.select(col("vec_id"), col("label")), FilteredBeam, FilteredHops)
+    // measured selectivity of the rarest QUERIED label: one broadcast-
+    // sized aggregate over the metadata column (label cardinality is
+    // tiny next to the corpus), driving the adaptive-L widening
+    val labelOf = raw.select(col("vec_id"), col("label"))
+    val counts = labelOf.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap // bounded: one row per label
+    val total = counts.values.sum.toDouble
+    val queried = labelOf.filter(col("vec_id") < NQueries)
+      .select(col("label")).distinct()
+      .collect().map(_.get(0)).toSet // bounded: ≤ NQueries labels
+    val minSel = queried.map(l => counts.getOrElse(l, 1L) / total)
+      .minOption.getOrElse(1.0)
+    // two multiplicative widenings compose: selectivity (K/sel) and
+    // corpus depth (the 4× filtered factor over the log-n base width),
+    // under the one declared cost cap
+    val beam = math.min(MaxFilteredBeam,
+      math.max(filteredBeamFor(minSel),
+        4 * beamForAnchors(graphIndexPath(s, d)._2)))
+    val res = s25Core(s, d, labelOf, beam)
     registerGatedPlan(s, "s25", res)
     val out = res.localCheckpoint(true)
     // gate: recall vs the exact label-filtered recompute — s11's
@@ -3948,10 +4075,31 @@ object Similarity {
     })
   }
 
+  /** Fetch-time cap on back-link extras merged into a node's list: a
+    * hub node accumulating many reverse edges between folds must not
+    * grow the beam frontier unboundedly (each expanded node contributes
+    * its WHOLE merged list to the next round) — FreshDiskANN bounds the
+    * in-memory delta's degree for the same reason. The kept extras are
+    * the id-ascending prefix (deterministic at any parallelism); capped
+    * extras are a COST bound, not a correctness one — answers stay
+    * recall-gated, dropped back-ins reappear when the fold re-prunes
+    * with α-diversity. The fold's own merge (graphFoldPath) is NOT
+    * capped: compaction must see every back-link or appends orphan. */
+  private[graft] val FetchBackBudget = 3 * GraphDeg
+
+  /** Degree bound of the FOLDED generation — see the RobustPrune note
+    * in [[graphFoldPath]]: the fold replaces a read-side state whose
+    * effective degree was DEG + [[FetchBackBudget]]; compacting to 2·DEG
+    * halves the read cost while keeping the in-link carriers that make
+    * appended nodes reachable at deep-decade graph sizes. */
+  private[graft] val FoldDeg = 2 * GraphDeg
+
   /** Read-side merged point fetch over base + delta + back-links: all
     * three stores are range-sorted on vec_id, so each leg of the union
     * is a row-group-pruned key lookup; merged neighbor lists are
-    * sorted+deduped for order-independence. */
+    * sorted+deduped for order-independence and the back-link leg is
+    * budgeted ([[FetchBackBudget]]) so a hub's frontier contribution is
+    * bounded by DEG + budget between folds. */
   private[graft] def fetchIncr(s: SparkSession, path: String,
                         ids: Seq[Long]): DataFrame = {
     val b = s.read.parquet(s"$path/base/adj")
@@ -3960,7 +4108,9 @@ object Similarity {
       .filter(col("vec_id").isin(ids: _*))
     val bk = s.read.parquet(s"$path/back")
       .filter(col("vec_id").isin(ids: _*))
-      .groupBy("vec_id").agg(collect_list(col("extra")).as("extra"))
+      .groupBy("vec_id").agg(
+        slice(array_sort(collect_list(col("extra"))), 1, FetchBackBudget)
+          .as("extra"))
     b.unionByName(dl).join(bk, Seq("vec_id"), "left")
       .select(col("vec_id"), col("v"), col("nrm"),
         when(col("extra").isNull, col("nbrs"))
@@ -4024,7 +4174,8 @@ object Similarity {
       ids => g.filter(col("vec_id").isin(ids: _*)),
       q.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
-      graphSeeds(q, anchors, s.read.parquet(s"$path/reps")))
+      graphSeeds(q, anchors, s.read.parquet(s"$path/reps")),
+      beam = beamForAnchors(anchors))
     // lazy delete: tombstones leave the ANSWER, not the traversal
     val live = scored
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -4131,10 +4282,17 @@ object Similarity {
           // tight cluster. This is what keeps a back-linked append
           // reachable through the fold: the plain top-cos cut
           // measurably orphaned 1/32 appended vectors at the gate.
+          // The folded generation keeps [[FoldDeg]] = 2·DEG slots: the
+          // read-side state it replaces served at an EFFECTIVE degree
+          // of DEG + back-link budget, and compacting all the way to
+          // DEG sheds the appends' in-link carriers (measured at the
+          // 100× sweep: reach 0.78 at DEG vs ≥0.9 with the preserved
+          // budget) — 2·DEG keeps the α-diverse carriers at half the
+          // merged-state read cost.
           val kept = collection.mutable
             .ArrayBuffer.empty[(Long, Array[Double], Double)]
           val cit = cands.iterator
-          while (kept.length < GraphDeg && cit.hasNext) {
+          while (kept.length < FoldDeg && cit.hasNext) {
             val (_, w, cw, wv, wn) = cit.next()
             val covered = kept.exists { case (_, kv, kn) =>
               var dot = 0.0; var i = 0

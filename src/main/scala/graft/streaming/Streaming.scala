@@ -1795,6 +1795,88 @@ object Streaming {
       .trigger(Trigger.AvailableNow()).start()
   }
 
+  // ------------------------------------------------------------- ST20
+  /** ST20: streamed GRAPH-index serving — st18's twin for the s21
+    * layout, closing the last lifecycle asymmetry between the two
+    * index families (both now have build / append / delete / fold /
+    * stream-ingest / stream-serve / audit members). Query micro-batches
+    * drain against the IMMUTABLE graph artifact through the same
+    * [[graft.operators.Similarity.graphBeamAuto]] dispatch as every
+    * one-shot serve (the exec lane's second streaming consumer);
+    * exactly-once via st18's per-epoch OVERWRITE sink contract.
+    * Gates: `serve_ok` — the union of the per-batch answers is
+    * multiset-identical to the one-shot graph probe over the same
+    * query set (batch splitting must not perturb a point-read serve:
+    * per-query beam state is independent, so equality is exact) —
+    * and `batches_ok` (all three micro-batches drained). */
+  def st20StreamGraphServe(s0: SparkSession, d: String): DataFrame = {
+    val s = scoped(s0)
+    withWorkspace("st20") { (work, ckpt) =>
+      val inDir = s"$work/in"
+      val outDir = s"$work/out"
+      val schema = st18WriteInputs(s, d, inDir) // same 3-batch query split
+      val q = st20StartServing(s, d, schema, inDir, outDir,
+        ckpt.getAbsolutePath)
+      q.awaitTermination()
+      val served = s.read.parquet(s"$outDir/batch-*")
+      // bounded: the identity gate compares ≤ NQueries·K rows —
+      // driver-side multiset equality, st18's shape
+      val servedRows = served.select(col("query_id"), col("neighbor_id"),
+        col("cos4"), col("rn"), col("batch_id")).collect()
+      val oneShot = graft.operators.Similarity.s21AnnGraph(s, d)
+        .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+        .collect() // bounded: ≤ NQueries·K one-shot rows
+      def multiset(rs: Array[org.apache.spark.sql.Row], w: Int) =
+        rs.map(_.toSeq.take(w)).groupBy(identity).view.mapValues(_.length).toMap // local: Seq.take on already-collected gate rows
+      val ok = multiset(servedRows, 4) == multiset(oneShot, 4)
+      val nBatches = servedRows.map(_.getLong(4)).distinct.length.toLong
+      served
+        .withColumn("n_batches", lit(nBatches))
+        .withColumn("serve_ok", lit(ok))
+        .withColumn("batches_ok", lit(nBatches == 3L))
+        .orderBy(col("query_id"), col("rn"))
+        .localCheckpoint(true) // eager: outDir dies with the workspace
+    }
+  }
+
+  /** Starts (or RESTARTS, from the same checkpoint) the st20 graph
+    * serving stream — st18's sink contract (epoch-keyed OVERWRITE
+    * directories) over the graph beam instead of the IVF probe. */
+  private[graft] def st20StartServing(s: SparkSession, d: String,
+                                      schema: StructType, inDir: String,
+                                      outDir: String, ckpt: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.vecNorm2
+    val (path, anchors) = Similarity.graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val reps = s.read.parquet(s"$path/reps")
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(inDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val prep = batch
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          .withColumn("nrm", sqrt(vecNorm2(col("v"))))
+          .localCheckpoint(true) // consumed by seeds + the beam query side
+        val scored = Similarity.graphBeamAuto(s,
+          ids => g.filter(col("vec_id").isin(ids: _*)),
+          prep.select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("nrm").as("qn")),
+          Similarity.graphSeeds(prep, anchors, reps),
+          beam = Similarity.beamForAnchors(anchors))
+          .filter(col("query_id") =!= col("neighbor_id"))
+        Similarity.rerank(scored)
+          .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+  }
+
   // ------------------------------------------------------------- ST19
   /** ST19: streamed GRAPH-index ingest — st12's exactly-once lane for
     * the s21/s22 graph artifact, closing the symmetry the round-14
@@ -1826,7 +1908,32 @@ object Streaming {
   def st19StreamGraphIngest(s0: SparkSession, d: String): DataFrame =
     st19IngestAt(s0, d, nEpochs = 3)
 
-  private[graft] def st19IngestAt(s0: SparkSession, d: String, nEpochs: Int)
+  // ------------------------------------------------------------- ST21
+  /** ST21: per-point SEARCH-BASED graph insert — FreshDiskANN's actual
+    * insert kernel (Subramanya et al. 2021) as st19's high-epoch-rate
+    * lane. st19's batch-shaped epochs recompute lists through the
+    * shard kernel at cost ∝ batch × shard — fine at swept shapes, but
+    * a production vector service taking many SMALL epochs pays the
+    * whole shard (and its base-frame shuffle) per epoch. The search
+    * lane instead runs ONE beam search per inserted point against the
+    * current applied state (base + applied epochs, the same 3-way
+    * merged point fetch serving uses): the visited set IS the
+    * candidate list, pruned to the top-DEG exact cosines, and the
+    * back-link delta is derived exactly as in the batch lane — epoch
+    * cost ∝ batch · beam · DEG point reads, shard-free and
+    * base-shuffle-free. The exactly-once publish recipe (deterministic
+    * epoch files moved in, manifest renamed AFTER) is shared verbatim,
+    * and a replay recomputes against the same applied-only state, so
+    * every st19 replay/identity property holds per lane. Gates: the
+    * same three as st19 (`append_ok`, reach ≥ 0.9, recall ≥ 0.7 vs
+    * exact) — the spec additionally bounds the search lane's recall
+    * against the batch lane's on the same corpus. */
+  def st21StreamGraphInsert(s0: SparkSession, d: String): DataFrame =
+    st19IngestAt(s0, d, nEpochs = 3, lane = "search", tag = "st21")
+
+  private[graft] def st19IngestAt(s0: SparkSession, d: String, nEpochs: Int,
+                                  lane: String = "batch",
+                                  tag: String = "st19")
       : DataFrame = {
     import graft.operators.Similarity
     val s = scoped(s0)
@@ -1844,7 +1951,7 @@ object Streaming {
       raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
         .write.parquet(inDir)
       val q = st19StartIngest(s, raw.schema, inDir, gDir, anchors,
-        ckpt.getAbsolutePath)
+        ckpt.getAbsolutePath, lane = lane)
       q.awaitTermination()
       // exactly-once audit: the delta store holds every batch id
       // exactly once and nothing else
@@ -1879,14 +1986,56 @@ object Streaming {
     * ingest stream. Sink contract as documented on
     * [[st19StreamGraphIngest]]; `beforeEpoch`/`afterEpoch` are the
     * spec's kill-window hooks (st12's pattern). */
+  /** Applied-state point fetch for the search lane: base + the APPLIED
+    * epochs' delta/back files only (the replay-determinism contract —
+    * a half-published epoch's own files must not feed its recompute),
+    * merged exactly like [[Similarity.fetchIncr]] including the
+    * [[Similarity.FetchBackBudget]] hub bound. */
+  private def fetchAppliedState(s: SparkSession, gDir: String,
+      applied: Set[Long], ids: Seq[Long]): DataFrame = {
+    import graft.operators.Similarity
+    val epochFile = "^epoch-(\\d+)\\.parquet$".r
+    def appliedFiles(leg: String): Seq[String] =
+      Option(new java.io.File(s"$gDir/$leg").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => epochFile.findFirstMatchIn(f.getName)
+          .exists(mm => applied.contains(mm.group(1).toLong)))
+        .map(_.getAbsolutePath).toSeq.sorted
+    val base = s.read.parquet(s"$gDir/base/adj")
+      .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"))
+      .filter(col("vec_id").isin(ids: _*))
+    val dFiles = appliedFiles("delta/adj")
+    val nodes =
+      if (dFiles.isEmpty) base
+      else base.unionByName(s.read.parquet(dFiles: _*)
+        .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"))
+        .filter(col("vec_id").isin(ids: _*)))
+    val bFiles = appliedFiles("back")
+    if (bFiles.isEmpty) nodes
+    else {
+      val bk = s.read.parquet(bFiles: _*)
+        .filter(col("vec_id").isin(ids: _*))
+        .groupBy("vec_id").agg(
+          slice(array_sort(collect_list(col("extra"))),
+            1, Similarity.FetchBackBudget).as("extra"))
+      nodes.join(bk, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("v"), col("nrm"),
+          when(col("extra").isNull, col("nbrs"))
+            .otherwise(array_sort(array_distinct(
+              concat(col("nbrs"), col("extra"))))).as("nbrs"))
+    }
+  }
+
   private[graft] def st19StartIngest(s: SparkSession, schema: StructType,
       inDir: String, gDir: String,
       anchors: Array[(Int, Array[Double])], ckpt: String,
       beforeEpoch: Long => Unit = _ => (),
-      afterEpoch: Long => Unit = _ => ())
+      afterEpoch: Long => Unit = _ => (),
+      lane: String = "batch")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.vecNorm2
+    require(lane == "batch" || lane == "search", s"unknown insert lane: $lane")
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
@@ -1918,8 +2067,42 @@ object Streaming {
             expr("transform(embedding, x -> cast(x AS double))").as("v"))
             .withColumn("nrm", sqrt(vecNorm2(col("v"))))
             .withColumn("sel", lit(true))
-          val fwd = Similarity.graphAdjacency(
-            base.unionByName(prev).unionByName(bprep), anchors)
+            .localCheckpoint(true) // both lanes consume it repeatedly
+          val fwd = (if (lane == "batch")
+            Similarity.graphAdjacency(
+              base.unionByName(prev).unionByName(bprep), anchors)
+          else {
+            // SEARCH lane (st21): one beam search per inserted point
+            // against the applied state — the visited set is the
+            // candidate list (FreshDiskANN's insert), pruned to the
+            // top-DEG exact cosines with the family's (-cos4, id) tie
+            val q = bprep.select(col("vec_id"), col("v"), col("nrm"))
+            val seeds = Similarity.graphSeeds(q, anchors,
+              s.read.parquet(s"$gDir/reps"))
+            val scored = Similarity.graphBeamAuto(s,
+              ids => fetchAppliedState(s, gDir, applied, ids),
+              q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                col("nrm").as("qn")),
+              seeds, beam = Similarity.beamForAnchors(anchors))
+              .filter(col("query_id") =!= col("neighbor_id"))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("cos4").desc, col("neighbor_id"))
+            // per-point window: partitions are epoch-batch-bounded
+            val lists = scored
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= Similarity.GraphDeg)
+              .groupBy(col("query_id"))
+              .agg(expr("transform(array_sort(collect_list(struct(rn, neighbor_id)))," +
+                " x -> x.neighbor_id)").as("nbrs"))
+            // LEFT from the batch: a point whose beam found nothing
+            // still lands in the delta exactly once (append_ok)
+            bprep.select(col("vec_id"), col("v"), col("nrm"))
+              .join(lists, col("vec_id") === col("query_id"), "left")
+              .select(col("vec_id"), col("v"), col("nrm"),
+                coalesce(col("nbrs"),
+                  expr("CAST(array() AS array<bigint>)")).as("nbrs"))
+          })
             .localCheckpoint(true) // consumed twice: delta + back staging
           // stage with Spark, publish by deterministic-name move
           val stage = s"$gDir.stage-epoch-$id"
@@ -1952,6 +2135,8 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_graph_insert" -> (st21StreamGraphInsert _),
+    "st20_stream_graph_serve" -> (st20StreamGraphServe _),
     "st19_stream_graph_ingest" -> (st19StreamGraphIngest _),
     "st18_stream_ann_serve" -> (st18StreamAnnServe _),
     "st17_late_data_audit" -> (st17LateDataAudit _),

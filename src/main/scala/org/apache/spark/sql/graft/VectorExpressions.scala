@@ -184,6 +184,168 @@ case class TopCells(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Two-level (coarse-quantized) top-k cell assignment — [[TopCells]]
+  * with the anchor scan routed through a coarse layer: score the
+  * ≈√nAnchors coarse centroids, keep the best `wProbe` groups, then
+  * score only their member anchors. Per-row cost drops from
+  * O(nAnchors·dim) to O((√nAnchors + wProbe·√nAnchors)·dim) — the fix
+  * for the n·√n assignment term that dominated index builds once the
+  * kNN kernel went linear (round-15 verdict #1). Coverage is pruned,
+  * scores are exact; ranking is the same (sim desc, cell asc) as
+  * [[TopCells]], here via an explicit id tie-break because the member
+  * scan is group-major, not cell-ascending. With `wProbe ≥ nGroups`
+  * the candidate set is complete and the output equals [[TopCells]]
+  * bit-for-bit (spec-proven).
+  *
+  * Arrays arrive prebuilt from [[graft.operators.CellRouter]]: fine
+  * anchors (`cells`/`flat`/`norms`, cell-id ascending), coarse
+  * centroids (`gFlat`/`gNorms`), CSR membership (`gStart`/`mIdx`). */
+case class TopCellsRouted(left: Expression, right: Expression,
+                          cells: Array[Int], flat: Array[Double],
+                          norms: Array[Double],
+                          gFlat: Array[Double], gNorms: Array[Double],
+                          gStart: Array[Int], mIdx: Array[Int],
+                          k: Int, wProbe: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(cells.nonEmpty && flat.length % cells.length == 0 && k >= 1 &&
+    wProbe >= 1 && gNorms.nonEmpty &&
+    gStart.length == gNorms.length + 1 && mIdx.length == cells.length)
+  private val dim = flat.length / cells.length
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells_routed"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val nrm = b.asInstanceOf[Double]
+    val ng = gNorms.length
+    val wp = math.min(wProbe, ng)
+    val gSim = new Array[Double](wp)
+    val gId = new Array[Int](wp)
+    var gf = 0
+    var g = 0
+    while (g < ng) {
+      var dot = 0.0; var i = 0; val off = g * dim
+      while (i < dim) { dot += v.getDouble(i) * gFlat(off + i); i += 1 }
+      val sim = dot / (nrm * gNorms(g))
+      if (gf < wp || sim > gSim(gf - 1)) { // ascending g scan keeps lower g on ties
+        var pos = if (gf < wp) gf else wp - 1
+        while (pos > 0 && sim > gSim(pos - 1)) {
+          gSim(pos) = gSim(pos - 1); gId(pos) = gId(pos - 1); pos -= 1
+        }
+        gSim(pos) = sim; gId(pos) = g
+        if (gf < wp) gf += 1
+      }
+      g += 1
+    }
+    val kk = math.min(k, cells.length)
+    val ts = new Array[Double](kk)
+    val tc = new Array[Int](kk)
+    var fl = 0
+    var gi = 0
+    while (gi < gf) {
+      val gg = gId(gi)
+      var mi = gStart(gg)
+      while (mi < gStart(gg + 1)) {
+        val c = mIdx(mi)
+        var dot = 0.0; var i = 0; val off = c * dim
+        while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+        val sim = dot / (nrm * norms(c))
+        val cell = cells(c)
+        if (fl < kk || sim > ts(fl - 1) ||
+            (sim == ts(fl - 1) && cell < tc(fl - 1))) {
+          var pos = if (fl < kk) fl else kk - 1
+          while (pos > 0 && (sim > ts(pos - 1) ||
+              (sim == ts(pos - 1) && cell < tc(pos - 1)))) {
+            ts(pos) = ts(pos - 1); tc(pos) = tc(pos - 1); pos -= 1
+          }
+          ts(pos) = sim; tc(pos) = cell
+          if (fl < kk) fl += 1
+        }
+        mi += 1
+      }
+      gi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(tc, fl))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cellsRef = ctx.addReferenceObj("cells", cells, "int[]")
+      val flatRef = ctx.addReferenceObj("flat", flat, "double[]")
+      val normsRef = ctx.addReferenceObj("norms", norms, "double[]")
+      val gFlatRef = ctx.addReferenceObj("gFlat", gFlat, "double[]")
+      val gNormsRef = ctx.addReferenceObj("gNorms", gNorms, "double[]")
+      val gStartRef = ctx.addReferenceObj("gStart", gStart, "int[]")
+      val mIdxRef = ctx.addReferenceObj("mIdx", mIdx, "int[]")
+      val wp = ctx.freshName("wp"); val gSim = ctx.freshName("gSim")
+      val gId = ctx.freshName("gId"); val gf = ctx.freshName("gf")
+      val g = ctx.freshName("g"); val gi = ctx.freshName("gi")
+      val mi = ctx.freshName("mi"); val c = ctx.freshName("c")
+      val kk = ctx.freshName("kk"); val ts = ctx.freshName("ts")
+      val tc = ctx.freshName("tc"); val fl = ctx.freshName("fl")
+      val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
+      val off = ctx.freshName("off"); val sim = ctx.freshName("sim")
+      val pos = ctx.freshName("pos"); val cell = ctx.freshName("cell")
+      s"""
+         |int $wp = java.lang.Math.min($wProbe, $gNormsRef.length);
+         |double[] $gSim = new double[$wp];
+         |int[] $gId = new int[$wp];
+         |int $gf = 0;
+         |for (int $g = 0; $g < $gNormsRef.length; $g++) {
+         |  double $dot = 0.0;
+         |  int $off = $g * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $dot += $a.getDouble($i) * $gFlatRef[$off + $i];
+         |  }
+         |  double $sim = $dot / ($b * $gNormsRef[$g]);
+         |  if ($gf < $wp || $sim > $gSim[$gf - 1]) {
+         |    int $pos = ($gf < $wp) ? $gf : $wp - 1;
+         |    while ($pos > 0 && $sim > $gSim[$pos - 1]) {
+         |      $gSim[$pos] = $gSim[$pos - 1]; $gId[$pos] = $gId[$pos - 1]; $pos--;
+         |    }
+         |    $gSim[$pos] = $sim; $gId[$pos] = $g;
+         |    if ($gf < $wp) $gf++;
+         |  }
+         |}
+         |int $kk = java.lang.Math.min($k, $cellsRef.length);
+         |double[] $ts = new double[$kk];
+         |int[] $tc = new int[$kk];
+         |int $fl = 0;
+         |for (int $gi = 0; $gi < $gf; $gi++) {
+         |  for (int $mi = $gStartRef[$gId[$gi]]; $mi < $gStartRef[$gId[$gi] + 1]; $mi++) {
+         |    int $c = $mIdxRef[$mi];
+         |    double $dot = 0.0;
+         |    int $off = $c * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $dot += $a.getDouble($i) * $flatRef[$off + $i];
+         |    }
+         |    double $sim = $dot / ($b * $normsRef[$c]);
+         |    int $cell = $cellsRef[$c];
+         |    if ($fl < $kk || $sim > $ts[$fl - 1] ||
+         |        ($sim == $ts[$fl - 1] && $cell < $tc[$fl - 1])) {
+         |      int $pos = ($fl < $kk) ? $fl : $kk - 1;
+         |      while ($pos > 0 && ($sim > $ts[$pos - 1] ||
+         |          ($sim == $ts[$pos - 1] && $cell < $tc[$pos - 1]))) {
+         |        $ts[$pos] = $ts[$pos - 1]; $tc[$pos] = $tc[$pos - 1]; $pos--;
+         |      }
+         |      $ts[$pos] = $sim; $tc[$pos] = $cell;
+         |      if ($fl < $kk) $fl++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($tc, $fl));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TopCellsRouted =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -209,4 +371,11 @@ object VectorFunctions {
     ExpressionUtils.column(TopCells(ExpressionUtils.expression(v),
       ExpressionUtils.expression(nrm), cells, flat, norms, k))
   }
+  /** Routed (two-level) assignment off a prebuilt
+    * [[graft.operators.CellRouter]]'s arrays. */
+  def topCellsRouted(v: Column, nrm: Column,
+                     r: graft.operators.CellRouter, k: Int): Column =
+    ExpressionUtils.column(TopCellsRouted(ExpressionUtils.expression(v),
+      ExpressionUtils.expression(nrm), r.cells, r.flat, r.norms,
+      r.gFlat, r.gNorms, r.gStart, r.mIdx, k, r.wProbe))
 }

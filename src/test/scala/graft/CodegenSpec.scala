@@ -71,6 +71,54 @@ class CodegenSpec extends AnyFunSuite {
       s"top_cells fell out of codegen:\n$p")
   }
 
+  test("top_cells_routed equals flat top_cells bit-for-bit under an " +
+    "exhaustive probe and stays codegen'd") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.{topCells, topCellsRouted}
+    val e = Similarity.prepared(spark, sf)
+    val anchors = Similarity.trainedAnchors(spark, sf, e)
+    // wProbe ≥ nGroups ⇒ complete candidate set ⇒ the routed kernel's
+    // explicit (sim desc, cell asc) tie rule must reproduce the flat
+    // kernel's scan-order-derived ranking exactly, at k = 1 and k > 1
+    val all = graft.operators.CellRouter.of(anchors, anchors.length)
+    val both = e
+      .withColumn("flat1", topCells(col("v"), col("nrm"), anchors, 1))
+      .withColumn("routed1", topCellsRouted(col("v"), col("nrm"), all, 1))
+      .withColumn("flat3", topCells(col("v"), col("nrm"), anchors, 3))
+      .withColumn("routed3", topCellsRouted(col("v"), col("nrm"), all, 3))
+    both.select("vec_id", "flat1", "routed1", "flat3", "routed3")
+      .collect().foreach { r =>
+        assert(r.getSeq[Int](1) == r.getSeq[Int](2), s"k=1 diverged: $r")
+        assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"k=3 diverged: $r")
+      }
+    val p = plan(both.select(col("vec_id"), col("routed3")))
+    assert(p.contains("top_cells_routed"), s"native routed kernel missing:\n$p")
+    assert(!p.toLowerCase.contains("codegenfallback"),
+      s"top_cells_routed fell out of codegen:\n$p")
+  }
+
+  test("top_cells_routed COMPILES under janino at a routed-scale anchor " +
+    "table (a codegen syntax error falls back to interpreted SILENTLY — " +
+    "plan text still shows the WSCG span, only executor logs notice)") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.prepared(spark, sf)
+    // large-enough synthetic anchor table that routing genuinely prunes
+    val anchors = Array.tabulate(200)(i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64.0 + j))))
+    val df = e.select(
+      Similarity.assignCells(col("v"), col("nrm"), anchors, 2,
+        minRouted = 0).as("r"))
+    df.collect()
+    val stats = org.apache.spark.sql.execution.debug
+      .codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "no codegen subtree found")
+    stats.foreach { case (_, _, bs) =>
+      assert(bs.maxMethodCodeSize > 0,
+        "generated code failed to compile — the round-16 '||'-eaten-by-" +
+          "stripMargin class of bug, running interpreted at scale")
+    }
+  }
+
   test("bloom probe is the native expression, not a UDF, and stays codegen'd") {
     val p = plan(Relational.r30(spark, sf))
     assert(p.contains("bloom_might_contain"), s"native probe missing:\n$p")

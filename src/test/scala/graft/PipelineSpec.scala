@@ -48,6 +48,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(r >= 0.9, f"IVF recall $r%.3f below 0.9 with trained anchors")
   }
 
+  test("fetchIncr degree budget: a hub node with many back-linked " +
+    "appends serves within DEG + FetchBackBudget, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-hub").toFile
+    try {
+      val path = work.getAbsolutePath
+      def adjRow(id: Long, nbrs: Seq[Long]) =
+        (id, Array(1.0, 0.0), 1.0, nbrs)
+      // base: hub node 0 with a full DEG-wide list; delta: 100 appended
+      // nodes each back-linking the hub (the aged-store hub shape)
+      Seq(adjRow(0L, (1L to 8L)))
+        .toDF("vec_id", "v", "nrm", "nbrs")
+        .write.parquet(s"$path/base/adj")
+      (100L until 200L).map(i => adjRow(i, Seq(0L)))
+        .toDF("vec_id", "v", "nrm", "nbrs")
+        .write.parquet(s"$path/delta/adj")
+      (100L until 200L).map(i => (0L, i))
+        .toDF("vec_id", "extra")
+        .write.parquet(s"$path/back")
+      val hub = Similarity.fetchIncr(spark, path, Seq(0L))
+        .collect().map(r => r.getSeq[Long](3))
+      assert(hub.length == 1)
+      val budget = Similarity.FetchBackBudget
+      assert(hub.head.length <= 8 + budget,
+        s"hub list ${hub.head.length} exceeds DEG + FetchBackBudget")
+      // deterministic content: base nbrs + the id-ascending extras prefix
+      val want = ((1L to 8L) ++ (100L until (100L + budget))).sorted
+      assert(hub.head.sorted == want,
+        s"capped merge not the deterministic prefix: ${hub.head.sorted}")
+      // a non-hub node (no back rows) keeps its list untouched
+      val plain = Similarity.fetchIncr(spark, path, Seq(150L))
+        .collect().map(r => r.getSeq[Long](3))
+      assert(plain.head == Seq(0L))
+    } finally graft.FsUtil.deleteTree(work)
+  }
+
+  test("coarse-routed assignment: argmax agreement vs the flat scan at " +
+    "production probe width, Exchange-free, deterministic") {
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.prepared(spark, sf01).cache()
+    // an anchor table big enough that routing actually PRUNES
+    // (nGroups > CoarseProbe): every 3rd corpus vector, data-
+    // distributed the way a trained table is
+    val anchors = e.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    assert(anchors.length >= Similarity.CoarseMinAnchors,
+      s"fixture too small: ${anchors.length} anchors — routing would not engage")
+    assert(math.ceil(math.sqrt(anchors.length)).toInt > Similarity.CoarseProbe,
+      "coarse layer not larger than the probe — nothing pruned, spec proves nothing")
+    val both = e.select(col("vec_id"),
+      graft.functions.VectorFunctions
+        .topCells(col("v"), col("nrm"), anchors, 1)(0).as("exact"),
+      Similarity.assignCells(col("v"), col("nrm"), anchors, 1)(0).as("routed"))
+    val rows = both.collect()
+    val agree = rows.count(r => r.getInt(1) == r.getInt(2)).toDouble / rows.length
+    info(f"routed/exact argmax agreement = $agree%.3f over ${rows.length} rows, " +
+      s"${anchors.length} anchors")
+    assert(agree >= 0.9,
+      f"routed assignment agreement $agree%.3f < 0.9 — coarse layer mis-routes")
+    // the routed projection must stay a narrow Exchange-free fragment
+    both.queryExecution.executedPlan.collect {
+      case x: org.apache.spark.sql.execution.exchange.Exchange => x
+    } match {
+      case Nil => ()
+      case xs => fail(s"routed assignment shuffled: $xs")
+    }
+    // determinism at re-evaluation
+    val again = both.collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
+  test("trainAnchors routed lane: forcing the router at gate scale " +
+    "reproduces the exact training bit-for-bit (probe covers all groups)") {
+    import org.apache.spark.sql.functions.col
+    val base = Similarity.prepared(spark, sf01)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val nCells = Similarity.ivfCells(base.count())
+    assert(math.ceil(math.sqrt(nCells)).toInt <= Similarity.CoarseProbe,
+      "gate anchor table outgrew the probe width — identity premise broken")
+    val exact = Similarity.trainAnchors(base, nCells, iters = 2)
+    val routed = Similarity.trainAnchors(base, nCells, iters = 2, minRouted = 0)
+    assert(exact.length == routed.length)
+    exact.zip(routed).foreach { case ((c1, v1), (c2, v2)) =>
+      assert(c1 == c2 && v1.sameElements(v2),
+        s"routed training diverged at cell $c1/$c2")
+    }
+  }
+
   test("IVF corpus cell assignment is Exchange-free (s3/s6/p7 scale shape)") {
     import org.apache.spark.sql.functions.col
     val e = Similarity.prepared(spark, sf01)
@@ -889,7 +980,7 @@ class PipelineSpec extends AnyFunSuite {
     // reuse: drop the in-memory resolve cache so the second call MUST
     // take the on-disk marker path, then require "found" — accepting
     // "built" here would let a rebuild-every-time bug pass silently
-    Multimodal.dropAudioIdxCacheEntry(spark, sf001)
+    Multimodal.dropBandedIdxCacheEntry(spark, sf001, "audio")
     val path2 = Multimodal.audioIndexPath(spark, sf001)
     assert(path2 == path)
     assert(Similarity.artifactStatus(path) == "found",
@@ -910,6 +1001,49 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("bands"),
       "mm11's plan does not scan the durable banded store")
+  }
+
+  test("mm14 image probe: every +64-brightness query resolves to its " +
+    "source at hamming 0, deterministically, via the banded lookup") {
+    val rows = Multimodal.mm14ImageProbe(spark, sf001).collect()
+    assert(rows.length == 10, s"expected one row per query, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("match_ok"), s"best hit not hamming-0: $r")
+      assert(r.getAs[Boolean]("self_ok"), s"source doc not among hamming-0 hits: $r")
+      // brightness invariance is EXACT (every gray shifts by the same
+      // constant, no clipping), so the best mate is the source by tie-break
+      assert(r.getAs[Long]("best_mate") == r.getAs[Long]("query_id"),
+        s"best mate is not the source: $r")
+    }
+    val again = Multimodal.mm14ImageProbe(spark, sf001).collect()
+    assert(rows.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
+  test("mm14 serves from the DURABLE banded image artifact: reused " +
+    "across calls, content equals a fresh codec pass, plan scans the store") {
+    import org.apache.spark.sql.functions._
+    val path = Multimodal.imageIndexPath(spark, sf001)
+    assert(new java.io.File(path, "_graft_complete").isFile)
+    Multimodal.dropBandedIdxCacheEntry(spark, sf001, "image")
+    val path2 = Multimodal.imageIndexPath(spark, sf001)
+    assert(path2 == path)
+    assert(Similarity.artifactStatus(path) == "found",
+      s"second resolve did not reuse the durable artifact: ${Similarity.artifactStatus(path)}")
+    // stored bands ≡ a fresh dHash pass banded the same way
+    val stored = spark.read.parquet(s"$path/bands")
+      .select(col("doc_id"), col("dhash"), col("band"), col("sig"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    val fresh = Multimodal.bandFrameOf(
+        Multimodal.mm9HashesForSpec(spark, sf001), "doc_id", "dhash")
+      .select(col("doc_id"), col("dhash"), col("band"), col("sig"))
+      .collect().map(_.toSeq).sortBy(_.toString())
+    assert(stored.sameElements(fresh),
+      "durable banded image store diverged from a fresh codec pass")
+    // the serve plan reads the artifact — the corpus codec pass is gone
+    val plan = Multimodal.mm14ImageProbe(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bands"),
+      "mm14's plan does not scan the durable banded store")
   }
 
   test("mm5 mixed audio: AIFF payloads are real FORM containers, routing follows parity, " +
@@ -2404,6 +2538,36 @@ class PipelineSpec extends AnyFunSuite {
         "plumbing is not a pure constraint")
   }
 
+  test("s25 adaptive filtered beam: widening follows measured selectivity " +
+    "and the recall floor holds at a ≤1% label") {
+    import org.apache.spark.sql.functions._
+    // the adaptive-L arithmetic (filtered-DiskANN's knob): vacuous
+    // selectivity keeps the measured-good 4× floor, moderate labels
+    // widen as K/sel, rare labels hit the declared cost cap
+    assert(Similarity.filteredBeamFor(1.0) == Similarity.FilteredBeam)
+    assert(Similarity.filteredBeamFor(0.1) == 50)
+    assert(Similarity.filteredBeamFor(0.01) == Similarity.MaxFilteredBeam)
+    // synthetic ≤1% label: 5 of the 500 gate vectors share label 1
+    // (query 0 + four spread corpus vectors); every other vector gets
+    // a unique label, so query 0 is the only query with any match
+    val rare = Seq(0L, 123L, 251L, 377L, 449L)
+    val labelOf = graft.sources.Tables.embeddings(spark, sf01)
+      .select(col("vec_id"),
+        when(col("vec_id").isin(rare: _*), lit(-1L))
+          .otherwise(col("vec_id") + 1000000L).as("label"))
+    val sel = 5.0 / 500.0
+    val out = Similarity.s25Core(spark, sf01, labelOf,
+        Similarity.filteredBeamFor(sel))
+      .filter(col("query_id") === 0L)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    val want = rare.drop(1).toSet
+    val recall = (out & want).size.toDouble / want.size
+    info(f"s25 rare-label (1%%) recall = $recall%.3f at beam " +
+      s"${Similarity.filteredBeamFor(sel)}")
+    assert(recall >= 0.7,
+      f"≤1%% label recall $recall%.3f under the adaptive beam — widening insufficient")
+  }
+
   test("s26 graph audit: all-green on the fresh artifact; corrupt one " +
     "thing and exactly its check flips") {
     import org.apache.spark.sql.functions._
@@ -2509,7 +2673,8 @@ class PipelineSpec extends AnyFunSuite {
     val e = Similarity.prepared(spark, sf01)
     val nLive = e.filter(!(col("vec_id") % 17 === 5 && col("vec_id") >= 10)).count()
     assert(g.count() === nLive, "folded node set must be exactly the survivors")
-    assert(g.filter(size(col("nbrs")) > 8).count() === 0, "fold degree bound")
+    assert(g.filter(size(col("nbrs")) > Similarity.FoldDeg).count() === 0,
+      "fold degree bound")
     assert(g.filter(col("vec_id") % 17 === 5 && col("vec_id") >= 10).count() === 0)
     assert(g.select(explode(col("nbrs")).as("t"))
       .filter(col("t") % 17 === 5 && col("t") >= 10).count() === 0,

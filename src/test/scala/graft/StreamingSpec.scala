@@ -749,6 +749,37 @@ class StreamingSpec extends AnyFunSuite {
       f"reach=${rows.head.getAs[Double]("reach4")}%.3f")
   }
 
+  test("st20 streamed graph serve: three micro-batches drain, answers " +
+    "multiset-identical to the one-shot graph probe") {
+    val rows = graft.streaming.Streaming.st20StreamGraphServe(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("serve_ok")),
+      "streamed graph answers diverged from the one-shot probe")
+    assert(rows.forall(_.getAs[Boolean]("batches_ok")),
+      s"expected 3 drained batches, got ${rows.head.getAs[Long]("n_batches")}")
+  }
+
+  test("st21 per-point search insert: gates green end-to-end, recall " +
+    "within tolerance of the batch lane, delta ids identical") {
+    val search = graft.streaming.Streaming.st21StreamGraphInsert(spark, sf)
+      .collect()
+    assert(search.nonEmpty)
+    Seq("recall_ok", "reach_ok", "append_ok").foreach { c =>
+      assert(search.forall(_.getAs[Boolean](c)), s"st21 gate $c red")
+    }
+    val batch = graft.streaming.Streaming.st19StreamGraphIngest(spark, sf)
+      .collect()
+    val rs = search.head.getAs[Double]("recall4")
+    val rb = batch.head.getAs[Double]("recall4")
+    info(f"st21 search-lane recall=$rs%.3f reach=${search.head.getAs[Double]("reach4")}%.3f " +
+      f"vs st19 batch-lane recall=$rb%.3f")
+    // recall-equivalence: the visited-set insert must not trail the
+    // exhaustive shard kernel by more than a tolerance at the gate
+    assert(rs >= rb - 0.1,
+      f"search-lane recall $rs%.3f trails the batch lane $rb%.3f by > 0.1")
+  }
+
   test("st19 single-epoch stream is content-identical to s22's batch " +
     "append (same candidate set ⇒ same delta and back-link rows)") {
     import graft.operators.Similarity

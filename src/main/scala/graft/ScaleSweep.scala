@@ -422,9 +422,15 @@ object ScaleSweep {
       // into task states the 8 GiB heap cannot hold (executor OOM),
       // and p1/t18 read ~1.4× above linear from spill onset. ≤10×
       // keeps the historical setting so recorded trend rows stay
-      // comparable. This is exactly what a 1000-executor cluster does:
-      // shuffle width grows with data, per-task state does not.
-      val shufP = math.max(cpus.toInt, cpus.toInt * n / 10)
+      // comparable. Capped at 8 waves of the core count: the first
+      // 1000× run at cpus·100 = 3200 partitions landed x30 (426 s
+      // where 32 partitions OOM'd) but taxed the NON-spilling control
+      // 40% in pure task overhead (x13 105 → 148 s) — per-partition
+      // state only needs to fit the heap, not shrink forever. This is
+      // exactly what a 1000-executor cluster does: shuffle width grows
+      // with data until tasks fit, then stops.
+      val shufP = math.min(8 * cpus.toInt,
+        math.max(cpus.toInt, cpus.toInt * n / 10))
       spark.conf.set("spark.sql.shuffle.partitions", shufP.toString)
       if (n > 1)
         ensureScaled(spark, base, dir, n, full = !docsOnly,

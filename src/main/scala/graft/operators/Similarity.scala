@@ -3589,7 +3589,7 @@ object Similarity {
     *
     * SEARCH is point-lookup shaped, exactly how a DiskANN shard
     * serves: the beam seeds at each query's 2 nearest cells'
-    * representatives (IVF-guided entry), then ≤ [[GraphHops]] rounds
+    * representatives (IVF-guided entry), then convergence-terminated rounds
     * of best-first expansion — take the per-query top-[[GraphBeam]]
     * unexpanded nodes, fetch their adjacency rows BY KEY (an `isin`
     * over a driver-bounded id list; at scale a bucket-pruned point
@@ -3687,9 +3687,19 @@ object Similarity {
     * same expansion bookkeeping, the same rounds — and the equality
     * spec proves it on the gate corpus at 1× and 6.4× the gate query
     * set. Every serve path dispatches through [[graphBeamAuto]]: the
-    * driver loop below [[GraphBeamExecMinQueries]] distinct queries
-    * (the gate shape — fewer Spark jobs), this loop at or above it. */
-  private[graft] val GraphBeamExecMinQueries = 64
+    * driver loop below [[GraphBeamExecMinQueries]] distinct queries,
+    * this loop at or above it.
+    *
+    * Threshold sizing (round 16, measured): driver-loop state is
+    * ~queries · rounds · beam · DEG small tuples — tens of MB at 512
+    * queries even at the 100× beam width — while the exec lane pays
+    * several Spark jobs PER ROUND (state/expanded checkpoints + the
+    * group step), which DOMINATED real insert epochs at small batch
+    * sizes (st21's 67-query epochs through the exec lane cost ~5× the
+    * batch lane's whole run). 512 keeps the driver lane for every
+    * gate/bench/epoch shape here and reserves the executor lane for
+    * the 10⁴+-query tiers whose hop frames no driver should hold. */
+  private[graft] val GraphBeamExecMinQueries = 512
 
   private[graft] def graphBeamExec(s: SparkSession,
                         fetch: Seq[Long] => DataFrame,
@@ -3699,14 +3709,27 @@ object Similarity {
                         maxHops: Int = GraphMaxHops): DataFrame = {
     import s.implicits._
     val qB = broadcast(qSide)
-    var scoredState: DataFrame = null // (query_id, neighbor_id, cos4, nbrs)
-    var expanded: DataFrame = null    // (query_id, neighbor_id)
+    // Per-round state lives as LISTS of checkpointed DELTAS, unioned
+    // lazily where a round needs the whole set. The first version
+    // re-checkpointed the ACCUMULATED state every round — O(rounds²)
+    // write volume, which the convergence-length round counts of large
+    // graphs turned into the dominant cost (measured: a 6.7k-query
+    // insert epoch at the 100× corpus spent ~24 minutes mostly
+    // rewriting its own scored state). Deltas are round-bounded; the
+    // union read per round is unavoidable (the beam step consumes all
+    // scored rows) but reading N checkpointed frames costs O(total)
+    // with no rewrite.
+    var hopFrames: List[DataFrame] = Nil       // (query_id, neighbor_id, cos4, nbrs)
+    var expandedFrames: List[DataFrame] = Nil  // (query_id, neighbor_id) per round
     // attempted mirrors graphBeam's `scored ++= pending` BEFORE the
     // fetch: a pair whose id has no adjacency row (dangling target in
     // an aged artifact) must not be re-collected and re-fetched every
     // round it is re-reached
-    var attempted: DataFrame = null   // (query_id, id)
+    var attemptedFrames: List[DataFrame] = Nil // (query_id, id) per round
+    def unionAll(fs: List[DataFrame]): DataFrame =
+      fs.reduce(_ unionByName _)
     var pending: DataFrame = seeds.toDF("query_id", "id").distinct()
+      .localCheckpoint(true)
     var h = 0
     var done = false
     while (h <= maxHops && !done) {
@@ -3714,9 +3737,7 @@ object Similarity {
         .collect().map(_.getLong(0)).toSeq // bounded: DISTINCT fetched node ids per round (frontier overlap collapses across queries)
       if (ids.isEmpty) done = true
       else {
-        attempted =
-          (if (attempted == null) pending else attempted.unionByName(pending))
-            .localCheckpoint(true)
+        attemptedFrames ::= pending
         val hop = fetch(ids)
           .join(pending, col("vec_id") === col("id"))
           .join(qB, Seq("query_id"))
@@ -3725,19 +3746,18 @@ object Similarity {
               .as("cos4"),
             col("nbrs"))
           .localCheckpoint(true)
-        scoredState =
-          (if (scoredState == null) hop else scoredState.unionByName(hop))
-            .localCheckpoint(true)
+        hopFrames ::= hop
+        val scoredAll = unionAll(hopFrames)
         val exp =
-          if (expanded == null)
-            scoredState.limit(0).select(col("query_id"), col("neighbor_id"))
-          else expanded
+          if (expandedFrames.isEmpty)
+            hop.limit(0).select(col("query_id"), col("neighbor_id"))
+          else unionAll(expandedFrames)
         // the beam step, executor-side, mirroring the driver loop's
         // convergence rule: each query's scored rows sort locally, the
         // top `beam` OVERALL form the L-list, and its unexpanded
         // members expand — the stream drains when every L-list member
         // is expanded (selected empty ⇒ pending empty ⇒ done)
-        val selected = scoredState
+        val selected = scoredAll
           .join(exp.withColumn("is_exp", lit(true)),
             Seq("query_id", "neighbor_id"), "left")
           .select(col("query_id"), col("neighbor_id"), col("cos4"),
@@ -3751,19 +3771,19 @@ object Similarity {
               .map { case (_, id, _, nbrs, _) => (q, id, nbrs) }
           }.toDF("query_id", "neighbor_id", "nbrs")
           .localCheckpoint(true)
-        expanded = exp
-          .unionByName(selected.select(col("query_id"), col("neighbor_id")))
-          .localCheckpoint(true)
+        expandedFrames ::=
+          selected.select(col("query_id"), col("neighbor_id"))
         pending = selected
           .select(col("query_id"), explode(col("nbrs")).as("id")).distinct()
-          .join(attempted, Seq("query_id", "id"), "left_anti")
+          .join(unionAll(attemptedFrames), Seq("query_id", "id"), "left_anti")
+          .localCheckpoint(true)
       }
       h += 1
     }
-    if (scoredState == null)
+    if (hopFrames.isEmpty)
       throw new IllegalStateException(
         "graph beam never scored a node — no valid seeds reached the loop")
-    scoredState.select(col("query_id"), col("neighbor_id"), col("cos4"))
+    unionAll(hopFrames).select(col("query_id"), col("neighbor_id"), col("cos4"))
   }
 
   /** The dispatch every serve path goes through: the driver loop below

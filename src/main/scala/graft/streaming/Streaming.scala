@@ -1992,7 +1992,7 @@ object Streaming {
     * merged exactly like [[Similarity.fetchIncr]] including the
     * [[Similarity.FetchBackBudget]] hub bound. */
   private def fetchAppliedState(s: SparkSession, gDir: String,
-      applied: Set[Long], ids: Seq[Long]): DataFrame = {
+      applied: Set[Long]): Seq[Long] => DataFrame = {
     import graft.operators.Similarity
     val epochFile = "^epoch-(\\d+)\\.parquet$".r
     def appliedFiles(leg: String): Seq[String] =
@@ -2001,28 +2001,41 @@ object Streaming {
         .filter(f => epochFile.findFirstMatchIn(f.getName)
           .exists(mm => applied.contains(mm.group(1).toLong)))
         .map(_.getAbsolutePath).toSeq.sorted
-    val base = s.read.parquet(s"$gDir/base/adj")
+    // the three store frames are built ONCE per epoch (file listing +
+    // parquet footers are not free, and a beam pays one fetch PER
+    // ROUND); each round's call only adds the key filter, which is
+    // what prunes row groups
+    val base0 = s.read.parquet(s"$gDir/base/adj")
       .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"))
-      .filter(col("vec_id").isin(ids: _*))
     val dFiles = appliedFiles("delta/adj")
-    val nodes =
-      if (dFiles.isEmpty) base
-      else base.unionByName(s.read.parquet(dFiles: _*)
-        .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"))
-        .filter(col("vec_id").isin(ids: _*)))
+    val delta0 =
+      if (dFiles.isEmpty) None
+      else Some(s.read.parquet(dFiles: _*)
+        .select(col("vec_id"), col("v"), col("nrm"), col("nbrs")))
     val bFiles = appliedFiles("back")
-    if (bFiles.isEmpty) nodes
-    else {
-      val bk = s.read.parquet(bFiles: _*)
-        .filter(col("vec_id").isin(ids: _*))
-        .groupBy("vec_id").agg(
-          slice(array_sort(collect_list(col("extra"))),
-            1, Similarity.FetchBackBudget).as("extra"))
-      nodes.join(bk, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("v"), col("nrm"),
-          when(col("extra").isNull, col("nbrs"))
-            .otherwise(array_sort(array_distinct(
-              concat(col("nbrs"), col("extra"))))).as("nbrs"))
+    val back0 =
+      if (bFiles.isEmpty) None
+      else Some(s.read.parquet(bFiles: _*))
+    ids => {
+      val base = base0.filter(col("vec_id").isin(ids: _*))
+      val nodes = delta0 match {
+        case None => base
+        case Some(dl) =>
+          base.unionByName(dl.filter(col("vec_id").isin(ids: _*)))
+      }
+      back0 match {
+        case None => nodes
+        case Some(b0) =>
+          val bk = b0.filter(col("vec_id").isin(ids: _*))
+            .groupBy("vec_id").agg(
+              slice(array_sort(collect_list(col("extra"))),
+                1, Similarity.FetchBackBudget).as("extra"))
+          nodes.join(bk, Seq("vec_id"), "left")
+            .select(col("vec_id"), col("v"), col("nrm"),
+              when(col("extra").isNull, col("nbrs"))
+                .otherwise(array_sort(array_distinct(
+                  concat(col("nbrs"), col("extra"))))).as("nbrs"))
+      }
     }
   }
 
@@ -2075,15 +2088,28 @@ object Streaming {
             // SEARCH lane (st21): one beam search per inserted point
             // against the applied state — the visited set is the
             // candidate list (FreshDiskANN's insert), pruned to the
-            // top-DEG exact cosines with the family's (-cos4, id) tie
-            val q = bprep.select(col("vec_id"), col("v"), col("nrm"))
-            val seeds = Similarity.graphSeeds(q, anchors,
-              s.read.parquet(s"$gDir/reps"))
-            val scored = Similarity.graphBeamAuto(s,
-              ids => fetchAppliedState(s, gDir, applied, ids),
-              q.select(col("vec_id").as("query_id"), col("v").as("qv"),
-                col("nrm").as("qn")),
-              seeds, beam = Similarity.beamForAnchors(anchors))
+            // top-DEG exact cosines with the family's (-cos4, id) tie.
+            // Epochs run as CHUNKED driver-loop mini-batches (sorted
+            // ids, ≤ GraphBeamExecMinQueries per chunk): per-query
+            // beams are independent, so chunking is content-neutral,
+            // driver state stays bounded at any epoch size, and the
+            // insert never pays the executor lane's per-round job
+            // overhead (measured: a 6.7k-query epoch through the exec
+            // lane cost ~8 min at the 100× corpus; the same epoch as
+            // 14 driver chunks is point-read-bounded).
+            val reps = s.read.parquet(s"$gDir/reps")
+            val beamW = Similarity.beamForAnchors(anchors)
+            val chunks = batch.select(col("vec_id"))
+              .collect().map(_.getLong(0)).sorted // bounded: one epoch's batch ids
+              .grouped(Similarity.GraphBeamExecMinQueries).toSeq
+            val fetch = fetchAppliedState(s, gDir, applied)
+            val scored = chunks.map { chunk =>
+              val q = bprep.filter(col("vec_id").isin(chunk.toSeq: _*))
+              Similarity.graphBeam(s, fetch,
+                q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+                  col("nrm").as("qn")),
+                Similarity.graphSeeds(q, anchors, reps), beam = beamW)
+            }.reduce(_ unionByName _)
               .filter(col("query_id") =!= col("neighbor_id"))
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("query_id"))

@@ -2489,9 +2489,11 @@ class PipelineSpec extends AnyFunSuite {
     val (d64, x64) = run(64)
     assert(d64.length > d10.length && d64.sameElements(x64),
       "exec beam diverged from the driver loop at the 64-query batch")
-    // the auto dispatch routes by distinct-query count
-    def autoPath(nq: Int): String = {
-      val q = e.filter(col("vec_id") < nq)
+    // the auto dispatch routes by distinct-query count (threshold 512
+    // since round 16: the exec lane's per-round job overhead dominated
+    // real epoch batches, while driver state at ≤512 queries is tens
+    // of MB — see GraphBeamExecMinQueries's sizing note)
+    def autoPathFor(q: org.apache.spark.sql.DataFrame): String = {
       Similarity.graphBeamAuto(spark,
         ids => g.filter(col("vec_id").isin(ids: _*)),
         q.select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -2499,10 +2501,15 @@ class PipelineSpec extends AnyFunSuite {
         Similarity.graphSeeds(q, anchors, reps)).count()
       Similarity.lastBeamPath
     }
-    assert(autoPath(10) == "driver",
-      "gate-shape batch must take the driver loop")
-    assert(autoPath(64) == "exec",
-      "a 64-query batch must take the executor-side loop")
+    assert(autoPathFor(e.filter(col("vec_id") < 64)) == "driver",
+      "an epoch/gate-shape batch must take the driver loop")
+    // fabricate a threshold-crossing batch from the gate vectors
+    // (distinct ids, duplicated vectors — dispatch counts queries)
+    val big = e.unionByName(e.withColumn("vec_id", col("vec_id") + 10000L))
+    assert(big.select("vec_id").distinct().count() >=
+      Similarity.GraphBeamExecMinQueries)
+    assert(autoPathFor(big) == "exec",
+      "a tier-scale batch must take the executor-side loop")
   }
 
   test("s25 filtered graph serve: recall gate green, answers label-pure, " +

@@ -468,6 +468,15 @@ object ScaleSweep {
           val t0 = System.nanoTime()
           graft.operators.Similarity.s21Graph(e, anchors).count()
           val tNnd = (System.nanoTime() - t0) / 1e9
+          // the PRODUCTION build since round 16: wide-pool kernel +
+          // α-RNG diversification (reverse-edge rescore + RobustPrune)
+          // — timed whole so the diversify pass's linear shuffle cost
+          // is its own visible trend (tFull − tNnd ≈ the α pass)
+          val t2 = System.nanoTime()
+          graft.operators.Similarity.diversifyAdjacency(
+            graft.operators.Similarity.s21Graph(e, anchors,
+              keep = graft.operators.Similarity.DiversifyPool)).count()
+          val tFull = (System.nanoTime() - t2) / 1e9
           val tExact =
             if (nndOnly) -1.0
             else {
@@ -475,7 +484,7 @@ object ScaleSweep {
               graft.operators.Similarity.s21GraphExact(e, anchors).count()
               (System.nanoTime() - t1) / 1e9
             }
-          println(f"""[scale] {"scale":$n,"anchor_train":$tTrain%.2f,"graph_build_nnd":$tNnd%.2f,"graph_build_exact":$tExact%.2f}""")
+          println(f"""[scale] {"scale":$n,"anchor_train":$tTrain%.2f,"graph_build_nnd":$tNnd%.2f,"graph_build_full":$tFull%.2f,"graph_build_exact":$tExact%.2f}""")
         } catch {
           case e: Throwable => System.err.println(s"[scale] graph build trend@x$n: $e")
         }

@@ -813,7 +813,10 @@ object Similarity {
   // v8: the folded generation's degree bound moved to FoldDeg = 2·DEG
   // (merged-budget-preserving compaction). Stale artifacts must
   // rebuild, not serve mixed content.
-  private val IndexFormatVersion = "graft-index-v8"
+  // v9: BASE graph generations are α-RNG-diversified at build time
+  // (diversifyAdjacency over the 2·width merged pool + reverse edges)
+  // — a v8 kNN-cut adjacency must not serve under v9's beam sizing.
+  private val IndexFormatVersion = "graft-index-v9"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -879,6 +882,46 @@ object Similarity {
       new java.io.File(dir, "_anchors.txt").toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Label-histogram sidecar (`_labels.txt`) — one `(label, count)`
+    * line per distinct metadata label, written at graph-artifact build
+    * time so s25's selectivity estimate is a sidecar LOOKUP instead of
+    * a per-serve aggregate job (the anchor-sidecar discipline applied
+    * to the filter metadata; label cardinality is tiny next to the
+    * corpus, so the histogram is metadata-sized at any scale). Tmp +
+    * atomic rename + `#end` trailer: a torn write parses as absent and
+    * falls back to the in-query aggregate. */
+  private def writeLabelHist(dir: java.io.File,
+                             counts: Seq[(Int, Long)]): Unit = {
+    val sb = new StringBuilder
+    sb.append(counts.length).append('\n')
+    counts.sortBy(_._1).foreach { case (l, n) =>
+      sb.append(l).append(' ').append(n).append('\n')
+    }
+    sb.append("#end\n")
+    val tmp = java.io.File.createTempFile("_labels", ".tmp", dir)
+    java.nio.file.Files.writeString(tmp.toPath, sb.toString)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_labels.txt").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private[graft] def readLabelHist(dir: java.io.File): Option[Map[Int, Long]] = {
+    val f = new java.io.File(dir, "_labels.txt")
+    if (!f.isFile) None
+    else try {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val n = lines.get(0).trim.toInt
+      require(lines.size == n + 2 && lines.get(n + 1).trim == "#end",
+        "label sidecar truncated")
+      Some((1 to n).map { i =>
+        val p = lines.get(i).trim.split(" ")
+        require(p.length == 2, "label sidecar line malformed")
+        p(0).toInt -> p(1).toLong
+      }.toMap)
+    } catch { case _: Exception => None }
   }
 
   private[graft] def readAnchors(dir: java.io.File): (Array[(Int, Array[Double])], Int) = {
@@ -3220,15 +3263,40 @@ object Similarity {
   private[graft] val GraphBeam = 8  // best-first beam width (DiskANN's L)
   /** Serving beam width scaled to the indexed corpus — production
     * graph indexes grow DiskANN's L ~logarithmically with n to hold
-    * recall on diffuse data (fixed-L recall decays as the graph
-    * grows; round 16 measured reach 0.69 / 0.84 / 0.94 at
-    * L = 8/16/32 on the 100× corpus where the gate corpus holds ≥0.9
-    * at 8). Estimated from the anchor table every artifact already
-    * carries (nCells = ⌈√n⌉ at build ⇒ n ≈ nCells²), so no extra job
-    * runs at serve time and the width is deterministic per artifact:
-    * L = max(GraphBeam, ⌈3·log₂ n⌉ − 20) — the gate corpus stays at
-    * the base width, the 100× decade lands at 33, the 1000× at 43. */
+    * recall on diffuse data. Estimated from the anchor table every
+    * artifact already carries (nCells = ⌈√n⌉ at build ⇒ n ≈ nCells²),
+    * so no extra job runs at serve time and the width is deterministic
+    * per artifact. Sizing history: the round-16 kNN-cut build needed
+    * ⌈3·log₂ n⌉ − 20 (reach 0.69/0.84/0.94 at L = 8/16/32 on the 100×
+    * corpus — fixed-L reach decayed with n); the α-RNG-DIVERSIFIED
+    * build (v9, [[diversifyAdjacency]]) restored navigability at the
+    * base width through every measured decade (GraphReach audit:
+    * recall 1.0 AND reach 1.0 at L = 8 on the gate, 100×/200k and
+    * 1000×/2M corpora — serving 3.7 s vs 72 s at the old L = 43
+    * sizing at 2M), so the constant drops to L = max(GraphBeam,
+    * ⌈log₂ n⌉ − 13): the base width everywhere measured, still
+    * log-growing past the measured envelope (20M → 12, 10⁹ → 17) —
+    * margin for the decades no harness here has reached, priced at
+    * log instead of 3·log. */
   private[graft] def beamForAnchors(
+      anchors: Array[(Int, Array[Double])]): Int = {
+    val n = math.max(2.0, anchors.length.toDouble * anchors.length)
+    math.max(GraphBeam, math.ceil(math.log(n) / math.log(2)).toInt - 13)
+  }
+
+  /** Serving width for the INCREMENTAL read-side state (base + delta
+    * epochs + back-link carriers: s22/s24's merged serves, st19/st21's
+    * insert searches) and for s25's label-filtered depth term. These
+    * paths keep the round-16 ⌈3·log₂ n⌉ − 20 sizing: the delta layer's
+    * forward lists are plain kNN cuts and appended nodes are reachable
+    * only THROUGH back-link carriers the beam must expand — the x100
+    * audit measured s22 reach 0.69 and s25 recall 0.54 at the base
+    * width where the α-diversified BASE generation serves at 1.0/1.0
+    * ([[beamForAnchors]]). The asymmetry is priced, not hidden: base
+    * serving (the hot path) got the 20× width cut; the incremental
+    * layer keeps the wide beam until its delta lists get the same
+    * α treatment (open refinement). */
+  private[graft] def beamForAnchorsIncr(
       anchors: Array[(Int, Array[Double])]): Int = {
     val n = math.max(2.0, anchors.length.toDouble * anchors.length)
     math.max(GraphBeam, math.ceil(3 * math.log(n) / math.log(2)).toInt - 20)
@@ -3261,8 +3329,9 @@ object Similarity {
     * adjacency (DEG longs/vector) persisted beside the codes at
     * ingest. Exposed for the degree-bound spec. */
   private[graft] def s21Graph(e: DataFrame,
-                              anchors: Array[(Int, Array[Double])]): DataFrame =
-    graphAdjacency(e.withColumn("sel", lit(true)), anchors)
+                              anchors: Array[(Int, Array[Double])],
+                              keep: Int = GraphDeg): DataFrame =
+    graphAdjacency(e.withColumn("sel", lit(true)), anchors, keep = keep)
 
   /** [[s21Graph]] with the NN-descent kernel disabled — every shard
     * takes the exact O(c²) pass. The adjacency-quality spec's
@@ -3280,7 +3349,8 @@ object Similarity {
     * stay untouched on disk). */
   private[graft] def graphAdjacency(in: DataFrame,
                              anchors: Array[(Int, Array[Double])],
-                             minShard: Int = NnDescentMinShard): DataFrame = {
+                             minShard: Int = NnDescentMinShard,
+                             keep: Int = GraphDeg): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     val sharded = in.select(
@@ -3300,9 +3370,99 @@ object Similarity {
       val nbrs = ls.flatMap(l => l._4.zip(l._5))
         .distinctBy(_._1) // the same pair scores bit-identically in both shards
         .sortBy { case (oid, c) => (-c, oid) }
-        .take(GraphDeg).map(_._1)
+        .take(keep).map(_._1)
       (id, ls.head._2, ls.head._3, nbrs) // local: head of the ≤2-element shard-list array
     }.toDF("vec_id", "v", "nrm", "nbrs")
+  }
+
+  /** α-RNG diversity parameter (Vamana's α, cosine-distance form):
+    * shared by the build-side [[diversifyAdjacency]] and the fold's
+    * re-prune, so a folded generation and a fresh build apply the SAME
+    * edge-selection rule. */
+  private[graft] val DiversifyAlpha = 1.2
+  /** Candidate-pool width the BASE build keeps per node before the
+    * α-prune: both overlapping shards' full NN-descent lists (2·width
+    * merged-distinct) instead of the plain top-DEG cut. Lazy: declared
+    * above [[NnDescentWidth]] in source, so an eager val would read 0
+    * during object init. */
+  private[graft] lazy val DiversifyPool = 2 * NnDescentWidth
+  /** Deterministic cap on a node's prune pool (forward + reverse
+    * candidates): a popular near neighbor can accumulate in-links far
+    * past the pool width; the prune scans the (-cos, id)-sorted prefix
+    * only — DiskANN bounds the visited pool it prunes the same way. */
+  private[graft] val DiversifyMaxCand = 256
+
+  /** RobustPrune (Subramanya et al. 2019, α-RNG in cosine-distance
+    * form) over a (-cos, id)-sorted candidate array (id, cosToSrc,
+    * vec, nrm): greedily keep the best remaining candidate and drop
+    * every w an already-kept k α-covers — α·(1 − cos(k,w)) ≤
+    * (1 − cos(src,w)) — so the kept ≤ `deg` edges spread over
+    * DIRECTIONS instead of packing one tight cluster. The best
+    * candidate is never covered, so each node's nearest neighbor
+    * always survives. Shared by the base build and the fold. */
+  private[graft] def robustPruneKeep(
+      cands: Array[(Long, Double, Array[Double], Double)],
+      deg: Int): Array[Long] = {
+    val kept = collection.mutable
+      .ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val cit = cands.iterator
+    while (kept.length < deg && cit.hasNext) {
+      val (w, cw, wv, wn) = cit.next()
+      val covered = kept.exists { case (_, kv, kn) =>
+        var dot = 0.0; var i = 0
+        while (i < kv.length) { dot += kv(i) * wv(i); i += 1 }
+        DiversifyAlpha * (1.0 - dot / (kn * wn)) <= (1.0 - cw)
+      }
+      if (!covered) kept += ((w, wv, wn))
+    }
+    kept.map(_._1).toArray
+  }
+
+  /** Build-side α-RNG diversification over a WIDE adjacency frame
+    * (vec_id, v, nrm, nbrs with up to [[DiversifyPool]] candidates):
+    * kNN-only adjacency packs each node's edges into its one nearest
+    * cluster, which costs serving-beam width at scale (navigability
+    * is held by widening L). Vamana gets diversity by RobustPrune over
+    * each point's search-VISITED pool; the distributed analog here
+    * prunes each node's merged forward lists UNION its reverse edges
+    * (an in-link from w means w found this node near — the reverse
+    * direction carries exactly the longer-range candidates the kNN cut
+    * discards), rescored from vectors, α-pruned to top-[[GraphDeg]].
+    * One explode + one key-shuffle join + one grouped prune — linear
+    * in corpus, ingest-time only, the same frame shape as the fold's
+    * re-prune pass. Every node keeps its row (left join; a node whose
+    * pool is empty keeps an empty list, the fold's convention). */
+  private[graft] def diversifyAdjacency(wide: DataFrame): DataFrame = {
+    val s = wide.sparkSession
+    import s.implicits._
+    val fwd = wide.select(col("vec_id").as("u"), explode(col("nbrs")).as("w"))
+    val edges = fwd
+      .unionByName(fwd.select(col("w").as("u"), col("u").as("w")))
+      .distinct()
+    val slim = wide.select(col("vec_id").as("w"),
+      col("v").as("wv"), col("nrm").as("wn"))
+    val rescored = edges
+      .join(slim, Seq("w"))
+      .join(wide.select(col("vec_id").as("u"), col("v").as("uv"),
+        col("nrm").as("un")), Seq("u"))
+      .select(col("u"), col("w"),
+        (vecDot(col("uv"), col("wv")) / (col("un") * col("wn"))).as("c"),
+        col("wv"), col("wn"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    val lists = rescored.groupByKey(_._1).mapGroups { (u, it) =>
+      // local: pool ≤ forward width + in-degree, sorted then capped at
+      // [[DiversifyMaxCand]] — deterministic at any parallelism
+      val cands = it.toArray.distinctBy(_._2)
+        .sortBy { case (_, w, c, _, _) => (-c, w) }
+        .take(DiversifyMaxCand)
+        .map { case (_, w, c, wv, wn) => (w, c, wv, wn) }
+      (u, robustPruneKeep(cands, GraphDeg))
+    }.toDF("vec_id", "nbrs2")
+    wide.select(col("vec_id"), col("v"), col("nrm"))
+      .join(lists, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        coalesce(col("nbrs2"),
+          expr("CAST(array() AS array<bigint>)")).as("nbrs"))
   }
 
   // --- shard kNN kernel (the graph build's inner loop) ---------------
@@ -3566,13 +3726,16 @@ object Similarity {
           val e = prepared(s, d)
           val anchors = trainedAnchors(s, d, e)
           val path = dir.getAbsolutePath
-          s21Graph(e, anchors)
+          diversifyAdjacency(s21Graph(e, anchors, keep = DiversifyPool))
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").parquet(s"$path/adj")
           s21CellReps(e, anchors)
             .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
           writeAnchors(dir, anchors, anchors.length)
+          writeLabelHist(dir, embeddings(s, d)
+            .groupBy(col("label")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq) // bounded: one row per label
           java.nio.file.Files.writeString(done.toPath, "ok\n")
           artifactStatus(path) = "built"
           (path, anchors)
@@ -3830,7 +3993,7 @@ object Similarity {
       qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn")),
       graphSeeds(qU, anchors, reps),
-      beam = beamForAnchors(anchors))
+      beam = beamForAnchorsIncr(anchors))
     val found = scored.filter(col("query_id") === col("neighbor_id"))
       .select(col("query_id"))
       .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
@@ -3885,6 +4048,47 @@ object Similarity {
       rerank(all).select(col("query_id"), col("neighbor_id"), col("cos4"),
         col("rn")),
       floor = 0.7)
+  }
+
+  /** Diagnostic body for the [[graft.GraphReach]] main: serve the base
+    * graph artifact at EXPLICIT beam widths and report (beam, recall,
+    * reach) — the sweep-scale audit companion used to size
+    * [[beamForAnchors]]'s log-n constant against a corpus decade
+    * (fixed-L reach decay is measured here, not assumed). */
+  private[graft] def graphReachAt(s: SparkSession, d: String,
+      beams: Seq[Int]): Seq[(Int, Double, Double, Double)] = {
+    val (path, anchors) = graphIndexPath(s, d)
+    val g = s.read.parquet(s"$path/adj")
+    val reps = s.read.parquet(s"$path/reps")
+    val e = prepared(s, d)
+    val exactPairs = pairSet(exactTopK(s, d))
+    val sample = e.filter(col("vec_id") % 10 === 9)
+      .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
+    val sampleIds = sample.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤32 sample ids
+    val q = e.filter(col("vec_id") < NQueries)
+    val qU = q.unionByName(sample).dropDuplicates("vec_id")
+    val seeds = graphSeeds(qU, anchors, reps)
+    beams.map { b =>
+      val t0 = System.nanoTime()
+      val scored = graphBeamAuto(s,
+        ids => g.filter(col("vec_id").isin(ids: _*)),
+        qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+        seeds, beam = b).localCheckpoint(true)
+      val serveSec = (System.nanoTime() - t0) / 1e9
+      val found = scored.filter(col("query_id") === col("neighbor_id"))
+        .select(col("query_id"))
+        .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
+      val reach =
+        if (sampleIds.isEmpty) 1.0
+        else sampleIds.count(found).toDouble / sampleIds.size
+      val res = rerank(scored.filter(col("query_id") < NQueries &&
+        col("query_id") =!= col("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      val recall = (pairSet(res) & exactPairs).size.toDouble / exactPairs.size
+      (b, recall, reach, serveSec)
+    }
   }
 
   // ------------------------------------------------------------- S25
@@ -3972,13 +4176,19 @@ object Similarity {
 
   def s25GraphFiltered(s: SparkSession, d: String): DataFrame = {
     val raw = embeddings(s, d)
-    // measured selectivity of the rarest QUERIED label: one broadcast-
-    // sized aggregate over the metadata column (label cardinality is
-    // tiny next to the corpus), driving the adaptive-L widening
+    // measured selectivity of the rarest QUERIED label, from the
+    // artifact's OWN label-histogram sidecar (written at ingest — a
+    // file read, no job; the anchor-sidecar discipline). A pre-v9 or
+    // torn sidecar degrades to the one broadcast-sized aggregate the
+    // sidecar replaced.
     val labelOf = raw.select(col("vec_id"), col("label"))
-    val counts = labelOf.groupBy(col("label"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0) -> r.getLong(1)).toMap // bounded: one row per label
+    val counts: Map[Any, Long] =
+      readLabelHist(new java.io.File(graphIndexPath(s, d)._1)) match {
+        case Some(m) => m.map { case (k, v) => (k: Any) -> v }
+        case None => labelOf.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => r.get(0) -> r.getLong(1)).toMap // bounded: one row per label
+      }
     val total = counts.values.sum.toDouble
     val queried = labelOf.filter(col("vec_id") < NQueries)
       .select(col("label")).distinct()
@@ -3990,7 +4200,7 @@ object Similarity {
     // under the one declared cost cap
     val beam = math.min(MaxFilteredBeam,
       math.max(filteredBeamFor(minSel),
-        4 * beamForAnchors(graphIndexPath(s, d)._2)))
+        4 * beamForAnchorsIncr(graphIndexPath(s, d)._2)))
     val res = s25Core(s, d, labelOf, beam)
     registerGatedPlan(s, "s25", res)
     val out = res.localCheckpoint(true)
@@ -4069,7 +4279,7 @@ object Similarity {
             base.select(col("vec_id"), col("v"), col("nrm")),
             ivfCells(base.count()), iters = 2) // frozen at creation (s8's contract)
           val path = dir.getAbsolutePath
-          s21Graph(base, anchors)
+          diversifyAdjacency(s21Graph(base, anchors, keep = DiversifyPool))
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").parquet(s"$path/base/adj")
@@ -4295,13 +4505,12 @@ object Similarity {
           // local: ≤ DEG + DEG·DEG repair candidates per node
           val cands = it.toArray.distinctBy(_._2)
             .sortBy { case (_, w, c, _, _) => (-c, w) }
-          // RobustPrune (Vamana, α = 1.2, cosine-distance form): take
-          // the best remaining candidate, prune every w an already-kept
-          // k α-covers — α·(1 − cos(k,w)) ≤ (1 − cos(u,w)) — so the
-          // kept set spreads over DIRECTIONS instead of packing one
-          // tight cluster. This is what keeps a back-linked append
-          // reachable through the fold: the plain top-cos cut
-          // measurably orphaned 1/32 appended vectors at the gate.
+            .map { case (_, w, c, wv, wn) => (w, c, wv, wn) }
+          // [[robustPruneKeep]] (shared with the base build's
+          // diversifyAdjacency — same α, same edge-selection rule).
+          // Diversity is what keeps a back-linked append reachable
+          // through the fold: the plain top-cos cut measurably
+          // orphaned 1/32 appended vectors at the gate.
           // The folded generation keeps [[FoldDeg]] = 2·DEG slots: the
           // read-side state it replaces served at an EFFECTIVE degree
           // of DEG + back-link budget, and compacting all the way to
@@ -4309,19 +4518,7 @@ object Similarity {
           // 100× sweep: reach 0.78 at DEG vs ≥0.9 with the preserved
           // budget) — 2·DEG keeps the α-diverse carriers at half the
           // merged-state read cost.
-          val kept = collection.mutable
-            .ArrayBuffer.empty[(Long, Array[Double], Double)]
-          val cit = cands.iterator
-          while (kept.length < FoldDeg && cit.hasNext) {
-            val (_, w, cw, wv, wn) = cit.next()
-            val covered = kept.exists { case (_, kv, kn) =>
-              var dot = 0.0; var i = 0
-              while (i < kv.length) { dot += kv(i) * wv(i); i += 1 }
-              1.2 * (1.0 - dot / (kn * wn)) <= (1.0 - cw)
-            }
-            if (!covered) kept += ((w, wv, wn))
-          }
-          (u, kept.map(_._1).toArray)
+          (u, robustPruneKeep(cands, FoldDeg))
         }.toDF("vec_id", "nbrs")
         // LEFT join from the live node set: a node whose whole
         // neighborhood died with no live repairs keeps an empty list

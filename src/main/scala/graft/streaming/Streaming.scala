@@ -2039,6 +2039,29 @@ object Streaming {
     }
   }
 
+  /** Measured lane-cost constants (BASELINE round-16 shoot-out, 100×
+    * corpus, 8 GiB harness): the BATCH lane re-shuffles base + batch
+    * through the shard kernel every epoch — ~19 s over 3 epochs at a
+    * 450k-row base ⇒ ~14 µs per shuffled row — while the SEARCH lane
+    * pays one convergence-length beam per inserted point, round-
+    * latency-bound in a job-per-hop execution model: ~478 s per
+    * ~6.7k-insert epoch ⇒ ~71 ms per point, INDEPENDENT of base size.
+    * The two lanes share the exactly-once publish contract, so the
+    * dispatch is pure cost arithmetic. */
+  private[graft] val BatchLaneSecPerRow = 14e-6
+  private[graft] val SearchLaneSecPerInsert = 0.071
+
+  /** Round-16 refinement #2 closed: the insert lane is picked by the
+    * MEASURED cost model, not by declaration — `search` exactly when
+    * its per-point cost undercuts the batch lane's per-epoch base
+    * shuffle, which at these constants is bases past ~5000× the epoch
+    * batch (the ≥10⁸-row serving-tier regime the search lane exists
+    * for). st19/st21 keep their declared lanes as the two benchmarked
+    * extremes; `lane = "auto"` dispatches per epoch through this. */
+  private[graft] def insertLaneFor(nBase: Long, nBatch: Long): String =
+    if (SearchLaneSecPerInsert * nBatch <
+        BatchLaneSecPerRow * (nBase.toDouble + nBatch)) "search" else "batch"
+
   private[graft] def st19StartIngest(s: SparkSession, schema: StructType,
       inDir: String, gDir: String,
       anchors: Array[(Int, Array[Double])], ckpt: String,
@@ -2048,7 +2071,8 @@ object Streaming {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.vecNorm2
-    require(lane == "batch" || lane == "search", s"unknown insert lane: $lane")
+    require(lane == "batch" || lane == "search" || lane == "auto",
+      s"unknown insert lane: $lane")
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(inDir)
       .writeStream
@@ -2081,7 +2105,12 @@ object Streaming {
             .withColumn("nrm", sqrt(vecNorm2(col("v"))))
             .withColumn("sel", lit(true))
             .localCheckpoint(true) // both lanes consume it repeatedly
-          val fwd = (if (lane == "batch")
+          // auto: per-epoch dispatch by the measured cost model — the
+          // counts are parquet metadata reads, not scans
+          val effLane =
+            if (lane != "auto") lane
+            else insertLaneFor(base.count() + prev.count(), bprep.count())
+          val fwd = (if (effLane == "batch")
             Similarity.graphAdjacency(
               base.unionByName(prev).unionByName(bprep), anchors)
           else {
@@ -2098,7 +2127,7 @@ object Streaming {
             // lane cost ~8 min at the 100× corpus; the same epoch as
             // 14 driver chunks is point-read-bounded).
             val reps = s.read.parquet(s"$gDir/reps")
-            val beamW = Similarity.beamForAnchors(anchors)
+            val beamW = Similarity.beamForAnchorsIncr(anchors)
             val chunks = batch.select(col("vec_id"))
               .collect().map(_.getLong(0)).sorted // bounded: one epoch's batch ids
               .grouped(Similarity.GraphBeamExecMinQueries).toSeq

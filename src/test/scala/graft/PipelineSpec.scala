@@ -2400,6 +2400,87 @@ class PipelineSpec extends AnyFunSuite {
       s"hop fetch lost its scan pushdown:\n$plan")
   }
 
+  test("diversifyAdjacency: α-RNG keeps nearest + diverse, drops the " +
+    "clone, and reverse edges enter the pool") {
+    import spark.implicits._
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    // u's wide list holds a near candidate `a`, its near-clone `a2`,
+    // and the orthogonal `b`; `c` lists u (REVERSE edge only — u's
+    // own forward list never mentions c)
+    val vs = Seq(
+      (0L, Array(1.0, 0.0, 0.0), Seq(1L, 2L, 3L)),   // u
+      (1L, Array(1.0, 0.10, 0.0), Seq(2L, 0L)),      // a (nearest)
+      (2L, Array(1.0, 0.11, 0.0), Seq(1L, 0L)),      // a2 ≈ clone of a
+      (3L, Array(0.0, 1.0, 0.0), Seq(0L)),           // b ⊥ u
+      (4L, Array(0.7, 0.0, 0.714), Seq(0L)))         // c → u reverse only
+    val wide = vs.map { case (id, v, ns) => (id, v, nrm(v), ns) }
+      .toDF("vec_id", "v", "nrm", "nbrs")
+    val out = Similarity.diversifyAdjacency(wide).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](3).toSeq).toMap
+    assert(out.keySet === vs.map(_._1).toSet, "every node keeps its row")
+    // u's pruned list: a survives first (best is never covered), the
+    // clone a2 is α-covered by a, the reverse-only c and orthogonal b
+    // survive as diverse directions — in greedy (-cos, id) prune order
+    assert(out(0L) === Seq(1L, 4L, 3L),
+      s"α-prune of u's pool drifted: ${out(0L)}")
+  }
+
+  test("base graph artifact is α-diverse on disk: degree bound + no " +
+    "kept edge α-covered by an earlier one") {
+    import org.apache.spark.sql.functions._
+    val (path, _) = Similarity.graphIndexPath(spark, sf01)
+    val rows = spark.read.parquet(s"$path/adj").collect()
+    val vecs = rows.map(r => r.getLong(0) ->
+      (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    def cos(a: (Array[Double], Double), b: (Array[Double], Double)): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a._1.length) { dot += a._1(i) * b._1(i); i += 1 }
+      dot / (a._2 * b._2)
+    }
+    var checked = 0
+    rows.foreach { r =>
+      val u = r.getLong(0); val ns = r.getSeq[Long](3).toIndexedSeq
+      assert(ns.size <= 8, s"degree bound breached at $u: ${ns.size}")
+      assert(!ns.contains(u), s"self-loop at $u")
+      for (i <- ns.indices; j <- (i + 1) until ns.size) {
+        val cov = Similarity.DiversifyAlpha *
+          (1.0 - cos(vecs(ns(i)), vecs(ns(j)))) <=
+          (1.0 - cos(vecs(u), vecs(ns(j)))) - 1e-9
+        assert(!cov,
+          s"node $u kept ${ns(j)} although ${ns(i)} α-covers it — " +
+            "the stored adjacency is not the RobustPrune output")
+        checked += 1
+      }
+    }
+    info(s"α-diversity invariant held over $checked kept-edge pairs")
+    assert(checked > 0, "no edges audited — empty artifact?")
+  }
+
+  test("label-histogram sidecar: written at graph ingest, matches the " +
+    "corpus aggregate (s25's selectivity source)") {
+    import org.apache.spark.sql.functions._
+    val (path, _) = Similarity.graphIndexPath(spark, sf01)
+    val hist = Similarity.readLabelHist(new java.io.File(path))
+    assert(hist.isDefined, "label-histogram sidecar missing from the artifact")
+    val agg = graft.sources.Tables.embeddings(spark, sf01)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.get === agg,
+      "sidecar histogram drifted from the corpus label counts")
+  }
+
+  test("st19/st21 auto lane dispatch follows the measured cost model") {
+    // the recorded 100× shoot-out shape: 450k-row base, 6.7k-insert
+    // epochs — the batch lane won outright there
+    assert(Streaming.insertLaneFor(450000L, 6700L) === "batch")
+    // the ≥10⁸-row serving-tier regime the search lane exists for
+    assert(Streaming.insertLaneFor(200000000L, 6700L) === "search")
+    // crossover ≈ 5000× the epoch batch at the measured constants
+    val nb = 10000L
+    assert(Streaming.insertLaneFor(2500L * nb, nb) === "batch")
+    assert(Streaming.insertLaneFor(10000L * nb, nb) === "search")
+  }
+
   test("s22 graph append: recall + reachability gates, delta discipline, determinism") {
     import org.apache.spark.sql.functions._
     val exact = topk(Similarity.s1BruteForce(spark, sf01))

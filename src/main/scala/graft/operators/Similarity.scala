@@ -3441,21 +3441,46 @@ object Similarity {
       .distinct()
     val slim = wide.select(col("vec_id").as("w"),
       col("v").as("wv"), col("nrm").as("wn"))
-    val rescored = edges
+    // candidate vectors ride ONE key shuffle, as FLOAT32: every node's
+    // group also receives its own (u = w) SELF row carrying u's
+    // vector, so the source-side vector join — a second full
+    // vector-payload shuffle, which at 2M vectors measurably dominated
+    // the pass — never runs; and since every `v` value was cast FROM
+    // the stored float32 embedding, the float round trip is exact and
+    // the local double cosines are bit-identical to the column form at
+    // half the shuffle bytes. Cosines + prune run locally per group.
+    val grouped = edges
       .join(slim, Seq("w"))
-      .join(wide.select(col("vec_id").as("u"), col("v").as("uv"),
-        col("nrm").as("un")), Seq("u"))
+      .unionByName(wide.select(col("vec_id").as("u"),
+        col("vec_id").as("w"), col("v").as("wv"), col("nrm").as("wn")))
       .select(col("u"), col("w"),
-        (vecDot(col("uv"), col("wv")) / (col("un") * col("wn"))).as("c"),
-        col("wv"), col("wn"))
-      .as[(Long, Long, Double, Array[Double], Double)]
-    val lists = rescored.groupByKey(_._1).mapGroups { (u, it) =>
-      // local: pool ≤ forward width + in-degree, sorted then capped at
-      // [[DiversifyMaxCand]] — deterministic at any parallelism
-      val cands = it.toArray.distinctBy(_._2)
-        .sortBy { case (_, w, c, _, _) => (-c, w) }
+        expr("transform(wv, x -> cast(x AS float))").as("wv"), col("wn"))
+      .as[(Long, Long, Array[Float], Double)]
+    val lists = grouped.groupByKey(_._1).mapGroups { (u, it) =>
+      // local: pool ≤ forward width + in-degree (+1 self row), sorted
+      // then capped at [[DiversifyMaxCand]] — deterministic at any
+      // parallelism
+      val all = it.toArray
+      val selfIdx = all.indexWhere(_._2 == u) // the unioned self row
+      def toD(a: Array[Float]): Array[Double] = {
+        val out = new Array[Double](a.length)
+        var i = 0; while (i < a.length) { out(i) = a(i); i += 1 }
+        out
+      }
+      val uv = toD(all(selfIdx)._3); val un = all(selfIdx)._4
+      def cosTo(wv: Array[Double], wn: Double): Double = {
+        var dot = 0.0; var i = 0
+        while (i < uv.length) { dot += uv(i) * wv(i); i += 1 }
+        dot / (un * wn)
+      }
+      val cands = all.filter(_._2 != u).distinctBy(_._2)
+        .map { case (_, w, wvF, wn) =>
+          val wv = toD(wvF); (w, cosTo(wv, wn), wv, wn)
+        }
+        .sortBy { case (w, c, _, _) => (-c, w) }
+        // local: in-task array over one node's pool (≤ width +
+        // in-degree), capped to the sorted prefix — no Dataset here
         .take(DiversifyMaxCand)
-        .map { case (_, w, c, wv, wn) => (w, c, wv, wn) }
       (u, robustPruneKeep(cands, GraphDeg))
     }.toDF("vec_id", "nbrs2")
     wide.select(col("vec_id"), col("v"), col("nrm"))

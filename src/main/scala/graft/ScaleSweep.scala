@@ -45,7 +45,46 @@ object ScaleSweep {
 
   private def ensureScaled(s: SparkSession, base: String, dir: String, n: Int,
                            full: Boolean = true,
-                           sharedVocab: Boolean = false): Unit = {
+                           sharedVocab: Boolean = false,
+                           genVec: Boolean = false): Unit = {
+    if (genVec) {
+      // GENERATIVE vector blow-up (v5, round-16 second pass): the v4
+      // isometric copies preserve the base corpus's DIFFUSE-random
+      // geometry, so deep-decade recall curves never see the cluster
+      // structure a real corpus has (SURVEY refinement #4). This mode
+      // grows embeddings by sampling AROUND each base vector: copy
+      // k > 0 of vector i is v_i + τ·rms(v_i)·u(k,i,dim) with u a
+      // deterministic hash-uniform in [−1, 1] and τ = 0.5 — E[cos]
+      // to the parent ≈ 0.89, so each base vector becomes a ~N-member
+      // label-pure CLUSTER (labels inherit), clearly same-cluster but
+      // far outside near-dup range. Embeddings only: the ANN/graph
+      // sweeps read nothing else, and planting clusters into the
+      // dedup-family fixtures would re-create the quadratic fixture
+      // pathology v4 removed. Queries (vec_id < NQueries) stay the
+      // verbatim copy-0 rows.
+      val marker = new java.io.File(dir, "_SCALE_OK_v5_genvec")
+      if (marker.isFile) return
+      new java.io.File(dir).mkdirs()
+      val emb = s.read.parquet(s"$base/embeddings.parquet")
+      val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1 // bounded: ONE-row max aggregate
+      val withRms = emb.withColumn("rms",
+        sqrt(expr("aggregate(transform(embedding, x -> cast(x AS double))," +
+          " 0.0D, (a, y) -> a + y * y)") / size(col("embedding"))))
+      (0 until n).map { k =>
+        if (k == 0) emb
+        else withRms.select(
+          (col("vec_id") + lit(k * eOff)).as("vec_id"),
+          expr(s"""transform(embedding, (x, i) ->
+                  |  cast(x + 0.5D * rms *
+                  |    (pmod(hash(vec_id, $k, i), 2001) / 1000.0D - 1.0D)
+                  |   AS float))""".stripMargin).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      java.nio.file.Files.writeString(marker.toPath,
+        s"copies=$n of $base (generative clusters, embeddings only)\n")
+      return
+    }
     if (sharedVocab) {
       // SHARED-VOCABULARY blow-up (round-15 verdict #6): the standard
       // content-aware remap makes cross-copy vocabularies DISJOINT —
@@ -232,8 +271,10 @@ object ScaleSweep {
     //    vocabulary (see ensureScaled) for the tokenizer/LM family's
     //    model-table-bounded curves; flagships default to that family
     val mode = if (args.length > 4) args(4) else ""
-    val docsOnly = mode == "docsonly" || mode == "sharedvocab"
+    val docsOnly = mode == "docsonly" || mode == "sharedvocab" ||
+      mode == "genvec"
     val sharedVocab = mode == "sharedvocab"
+    val genVec = mode == "genvec"
     // the model-table family the sharedvocab fixture exists for
     val svFlagships: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "t12_lm_perplexity" -> (graft.operators.TextAnalysis.t12LmPerplexity _),
@@ -403,7 +444,23 @@ object ScaleSweep {
     val activeFlagships =
       if (sharedVocab)
         svFlagships.filter { case (name, _) => only.forall(_.contains(name)) }
-      else flagships
+      else if (genVec) {
+        // genvec writes EMBEDDINGS ONLY (the clustered-geometry recall
+        // fixture) — no documents/relational tables exist in a gv dir,
+        // and the graph/IVF audits it exists for run through the
+        // GraphReach/GateCheck mains (which build indexes on demand).
+        // Timing flagships here would crash on missing tables or smear
+        // index builds into rows; generation-only is the honest mode.
+        // (The 4th arg is positional, so callers pass a non-matching
+        // sentinel like "none" to reach the mode arg — only a filter
+        // that NAMES a real flagship is an error.)
+        if (flagships.nonEmpty)
+          throw new IllegalArgumentException(
+            "genvec mode is generation-only (embeddings-only fixture): " +
+              "audit it with the GraphReach/GateCheck mains instead of " +
+              "naming flagships")
+        Seq.empty
+      } else flagships
 
     // JVM/codegen warmup on the tiny sf so scale-1 isn't charged for it
     activeFlagships.foreach { case (_, fn) =>
@@ -414,7 +471,7 @@ object ScaleSweep {
     scales.foreach { n =>
       val dir =
         if (n == 1) base
-        else s"$outRoot/${if (sharedVocab) "sv" else "x"}$n"
+        else s"$outRoot/${if (sharedVocab) "sv" else if (genVec) "gv" else "x"}$n"
       // Deep-decade spill protocol (round-15 envelope gap): the
       // partition count scales with the swept corpus past 10× so
       // per-partition shuffle state stays ~constant — at 1000× the
@@ -434,7 +491,7 @@ object ScaleSweep {
       spark.conf.set("spark.sql.shuffle.partitions", shufP.toString)
       if (n > 1)
         ensureScaled(spark, base, dir, n, full = !docsOnly,
-          sharedVocab = sharedVocab)
+          sharedVocab = sharedVocab, genVec = genVec)
       // index builds are ingest work at every scale — serving is timed
       if (!docsOnly)
         try graft.operators.Similarity.ensureIndexes(spark, dir)

@@ -816,7 +816,15 @@ object Similarity {
   // v9: BASE graph generations are α-RNG-diversified at build time
   // (diversifyAdjacency over the 2·width merged pool + reverse edges)
   // — a v8 kNN-cut adjacency must not serve under v9's beam sizing.
-  private val IndexFormatVersion = "graft-index-v9"
+  // v10: append deltas carry BRIDGE edges (FreshDiskANN's
+  // insert-as-search, batched): each appended node's top-[[BridgeK]]
+  // base-graph beam results union into its forward list, so back-links
+  // land on the base carriers serving will traverse even when the
+  // batch is a tight cluster. The clustered (genvec) sweep audit
+  // caught the v9 batch lane's island pathology: a whole cluster
+  // appended together fills every kNN slot with same-batch siblings —
+  // zero base edges, zero base back-links, reach 0.03.
+  private val IndexFormatVersion = "graft-index-v10"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -4116,6 +4124,46 @@ object Similarity {
     }
   }
 
+  /** [[graphReachAt]] for the INCREMENTAL artifact (base + delta +
+    * back-links through [[fetchIncr]]) — the companion that sizes
+    * [[beamForAnchorsIncr]]: the reach sample here is 32 APPENDED
+    * nodes (the `% 10 === 9` batch), so a row measures exactly the
+    * carrier-expansion property the wide incr beam exists for. Used to
+    * re-read the incr width after the v10 bridge edges. */
+  private[graft] def graphIncrReachAt(s: SparkSession, d: String,
+      beams: Seq[Int]): Seq[(Int, Double, Double, Double)] = {
+    val (path, anchors) = graphIncrPath(s, d)
+    val reps = s.read.parquet(s"$path/reps")
+    val e = prepared(s, d)
+    val exactPairs = pairSet(exactTopK(s, d))
+    val sample = e.filter(col("vec_id") % 10 === 9)
+      .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
+    val sampleIds = sample.select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet // bounded: ≤32 sample ids
+    val q = e.filter(col("vec_id") < NQueries)
+    val qU = q.unionByName(sample).dropDuplicates("vec_id")
+    val seeds = graphSeeds(qU, anchors, reps)
+    beams.map { b =>
+      val t0 = System.nanoTime()
+      val scored = graphBeamAuto(s, ids => fetchIncr(s, path, ids),
+        qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+        seeds, beam = b).localCheckpoint(true)
+      val serveSec = (System.nanoTime() - t0) / 1e9
+      val found = scored.filter(col("query_id") === col("neighbor_id"))
+        .select(col("query_id"))
+        .collect().map(_.getLong(0)).toSet // bounded: ≤ |sample|+NQueries self rows
+      val reach =
+        if (sampleIds.isEmpty) 1.0
+        else sampleIds.count(found).toDouble / sampleIds.size
+      val res = rerank(scored.filter(col("query_id") < NQueries &&
+        col("query_id") =!= col("neighbor_id")))
+        .select(col("query_id"), col("neighbor_id"), col("cos4"), col("rn"))
+      val recall = (pairSet(res) & exactPairs).size.toDouble / exactPairs.size
+      (b, recall, reach, serveSec)
+    }
+  }
+
   // ------------------------------------------------------------- S25
   /** Beam width for label-FILTERED graph serving: the answer keeps
     * only label-matching candidates, so the beam must reach ~L× more
@@ -4266,7 +4314,10 @@ object Similarity {
     * (anchors frozen at creation, same as s8), `delta/adj` holds the
     * append batch's forward lists (computed against base + batch
     * candidates in the same overlapping-shard pass as the build — base
-    * rows are candidates only, their files are never rewritten), and
+    * rows are candidates only, their files are never rewritten — then
+    * unioned with each node's [[bridgeEdges]]: top-[[BridgeK]]
+    * base-graph insert-search results, so a clustered batch cannot
+    * form an unreachable island), and
     * `back/` the reverse edges (nbr → new id) that make appended nodes
     * REACHABLE from the base graph — Vamana's reciprocal-edge insert
     * as a read-side-merged delta layer instead of an in-place rewrite.
@@ -4308,9 +4359,19 @@ object Similarity {
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").parquet(s"$path/base/adj")
-          val fwd = graphAdjacency(
+          // reps land BEFORE the delta: the bridge search below seeds
+          // from them, exactly like the serve path will
+          s21CellReps(base, anchors)
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
+          val baseAdj = s.read.parquet(s"$path/base/adj")
+          val bridge = bridgeEdges(s,
+            ids => baseAdj.filter(col("vec_id").isin(ids: _*)),
+            anchors, s.read.parquet(s"$path/reps"), batch,
+            beamForAnchors(anchors))
+          val fwd = withBridge(graphAdjacency(
             base.withColumn("sel", lit(false))
-              .unionByName(batch.withColumn("sel", lit(true))), anchors)
+              .unionByName(batch.withColumn("sel", lit(true))), anchors),
+            bridge)
             .localCheckpoint(true) // consumed twice: delta write + back-links
           fwd.repartitionByRange(col("vec_id"))
             .sortWithinPartitions("vec_id")
@@ -4320,8 +4381,6 @@ object Similarity {
             .repartitionByRange(col("vec_id"))
             .sortWithinPartitions("vec_id")
             .write.mode("overwrite").parquet(s"$path/back")
-          s21CellReps(base, anchors)
-            .coalesce(1).write.mode("overwrite").parquet(s"$path/reps")
           writeAnchors(dir, anchors, anchors.length)
           java.nio.file.Files.writeString(done.toPath, "ok\n")
           artifactStatus(path) = "built"
@@ -4341,6 +4400,72 @@ object Similarity {
     * with α-diversity. The fold's own merge (graphFoldPath) is NOT
     * capped: compaction must see every back-link or appends orphan. */
   private[graft] val FetchBackBudget = 3 * GraphDeg
+
+  /** Bridge edges reserved per appended node — the top-`BridgeK`
+    * results of a beam search against the PRE-APPEND graph, unioned
+    * into the node's delta forward list. This is FreshDiskANN's
+    * insert-as-search applied to the batch lane: the shard kNN alone
+    * packs a clustered batch's lists with same-batch siblings (a whole
+    * cluster appended together has ~cluster-size candidates closer
+    * than any base node), leaving ZERO base edges and therefore zero
+    * base back-links — the cluster becomes an island the serve beam
+    * cannot reach (the clustered-fixture audit measured s22 reach
+    * 0.03 where the diffuse fixture read 0.92). The bridge restores
+    * exactly the right carriers: the insert search and the serve
+    * search walk the same graph from the same seed machinery, so the
+    * base nodes an appended point's search visits ARE the nodes a
+    * nearby query's beam will expand. */
+  private[graft] val BridgeK = 2
+
+  /** Top-[[BridgeK]] pre-append-state beam results per batch node, as
+    * (vec_id, bridge) — the batched form of FreshDiskANN's per-insert
+    * search (st21's chunked driver-loop shape: sorted ids, ≤
+    * [[GraphBeamExecMinQueries]] per chunk, content-neutral because
+    * per-query beams are independent). Cost ∝ batch · beam · DEG
+    * point reads against the existing artifact — base-shuffle-free,
+    * linear in the batch. */
+  private[graft] def bridgeEdges(s: SparkSession,
+      fetch: Seq[Long] => DataFrame,
+      anchors: Array[(Int, Array[Double])], reps: DataFrame,
+      batch: DataFrame, beam: Int): DataFrame = {
+    val b = batch.select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint(true) // consumed once per chunk below
+    val chunks = b.select(col("vec_id"))
+      .collect().map(_.getLong(0)).sorted // bounded: one append batch's ids (driver holds longs only; the searches run chunked)
+      .grouped(GraphBeamExecMinQueries).toSeq
+    if (chunks.isEmpty)
+      return b.select(col("vec_id"),
+        expr("CAST(array() AS array<bigint>)").as("bridge"))
+    val scored = chunks.map { chunk =>
+      val q = b.filter(col("vec_id").isin(chunk.toSeq: _*))
+      graphBeam(s, fetch,
+        q.select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn")),
+        graphSeeds(q, anchors, reps), beam = beam)
+    }.reduce(_ unionByName _)
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    // per-point window: partitions are append-batch-bounded
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= BridgeK)
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(rn, neighbor_id)))," +
+        " x -> x.neighbor_id)").as("bridge"))
+      .select(col("query_id").as("vec_id"), col("bridge"))
+  }
+
+  /** Unions each appended node's [[bridgeEdges]] into its forward list
+    * (≤ DEG + BridgeK edges per delta node; the fold re-prunes to
+    * [[FoldDeg]] with α-diversity). A node whose search found nothing
+    * keeps its kNN list unchanged. */
+  private[graft] def withBridge(fwd: DataFrame, bridge: DataFrame): DataFrame =
+    fwd.join(bridge, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"),
+        when(col("bridge").isNull, col("nbrs"))
+          .otherwise(array_distinct(concat(col("nbrs"), col("bridge"))))
+          .as("nbrs"))
 
   /** Degree bound of the FOLDED generation — see the RobustPrune note
     * in [[graphFoldPath]]: the fold replaces a read-side state whose
@@ -4630,7 +4755,10 @@ object Similarity {
     // durably on disk)
     val degHist = nodes.select(size(col("nbrs")).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
-    val overDeg = nodes.filter(size(col("nbrs")) > GraphDeg).count()
+    // base lists are α-pruned to GraphDeg; DELTA lists carry up to
+    // BridgeK extra insert-search edges on top of the kNN cut (v10)
+    val overDeg = base.filter(size(col("nbrs")) > GraphDeg).count() +
+      delta.filter(size(col("nbrs")) > GraphDeg + BridgeK).count()
     val nodeIds = nodes.select(col("vec_id"))
     // dangling: every edge target — forward, back-link key, back-link
     // extra — must exist as a node, else the beam strands there

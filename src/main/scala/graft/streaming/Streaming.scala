@@ -2111,8 +2111,28 @@ object Streaming {
             if (lane != "auto") lane
             else insertLaneFor(base.count() + prev.count(), bprep.count())
           val fwd = (if (effLane == "batch")
-            Similarity.graphAdjacency(
-              base.unionByName(prev).unionByName(bprep), anchors)
+            // BRIDGE edges (Similarity.bridgeEdges): the shard kNN
+            // alone packs a clustered epoch's lists with same-epoch
+            // siblings — zero applied-state edges, zero back-links,
+            // an unreachable island (the clustered-fixture audit).
+            // Each batch node's top-BridgeK beam results against the
+            // APPLIED state (the same replay-deterministic fetch the
+            // search lane uses) union into its forward list, so the
+            // epoch stays reachable through exactly the carriers
+            // serving will expand. Cost ∝ batch · beam point reads —
+            // the lane's per-epoch base shuffle still dominates.
+            // the bridge search runs at the BASE width, not the wide
+            // incr serving width: it needs ~BridgeK reachable carriers
+            // near the point, not a recall-grade answer, and the
+            // α-diversified base navigates at L = base width at every
+            // measured decade — per-epoch cost stays batch-linear with
+            // a small constant (the reach gate adjudicates sufficiency)
+            Similarity.withBridge(
+              Similarity.graphAdjacency(
+                base.unionByName(prev).unionByName(bprep), anchors),
+              Similarity.bridgeEdges(s, fetchAppliedState(s, gDir, applied),
+                anchors, s.read.parquet(s"$gDir/reps"), bprep,
+                Similarity.beamForAnchors(anchors)))
           else {
             // SEARCH lane (st21): one beam search per inserted point
             // against the applied state — the visited set is the

@@ -2503,7 +2503,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(base.filter(col("vec_id") % 10 === 9).count() === 0,
       "an appended id leaked into the base generation")
     assert(delta.count() === e.filter(col("vec_id") % 10 === 9).count())
-    assert(delta.filter(size(col("nbrs")) > 8).count() === 0, "delta degree bound")
+    // v10: delta lists carry up to BridgeK insert-search bridge edges
+    // past the kNN cut (base stays at DEG — checked by the α-diversity
+    // artifact spec)
+    assert(delta.filter(size(col("nbrs")) > 8 + Similarity.BridgeK).count() === 0,
+      "delta degree bound")
+    // ...and the bridge did its job: appended nodes must hold edges
+    // INTO the base generation (back-links onto base carriers are what
+    // make the delta reachable at all — the clustered-append island
+    // regression)
+    val baseIdsDf = base.select(col("vec_id").as("t"))
+    val deltaToBase = delta.select(explode(col("nbrs")).as("t"))
+      .join(baseIdsDf, Seq("t"), "left_semi").count()
+    assert(deltaToBase > 0, "no delta→base edge: appended nodes are an island")
     assert(back.count() === delta.select(explode(col("nbrs"))).count(),
       "every forward edge must carry a reverse back-link")
     val b = Similarity.s22GraphAppend(spark, sf01)

@@ -824,7 +824,15 @@ object Similarity {
   // caught the v9 batch lane's island pathology: a whole cluster
   // appended together fills every kNN slot with same-batch siblings —
   // zero base edges, zero base back-links, reach 0.03.
-  private val IndexFormatVersion = "graft-index-v10"
+  // v11: CONTENT-IDENTICAL to v10 — the bump exists because a prior
+  // session briefly ran an experimental build under the literal string
+  // "graft-index-v10" and then reverted it, leaving stale artifacts
+  // whose names collide with real v10 fingerprints (sf0.001/sf0.01/
+  // x100 incr stores without bridge edges were silently FOUND instead
+  // of rebuilt — caught because a re-built artifact changed a reach
+  // row that artifact identity said could not change). Version
+  // strings are write-once even for reverted experiments.
+  private val IndexFormatVersion = "graft-index-v11"
 
   /** Root directory for the durable index artifacts (s7/s8 parquet
     * indexes, s9/s10 PQ codebooks). Production contract: the index
@@ -3293,18 +3301,38 @@ object Similarity {
   }
 
   /** Serving width for the INCREMENTAL read-side state (base + delta
-    * epochs + back-link carriers: s22/s24's merged serves, st19/st21's
-    * insert searches) and for s25's label-filtered depth term. These
-    * paths keep the round-16 ⌈3·log₂ n⌉ − 20 sizing: the delta layer's
-    * forward lists are plain kNN cuts and appended nodes are reachable
-    * only THROUGH back-link carriers the beam must expand — the x100
-    * audit measured s22 reach 0.69 and s25 recall 0.54 at the base
-    * width where the α-diversified BASE generation serves at 1.0/1.0
-    * ([[beamForAnchors]]). The asymmetry is priced, not hidden: base
-    * serving (the hot path) got the 20× width cut; the incremental
-    * layer keeps the wide beam until its delta lists get the same
-    * α treatment (open refinement). */
+    * epochs + back-link carriers: s22/s24's merged serves, st19's
+    * streamed serve) and for s25's label-filtered depth term. Sizing
+    * history: pre-bridge delta lists were plain kNN cuts and appended
+    * nodes were reachable only through whatever back-links the cut
+    * happened to leave — the x100 audit needed ⌈3·log₂ n⌉ − 20 (s22
+    * reach 0.69 at the base width). The v10 BRIDGE edges put
+    * back-links on exactly the carriers the serve trail visits, which
+    * the re-audit priced: x100 incr reach 0.91/0.97/0.97/1.0 at
+    * L = 8/12/16/25 (was 0.69/0.78/0.84/0.94), gv100 1.0 at every
+    * width — so the incr width drops to ⌈2·log₂ n⌉ − 20 (16 at 200k,
+    * reach 0.97 measured; 22 at 2M), still one log-factor above the
+    * base width: the delta layer's lists are kNN + bridge, not
+    * α-diversified, and the fold remains what retires the asymmetry
+    * (a folded generation serves at the base width). */
   private[graft] def beamForAnchorsIncr(
+      anchors: Array[(Int, Array[Double])]): Int = {
+    val n = math.max(2.0, anchors.length.toDouble * anchors.length)
+    math.max(GraphBeam, math.ceil(2 * math.log(n) / math.log(2)).toInt - 20)
+  }
+
+  /** The WIDE ⌈3·log₂ n⌉ − 20 sizing, kept for the two paths the
+    * post-bridge narrowing does NOT apply to: (a) st21's per-point
+    * INSERT search — FreshDiskANN's L_insert is a BUILD-quality knob,
+    * a narrow insert search thins the visited pool that becomes the
+    * node's edge list, and the deep-decade st21 rows were measured at
+    * this width; (b) s25's filtered DEPTH term — the filter discards
+    * most scored candidates at answer assembly, so the L-list needs
+    * raw depth regardless of how reachable appended carriers are
+    * (measured: narrowing it read s25 recall 0.66 at 100× where the
+    * wide term reads 0.82; the bridge fixes reachability, not
+    * filter-survivor count). */
+  private[graft] def beamForAnchorsWide(
       anchors: Array[(Int, Array[Double])]): Int = {
     val n = math.max(2.0, anchors.length.toDouble * anchors.length)
     math.max(GraphBeam, math.ceil(3 * math.log(n) / math.log(2)).toInt - 20)
@@ -4269,11 +4297,13 @@ object Similarity {
     val minSel = queried.map(l => counts.getOrElse(l, 1L) / total)
       .minOption.getOrElse(1.0)
     // two multiplicative widenings compose: selectivity (K/sel) and
-    // corpus depth (the 4× filtered factor over the log-n base width),
-    // under the one declared cost cap
+    // corpus depth (the 4× filtered factor over the WIDE log-n
+    // sizing — see beamForAnchorsWide: the depth term must not narrow
+    // with the post-bridge incr serve width), under the one declared
+    // cost cap
     val beam = math.min(MaxFilteredBeam,
       math.max(filteredBeamFor(minSel),
-        4 * beamForAnchorsIncr(graphIndexPath(s, d)._2)))
+        4 * beamForAnchorsWide(graphIndexPath(s, d)._2)))
     val res = s25Core(s, d, labelOf, beam)
     registerGatedPlan(s, "s25", res)
     val out = res.localCheckpoint(true)
@@ -4421,9 +4451,15 @@ object Similarity {
     * (vec_id, bridge) — the batched form of FreshDiskANN's per-insert
     * search (st21's chunked driver-loop shape: sorted ids, ≤
     * [[GraphBeamExecMinQueries]] per chunk, content-neutral because
-    * per-query beams are independent). Cost ∝ batch · beam · DEG
-    * point reads against the existing artifact — base-shuffle-free,
-    * linear in the batch. */
+    * per-query beams are independent). Cost ∝ batch · beam · DEG point
+    * reads against the existing artifact — base-shuffle-free, LINEAR
+    * in the batch (measured: ~3 min at a 20k-point append over 180k,
+    * ~30 min at 200k over 1.8M). A one-shot executor-lane pass was
+    * measured as the alternative for bulk appends and LOST (12 min
+    * for the same 20k batch — the exec lane's per-round state
+    * checkpoints dominate at append-sized query sets; it remains the
+    * 10⁶-query SERVING-tier shape), so every bridge runs through the
+    * driver chunks. */
   private[graft] def bridgeEdges(s: SparkSession,
       fetch: Seq[Long] => DataFrame,
       anchors: Array[(Int, Array[Double])], reps: DataFrame,
@@ -4436,24 +4472,32 @@ object Similarity {
     if (chunks.isEmpty)
       return b.select(col("vec_id"),
         expr("CAST(array() AS array<bigint>)").as("bridge"))
-    val scored = chunks.map { chunk =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos4").desc, col("neighbor_id"))
+    // each chunk reduces to ≤ BridgeK pairs per batch node ON THE
+    // DRIVER before the next chunk starts: the per-chunk hop frames
+    // (localCheckpointed inside graphBeam) lose their last reference
+    // immediately, so block storage never accumulates across the
+    // hundreds of chunks a deep-decade append runs — a cross-chunk
+    // DataFrame union would pin every chunk's blocks until the end
+    val pairs = chunks.flatMap { chunk =>
       val q = b.filter(col("vec_id").isin(chunk.toSeq: _*))
       graphBeam(s, fetch,
         q.select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn")),
         graphSeeds(q, anchors, reps), beam = beam)
-    }.reduce(_ unionByName _)
-      .filter(col("query_id") =!= col("neighbor_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos4").desc, col("neighbor_id"))
-    // per-point window: partitions are append-batch-bounded
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= BridgeK)
-      .groupBy(col("query_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(rn, neighbor_id)))," +
-        " x -> x.neighbor_id)").as("bridge"))
-      .select(col("query_id").as("vec_id"), col("bridge"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        // per-point window: partitions are chunk-bounded
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= BridgeK)
+        .select(col("query_id"), col("neighbor_id"), col("rn"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) // bounded: ≤ BridgeK rows per batch node (driver holds 3 longs per append row; batches past driver-lane sizes belong to the exec beam)
+    }
+    import s.implicits._
+    pairs.groupBy(_._1).toSeq
+      .map { case (id, ps) => (id, ps.sortBy(_._3).map(_._2)) }
+      .toDF("vec_id", "bridge")
   }
 
   /** Unions each appended node's [[bridgeEdges]] into its forward list

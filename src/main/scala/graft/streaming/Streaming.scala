@@ -2147,7 +2147,7 @@ object Streaming {
             // lane cost ~8 min at the 100× corpus; the same epoch as
             // 14 driver chunks is point-read-bounded).
             val reps = s.read.parquet(s"$gDir/reps")
-            val beamW = Similarity.beamForAnchorsIncr(anchors)
+            val beamW = Similarity.beamForAnchorsWide(anchors)
             val chunks = batch.select(col("vec_id"))
               .collect().map(_.getLong(0)).sorted // bounded: one epoch's batch ids
               .grouped(Similarity.GraphBeamExecMinQueries).toSeq

@@ -27,6 +27,20 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorFunctions.topCellsRouted(v, nrm, router, k)
 }
 
+/** Public face of the native text-fingerprint expressions (same
+  * extension-library pattern as [[VectorFunctions]]); see
+  * `org.apache.spark.sql.graft.Gram8`. */
+object TextFunctions {
+  /** `array_min(transform(sequence(1, greatest(length(t)-7, 1)), i ->
+    * md5(substring(t, i, 8))))` as one allocation-free pass. */
+  def gram8MinMd5(t: Column): Column =
+    org.apache.spark.sql.graft.TextFunctions.gram8MinMd5(t)
+  /** `size(array_distinct(transform(..., i -> substring(t, i, 8))))`
+    * as the same single window walk. */
+  def gram8DistinctCount(t: Column): Column =
+    org.apache.spark.sql.graft.TextFunctions.gram8DistinctCount(t)
+}
+
 /** Public face of the native sketch expressions (same extension-library
   * pattern as [[VectorFunctions]]). */
 object SketchFunctions {

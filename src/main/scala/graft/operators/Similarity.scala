@@ -3846,33 +3846,70 @@ object Similarity {
                         beam: Int = GraphBeam,
                         maxHops: Int = GraphMaxHops): DataFrame = {
     import s.implicits._
-    val qB = broadcast(qSide)
+    if (seeds.isEmpty)
+      throw new IllegalStateException(
+        "graph beam never scored a node — no valid seeds reached the loop")
+    // Round-16 optimization (guide §1.2 step 1: fewer jobs; §5: the
+    // driver lane is ALREADY driver-bounded by the graphBeamAuto
+    // dispatch, < GraphBeamExecMinQueries queries). The previous shape
+    // paid THREE Spark jobs per round — localCheckpoint of the hop
+    // frame, its collect, plus re-broadcasting qSide — on frames the
+    // loop collected to the driver anyway for the beam bookkeeping.
+    // Now each round is exactly ONE job: the key-pruned point read of
+    // the NEW frontier ids (a node reached again by a later query is
+    // served from the round cache instead of re-fetched), with the
+    // pair scoring done where the pairs already live. The cosine is
+    // bit-identical to the removed `round(vecDot(qv,v)/(qn*nrm), 4)`
+    // projection: the same ascending fold as [[VecDot]] and the same
+    // BigDecimal.valueOf/HALF_UP rounding as Catalyst's Round — the
+    // graphBeam-vs-graphBeamExec row-identity spec pins it (the exec
+    // lane still scores through the Spark expression).
+    val queries: Map[Long, (Array[Double], Double)] =
+      qSide.select(col("query_id"), col("qv"), col("qn"))
+        .collect().map { r => // bounded: < GraphBeamExecMinQueries query rows
+          r.getLong(0) -> ((r.getSeq[Double](1).toArray, r.getDouble(2)))
+        }.toMap
+    def round4(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
     val scored = collection.mutable.Set.empty[(Long, Long)]
     val expanded = collection.mutable.Set.empty[(Long, Long)]
     val adj = collection.mutable.Map.empty[Long, Array[Long]]
+    val nodeV = collection.mutable.Map.empty[Long, (Array[Double], Double)]
+    val fetchedIds = collection.mutable.Set.empty[Long]
     val beamState = collection.mutable.Map // per-query scored candidates
       .empty[Long, collection.mutable.ArrayBuffer[(Double, Long)]]
-    var hopFrames = List.empty[DataFrame]
+    val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var frontier = seeds
     var h = 0
     while (h <= maxHops && frontier.exists(p => !scored(p))) {
       val pending = frontier.filterNot(scored).distinct
       scored ++= pending
-      val pairsDF = broadcast(pending.toDF("query_id", "id"))
-      val hop = fetch(pending.map(_._2).distinct)
-        .join(pairsDF, col("vec_id") === col("id"))
-        .join(qB, Seq("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(vecDot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)
-            .as("cos4"),
-          col("nbrs"))
-        .localCheckpoint(true)
-      hopFrames ::= hop
-      hop.collect().foreach { r => // bounded: ≤ beam·DEG·|queries| rows per round
-        val q = r.getLong(0); val id = r.getLong(1)
-        adj(id) = r.getSeq[Long](3).toArray
-        beamState.getOrElseUpdate(q,
-          collection.mutable.ArrayBuffer.empty) += ((r.getDouble(2), id))
+      val need = pending.map(_._2).distinct.filterNot(fetchedIds)
+      if (need.nonEmpty) {
+        fetchedIds ++= need
+        fetch(need).select(col("vec_id"), col("v"), col("nrm"), col("nbrs"))
+          .collect().foreach { r => // bounded: ≤ |new frontier ids| point rows per round
+            val id = r.getLong(0)
+            nodeV(id) = ((r.getSeq[Double](1).toArray, r.getDouble(2)))
+            adj(id) = r.getSeq[Long](3).toArray
+          }
+      }
+      pending.foreach { case (q0, id) =>
+        // a missing adjacency row (dangling target) or an unknown
+        // query id drops the pair, exactly as the removed inner joins
+        (nodeV.get(id), queries.get(q0)) match {
+          case (Some((v, nrm)), Some((qv, qn))) =>
+            val n = math.min(qv.length, v.length)
+            var dot = 0.0; var i = 0
+            while (i < n) { dot += qv(i) * v(i); i += 1 }
+            val c = round4(dot / (qn * nrm))
+            out += ((q0, id, c))
+            beamState.getOrElseUpdate(q0,
+              collection.mutable.ArrayBuffer.empty) += ((c, id))
+          case _ => ()
+        }
       }
       frontier = beamState.toSeq.flatMap { case (q, cands) =>
         // Vamana convergence: the expansion set is the UNEXPANDED
@@ -3890,11 +3927,7 @@ object Similarity {
       }
       h += 1
     }
-    if (hopFrames.isEmpty)
-      throw new IllegalStateException(
-        "graph beam never scored a node — no valid seeds reached the loop")
-    hopFrames.reduce(_ union _)
-      .select(col("query_id"), col("neighbor_id"), col("cos4"))
+    out.toSeq.toDF("query_id", "neighbor_id", "cos4")
   }
 
   /** Executor-side variant of [[graphBeam]] for LARGE query batches —

@@ -127,17 +127,27 @@ object TextAnalysis {
 
   /** Document fingerprint: min-hash over 8-gram windows (rolling-hash
     * style winnowing, md5 as the window hash so both engines agree) +
-    * distinct window count. Computed entirely as ONE array expression
-    * per row — no explode, no shuffle. */
-  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    * distinct window count. Zero shuffle, one pass per row.
+    *
+    * Round-16 optimization (guide §1.2 step 2 / §4-analog): the
+    * declarative `array_min(transform(sequence(...), i ->
+    * md5(substring(t, i, 8))))` paid a substring allocation, a fresh
+    * MessageDigest, a byte[] copy and a 32-char hex string PER WINDOW
+    * (~n_chars windows/doc) — 8.7 s at sf0.1, the 5th most expensive
+    * query (round-15 verdict "What's wrong" #2). The native
+    * single-pass expressions ([[org.apache.spark.sql.graft.Gram8]])
+    * dedup windows before hashing, reuse one digest, and compare raw
+    * 16-byte digests; results are byte-identical (DuckDB-hash
+    * re-verified). */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
     documents(s, d)
       .select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"),
-        expr("array_min(transform(sequence(1, greatest(length(t)-7, 1))," +
-          " i -> md5(substring(t, i, 8))))").as("fingerprint"),
-        expr("size(array_distinct(transform(sequence(1, greatest(length(t)-7, 1))," +
-          " i -> substring(t, i, 8))))").as("n_grams8"))
+        gram8MinMd5(col("t")).as("fingerprint"),
+        gram8DistinctCount(col("t")).as("n_grams8"))
       .orderBy(col("doc_id"))
+  }
 
   val t4Sql: String =
     """WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),

@@ -126,4 +126,37 @@ class CodegenSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("codegenfallback"),
       s"bloom probe fell out of codegen:\n$p")
   }
+
+  /** Round-16 optimization: t4's window walk moved from the
+    * per-window-allocating declarative form to the single-pass native
+    * expressions. The spec pins BYTE-EXACT equivalence against the old
+    * form — on the real corpus AND on the edge shapes (empty string,
+    * shorter-than-window, exactly-8, multi-byte UTF-8, repeated grams)
+    * where the window arithmetic (`greatest(length(t)-7, 1)`,
+    * char-not-byte slicing) can silently diverge. */
+  test("gram8 native expressions match the declarative md5-window form byte-exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    val s = spark
+    import s.implicits._
+    val edge = Seq("", "a", "abcdefg", "abcdefgh", "abcdefghi",
+      "aaaaaaaaaaaaaaaa", "的是在了和有我不的是在了和有我不",
+      "mixed 的 ascii 和 utf8 content here", "  spaces  and\ttabs\nnewlines  ")
+      .toDF("t")
+    val corpus = TextAnalysis.t4Fingerprint(spark, sf).sparkSession
+      .read.parquet(s"$sf/documents.parquet")
+      .select(lower(trim(col("text"))).as("t"))
+    for (df <- Seq(edge, corpus)) {
+      val both = df.select(
+        gram8MinMd5(col("t")).as("got_fp"),
+        gram8DistinctCount(col("t")).as("got_n"),
+        expr("array_min(transform(sequence(1, greatest(length(t)-7, 1))," +
+          " i -> md5(substring(t, i, 8))))").as("exp_fp"),
+        expr("size(array_distinct(transform(sequence(1, greatest(length(t)-7, 1))," +
+          " i -> substring(t, i, 8))))").as("exp_n"))
+      val bad = both.filter(col("got_fp") =!= col("exp_fp") ||
+        col("got_n") =!= col("exp_n"))
+      assert(bad.isEmpty, s"gram8 divergence:\n${bad.take(3).mkString("\n")}")
+    }
+  }
 }

@@ -68,7 +68,7 @@ object ScaleSweep {
       val emb = s.read.parquet(s"$base/embeddings.parquet")
       val eOff = emb.agg(max(col("vec_id"))).head.getLong(0) + 1 // bounded: ONE-row max aggregate
       val withRms = emb.withColumn("rms",
-        sqrt(expr("aggregate(transform(embedding, x -> cast(x AS double))," +
+        sqrt(expr("aggregate(CAST(embedding AS array<double>)," +
           " 0.0D, (a, y) -> a + y * y)") / size(col("embedding"))))
       (0 until n).map { k =>
         if (k == 0) emb

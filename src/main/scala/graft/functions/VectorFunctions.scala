@@ -25,6 +25,20 @@ object VectorFunctions {
   def topCellsRouted(v: Column, nrm: Column,
                      router: graft.operators.CellRouter, k: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.topCellsRouted(v, nrm, router, k)
+  /** Exact integral dot `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`
+    * as a codegen'd loop; sides may differ in integral element type. */
+  def vecDotInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecDotInt(a, b)
+  /** Exact integral Σx² `aggregate(transform(q, x -> x*x), 0L, +)`. */
+  def vecNorm2Int(a: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecNorm2Int(a)
+  /** `array_max(transform(v, x -> abs(x)))` as a codegen'd loop. */
+  def vecMaxAbs(a: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.vecMaxAbs(a)
+  /** x8's symmetric int8 quantization codes — bit-identical to the
+    * `transform(... round(x / scale * 127, 0) ...)` HOF form. */
+  def int8Codes(v: Column, scale: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.int8Codes(v, scale)
 }
 
 /** Public face of the native text-fingerprint expressions (same

@@ -881,7 +881,7 @@ object Corpus {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
     import org.apache.spark.sql.expressions.Window
     val e = embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val anchorRows = e.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("v"), col("nrm"))

@@ -36,12 +36,13 @@ object Similarity {
   /** The query-set size, for cross-package serving members (st18). */
   private[graft] def nQueries: Int = NQueries
 
-  import graft.functions.VectorFunctions.{vecDot, vecNorm2}
+  import graft.functions.VectorFunctions.{vecDot, vecNorm2, vecDotInt,
+    vecNorm2Int, vecMaxAbs, int8Codes}
 
   private[graft] def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
-      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
 
   private def cos4(qn: Column, nn: Column): Column =
@@ -604,11 +605,9 @@ object Similarity {
   def x8Quantize(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("q", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+        expr("CAST(embedding AS array<double>)").as("v"))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("q", int8Codes(col("v"), col("scale")))
       .withColumn("qhash",
         md5(concat_ws(",", expr("transform(q, qi -> cast(qi AS string))"))))
       .withColumn("max_err", expr(
@@ -650,21 +649,22 @@ object Similarity {
     * Here the codes are derived in-query; a production table stores
     * them once (x8's output) and never rereads the floats. */
   def s5AnnQuantized(s: SparkSession, d: String): DataFrame = {
+    // round-16: scale/codes/norm/dot moved from interpreted HOF lambdas
+    // to the native codegen'd expressions (exact integer semantics —
+    // bit-identical; s5's full DuckDB hash oracle pins it)
     val e = embeddings(s, d)
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
-      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+        expr("CAST(embedding AS array<double>)").as("v"))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("qv", int8Codes(col("v"), col("scale")))
+      .withColumn("nq2", vecNorm2Int(col("qv")))
       .select(col("vec_id"), col("qv"), col("nq2"))
     val q = broadcast(e.filter(col("vec_id") < NQueries))
     val pairs = q.as("q")
       .join(e.as("e"), col("q.vec_id") =!= col("e.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         round(
-          expr("aggregate(zip_with(q.qv, e.qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+          vecDotInt(col("q.qv"), col("e.qv"))
             .cast("double") /
             (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
           .as("cosq4"))
@@ -718,12 +718,11 @@ object Similarity {
     * int8 scoring, is the binding approximation: pure-int8 s5 measures
     * 0.98). */
   def s6AnnIvfQuantized(s: SparkSession, d: String): DataFrame = {
+    // round-16: native quantization/scoring expressions (see s5)
     val e = prepared(s, d)
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
-      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("qv", int8Codes(col("v"), col("scale")))
+      .withColumn("nq2", vecNorm2Int(col("qv")))
       .cache()
     val nCells = ivfCells(e.count())
     val nProbe = math.max(4, nCells / 4)
@@ -746,7 +745,7 @@ object Similarity {
         col("q.v").as("qv_f"), col("q.nrm").as("qn"),
         col("e.v").as("nv_f"), col("e.nrm").as("nn"),
         round(
-          expr("aggregate(zip_with(q.qv, e.qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+          vecDotInt(col("q.qv"), col("e.qv"))
             .cast("double") /
             (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
           .as("cosq4"))
@@ -1017,19 +1016,19 @@ object Similarity {
                              books: Option[Array[Array[Array[Double]]]] = None,
                              opq: Option[(Array[Array[Double]],
                                           Array[Array[Array[Double]]])] = None): DataFrame = {
+    // round-16: native quantization expressions (see s5) — the stored
+    // codes/norms are exact integers, so artifact bytes are unchanged
     val base = raw
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
-      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("qv", int8Codes(col("v"), col("scale")))
+      .withColumn("nq2", vecNorm2Int(col("qv")))
       .withColumn("cell",
         assignCells(col("v"), col("nrm"), anchors, 1)(0))
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr("transform(qv, x -> cast(x AS tinyint))").as("qv8"),
+        col("qv").cast("array<tinyint>").as("qv8"),
         col("nq2"), col("cell"))
     if (books.isEmpty && opq.isEmpty) base
     else {
@@ -1181,12 +1180,11 @@ object Similarity {
                          delta: Option[DataFrame] = None): DataFrame = {
     val idx = s.read.parquet(path)
     // query side: same derivation as s6, restricted to the query rows
+    // (round-16: native quantization expressions, see s5)
     val qSide = e.filter(col("vec_id") < NQueries)
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
-      .withColumn("nq2", expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)"))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("qv", int8Codes(col("v"), col("scale")))
+      .withColumn("nq2", vecNorm2Int(col("qv")))
     val probes = broadcast(queryProbes(qSide, anchors, nProbe,
       "vec_id", "v", "nrm", "qv", "nq2"))
     // bounded: the probed cell ids — ≤ NQueries·nProbe ints
@@ -1198,8 +1196,10 @@ object Similarity {
     // tombstone mask (s12's delete log, ≪ corpus) is a broadcast
     // left_anti on vec_id: deleted rows never enter scoring, so they
     // can't reach the shortlist or the float rerank either.
+    // round-16: the stored tinyint codes feed vec_dot_int directly —
+    // no per-row cast-to-bigint array copy on the scan side
     val cand0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
-      .select(col("vec_id"), expr("transform(qv8, x -> cast(x AS bigint))").as("qv"),
+      .select(col("vec_id"), col("qv8").as("qv"),
         col("nq2"), col("cell"))
     val candMasked = mask.fold(cand0)(t =>
       cand0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
@@ -1209,8 +1209,7 @@ object Similarity {
     val cand = delta.fold(candMasked)(dl =>
       candMasked.unionByName(dl
         .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
-        .select(col("vec_id"),
-          expr("transform(qv8, x -> cast(x AS bigint))").as("qv"),
+        .select(col("vec_id"), col("qv8").as("qv"),
           col("nq2"), col("cell"))))
     val scoredQ = probes.as("q")
       .join(cand.as("e"),
@@ -1218,7 +1217,7 @@ object Similarity {
       .select(col("q.vec_id").as("query_id"), col("e.vec_id").as("neighbor_id"),
         col("q.v").as("qv_f"), col("q.nrm").as("qn"),
         round(
-          expr("aggregate(zip_with(q.qv, e.qv, (x, y) -> x * y), 0L, (a, v) -> a + v)")
+          vecDotInt(col("q.qv"), col("e.qv"))
             .cast("double") /
             (sqrt(col("q.nq2").cast("double")) * sqrt(col("e.nq2").cast("double"))), 4)
           .as("cosq4"))
@@ -1234,14 +1233,14 @@ object Similarity {
     // stale base row), and the delta's floats union in after.
     val fBase0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("fv"))
+        expr("CAST(embedding AS array<double>)").as("fv"))
     val fBase = mask.fold(fBase0)(t =>
       fBase0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     val fAll = delta.fold(fBase)(dl =>
       fBase.unionByName(dl
         .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
         .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("fv"))))
+          expr("CAST(embedding AS array<double>)").as("fv"))))
     val floats = fAll.select(col("vec_id").as("fvec_id"), col("fv"))
       .withColumn("fnrm", sqrt(vecNorm2(col("fv"))))
     val exact = floats.join(broadcast(short), col("fvec_id") === col("neighbor_id"))
@@ -1297,7 +1296,7 @@ object Similarity {
         val raw = embeddings(s, d)
         val base = raw.filter(col("vec_id") % 10 =!= 9)
         val eBase = base.select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          expr("CAST(embedding AS array<double>)").as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v"))))
         val nCells = ivfCells(eBase.count())
         val anchors = trainAnchors(
@@ -1355,7 +1354,7 @@ object Similarity {
         case None =>
           val base = embeddings(s, d).filter(col("vec_id") % 10 =!= 9)
           val eBase = base.select(col("vec_id"),
-              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+              expr("CAST(embedding AS array<double>)").as("v"))
             .withColumn("nrm", sqrt(vecNorm2(col("v"))))
           val nCells = ivfCells(eBase.count())
           val anchors = trainAnchors(
@@ -1671,7 +1670,7 @@ object Similarity {
     val res = probe.localCheckpoint(true)
     // exact baseline + freshness recompute, both over the UPDATED corpus
     val uc = updatedCorpus(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val q = broadcast(uc.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1822,7 +1821,7 @@ object Similarity {
     val finalCorpus = updatedCorpus(s, d)
       .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
     val uc = finalCorpus.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val q = broadcast(uc.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1857,7 +1856,7 @@ object Similarity {
   private[graft] def s13ExactWitness(s: SparkSession, d: String): DataFrame =
     durableWitness(s, "s13-exact", d) {
       val uc = updatedCorpus(s, d).select(col("vec_id"),
-          expr("transform(embedding, x -> cast(x AS double))").as("v"))
+          expr("CAST(embedding AS array<double>)").as("v"))
         .withColumn("nrm", sqrt(vecNorm2(col("v"))))
       val q = broadcast(uc.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1892,7 +1891,7 @@ object Similarity {
     val labelType = embeddings(s, d).schema("label").dataType
     val q0 = finalCorpus.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     // ONE action materializes the ≤ NQueries-row query side; the label
     // enumeration and the join's broadcast side reuse it as a local
@@ -1903,7 +1902,7 @@ object Similarity {
     val qLabels = qRows.map(_.get(q0.schema.fieldIndex("label"))).distinct
     val e = src.filter(col("label").isin(qLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
-        expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+        expr("CAST(embedding AS array<double>)").as("ev"))
       .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
     rerank(broadcast(q).as("q")
       .join(e, col("q.vec_id") =!= col("neighbor_id") &&
@@ -2741,7 +2740,7 @@ object Similarity {
 
   def x10RandomProjection(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      expr("CAST(embedding AS array<double>)").as("v"))
     val coords = projSigns.map { row =>
       vecDot(col("v"), array(row.map(lit(_)): _*))
     }
@@ -2801,14 +2800,14 @@ object Similarity {
     // query side: tiny, broadcast — carries label, floats, norm
     val q = raw.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        expr("CAST(embedding AS array<double>)").as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val qLabels = q.select(col("label")).distinct().collect().map(_.get(0)) // bounded: distinct label enum
     // literal IN over the first partition key → directory-level pruning
     val idx = s.read.parquet(path)
       .filter(col("label").isin(qLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
-        expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+        expr("CAST(embedding AS array<double>)").as("ev"))
       .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
     val pairs = broadcast(q).as("q")
       .join(idx, col("q.vec_id") =!= col("neighbor_id") &&
@@ -3133,10 +3132,8 @@ object Similarity {
   def s19RangeSearch(s: SparkSession, d: String): DataFrame = {
     val e = prepared(s, d)
     val codes = e
-      .withColumn("scale", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("qv", expr(
-        """transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
-          |  ELSE cast(round(x / scale * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("scale", vecMaxAbs(col("v")))
+      .withColumn("qv", int8Codes(col("v"), col("scale")))
       .select(col("vec_id"), col("scale"), col("qv"), col("nrm"))
     val q = broadcast(e.filter(col("vec_id") < NQueries)
       .withColumn("l1", expr("aggregate(transform(v, x -> abs(x)), 0D, (a, x) -> a + x)")))
@@ -4346,12 +4343,12 @@ object Similarity {
     val exact = rerank(broadcast(
         raw.filter(col("vec_id") < NQueries)
           .select(col("vec_id"), col("label"),
-            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+            expr("CAST(embedding AS array<double>)").as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v")))))
       .as("q")
       .join(raw.select(col("vec_id").as("neighbor_id"),
           col("label").as("nlabel"),
-          expr("transform(embedding, x -> cast(x AS double))").as("ev"))
+          expr("CAST(embedding AS array<double>)").as("ev"))
           .withColumn("enrm", sqrt(vecNorm2(col("ev")))),
         col("q.vec_id") =!= col("neighbor_id") &&
           col("q.label") === col("nlabel"))

@@ -346,11 +346,247 @@ case class TopCellsRouted(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared bits for the integral-array expressions: Spark's higher-order
+  * functions (`transform`/`aggregate`/`zip_with`) are CodegenFallback —
+  * one interpreted lambda call + boxing PER ELEMENT — which made the
+  * int8 scoring scans (s5/s6/s7-family probes) and the quantization
+  * projections measurably lambda-bound (round-16 optimization pass;
+  * guide §1.2 step 2). Each expression below is the exact integer/
+  * fixed-order-double semantics of the HOF form it replaces, emitted
+  * as a tight primitive loop under whole-stage codegen. */
+private[graft] object IntArrays {
+  import org.apache.spark.sql.types._
+  def isIntegral(dt: DataType): Boolean = dt match {
+    case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+    case _ => false
+  }
+  def elem(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+  /** Java accessor snippet yielding a long for element `i` of `arr`. */
+  def getLong(et: DataType, arr: String, i: String): String = et match {
+    case ByteType => s"(long) $arr.getByte($i)"
+    case ShortType => s"(long) $arr.getShort($i)"
+    case IntegerType => s"(long) $arr.getInt($i)"
+    case _ => s"$arr.getLong($i)"
+  }
+  /** Interpreted accessor matching [[getLong]]. */
+  def getter(et: DataType): (ArrayData, Int) => Long = et match {
+    case ByteType => (a, i) => a.getByte(i).toLong
+    case ShortType => (a, i) => a.getShort(i).toLong
+    case IntegerType => (a, i) => a.getInt(i).toLong
+    case _ => (a, i) => a.getLong(i)
+  }
+}
+
+/** Σ aᵢ·bᵢ over two integral arrays as one exact long fold — replaces
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)`.
+  * Integer arithmetic: bit-identical at any evaluation order, and the
+  * element types may differ per side (the stored codes are
+  * array<tinyint>, in-query codes array<bigint> — scoring reads both
+  * without a per-row cast-copy). */
+case class VecDotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (IntArrays.isIntegral(left.dataType) && IntArrays.isIntegral(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_int expects integral arrays, got ${left.dataType}, ${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val gx = IntArrays.getter(IntArrays.elem(left.dataType))
+    val gy = IntArrays.getter(IntArrays.elem(right.dataType))
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) { acc += gx(x, i) * gy(y, i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val gx = IntArrays.getLong(IntArrays.elem(left.dataType), a, i)
+      val gy = IntArrays.getLong(IntArrays.elem(right.dataType), b, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($gx) * ($gy);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ xᵢ² over an integral array as one exact long fold — replaces
+  * `aggregate(transform(q, x -> x * x), 0L, (a, v) -> a + v)`. */
+case class VecNorm2Int(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (IntArrays.isIntegral(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"vec_norm2_int expects an integral array, got ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_norm2_int"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val g = IntArrays.getter(IntArrays.elem(child.dataType))
+    var acc = 0L; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = g(x, i); acc += v * v; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val v = ctx.freshName("v")
+      val g = IntArrays.getLong(IntArrays.elem(child.dataType), a, i)
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $g;
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm2Int =
+    copy(child = newChild)
+}
+
+/** max |xᵢ| over a double array — replaces
+  * `array_max(transform(v, x -> abs(x)))` (max is order-independent;
+  * abs is exact — bit-identical). Empty arrays yield null exactly as
+  * `array_max` of an empty array does. */
+case class VecMaxAbs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_max_abs"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) null
+    else {
+      var m = 0.0; var i = 0
+      while (i < n) {
+        val v = math.abs(x.getDouble(i)); if (v > m) m = v; i += 1
+      }
+      m
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $m = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = java.lang.Math.abs($a.getDouble($i));
+         |    if ($v > $m) $m = $v;
+         |  }
+         |  ${ev.value} = $m;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecMaxAbs =
+    copy(child = newChild)
+}
+
+/** x8's symmetric int8 quantization as one native projection — replaces
+  * `transform(v, x -> CASE WHEN scale = 0D THEN cast(0 AS bigint)
+  * ELSE cast(round(x / scale * 127, 0) AS bigint) END)`. Semantics are
+  * replicated operation-for-operation: Catalyst's `round(_, 0)` on a
+  * double is BigDecimal.valueOf(...).setScale(0, HALF_UP) with NaN/
+  * infinity passed through, and `cast(double AS bigint)` is
+  * Double.toLong — so the emitted codes are bit-identical to the HOF
+  * form (x8's md5-of-codes DuckDB oracle pins this end to end). */
+case class Int8Codes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "int8_codes"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val scale = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = Int8Codes.code(x.getDouble(i), scale)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      val cls = Int8Codes.getClass.getName.stripSuffix("$")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |if ($b != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = $cls.code($a.getDouble($i), $b);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Int8Codes =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Codes {
+  /** `cast(round(x / scale * 127, 0) AS bigint)` exactly. */
+  def code(x: Double, scale: Double): Long = {
+    val d = x / scale * 127
+    val r =
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+      else java.math.BigDecimal.valueOf(d)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    r.toLong
+  }
+}
+
 object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecNorm2(a: Column): Column =
     ExpressionUtils.column(VecNorm2(ExpressionUtils.expression(a)))
+  def vecDotInt(a: Column, b: Column): Column =
+    ExpressionUtils.column(VecDotInt(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def vecNorm2Int(a: Column): Column =
+    ExpressionUtils.column(VecNorm2Int(ExpressionUtils.expression(a)))
+  def vecMaxAbs(a: Column): Column =
+    ExpressionUtils.column(VecMaxAbs(ExpressionUtils.expression(a)))
+  def int8Codes(v: Column, scale: Column): Column =
+    ExpressionUtils.column(Int8Codes(ExpressionUtils.expression(v), ExpressionUtils.expression(scale)))
   /** `anchors`: (cellId, anchorValues); norms are computed here with the
     * same ascending fold as [[VecNorm2]] so sims match the window form. */
   def topCells(v: Column, nrm: Column,

@@ -127,6 +127,47 @@ class CodegenSpec extends AnyFunSuite {
       s"bloom probe fell out of codegen:\n$p")
   }
 
+  /** Round-16 optimization: the int8 quantization/scoring path moved
+    * from interpreted HOF lambdas (`transform`/`aggregate`/`zip_with`
+    * are CodegenFallback — one virtual call + boxing per ELEMENT) to
+    * native codegen'd expressions. All four are exact-integer or
+    * order-independent semantics, so the spec demands BIT-identity
+    * against the HOF forms on the real corpus, and that the plan keeps
+    * its WSCG span with the native names in it. */
+  test("native int8 expressions (vec_max_abs/int8_codes/vec_norm2_int/" +
+    "vec_dot_int) match the HOF forms bit-exactly and stay codegen'd") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val e = Similarity.prepared(spark, sf)
+      .withColumn("scaleH", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("qvH", expr(
+        """transform(v, x -> CASE WHEN scaleH = 0D THEN cast(0 AS bigint)
+          |  ELSE cast(round(x / scaleH * 127, 0) AS bigint) END)""".stripMargin))
+      .withColumn("nq2H", expr("aggregate(transform(qvH, x -> x * x), 0L, (a, v) -> a + v)"))
+      .withColumn("scaleN", vecMaxAbs(col("v")))
+      .withColumn("qvN", int8Codes(col("v"), col("scaleN")))
+      .withColumn("nq2N", vecNorm2Int(col("qvN")))
+      .withColumn("qv8", col("qvN").cast("array<tinyint>"))
+    val bad = e.filter(col("scaleH") =!= col("scaleN") ||
+      col("qvH") =!= col("qvN") || col("nq2H") =!= col("nq2N"))
+    assert(bad.isEmpty, s"int8 path divergence:\n${bad.take(3).mkString("\n")}")
+    // dot: bigint×bigint AND bigint×tinyint (the stored-codes shape)
+    // against the zip_with fold, across all query×corpus pairs
+    val q = e.select(col("vec_id").as("qid"), col("qvN").as("a"))
+      .filter(col("qid") < 10)
+    val pairs = q.crossJoin(e.select(col("qvN").as("b"), col("qv8")))
+      .select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)").as("dH"),
+        vecDotInt(col("a"), col("b")).as("dN"),
+        vecDotInt(col("a"), col("qv8")).as("dN8"))
+    val badDot = pairs.filter(col("dH") =!= col("dN") || col("dH") =!= col("dN8"))
+    assert(badDot.isEmpty, s"vec_dot_int divergence:\n${badDot.take(3).mkString("\n")}")
+    val p = plan(Similarity.s5AnnQuantized(spark, sf))
+    Seq("vec_max_abs", "int8_codes", "vec_norm2_int", "vec_dot_int").foreach(n =>
+      assert(p.contains(n), s"native $n missing from s5 plan:\n$p"))
+    assert(p.contains("*("), s"no WSCG span in s5 plan:\n$p")
+  }
+
   /** Round-16 optimization: t4's window walk moved from the
     * per-window-allocating declarative form to the single-pass native
     * expressions. The spec pins BYTE-EXACT equivalence against the old

@@ -4203,7 +4203,7 @@ object Similarity {
     val seeds = graphSeeds(qU, anchors, reps)
     beams.map { b =>
       val t0 = System.nanoTime()
-      val scored = graphBeamAuto(s, ids => fetchIncr(s, path, ids),
+      val scored = graphBeamAuto(s, fetchIncrFn(s, path),
         qU.select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn")),
         seeds, beam = b).localCheckpoint(true)
@@ -4502,15 +4502,14 @@ object Similarity {
     if (chunks.isEmpty)
       return b.select(col("vec_id"),
         expr("CAST(array() AS array<bigint>)").as("bridge"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos4").desc, col("neighbor_id"))
     // each chunk reduces to ≤ BridgeK pairs per batch node ON THE
-    // DRIVER before the next chunk starts: the per-chunk hop frames
-    // (localCheckpointed inside graphBeam) lose their last reference
-    // immediately, so block storage never accumulates across the
-    // hundreds of chunks a deep-decade append runs — a cross-chunk
-    // DataFrame union would pin every chunk's blocks until the end
+    // DRIVER before the next chunk starts, so driver state never
+    // accumulates across the hundreds of chunks a deep-decade append
+    // runs. Round-16: the per-chunk top-BridgeK runs as a local sort
+    // over the beam's already-driver-held scored rows (graphBeam's
+    // driver lane returns a LocalRelation) — the row_number window
+    // paid an exchange + sort job per chunk for the same ranking
+    // ((-cos4, neighbor_id), row_number semantics preserved).
     val pairs = chunks.flatMap { chunk =>
       val q = b.filter(col("vec_id").isin(chunk.toSeq: _*))
       graphBeam(s, fetch,
@@ -4518,11 +4517,13 @@ object Similarity {
           col("nrm").as("qn")),
         graphSeeds(q, anchors, reps), beam = beam)
         .filter(col("query_id") =!= col("neighbor_id"))
-        // per-point window: partitions are chunk-bounded
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= BridgeK)
-        .select(col("query_id"), col("neighbor_id"), col("rn"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))) // bounded: ≤ BridgeK rows per batch node (driver holds 3 longs per append row; batches past driver-lane sizes belong to the exec beam)
+        .collect() // bounded: one chunk's scored rows — ≤ rounds·beam·DEG per query, chunk ≤ GraphBeamExecMinQueries
+        .groupBy(_.getLong(0)).toSeq.flatMap { case (q0, rows) =>
+          rows.map(r => (r.getLong(1), r.getDouble(2)))
+            .sortBy { case (nid, c) => (-c, nid) } // local: per-point candidate sort
+            .take(BridgeK).zipWithIndex
+            .map { case ((nid, _), i) => (q0, nid, i + 1) }
+        }
     }
     import s.implicits._
     pairs.groupBy(_._1).toSeq
@@ -4548,28 +4549,87 @@ object Similarity {
     * appended nodes reachable at deep-decade graph sizes. */
   private[graft] val FoldDeg = 2 * GraphDeg
 
+  /** Bound under which [[fetchIncr]] merges the three legs on the
+    * driver instead of through a groupBy+join: a beam round's fetch is
+    * already driver-mediated (graphBeam collects the rows), so at
+    * driver-lane frontier sizes the distributed merge only added a
+    * shuffle + join stage per beam ROUND for rows the driver was about
+    * to hold anyway. 4096 node rows ≈ 2.5 MB with 64-dim vectors —
+    * trivially driver-safe; past it (exec-lane frontiers) the
+    * distributed merge keeps the 10⁶-query scale story. */
+  private[graft] val FetchLocalMaxIds = 4096
+
   /** Read-side merged point fetch over base + delta + back-links: all
     * three stores are range-sorted on vec_id, so each leg of the union
     * is a row-group-pruned key lookup; merged neighbor lists are
     * sorted+deduped for order-independence and the back-link leg is
     * budgeted ([[FetchBackBudget]]) so a hub's frontier contribution is
-    * bounded by DEG + budget between folds. */
+    * bounded by DEG + budget between folds. Below [[FetchLocalMaxIds]]
+    * the merge runs on the driver off ONE shuffle-free three-leg scan
+    * (round-16: the per-round groupBy+join cost a shuffle per beam hop
+    * at gate shapes); the merged lists are identical by construction —
+    * sorted-distinct union with the id-ascending budget prefix — and
+    * the hub-budget spec covers both lanes. */
   private[graft] def fetchIncr(s: SparkSession, path: String,
-                        ids: Seq[Long]): DataFrame = {
-    val b = s.read.parquet(s"$path/base/adj")
-      .filter(col("vec_id").isin(ids: _*))
-    val dl = s.read.parquet(s"$path/delta/adj")
-      .filter(col("vec_id").isin(ids: _*))
-    val bk = s.read.parquet(s"$path/back")
-      .filter(col("vec_id").isin(ids: _*))
-      .groupBy("vec_id").agg(
-        slice(array_sort(collect_list(col("extra"))), 1, FetchBackBudget)
-          .as("extra"))
-    b.unionByName(dl).join(bk, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("v"), col("nrm"),
-        when(col("extra").isNull, col("nbrs"))
-          .otherwise(array_sort(array_distinct(
-            concat(col("nbrs"), col("extra"))))).as("nbrs"))
+                        ids: Seq[Long]): DataFrame =
+    fetchIncrFn(s, path)(ids)
+
+  /** Curried [[fetchIncr]]: builds the three store frames ONCE per
+    * serve/ingest call — file listing and parquet footer reads are not
+    * free, and a beam pays one fetch per ROUND (the round-16 fix
+    * [[graft.streaming.Streaming]]'s fetchAppliedState already had);
+    * each round's call only adds the key filter that prunes row
+    * groups. */
+  private[graft] def fetchIncrFn(s: SparkSession, path: String)
+      : Seq[Long] => DataFrame = {
+    val b0 = s.read.parquet(s"$path/base/adj")
+    val dl0 = s.read.parquet(s"$path/delta/adj")
+    val bk0 = s.read.parquet(s"$path/back")
+    ids => fetchIncrFrom(s, b0, dl0, bk0, ids)
+  }
+
+  private def fetchIncrFrom(s: SparkSession, b0: DataFrame, dl0: DataFrame,
+                            bk0: DataFrame, ids: Seq[Long]): DataFrame = {
+    val b = b0.filter(col("vec_id").isin(ids: _*))
+    val dl = dl0.filter(col("vec_id").isin(ids: _*))
+    if (ids.size <= FetchLocalMaxIds) {
+      import s.implicits._
+      val nullArr = lit(null).cast("array<double>")
+      val raw = b.unionByName(dl)
+        .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"),
+          lit(null).cast("bigint").as("extra"))
+        .unionByName(bk0
+          .filter(col("vec_id").isin(ids: _*))
+          .select(col("vec_id"), nullArr.as("v"),
+            lit(null).cast("double").as("nrm"),
+            lit(null).cast("array<bigint>").as("nbrs"), col("extra")))
+        .collect() // bounded: ≤ |ids| node rows + their back rows, ids ≤ FetchLocalMaxIds
+      val extras = raw.filter(!_.isNullAt(4))
+        .groupBy(_.getLong(0)).map { case (id, rows) =>
+          id -> rows.map(_.getLong(4)).sorted.take(FetchBackBudget).toSeq
+        }
+      val merged = raw.filter(_.isNullAt(4)).toSeq.map { r =>
+        val id = r.getLong(0)
+        val nbrs = r.getSeq[Long](3)
+        val nbrs2 = extras.get(id) match {
+          case Some(ex) => (nbrs ++ ex).distinct.sorted
+          case None => nbrs
+        }
+        (id, r.getSeq[Double](1), r.getDouble(2), nbrs2)
+      }
+      merged.toDF("vec_id", "v", "nrm", "nbrs")
+    } else {
+      val bk = bk0
+        .filter(col("vec_id").isin(ids: _*))
+        .groupBy("vec_id").agg(
+          slice(array_sort(collect_list(col("extra"))), 1, FetchBackBudget)
+            .as("extra"))
+      b.unionByName(dl).join(bk, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("v"), col("nrm"),
+          when(col("extra").isNull, col("nbrs"))
+            .otherwise(array_sort(array_distinct(
+              concat(col("nbrs"), col("extra"))))).as("nbrs"))
+    }
   }
 
   /** S22: graph-index APPEND — s8's ingest lane applied to the s21
@@ -4586,7 +4646,7 @@ object Similarity {
   def s22GraphAppend(s: SparkSession, d: String): DataFrame = {
     val (path, anchors) = graphIncrPath(s, d)
     val reps = s.read.parquet(s"$path/reps")
-    val fetch = (ids: Seq[Long]) => fetchIncr(s, path, ids)
+    val fetch = fetchIncrFn(s, path)
     val e = prepared(s, d)
     // reachability probe: fixed 32-vector batch sample as queries
     val sample = e.filter(col("vec_id") % 10 === 9)

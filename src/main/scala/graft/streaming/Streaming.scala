@@ -1940,6 +1940,13 @@ object Streaming {
     val raw = graft.sources.Tables.embeddings(s, d)
     val (incrPath, anchors) = Similarity.graphIncrPath(s, d)
     withWorkspace("st19") { (work, ckpt) =>
+      val trace = sys.env.contains("GRAFT_ST19_TRACE")
+      var t0 = System.nanoTime()
+      def mark(what: String): Unit = if (trace) {
+        val t1 = System.nanoTime()
+        System.err.println(f"[st19-trace] $what ${(t1 - t0) / 1e9}%.2f s")
+        t0 = t1
+      }
       val gDir = s"$work/graph"
       // hardlink the immutable base generation + entry reps into the
       // workspace (st12's staging; links cost metadata only and the
@@ -1950,9 +1957,12 @@ object Streaming {
       val inDir = s"$work/in"
       raw.filter(col("vec_id") % 10 === 9).repartition(nEpochs)
         .write.parquet(inDir)
+      mark("stage inputs")
       val q = st19StartIngest(s, raw.schema, inDir, gDir, anchors,
-        ckpt.getAbsolutePath, lane = lane)
+        ckpt.getAbsolutePath, lane = lane,
+        afterEpoch = id => mark(s"epoch $id"))
       q.awaitTermination()
+      mark("stream drained")
       // exactly-once audit: the delta store holds every batch id
       // exactly once and nothing else
       val batchIds = raw.filter(col("vec_id") % 10 === 9).select(col("vec_id"))
@@ -1963,15 +1973,17 @@ object Streaming {
         deltaIds.join(batchIds, Seq("vec_id"), "left_anti").count() == 0
       // serve through the streamed artifact: the same 3-way merged
       // point fetch + fused serve/reach beam as s22
+      mark("append audit")
       val e = Similarity.prepared(s, d)
       val sample = e.filter(col("vec_id") % 10 === 9)
         .orderBy(col("vec_id")).limit(32).localCheckpoint(true)
       val reps = s.read.parquet(s"$gDir/reps")
       val (scored, reachFrac) = Similarity.serveWithReach(s,
-        ids => Similarity.fetchIncr(s, gDir, ids), anchors, reps, e, sample)
+        Similarity.fetchIncrFn(s, gDir), anchors, reps, e, sample)
       val all = scored.filter(col("query_id") < Similarity.nQueries &&
         col("query_id") =!= col("neighbor_id"))
-      Similarity.withRecallGate(s, d, "st19",
+      mark("serve beam")
+      val res = Similarity.withRecallGate(s, d, "st19",
         Similarity.rerank(all).select(col("query_id"), col("neighbor_id"),
           col("cos4"), col("rn")),
         floor = 0.7)
@@ -1979,6 +1991,8 @@ object Streaming {
         .withColumn("reach_ok", lit(reachFrac >= 0.9))
         .withColumn("append_ok", lit(appendedOk))
         .localCheckpoint(true) // eager: the workspace dies with the return
+      mark("gates")
+      res
     }
   }
 
@@ -2025,6 +2039,33 @@ object Streaming {
       }
       back0 match {
         case None => nodes
+        case Some(b0) if ids.size <= Similarity.FetchLocalMaxIds =>
+          // round-16: driver-side three-leg merge at beam-round frontier
+          // sizes — one shuffle-free scan instead of a groupBy + join
+          // per round; identical lists ([[Similarity.fetchIncr]]'s
+          // local lane, same bounded-collect contract)
+          import s.implicits._
+          val raw = nodes
+            .select(col("vec_id"), col("v"), col("nrm"), col("nbrs"),
+              lit(null).cast("bigint").as("extra"))
+            .unionByName(b0.filter(col("vec_id").isin(ids: _*))
+              .select(col("vec_id"), lit(null).cast("array<double>").as("v"),
+                lit(null).cast("double").as("nrm"),
+                lit(null).cast("array<bigint>").as("nbrs"), col("extra")))
+            .collect() // bounded: ≤ |ids| node rows + their back rows, ids ≤ FetchLocalMaxIds
+          val extras = raw.filter(!_.isNullAt(4))
+            .groupBy(_.getLong(0)).map { case (id, rows) =>
+              id -> rows.map(_.getLong(4)).sorted
+                .take(Similarity.FetchBackBudget).toSeq
+            }
+          raw.filter(_.isNullAt(4)).toSeq.map { r =>
+            val nbrs = r.getSeq[Long](3)
+            val nbrs2 = extras.get(r.getLong(0)) match {
+              case Some(ex) => (nbrs ++ ex).distinct.sorted
+              case None => nbrs
+            }
+            (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), nbrs2)
+          }.toDF("vec_id", "v", "nrm", "nbrs")
         case Some(b0) =>
           val bk = b0.filter(col("vec_id").isin(ids: _*))
             .groupBy("vec_id").agg(

@@ -53,6 +53,10 @@ object TextFunctions {
     * as the same single window walk. */
   def gram8DistinctCount(t: Column): Column =
     org.apache.spark.sql.graft.TextFunctions.gram8DistinctCount(t)
+  /** Every k-token-window md5 (16-byte binary), one pass per row —
+    * `transform(sequence(0, size(w)-k), i -> unhex(md5(array_join(slice(w, i+1, k), ' '))))`. */
+  def wordGramMd5(w: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TextFunctions.wordGramMd5(w, k)
 }
 
 /** Public face of the native sketch expressions (same extension-library

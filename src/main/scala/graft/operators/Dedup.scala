@@ -1041,11 +1041,13 @@ object Dedup {
   private[graft] def exactSubstringDedupOf(docs: DataFrame,
                                            k: Int = SpanK): DataFrame = {
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // one row per k-token window: (doc, offset, 16-byte fingerprint)
+    // one row per k-token window: (doc, offset, 16-byte fingerprint) —
+    // round-16: the per-window slice/join/md5-hex/unhex interpreted
+    // lambda chain became one native single-pass digest expression
+    // (byte-identical; this is the corpus-wide hot loop of the pass)
     val occ = toks.filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, size(w) - $k)," +
-          s" i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.wordGramMd5(col("w"), k))
         .as(Seq("pos", "fp")))
     // first corpus occurrence of every REPEATED window fingerprint
     val firstOcc = occ.groupBy(col("fp"))

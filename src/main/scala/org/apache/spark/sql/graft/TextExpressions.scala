@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass expressions for the t4 winnowing fingerprint.
@@ -142,9 +142,65 @@ case class Gram8DistinctCount(child: Expression)
     copy(child = newChild)
 }
 
+/** All k-token window MD5 digests of a token array in one pass —
+  * replaces x30's interpreted
+  * `transform(sequence(0, size(w) - k), i -> unhex(md5(array_join(slice(w, i + 1, k), ' '))))`,
+  * which paid, PER WINDOW: a k-element slice array, an interpreted
+  * lambda chain, a joined string, a fresh MessageDigest, a 32-char hex
+  * render and an unhex parse back to the 16 bytes. Here the digest is
+  * fed the window's token bytes + single-space separators directly
+  * (byte-identical to md5 of the joined string: UTF-8 of a ' '-join is
+  * the concatenation of the tokens' UTF-8 with 0x20 between), one
+  * reused MessageDigest, no intermediate strings. Yields one 16-byte
+  * binary per window, i = 0 .. size(w) − k; fewer than k tokens yield
+  * an empty array (callers filter `size(w) >= k` upstream, matching
+  * the sequence() form which would error on a negative range). */
+case class WordGramMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  require(k >= 1)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def prettyName: String = "word_gram_md5"
+
+  override def nullSafeEval(a: Any): Any = {
+    val w = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = w.numElements()
+    val nWin = n - k + 1
+    if (nWin <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    // token bytes materialized once per row, reused across windows
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = w.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val space = Array[Byte](' ')
+    val out = new Array[Any](nWin)
+    i = 0
+    while (i < nWin) {
+      md.reset()
+      var j = i
+      while (j < i + k) {
+        md.update(toks(j))
+        if (j < i + k - 1) md.update(space)
+        j += 1
+      }
+      out(i) = md.digest()
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramMd5 =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def gram8MinMd5(t: Column): Column =
     ExpressionUtils.column(Gram8MinMd5(ExpressionUtils.expression(t)))
   def gram8DistinctCount(t: Column): Column =
     ExpressionUtils.column(Gram8DistinctCount(ExpressionUtils.expression(t)))
+  def wordGramMd5(w: Column, k: Int): Column =
+    ExpressionUtils.column(WordGramMd5(ExpressionUtils.expression(w), k))
 }

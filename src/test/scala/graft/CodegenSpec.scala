@@ -168,6 +168,32 @@ class CodegenSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no WSCG span in s5 plan:\n$p")
   }
 
+  /** Round-16 optimization: x30's per-window fingerprint moved from the
+    * interpreted slice/join/md5-hex/unhex lambda chain to the native
+    * one-pass digest. Byte-identity on the real corpus plus edge token
+    * shapes (empty tokens, multi-byte UTF-8, exactly-k, fewer-than-k). */
+  test("word_gram_md5 matches the transform/slice/md5/unhex form byte-exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.wordGramMd5
+    val s = spark
+    import s.implicits._
+    val k = 4
+    val edge = Seq("a b c d", "a b c d e", "a  b c d",
+      "的 是 在 了 和", "x", "a b c", "tok tok tok tok tok")
+      .toDF("text")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val both = df.select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= k)
+        .select(
+          wordGramMd5(col("w"), k).as("got"),
+          expr(s"transform(sequence(0, size(w) - $k)," +
+            s" i -> unhex(md5(array_join(slice(w, i + 1, $k), ' '))))").as("exp"))
+      val bad = both.filter(col("got") =!= col("exp"))
+      assert(bad.isEmpty, s"word_gram_md5 divergence:\n${bad.take(3).mkString("\n")}")
+    }
+  }
+
   /** Round-16 optimization: t4's window walk moved from the
     * per-window-allocating declarative form to the single-pass native
     * expressions. The spec pins BYTE-EXACT equivalence against the old

@@ -1185,11 +1185,18 @@ object Similarity {
       .withColumn("scale", vecMaxAbs(col("v")))
       .withColumn("qv", int8Codes(col("v"), col("scale")))
       .withColumn("nq2", vecNorm2Int(col("qv")))
-    val probes = broadcast(queryProbes(qSide, anchors, nProbe,
-      "vec_id", "v", "nrm", "qv", "nq2"))
+    // round-16: the probe subtree (query scan + quantize + cell
+    // ranking) previously computed TWICE — once for the probed-cell
+    // collect, once again inside the broadcast; collecting the rows
+    // once feeds both (≤ NQueries·nProbe rows, broadcast-sized by
+    // construction)
+    val probesDf = queryProbes(qSide, anchors, nProbe,
+      "vec_id", "v", "nrm", "qv", "nq2")
+    val probeRows = probesDf.collect() // bounded: ≤ NQueries·nProbe probe rows
+    val probes = broadcast(s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesDf.schema))
     // bounded: the probed cell ids — ≤ NQueries·nProbe ints
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val probeCells = probeRows.map(_.getAs[Int]("cell")).distinct.sorted
 
     // int8 scoring over the PRUNED scan: only probed cell directories,
     // only (vec_id, qv8, nq2) columns — the floats stay on disk. A

@@ -601,9 +601,14 @@ object TextAnalysis {
       .filter(size(col("w")) >= 2)
     val pairs = toks.select(col("doc_id"),
         expr("size(w) - 1").as("n_pairs"),
-        explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+        // round-16: arrays_zip(slice, slice) — same (w[i], w[i+1]) pairs,
+        // but Slice/ArraysZip are codegen'd where the transform lambda
+        // ran interpreted per pair
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
       .select(col("doc_id"), col("n_pairs"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
+        col("p")("0").as("w1"), col("p")("1").as("w2"))
     val bigrams = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // cached: the stats job below and the score join both consume the
     // unigram table — one Heaps-bounded CacheManager entry, dropped by
@@ -685,9 +690,14 @@ object TextAnalysis {
       .filter(size(col("w")) >= 2)
     val pairs = toks.select(col("doc_id"),
         expr("size(w) - 1").as("n_pairs"),
-        explode(expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+        // round-16: arrays_zip(slice, slice) — same (w[i], w[i+1]) pairs,
+        // but Slice/ArraysZip are codegen'd where the transform lambda
+        // ran interpreted per pair
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("p"))
       .select(col("doc_id"), col("n_pairs"),
-        col("p.w1").as("w1"), col("p.w2").as("w2"))
+        col("p")("0").as("w1"), col("p")("1").as("w2"))
     // cached: ctx/cont/stats and the score join all fold off this one
     // Heaps-bounded table; dropped by the caller's clearCache
     val bigrams = pairs.groupBy(col("w1"), col("w2"))

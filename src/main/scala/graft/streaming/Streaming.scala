@@ -1714,13 +1714,22 @@ object Streaming {
     * served union still bit-matches the one-shot witness. */
   def st18StreamAnnServe(s0: SparkSession, d: String): DataFrame = {
     val s = scoped(s0)
+    val trace = sys.env.contains("GRAFT_ST18_TRACE")
+    var tT = System.nanoTime()
+    def mark(what: String): Unit = if (trace) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[st18-trace] $what ${(t1 - tT) / 1e9}%.2f s")
+      tT = t1
+    }
     withWorkspace("st18") { (work, ckpt) =>
       val inDir = s"$work/in"
       val outDir = s"$work/out"
       val schema = st18WriteInputs(s, d, inDir)
+      mark("stage inputs")
       val q = st18StartServing(s, d, schema, inDir, outDir,
-        ckpt.getAbsolutePath)
+        ckpt.getAbsolutePath, afterBatch = id => mark(s"batch $id"))
       q.awaitTermination()
+      mark("stream drained")
       val served = s.read.parquet(s"$outDir/batch-*")
       // bounded: the identity gate compares ≤ NQueries·K rows — driver-side
       // multiset equality, not exceptAll shuffles
@@ -1772,7 +1781,8 @@ object Streaming {
     * overwrite never changes surviving bytes, only restores them. */
   private[graft] def st18StartServing(s: SparkSession, d: String,
                                       schema: StructType, inDir: String,
-                                      outDir: String, ckpt: String)
+                                      outDir: String, ckpt: String,
+                                      afterBatch: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
     import graft.functions.VectorFunctions.vecNorm2
@@ -1789,6 +1799,7 @@ object Streaming {
         Similarity.probeIndex(s, path, prep, anchors, nProbe)
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite").parquet(s"$outDir/batch-$id")
+        afterBatch(id)
         ()
       }
       .option("checkpointLocation", ckpt)

@@ -25,6 +25,11 @@ object VectorFunctions {
   def topCellsRouted(v: Column, nrm: Column,
                      router: graft.operators.CellRouter, k: Int): Column =
     org.apache.spark.sql.graft.VectorFunctions.topCellsRouted(v, nrm, router, k)
+  /** `CAST(embedding AS array<double>)` materialize-once (see
+    * `org.apache.spark.sql.graft.VecToDouble` — Cast is collapse-cheap
+    * and gets re-evaluated per reference). */
+  def toDoubleArray(a: Column): Column =
+    org.apache.spark.sql.graft.VectorFunctions.toDoubleArray(a)
   /** Exact integral dot `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, +)`
     * as a codegen'd loop; sides may differ in integral element type. */
   def vecDotInt(a: Column, b: Column): Column =

@@ -880,8 +880,15 @@ object Corpus {
   def x29DiversitySample(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
     import org.apache.spark.sql.expressions.Window
+    // deliberately NOT `CAST(embedding AS array<double>)`: CollapseProject
+    // treats Cast as collapse-cheap (SPARK-36718), and the 16-anchor
+    // scoring below references `v` 16× in one projection — the array
+    // cast would be inlined and re-evaluated per REFERENCE (measured
+    // 1.0 → 2.0 s at sf0.1 during round 16's cast sweep). toDoubleArray
+    // is the same widening as a non-collapse-cheap codegen'd node, so
+    // `v` materializes once.
     val e = embeddings(s, d).select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val anchorRows = e.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("v"), col("nrm"))

@@ -471,7 +471,7 @@ object Dedup {
   def p4EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).filter(col("vec_id") < AuditCap).select(
       col("vec_id"),
-      expr("CAST(embedding AS array<double>)").as("v"))
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vecNorm2(col("v"))))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot",

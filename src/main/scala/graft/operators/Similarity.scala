@@ -42,7 +42,7 @@ object Similarity {
   private[graft] def prepared(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
       col("vec_id"),
-      expr("CAST(embedding AS array<double>)").as("v"))
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
 
   private def cos4(qn: Column, nn: Column): Column =
@@ -605,7 +605,7 @@ object Similarity {
   def x8Quantize(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("scale", vecMaxAbs(col("v")))
       .withColumn("q", int8Codes(col("v"), col("scale")))
       .withColumn("qhash",
@@ -654,7 +654,7 @@ object Similarity {
     // bit-identical; s5's full DuckDB hash oracle pins it)
     val e = embeddings(s, d)
       .select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("scale", vecMaxAbs(col("v")))
       .withColumn("qv", int8Codes(col("v"), col("scale")))
       .withColumn("nq2", vecNorm2Int(col("qv")))
@@ -1020,7 +1020,7 @@ object Similarity {
     // codes/norms are exact integers, so artifact bytes are unchanged
     val base = raw
       .select(col("vec_id"), col("label"), col("embedding"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
       .withColumn("scale", vecMaxAbs(col("v")))
       .withColumn("qv", int8Codes(col("v"), col("scale")))
@@ -1240,14 +1240,14 @@ object Similarity {
     // stale base row), and the delta's floats union in after.
     val fBase0 = idx.filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
       .select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("fv"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("fv"))
     val fBase = mask.fold(fBase0)(t =>
       fBase0.join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti"))
     val fAll = delta.fold(fBase)(dl =>
       fBase.unionByName(dl
         .filter(col("cell").isin(probeCells.map(_.asInstanceOf[Any]): _*))
         .select(col("vec_id"),
-          expr("CAST(embedding AS array<double>)").as("fv"))))
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("fv"))))
     val floats = fAll.select(col("vec_id").as("fvec_id"), col("fv"))
       .withColumn("fnrm", sqrt(vecNorm2(col("fv"))))
     val exact = floats.join(broadcast(short), col("fvec_id") === col("neighbor_id"))
@@ -1303,7 +1303,7 @@ object Similarity {
         val raw = embeddings(s, d)
         val base = raw.filter(col("vec_id") % 10 =!= 9)
         val eBase = base.select(col("vec_id"),
-          expr("CAST(embedding AS array<double>)").as("v"))
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v"))))
         val nCells = ivfCells(eBase.count())
         val anchors = trainAnchors(
@@ -1361,7 +1361,7 @@ object Similarity {
         case None =>
           val base = embeddings(s, d).filter(col("vec_id") % 10 =!= 9)
           val eBase = base.select(col("vec_id"),
-              expr("CAST(embedding AS array<double>)").as("v"))
+              graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
             .withColumn("nrm", sqrt(vecNorm2(col("v"))))
           val nCells = ivfCells(eBase.count())
           val anchors = trainAnchors(
@@ -1677,7 +1677,7 @@ object Similarity {
     val res = probe.localCheckpoint(true)
     // exact baseline + freshness recompute, both over the UPDATED corpus
     val uc = updatedCorpus(s, d).select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val q = broadcast(uc.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1828,7 +1828,7 @@ object Similarity {
     val finalCorpus = updatedCorpus(s, d)
       .join(broadcast(tombstones(s, d)), Seq("vec_id"), "left_anti")
     val uc = finalCorpus.select(col("vec_id"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val q = broadcast(uc.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1863,7 +1863,7 @@ object Similarity {
   private[graft] def s13ExactWitness(s: SparkSession, d: String): DataFrame =
     durableWitness(s, "s13-exact", d) {
       val uc = updatedCorpus(s, d).select(col("vec_id"),
-          expr("CAST(embedding AS array<double>)").as("v"))
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(vecNorm2(col("v"))))
       val q = broadcast(uc.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1898,7 +1898,7 @@ object Similarity {
     val labelType = embeddings(s, d).schema("label").dataType
     val q0 = finalCorpus.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("label"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     // ONE action materializes the ≤ NQueries-row query side; the label
     // enumeration and the join's broadcast side reuse it as a local
@@ -1909,7 +1909,7 @@ object Similarity {
     val qLabels = qRows.map(_.get(q0.schema.fieldIndex("label"))).distinct
     val e = src.filter(col("label").isin(qLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
-        expr("CAST(embedding AS array<double>)").as("ev"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("ev"))
       .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
     rerank(broadcast(q).as("q")
       .join(e, col("q.vec_id") =!= col("neighbor_id") &&
@@ -2771,7 +2771,7 @@ object Similarity {
 
   def x10RandomProjection(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"),
-      expr("CAST(embedding AS array<double>)").as("v"))
+      graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
     val coords = projSigns.map { row =>
       vecDot(col("v"), array(row.map(lit(_)): _*))
     }
@@ -2831,14 +2831,14 @@ object Similarity {
     // query side: tiny, broadcast — carries label, floats, norm
     val q = raw.filter(col("vec_id") < NQueries)
       .select(col("vec_id"), col("label"),
-        expr("CAST(embedding AS array<double>)").as("v"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vecNorm2(col("v"))))
     val qLabels = q.select(col("label")).distinct().collect().map(_.get(0)) // bounded: distinct label enum
     // literal IN over the first partition key → directory-level pruning
     val idx = s.read.parquet(path)
       .filter(col("label").isin(qLabels: _*))
       .select(col("vec_id").as("neighbor_id"), col("label").as("elabel"),
-        expr("CAST(embedding AS array<double>)").as("ev"))
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("ev"))
       .withColumn("enrm", sqrt(vecNorm2(col("ev"))))
     val pairs = broadcast(q).as("q")
       .join(idx, col("q.vec_id") =!= col("neighbor_id") &&
@@ -4374,12 +4374,12 @@ object Similarity {
     val exact = rerank(broadcast(
         raw.filter(col("vec_id") < NQueries)
           .select(col("vec_id"), col("label"),
-            expr("CAST(embedding AS array<double>)").as("v"))
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v")))))
       .as("q")
       .join(raw.select(col("vec_id").as("neighbor_id"),
           col("label").as("nlabel"),
-          expr("CAST(embedding AS array<double>)").as("ev"))
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("ev"))
           .withColumn("enrm", sqrt(vecNorm2(col("ev")))),
         col("q.vec_id") =!= col("neighbor_id") &&
           col("q.label") === col("nlabel"))

@@ -1794,7 +1794,7 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val prep = batch
           .select(col("vec_id"),
-            expr("CAST(embedding AS array<double>)").as("v"))
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v"))))
         Similarity.probeIndex(s, path, prep, anchors, nProbe)
           .withColumn("batch_id", lit(id))
@@ -1868,7 +1868,7 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val prep = batch
           .select(col("vec_id"),
-            expr("CAST(embedding AS array<double>)").as("v"))
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
           .withColumn("nrm", sqrt(vecNorm2(col("v"))))
           .localCheckpoint(true) // consumed by seeds + the beam query side
         val scored = Similarity.graphBeamAuto(s,
@@ -2153,7 +2153,7 @@ object Streaming {
               .select(col("vec_id"), col("v"), col("nrm"))
               .withColumn("sel", lit(false))
           val bprep = batch.select(col("vec_id"),
-            expr("CAST(embedding AS array<double>)").as("v"))
+            graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("v"))
             .withColumn("nrm", sqrt(vecNorm2(col("v"))))
             .withColumn("sel", lit(true))
             .localCheckpoint(true) // both lanes consume it repeatedly

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -538,7 +538,11 @@ case class Int8Codes(left: Expression, right: Expression)
         i += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    // primitive-backed (see [[VecToDouble.widen]]): the codes feed
+    // vec_norm2_int/vec_dot_int getLong loops — boxed slots would
+    // unbox per element
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -554,7 +558,8 @@ case class Int8Codes(left: Expression, right: Expression)
          |    $out[$i] = $cls.code($a.getDouble($i), $b);
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($out);
        """.stripMargin
     })
 
@@ -574,7 +579,70 @@ object Int8Codes {
   }
 }
 
+/** `CAST(embedding AS array<double>)` as a non-Cast node. The float →
+  * double widening itself is exactly Cast's (codegen'd primitive loop,
+  * null elements preserved); the reason this expression exists is
+  * OPTIMIZER behavior, not speed of the cast: `CollapseProject` treats
+  * `Cast` as collapse-cheap (SPARK-36718) and will inline an aliased
+  * array cast into EVERY reference — a projection that reads `v` k
+  * times re-materializes the 64-element array k times per row
+  * (measured 2× on x29's 16-anchor scoring during the round-16 cast
+  * sweep). This node hits CollapseProject's default (not cheap), so an
+  * aliased `v` computes once, like the interpreted `transform(...)`
+  * form it replaces — but inside whole-stage codegen. */
+case class VecToDouble(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "to_double_array"
+
+  override def nullSafeEval(a: Any): Any =
+    VecToDouble.widen(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = VecToDouble.getClass.getName.stripSuffix("$")
+      s"${ev.value} = $cls.widen($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecToDouble =
+    copy(child = newChild)
+}
+
+object VecToDouble {
+  /** Primitive-backed output (UnsafeArrayData.fromPrimitiveArray) on
+    * the no-nulls fast path: a boxed GenericArrayData here would make
+    * every downstream getDouble unbox — measured 2× on the 16-reference
+    * scoring projections the expression exists for. Null elements (not
+    * produced by the engine's parquet float arrays, but allowed by the
+    * schema) take the boxed path, matching Cast exactly. */
+  def widen(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) { hasNull = x.isNullAt(i); i += 1 }
+    if (!hasNull) {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = x.getFloat(i).toDouble; i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) out(i) = x.getFloat(i).toDouble
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+}
+
 object VectorFunctions {
+  def toDoubleArray(a: Column): Column =
+    ExpressionUtils.column(VecToDouble(ExpressionUtils.expression(a)))
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VecDot(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def vecNorm2(a: Column): Column =

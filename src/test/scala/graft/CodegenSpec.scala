@@ -138,6 +138,15 @@ class CodegenSpec extends AnyFunSuite {
     "vec_dot_int) match the HOF forms bit-exactly and stay codegen'd") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
+    // to_double_array (the materialize-once float→double widening) must
+    // equal both the Cast and the transform-lambda forms element-wise
+    val castEq = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("n"),
+        expr("CAST(embedding AS array<double>)").as("c"),
+        expr("transform(embedding, x -> cast(x AS double))").as("t"))
+      .filter(col("n") =!= col("c") || col("n") =!= col("t"))
+    assert(castEq.isEmpty, s"to_double_array diverged:\n${castEq.take(3).mkString("\n")}")
     val e = Similarity.prepared(spark, sf)
       .withColumn("scaleH", expr("array_max(transform(v, x -> abs(x)))"))
       .withColumn("qvH", expr(

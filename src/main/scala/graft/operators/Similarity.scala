@@ -3846,7 +3846,7 @@ object Similarity {
     * unexpanded nodes, fetch their adjacency rows BY KEY (an `isin`
     * over a driver-bounded id list; at scale a bucket-pruned point
     * read, the graph analog of s7's partition-pruned probe), score
-    * the newly reached nodes in ONE codegen'd job per round, fold
+    * the newly reached nodes in ONE point-read job per round, fold
     * them into the beam. Against the base artifact every per-round
     * frame is ≤ beam·DEG·queries rows (the incremental store's
     * read-side-merged lists can exceed DEG by the node's back-linked

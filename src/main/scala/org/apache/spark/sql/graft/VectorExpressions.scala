@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * `SUM(x ORDER BY i)`, so oracle hashes are unchanged.
   *
   * Elements are assumed non-null (the engine builds these arrays from
-  * parquet floats via `transform(cast)` — containsNull = false).
+  * parquet floats via [[VecToDouble]], which preserves nulls but never
+  * receives any from the engine's embedding tables).
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {

@@ -874,9 +874,10 @@ object Corpus {
     * Scale: assignment + mixer are one narrow projection; the
     * per-cluster pick is a rank-≤-quota filter (WindowGroupLimit —
     * each cluster keeps 4 rows, never sorts the corpus globally);
-    * cluster sizes are a 16-row broadcast. At 100 TB: one corpus scan,
-    * one bounded-output shuffle keyed by 16 clusters (AQE splits the
-    * skewed dense-center cluster), 64 rows out. */
+    * cluster sizes ride the same 16-cluster exchange as a window
+    * count. At 100 TB: one corpus scan, one bounded-output shuffle
+    * keyed by 16 clusters (AQE splits the skewed dense-center
+    * cluster), 64 rows out. */
   def x29DiversitySample(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions.{vecDot, vecNorm2}
     import org.apache.spark.sql.expressions.Window
@@ -904,16 +905,26 @@ object Corpus {
     val clustered = e.select(col("vec_id"), array_max(cands).as("best"))
       .select(col("vec_id"), (-col("best.nid")).as("cluster"),
         col("best.c").as("cos_centroid"))
-    val sizes = clustered.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("cluster_size"))
+    // cluster_size as a WINDOW COUNT over the pick shuffle's own
+    // partitioning, not a groupBy + broadcast join: the join form paid
+    // the 16-anchor scoring THREE times per corpus row — once in the
+    // main projection, once in the sizes branch's second full scan,
+    // and once more in the join's inferred isnotnull(cluster) filter,
+    // which Catalyst pushes to the scan with the whole argmax
+    // expression inlined (round-16's x29 regression: 32
+    // to_double_array occurrences in one Filter node). The count
+    // window shares the single Exchange hashpartitioning(cluster) the
+    // rank window already needs, so the corpus is scanned and scored
+    // exactly once and no filter is inferred.
     val wPick = Window.partitionBy(col("cluster"))
       .orderBy(col("h"), col("vec_id"))
     clustered
       .withColumn("h",
         ((col("vec_id") % 1048576L) * 2654435761L + 12345L) % 1048576L)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .withColumn("pick", row_number().over(wPick))
       .filter(col("pick") <= 4)
-      .join(broadcast(sizes), Seq("cluster"))
       .select(col("cluster"), col("pick"), col("vec_id"),
         col("cos_centroid"), col("cluster_size"))
       .orderBy(col("cluster"), col("pick"))

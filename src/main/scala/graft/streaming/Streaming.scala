@@ -238,20 +238,55 @@ object Streaming {
     * checkpoint dir (exactly-once recovery contract); a bounded
     * replay's checkpoint has no life after the query. */
   private def ckptDir(name: String): java.io.File = {
+    sweepOrphans(name)
     val shm = new java.io.File("/dev/shm")
     val root = if (shm.isDirectory && shm.canWrite) shm
                else new java.io.File(sys.props("java.io.tmpdir"))
-    new java.io.File(root, s"graft-ckpt-$name-${java.util.UUID.randomUUID}")
+    new java.io.File(root,
+      s"graft-ckpt-$name-$ownerTag-${java.util.UUID.randomUUID}")
+  }
+
+  /** `finally` cannot run under kill -9: a process killed mid-query
+    * leaves its workspace/checkpoint on disk forever (seen once — a
+    * killed run's st12 residue then failed every later residue-free
+    * spec). So every scratch dir embeds its owner pid (`-P<pid>X-`)
+    * and each creator first garbage-collects same-prefix dirs whose
+    * owner process is dead — residue from a killed run is reclaimed by
+    * the next run instead of accumulating. Dirs from naming schemes
+    * without an owner tag are reclaimed only past a 30-minute age so a
+    * live externally-managed dir is never raced. */
+  private def ownerTag: String = s"P${ProcessHandle.current().pid()}X"
+  private val OwnerPat = ".*P([0-9]+)X.*".r
+  private def orphaned(dirName: String, mtime: Long): Boolean = dirName match {
+    case OwnerPat(pid) =>
+      !ProcessHandle.of(pid.toLong)
+        .map[java.lang.Boolean](_.isAlive).orElse(java.lang.Boolean.FALSE)
+    case _ => System.currentTimeMillis() - mtime > 30L * 60 * 1000
+  }
+  private def sweepOrphans(name: String): Unit = {
+    val roots = Seq(new java.io.File(sys.props("java.io.tmpdir")),
+      new java.io.File("/dev/shm"))
+    roots.foreach { r =>
+      Option(r.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        if ((n.startsWith(s"graft_$name") || n.startsWith(s"graft-ckpt-$name")) &&
+            f.isDirectory && orphaned(n, f.lastModified()))
+          graft.FsUtil.deleteTree(f)
+      }
+    }
   }
 
   /** Workspace lifecycle for queries that stage a scratch copy of a
     * durable artifact (st12's streamed index generation): creates the
     * temp dir, runs the body, and deletes BOTH the workspace and the
     * query checkpoint in `finally` — success or failure, nothing is
-    * left behind. Package-private so the residue-free contract is
+    * left behind (and [[sweepOrphans]] above reclaims what a kill -9
+    * orphaned). Package-private so the residue-free contract is
     * spec-testable with a forced failure, not just argued. */
   private[graft] def withWorkspace[A](name: String)(body: (String, java.io.File) => A): A = {
-    val work = java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    sweepOrphans(name)
+    val work = java.nio.file.Files.createTempDirectory(
+      s"graft_$name$ownerTag").toString
     val ckpt = ckptDir(name)
     try body(work, ckpt)
     finally {

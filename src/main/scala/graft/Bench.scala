@@ -247,11 +247,20 @@ object Bench {
           sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo"),
           s"BENCH_FULL.${ProcessHandle.current().pid()}.json")
     }
-    try {
-      java.nio.file.Files.writeString(benchOut, fullJson + "\n")
-      System.err.println(s"[bench] full evidence -> $benchOut")
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] $benchOut write failed: $e")
+    // The pid-named file is collision-free but needs forensic mtime
+    // matching to pair with a run; BENCH_FULL.last.json is the DOCUMENTED
+    // stable alias of the most recent run (round-16 adjudication had to
+    // reconstruct per-query truth by matching pid files to driver
+    // wrappers by the second). Same content, overwritten per run; the
+    // deliberately-promoted BENCH_FULL.json is still never clobbered.
+    val lastAlias = benchOut.resolveSibling("BENCH_FULL.last.json")
+    Seq(benchOut, lastAlias).foreach { p =>
+      try {
+        java.nio.file.Files.writeString(p, fullJson + "\n")
+        System.err.println(s"[bench] full evidence -> $p")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] $p write failed: $e")
+      }
     }
     val compact = line(2)
     // Degradation ladder: 2-decimal → 1-decimal → per-FAMILY subtotals

@@ -1519,7 +1519,12 @@ object Relational {
         .hint(lane)
         .join(vars.as("b"),
           col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
-            col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2)
+            col("a.d") + col("b.d") + greatest(col("a.w"), col("b.w")) <= 2 &&
+            // canonical-witness prune LAST in the conjunction: cuts the
+            // distinct's input from 2.25× answer mass to ≈ answer mass
+            // without changing its output (see r40CanonicalKeep)
+            r40CanonicalCol(col("a.form"), col("a.name"), col("a.d"),
+              col("a.w"), col("b.name"), col("b.d"), col("b.w")))
         .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
         .distinct()
     cand.withColumn("dist", levenshtein(col("name_a"), col("name_b")))
@@ -1577,7 +1582,10 @@ object Relational {
           val (_, na, da, wa) = rows(i)
           Iterator.range(i + 1, rows.length).flatMap { j =>
             val (_, nb, db, wb) = rows(j)
-            if (na != nb && da + db + math.max(wa, wb) <= 2)
+            // same admission as the join lanes, canonical prune included
+            // (the predicate is symmetric in its two (name, d, w) roles)
+            if (na != nb && da + db + math.max(wa, wb) <= 2 &&
+                r40CanonicalKeep(form, na, da, wa, nb, db, wb))
               Iterator.single((na, nb))
             else Iterator.empty
           }
@@ -1601,7 +1609,9 @@ object Relational {
           .join(bigVars.as("b"),
             col("a.form") === col("b.form") && col("a.name") < col("b.name") &&
               col("a.d") + col("b.d") +
-                greatest(col("a.w"), col("b.w")) <= 2)
+                greatest(col("a.w"), col("b.w")) <= 2 &&
+              r40CanonicalCol(col("a.form"), col("a.name"), col("a.d"),
+                col("a.w"), col("b.name"), col("b.d"), col("b.w")))
           .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
         small.union(big)
       }
@@ -1660,8 +1670,96 @@ object Relational {
   /** All (form, name, d, w) blocking rows for [[r40]]: the name with d
     * chars deleted and w positions wildcarded (reserved U+0001 — never
     * present in key data), d + w ≤ 2, deduped (repeated chars collide
-    * distinct position choices). ≈ 2L² forms per name. */
+    * distinct position choices). ≈ 2L² forms per name.
+    *
+    * Round-17 fast path (set-identical to [[levFormsGeneric]], pinned
+    * by the RelationalSpec equivalence test): the generic form paid a
+    * LinkedHashSet insert (tuple alloc + hash) plus 1–2 StringBuilder
+    * copies per candidate form, ~2L² times per name — the dominant
+    * per-row cost of the blocking scan. This emission dedupes each
+    * category by construction instead:
+    *  - wildcard-only forms (0,1)/(0,2) are pairwise DISTINCT when the
+    *    name holds no reserved U+0001 char (each form's wildcard
+    *    position set is recoverable from the string, and the sets
+    *    differ), and distinct from every other category (length or
+    *    wildcard count differs) — emitted with no dedup at all;
+    *  - single deletions (1,0) collide exactly when the deleted chars
+    *    sit in one run of equal chars, so one emission per RUN is the
+    *    deduped set;
+    *  - (1,1) and (2,0) derive only from run-representative first
+    *    deletions (non-representative run members produce the same
+    *    intermediate string, hence the same forms; for (2,0) the union
+    *    over a run's members of the second-delete ranges equals the
+    *    representative's range, since its first index is the run
+    *    minimum) and dedupe within their own category via one
+    *    HashSet[String] each ((1,1) carries a wildcard, (2,0) is two
+    *    chars shorter — never cross-category string-equal).
+    * Names that DO contain U+0001 (outside the key contract, but the
+    * set equivalence must hold on any input) fall back to the generic
+    * path, where a form string no longer pins its (d, w) tag. */
   private[graft] def levForms(name: String): Iterator[(String, String, Int, Int)] = {
+    if (name.indexOf('\u0001') >= 0) return levFormsGeneric(name)
+    val L = name.length
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String, Int, Int)](
+      2 * L * L + 2) // local: one name's ≈2L² blocking rows
+    out += ((name, name, 0, 0))
+    if (L == 0) return out.iterator
+    val chars = name.toCharArray
+    // (0,1) and (0,2): wildcards at {i} / {i,j} — distinct by position set
+    val wbuf = chars.clone()
+    var i = 0
+    while (i < L) {
+      val ci = wbuf(i); wbuf(i) = '\u0001'
+      out += ((new String(wbuf), name, 0, 1))
+      var j = i + 1
+      while (j < L) {
+        val cj = wbuf(j); wbuf(j) = '\u0001'
+        out += ((new String(wbuf), name, 0, 2))
+        wbuf(j) = cj
+        j += 1
+      }
+      wbuf(i) = ci
+      i += 1
+    }
+    // deletion-bearing categories from run-representative first deletes
+    val dbuf = new Array[Char](L - 1)
+    val seen11 = new java.util.HashSet[String]()
+    val seen20 = new java.util.HashSet[String]()
+    i = 0
+    while (i < L) {
+      if (i == 0 || chars(i) != chars(i - 1)) { // run representative
+        System.arraycopy(chars, 0, dbuf, 0, i)
+        System.arraycopy(chars, i + 1, dbuf, i, L - i - 1)
+        out += ((new String(dbuf, 0, L - 1), name, 1, 0))
+        var k = 0
+        while (k < L - 1) {
+          val ck = dbuf(k); dbuf(k) = '\u0001'
+          val f = new String(dbuf, 0, L - 1)
+          if (seen11.add(f)) out += ((f, name, 1, 1))
+          dbuf(k) = ck
+          k += 1
+        }
+        var p = i // second delete at post-delete positions i..L-2
+        while (p < L - 1) {
+          val sb = new java.lang.StringBuilder(L - 2)
+          sb.append(dbuf, 0, p).append(dbuf, p + 1, L - 2 - p)
+          val f = sb.toString
+          if (seen20.add(f)) out += ((f, name, 2, 0))
+          p += 1
+        }
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** The reference emission (pre-round-17 shape): enumerate every
+    * (delete, wildcard) position choice and dedupe through one
+    * LinkedHashSet. Exact on any input including names that contain
+    * the reserved wildcard char; [[levForms]] dispatches here for
+    * those, and the RelationalSpec equivalence test pins the two
+    * emissions set-equal. */
+  private[graft] def levFormsGeneric(name: String): Iterator[(String, String, Int, Int)] = {
     val L = name.length
     val out = scala.collection.mutable.LinkedHashSet.empty[(String, Int, Int)]
     def del(s: String, i: Int): String =
@@ -1687,6 +1785,84 @@ object Relational {
     }
     out.iterator.map { case (f, d0, w0) => (f, name, d0, w0) }
   }
+
+  /** CANONICAL-WITNESS admission for r40's candidate pairs — prunes
+    * provably-redundant emissions BEFORE the distinct, never changing
+    * its output. A true pair (lev ≤ 2) is admitted by several (form,
+    * d, w) decompositions (round-16 measured 2.25× candidate
+    * multiplicity; distance-1 pairs carry ~2L witnesses); each rule
+    * below drops a candidate only when ANOTHER admitted witness is
+    * guaranteed to survive, so `distinct(candidates)` is unchanged and
+    * the distinct processes ~answer-mass rows instead of 2.25× that.
+    *
+    * With no reserved U+0001 char in either name, form-equal rows
+    * share w (= the form's wildcard count) and d = |name| − |form|,
+    * and the admitted classes are (d_a, d_b, w) with d_a+d_b+w ≤ 2:
+    *  - (0,0,w≥1): prune when some wildcard position p has
+    *    name_a(p) == name_b(p) — the form with that wildcard removed
+    *    (w−1 ≤ 1) matches both names and is admitted; induction
+    *    bottoms out at the all-wildcards-necessary form (names differ
+    *    somewhere, and only inside the wildcard set).
+    *  - (1,1,0): prune when hamming(a,b) ≤ 2 — the wildcards-at-diffs
+    *    form is admitted at (0,0,h) and survives the rule above (every
+    *    wildcard necessary).
+    *  - ({1,0},1): prune when the longer name reaches the shorter by
+    *    ONE deletion — the pure-deletion witness (1,0,0) is admitted
+    *    and no rule touches that class.
+    * (0,0,0) is equal names (excluded by name_a < name_b), (2,0,0) has
+    * a unique witness (both forms are the shorter name), (1,0,0) is
+    * the kept pure-deletion witness — nothing else is admitted.
+    *
+    * Guards make the predicate EXACT on arbitrary frames, not just
+    * levForms output: every rule first re-checks the length identities
+    * its argument pattern implies (|name| = |form| + d, equal lengths
+    * for hamming, off-by-one for the deletion test) and bails to
+    * `keep` when a name carries a native U+0001 (where a form string
+    * no longer pins w); spec-built frames with arbitrary tags are
+    * therefore never mis-pruned. */
+  // public (not private[graft]): the expression wrapper living in
+  // org.apache.spark.sql.graft — a different `graft` — calls it
+  def r40CanonicalKeep(form: String,
+                       nameA: String, dA: Int, wA: Int,
+                       nameB: String, dB: Int, wB: Int): Boolean = {
+    if (wA != wB) return true
+    if (nameA.indexOf('\u0001') >= 0 || nameB.indexOf('\u0001') >= 0) return true
+    val la = nameA.length; val lb = nameB.length; val lf = form.length
+    if (dA == 0 && dB == 0 && wA >= 1) {
+      if (la != lf || lb != lf) return true
+      var p = 0
+      while (p < lf) {
+        if (form.charAt(p) == '\u0001' && nameA.charAt(p) == nameB.charAt(p))
+          return false
+        p += 1
+      }
+      true
+    } else if (dA == 1 && dB == 1 && wA == 0) {
+      if (la != lb || la != lf + 1) return true
+      var diffs = 0; var p = 0
+      while (p < la && diffs <= 2) {
+        if (nameA.charAt(p) != nameB.charAt(p)) diffs += 1
+        p += 1
+      }
+      diffs > 2
+    } else if (wA == 1 && dA + dB == 1) {
+      val (lng, shrt) = if (dA == 1) (nameA, nameB) else (nameB, nameA)
+      if (lng.length != shrt.length + 1 || shrt.length != lf) return true
+      // one-deletion check: first mismatch skips one char of the long
+      var i = 0
+      while (i < shrt.length && lng.charAt(i) == shrt.charAt(i)) i += 1
+      var j = i
+      while (j < shrt.length && lng.charAt(j + 1) == shrt.charAt(j)) j += 1
+      j < shrt.length // reached the end ⇒ pure deletion exists ⇒ prune
+    } else true
+  }
+
+  /** Column form of [[r40CanonicalKeep]] for the join lanes. */
+  private def r40CanonicalCol(form: Column, nameA: Column, dA: Column,
+                              wA: Column, nameB: Column, dB: Column,
+                              wB: Column): Column =
+    org.apache.spark.sql.graft.JoinFunctions.r40Canonical(
+      form, nameA, dA, wA, nameB, dB, wB)
 
   /** Brute-force DP join — the oracle pays the O(n²) the engine's
     * deletion-neighborhood blocking avoids. */

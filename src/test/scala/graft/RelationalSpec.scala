@@ -494,6 +494,103 @@ class RelationalSpec extends AnyFunSuite {
     assert(want.nonEmpty, "degenerate fixture: no fuzzy pairs at sf0.001")
   }
 
+  test("r40 canonical-witness prune: the distinct pair set is unchanged " +
+    "and still equals brute-force lev<=2, on adversarial corpora") {
+    import graft.operators.Relational
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    // driver-side replica of the blocking: admitted pairs per form
+    // group, with and without the canonical prune
+    def pairs(names: Seq[String], canonical: Boolean): Set[(String, String)] = {
+      val rows = names.flatMap(n => Relational.levForms(n).toSeq)
+      rows.groupBy(_._1).values.flatMap { g =>
+        for {
+          (f, na, da, wa) <- g
+          (_, nb, db, wb) <- g
+          if na < nb && da + db + math.max(wa, wb) <= 2 &&
+            (!canonical ||
+              Relational.r40CanonicalKeep(f, na, da, wa, nb, db, wb))
+        } yield (na, nb)
+      }.toSet
+    }
+    def check(names: Seq[String]): Unit = {
+      val full = pairs(names, canonical = false)
+      val pruned = pairs(names, canonical = true)
+      assert(pruned == full,
+        s"canonical prune changed the pair set on $names: " +
+          s"lost=${(full -- pruned).take(5)} " +
+          s"gained=${(pruned -- full).take(5)}")
+      val brute = (for {
+        a <- names; b <- names if a < b && lev(a, b) <= 2
+      } yield (a, b)).toSet
+      assert(pruned == brute,
+        s"blocking drifted from brute force on $names: " +
+          s"missed=${(brute -- pruned).take(5)} " +
+          s"extra=${(pruned -- brute).take(5)}")
+    }
+    // periodic strings (double del-del witnesses), runs, indels,
+    // serial-id shapes, reserved-wildcard-bearing names (generic path)
+    check(Seq("ababa", "babab", "abab", "aabb", "abba", "aaaa", "aaab"))
+    check(Seq("Customer#001", "Customer#002", "Customer#011",
+      "Customer#101", "Customer#110", "Customer#012"))
+    check(Seq("a", "", "ab", "ba", "abc", "acb", "bac", "ca", "b"))
+    check(Seq("mississippi", "mississippix", "missisippi", "mississipi",
+      "mizsissippi"))
+    check(Seq("x\u0001y", "xy", "xzy", "x\u0001\u0001", "xzzy"))
+    // randomized small-alphabet sweep — short strings over {a,b,c}
+    // maximize run/periodic/indel collisions; deterministic seed
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 60) {
+      val names = (0 until 12).map(_ =>
+        Array.fill(rnd.nextInt(8))(('a' + rnd.nextInt(3)).toChar).mkString)
+        .distinct
+      check(names)
+    }
+  }
+
+  test("r40 levForms fast emission is set-identical to the generic " +
+    "LinkedHashSet enumeration on adversarial shapes") {
+    import graft.operators.Relational
+    // run-heavy, periodic, short, empty, single-char, all-equal,
+    // reserved-wildcard-bearing (falls back to the generic path), and
+    // the gate's serial-id shape
+    val names = Seq(
+      "", "a", "aa", "ab", "aaa", "aba", "abab", "ababa", "aabba",
+      "aaaaaaaa", "abcabcabc", "xxaayyzz", "Customer#000000001",
+      "Customer#000001999", "a\u0001b", "\u0001", "\u0001\u0001a",
+      "mississippi", "zzzyzzz")
+    for (n <- names) {
+      val fast = Relational.levForms(n).toSet
+      val gen = Relational.levFormsGeneric(n).toSet
+      assert(fast == gen,
+        s"levForms('$n') diverged: missing=${(gen -- fast).take(5)} " +
+          s"extra=${(fast -- gen).take(5)}")
+    }
+    // randomized sweep over a small alphabet (maximizes run/periodic
+    // collisions) — deterministic seed, failures name the culprit
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val len = rnd.nextInt(12)
+      val n = Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString
+      val fast = Relational.levForms(n).toSet
+      val gen = Relational.levFormsGeneric(n).toSet
+      assert(fast == gen,
+        s"levForms('$n') diverged: missing=${(gen -- fast).take(5)} " +
+          s"extra=${(fast -- gen).take(5)}")
+    }
+  }
+
   test("t18 novelty: distributed gram fold matches a driver-side recompute exactly") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.t18NgramNovelty(spark, sf).collect()
